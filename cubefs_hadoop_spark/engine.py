@@ -1,0 +1,250 @@
+"""Engine — the reference's HCFS storage contract re-expressed at table level.
+
+The reference (io.cubefs.CubefsFileSystem) implements byte-level filesystem
+verbs; a Spark-native engine exposes the same *capability* as a table
+warehouse over parquet directories.  The mapping (SURVEY §2A):
+
+    N1  initialize           -> Engine(spark, warehouse_root); cfspark.* conf
+                                keys mirror cfs.* (CubefsConfigs.java:21-49)
+    N3  open/scan            -> Engine.table -> spark.read.parquet
+    N6  create (+overwrite)  -> write_table(mode='overwrite'|'errorifexists')
+                                (create's EEXIST/O_TRUNC branch,
+                                CubefsFileSystem.java:180-186)
+    N8  append               -> write_table(mode='append')  — Spark appends
+                                new part files to the table directory rather
+                                than bytes to one file (CubefsFileSystem.java:195-209)
+    N9  flush/sync           -> parquet committer + _SUCCESS marker
+    N10 rename (commit)      -> rename_table; refuses when dst exists, the
+                                reference's documented semantics
+                                (CubefsFileSystem.java:221-223)
+    N11 delete recursive     -> drop_table (CubefsFileSystem.java:248-277)
+    N12 listStatus           -> list_tables / describe
+                                (CubefsFileSystem.java:280-336)
+    N13 getFileStatus        -> table_exists / describe (:382-393)
+    N14 mkdirs               -> create_database (:355-380)
+    N18 getContentSummary    -> table_stats (:432-436)
+    N19 close                -> close (:443-447)
+    N20 errno mapping        -> typed errors (errors.py)
+
+Everything data-plane (buffering, batched listing, split planning) is
+delegated to Spark's parquet source exactly the way the reference delegates
+query compute to its host engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cubefs_hadoop_spark.errors import (
+    EngineIOError,
+    NotATableError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+
+_VALID_MODES = ("errorifexists", "overwrite", "append", "ignore")
+
+
+class Engine:
+    """Table warehouse over a root directory of parquet part-file tables.
+
+    Layout convention: ``<warehouse_root>/<database>/<table>/part-*.parquet``
+    with Spark's ``_SUCCESS`` commit marker — the same directory-of-parts
+    shape the reference's host engines produce through the
+    create/mkdirs/rename/delete contract (SURVEY §3 E2).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_root: str,
+        database: str = "default",
+        create: bool = True,
+    ):
+        # N1 initialize: read cfspark.* conf (mirror of cfs.* keys,
+        # CubefsConfigs.java:21-49); warehouse root is the volume analog.
+        self.spark = spark
+        conf_root = None
+        try:
+            conf_root = spark.conf.get("cfspark.warehouse.root", None)
+        except Exception:
+            pass
+        self.warehouse_root = warehouse_root or conf_root
+        if not self.warehouse_root:
+            # missing-required-key behavior mirrors CubefsFileSystem.java:68-86
+            raise EngineIOError("cfspark.warehouse.root / warehouse_root required")
+        self.database = database
+        self._closed = False
+        if create:
+            self.create_database(database)
+
+    # -- namespace ---------------------------------------------------------
+
+    def _db_path(self, database: str | None = None) -> str:
+        return os.path.join(self.warehouse_root, database or self.database)
+
+    def _table_path(self, name: str, database: str | None = None) -> str:
+        return os.path.join(self._db_path(database), name)
+
+    def create_database(self, database: str) -> None:
+        """N14 mkdirs analog (CubefsFileSystem.java:355-380).  Idempotent,
+        like the reference's re-mkdirs behavior (CubeFileSystemTest.java:44-61)."""
+        os.makedirs(self._db_path(database), exist_ok=True)
+
+    def use(self, database: str) -> None:
+        """N16 working-directory analog (CubefsFileSystem.java:338-353)."""
+        if not os.path.isdir(self._db_path(database)):
+            raise TableNotFoundError("database not found", database)
+        self.database = database
+
+    # -- read path ---------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        """N3 open/scan analog.  Schema resolution performs the N13 stat
+        check first so a missing table raises the typed ENOENT analog."""
+        path = self._table_path(name)
+        if not os.path.exists(path):
+            raise TableNotFoundError("table not found", name)
+        if not os.path.isdir(path):
+            raise NotATableError("path is not a table directory", name)
+        return self.spark.read.parquet(path)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the warehouse: registers every table as a temp view
+        then delegates to Catalyst (the host-engine delegation the reference
+        exists for, README.md:61-88)."""
+        for name in self.list_tables():
+            self.table(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+    # -- write path --------------------------------------------------------
+
+    def write_table(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "errorifexists",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """N6 create + N7 buffered write + N9 flush + N10 rename-commit,
+        all delegated to Spark's parquet committer.
+
+        Mode mapping to the reference's create() flags
+        (CubefsFileSystem.java:158-193):
+          errorifexists -> plain O_CREAT; EEXIST raises (ref :180-183)
+          overwrite     -> O_CREAT|O_TRUNC (ref :184-186)
+          append        -> N8 append (ref :195-209), as new part files
+        """
+        if mode not in _VALID_MODES:
+            raise EngineIOError(f"invalid write mode {mode!r}")
+        path = self._table_path(name)
+        if mode == "errorifexists" and os.path.exists(path):
+            raise TableAlreadyExistsError("table already exists", name)
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def append(self, df: DataFrame, name: str) -> None:
+        self.write_table(df, name, mode="append")
+
+    def rename_table(self, src: str, dst: str) -> bool:
+        """N10 rename with the reference's exact semantics: returns False when
+        dst exists (CubefsFileSystem.java:221-223), True on success, raises
+        ENOENT analog when src is missing."""
+        src_path = self._table_path(src)
+        dst_path = self._table_path(dst)
+        if not os.path.exists(src_path):
+            raise TableNotFoundError("table not found", src)
+        if os.path.exists(dst_path):
+            return False
+        os.rename(src_path, dst_path)
+        return True
+
+    def drop_table(self, name: str, ignore_missing: bool = False) -> bool:
+        """N11 recursive delete (CubefsFileSystem.java:248-277)."""
+        path = self._table_path(name)
+        if not os.path.exists(path):
+            if ignore_missing:
+                return False
+            raise TableNotFoundError("table not found", name)
+        shutil.rmtree(path)
+        return True
+
+    # -- metadata path -----------------------------------------------------
+
+    def list_tables(self) -> list[str]:
+        """N12 listStatus analog (CubefsFileSystem.java:280-336): table names
+        are the directories under the database root."""
+        root = self._db_path()
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+
+    def table_exists(self, name: str) -> bool:
+        """N13 getFileStatus-as-existence-probe (CubefsFileSystem.java:382-393)."""
+        return os.path.isdir(self._table_path(name))
+
+    def describe(self, name: str) -> DataFrame:
+        """FileStatus-shaped listing of a table's part files — the N12/N13
+        StatInfo surface (ino,size,mtime,... CubefsLib.java:25-52) as a
+        DataFrame."""
+        path = self._table_path(name)
+        if not os.path.isdir(path):
+            raise TableNotFoundError("table not found", name)
+        rows = []
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rows.append(
+                    (
+                        os.path.relpath(fp, path),
+                        int(st.st_size),
+                        # ms-precision mtime, matching the reference's
+                        # mtime*1000 + nsec/1e6 (CubefsFileSystem.java:327-329)
+                        int(st.st_mtime * 1000),
+                        f == "_SUCCESS",
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "file string, size bigint, mtime_ms bigint, is_marker boolean"
+        )
+
+    def is_committed(self, name: str) -> bool:
+        """N9 durability analog: Spark's parquet job commit writes _SUCCESS."""
+        return os.path.exists(os.path.join(self._table_path(name), "_SUCCESS"))
+
+    def table_stats(self, name: str) -> dict:
+        """N18 getContentSummary analog (CubefsFileSystem.java:432-436):
+        recursive walk summing file count and bytes; row count via a
+        parquet-metadata-only Spark count."""
+        path = self._table_path(name)
+        if not os.path.isdir(path):
+            raise TableNotFoundError("table not found", name)
+        n_files, n_bytes = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith("_"):
+                    continue
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(root, f))
+        return {
+            "files": n_files,
+            "bytes": n_bytes,
+            "rows": self.table(name).count(),
+        }
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        """N19 close analog (CubefsFileSystem.java:443-447).  Does NOT stop
+        the SparkSession (it is caller-owned, like the Hadoop FileSystem
+        cache); just marks the engine unusable."""
+        self._closed = True

@@ -1,0 +1,89 @@
+"""SparkSession construction with engine defaults.
+
+Re-expresses the reference's connection/initialization step (N1:
+CubefsFileSystem.initialize, /root/reference/src/main/java/io/cubefs/
+CubefsFileSystem.java:62-117) as SparkSession configuration.  The
+reference's tuning constants map onto Spark equivalents:
+
+- 128 MiB block size (CubefsFileSystem.java:97) -> spark.sql.files.maxPartitionBytes
+  (same constant; drives one task per 128 MiB of parquet, the same split
+  granularity the reference fabricates in getFileBlockLocations :400-430)
+- synthetic block locations with fake hosts (:420-422) -> no locality
+  preference, which is Spark's default for non-HDFS stores; nothing to set
+- read/write buffering (CubefsConfigs.java:39-49) -> handled by Spark's
+  vectorized parquet reader/writer; nothing to build
+
+Scale posture: AQE on (runtime coalescing, skew-join splitting, dynamic
+broadcast selection) so the same plans survive a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Mirrors cfs.block.size default 128 MiB (CubefsFileSystem.java:97).
+DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+DEFAULT_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": str(DEFAULT_MAX_PARTITION_BYTES),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def get_spark(
+    app_name: str = "cubefs-hadoop-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    on a real cluster the caller passes a YARN/k8s master and the same conf
+    applies unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(DEFAULT_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The driver hands us its own SparkSession; we still need determinism
+    conf (UTC) and the adaptive-execution posture.  Only runtime-mutable
+    keys are set here.
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.files.maxPartitionBytes",
+    ):
+        try:
+            spark.conf.set(key, DEFAULT_CONF[key])
+        except Exception:
+            pass  # key not runtime-settable in this build — defaults still fine
+    return spark
