@@ -1,0 +1,6 @@
+"""LLM-pipeline extension operators (SURVEY §2C): dedup, similarity,
+text analysis, multimodal columns.  Importing registers the X-series
+queries."""
+
+from cubefs_hadoop_spark.extensions import dedup, similarity, text  # noqa: F401
+from cubefs_hadoop_spark.extensions import multimodal  # noqa: F401

@@ -1,0 +1,300 @@
+"""Deduplication operators (SURVEY §2C X01/X02): exact, MinHash-LSH,
+n-gram Jaccard, SimHash.
+
+Scale design (the 100 TB story):
+- Exact dedup is a hash groupBy — one shuffle on the dedup key, map-side
+  partial aggregation.
+- MinHash-LSH never materializes the O(n^2) pair space: docs are bucketed by
+  (band, band-signature) and only same-bucket pairs are emitted, which is
+  the standard shuffle-join-on-bucket-key plan.  All hashing is seeded md5,
+  deterministic across engines and partitionings (SURVEY §7 risk 3: prefer
+  SQL-level hashes over MLlib's, whose seeds are version-sensitive).
+- SimHash reduces each doc to one 16-bit fingerprint in a single pass
+  (token explode -> per-bit signed sums -> sign), so near-dup candidacy
+  becomes an equality/bucket problem.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.queries.relational import r2d
+
+N_SEEDS = 9
+BAND_ROWS = 3  # 3 bands x 3 rows
+
+
+@register(
+    "x01_exact_dedup",
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+       FROM documents GROUP BY text ORDER BY keep_id, dup_cnt""",
+)
+def x01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X01 exact dedup: group on the content key, keep the smallest doc_id.
+    At 100 TB the group key should be sha2(text,256) so the shuffle moves
+    32-byte digests instead of documents — same plan, smaller payload
+    (see exact_dedup_by_hash below)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("keep_id", "dup_cnt")
+        .orderBy("keep_id", "dup_cnt")
+    )
+
+
+def exact_dedup_by_hash(df: DataFrame, key: str = "text") -> DataFrame:
+    """Production exact dedup: shuffle sha2 digests, not documents."""
+    return (
+        df.withColumn("_h", F.sha2(F.col(key), 256))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy(F.col(key))),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def _shingles(col: str = "text", k: int = 8) -> F.Column:
+    """Distinct character k-shingles via sequence+transform (JVM-side HOFs,
+    no Python)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({col})-{k - 1}, 1)),"
+        f" i -> substring({col}, i, {k}))"
+    )
+
+
+def minhash_signature(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
+    """doc_id -> n_seeds min-hashes.  One explode + one groupBy; each
+    min-hash is MIN(md5(seed||'|'||shingle)) — a string-min, stable across
+    engines, partition counts, and Spark versions."""
+    sh = (
+        docs.select("doc_id", F.explode(_shingles()).alias("sh"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"mh{s}")
+        for s in range(n_seeds)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Signature -> (doc_id, band, key) with key = md5 of the band's rows."""
+    n_bands = N_SEEDS // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[f"mh{b * band_rows + r}" for r in range(band_rows)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+_X02_ORACLE = (
+    """
+WITH sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text)-7,1)+1),
+                          i -> substr(text, i, 8))) AS sh FROM documents)
+),
+mh AS (SELECT doc_id, """
+    + ", ".join(f"MIN(md5('{s}|'||sh)) AS mh{s}" for s in range(N_SEEDS))
+    + """ FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(mh0||'|'||mh1||'|'||mh2) AS key FROM mh
+  UNION ALL SELECT doc_id, 1, md5(mh3||'|'||mh4||'|'||mh5) FROM mh
+  UNION ALL SELECT doc_id, 2, md5(mh6||'|'||mh7||'|'||mh8) FROM mh)
+SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+ORDER BY da, db"""
+)
+
+
+@register("x02_minhash_lsh", _X02_ORACLE)
+def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02 MinHash-LSH near-dup candidates: 9 seeded min-hashes over char
+    8-shingles, banded 3x3; pairs sharing any band bucket.  The pair join is
+    on (band, key) — bucket-local, never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    bands = lsh_bands(minhash_signature(docs)).alias("a")
+    other = bands.alias("b")
+    return (
+        bands.join(
+            other,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+        .orderBy("da", "db")
+    )
+
+
+@register(
+    "x02b_ngram_jaccard",
+    """WITH g AS (
+         SELECT DISTINCT doc_id, gm FROM (
+           SELECT doc_id,
+                  UNNEST(list_transform(
+                    range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+                    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS gm
+           FROM documents WHERE doc_id < 200)
+       ),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id)
+       SELECT da, db, CAST(ROUND(jac, 2) AS DECIMAL(18,2)) AS jac FROM (
+         SELECT a.doc_id AS da, b.doc_id AS db,
+                CAST(COUNT(*) AS DOUBLE)
+                  / (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS jac
+         FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+         JOIN sz sa ON sa.doc_id = a.doc_id
+         JOIN sz sb ON sb.doc_id = b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       WHERE jac > 0.2 ORDER BY da, db, jac""",
+)
+def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02b exact word-3-gram Jaccard over candidate subset (doc_id<200).
+    Pattern: intersections come from a join on the gram (inverted-index
+    join), |A∪B| = |A|+|B|-|A∩B| — no pairwise set materialization.  In
+    production this runs AFTER x02's LSH filter as the verify stage."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    grams = (
+        docs.withColumn("ws", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(ws)-2, 1)),"
+                    " i -> concat_ws(' ', slice(ws, i, 3)))"
+                )
+            ).alias("gm"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gm") == F.col("b.gm")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jac", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .filter(F.col("jac") > 0.2)
+        .select("da", "db", r2d(F.col("jac")).alias("jac"))
+        .orderBy("da", "db", "jac")
+    )
+
+
+def _simhash_sql_duck() -> str:
+    # 32-bit simhash: first 8 hex digits of md5(token); bit j of digit d is
+    # floor(d / 2^j) % 2; signed sum over distinct tokens; sign -> bit.
+    # (16 bits proved too coarse: shared-vocab docs collided massively.)
+    bit_terms = []
+    for j in range(32):
+        d = j // 4 + 1  # hex digit index (1-based)
+        b = j % 4
+        bit_terms.append(
+            f"(CASE WHEN SUM(2*(((strpos('0123456789abcdef', substr(h,{d},1))-1)"
+            f" // {2 ** b}) % 2)-1) > 0 THEN {2 ** j} ELSE 0 END)"
+        )
+    fp = " + ".join(bit_terms)
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, md5(w) AS h FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS fp
+FROM tok GROUP BY doc_id ORDER BY doc_id, fp"""
+
+
+@register("x02c_simhash", _simhash_sql_duck())
+def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02c SimHash fingerprint (32-bit, md5-derived, engine-portable).
+    One explode + one groupBy per doc; near-dup search then becomes
+    fingerprint equality / low Hamming distance — constant work per doc."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5("w"))
+    )
+    bit_terms = []
+    for j in range(32):
+        d = j // 4 + 1
+        b = j % 4
+        digit = F.expr(f"instr('0123456789abcdef', substring(h, {d}, 1)) - 1")
+        bit = F.floor(digit / (2 ** b)) % 2
+        bit_terms.append(
+            F.when(F.sum(2 * bit - 1) > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        )
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return (
+        tok.groupBy("doc_id")
+        .agg(fp.cast("long").alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 32-bit fingerprint into
+    4 bytes; by pigeonhole, pairs within Hamming distance <= 3 share at
+    least one byte band.  Join per band, then exact Hamming filter via
+    bit_count(xor).  Engine-side (tested in tests/test_dedup.py)."""
+    bands = fp_df.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("fp", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

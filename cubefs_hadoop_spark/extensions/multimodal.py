@@ -1,0 +1,124 @@
+"""Multimodal column support (SURVEY §2C X06): opaque binary payloads with
+typed metadata, decoded/transformed via Arrow-batched Python.
+
+Design: media lives in a ``binary`` column (ingested from files via Spark's
+``binaryFile`` source or packed inline), with a ``struct`` metadata column
+(modality, mime, width/height/duration...).  All heavy per-item work runs
+through ``mapInPandas`` — Arrow batches in/out, one Python worker per
+partition, so the pattern scales exactly like any other narrow map stage:
+no shuffle, no driver involvement, partition count = parallelism.
+
+The actual codec step is STUBBED (no image/audio libraries in this
+container): ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (seeded by the
+payload's xxhash) produces stable pseudo-features so the plumbing — schema,
+batch shapes, partitioning — is fully testable (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_SCHEMA = "modality string, mime string, n_bytes bigint"
+FEATURE_SCHEMA = (
+    "item_id bigint, modality string, width int, height int, n_frames int, "
+    "feature array<float>"
+)
+
+
+def ingest_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest a directory of media files as (path, mtime, length, content)
+    via the built-in binaryFile source (the N3 scan analog for opaque
+    bytes — reference moves bytes the same way, CubefsInputStream.java:106-124)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def attach_metadata(df: DataFrame, modality: str, mime: str) -> DataFrame:
+    """Wrap a binary column with a typed metadata struct."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decoder: features derived from sha256(payload) —
+    stable across runs/partitions, no media libs needed."""
+    h = hashlib.sha256(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    feature = [b / 255.0 for b in h[:8]]
+    return width, height, feature
+
+
+def decode_image_batches(
+    fake: bool = True,
+) -> "callable":
+    """mapInPandas worker factory for image decode / feature extraction.
+
+    With fake=False this is the integration point for a real codec
+    (PIL/opencv): replace the NotImplementedError branch.  The Spark-side
+    contract (schema, Arrow batching, partition-local work) is identical
+    either way.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv (not in this "
+                    "container); use fake=True for plumbing tests"
+                )
+            rows = [_fake_decode(p) for p in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_frames": [1] * len(rows),
+                    "feature": [r[2] for r in rows],
+                }
+            )
+
+    return decode
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Run the (stub) decoder over (item_id, modality, content) rows.
+    Repartitions by item_id first so batch sizes are uniform — at 100 TB
+    the media column dominates row size, so partition sizing must track
+    bytes, not row counts (spark.sql.files.maxPartitionBytes handles the
+    scan side; explicit repartition handles post-join stages)."""
+    return df.select(
+        "item_id", F.col("meta.modality").alias("modality"), "content"
+    ).mapInPandas(decode_image_batches(fake=fake), FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits frame indexes 0, n, 2n... per item
+    based on metadata only (decode deferred to extract_features).  Shows
+    the explode-then-decode plan shape without a codec."""
+    return df.withColumn(
+        "frame_idx",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.n_bytes") / 1000, F.lit(1)).cast("int"),
+                F.lit(every_n),
+            )
+        ),
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embeddings (SURVEY §2C X03).
+
+Three tiers, mirroring how a 100 TB vector pipeline actually runs:
+- brute-force cosine top-k (x03): exact baseline.  The small query set is
+  broadcast; the corpus streams through executors once; cosine is computed
+  JVM-side with array higher-order functions (zip_with + aggregate) — no
+  Python in the loop.  Per-query top-k via window rank.
+- threshold near-dup pairs (x03b): all-pairs above a cosine threshold on a
+  bounded candidate set — the verify stage after any ANN/LSH filter.
+- IVF-style partitioned ANN (ivf_topk): corpus bucketed by nearest of C
+  seeded centroids; queries probe the nprobe nearest buckets.  This is the
+  scale path: a 1000x corpus only grows bucket size, not query fan-out.
+  Approximate -> validated engine-side by recall against x03 (tests), not
+  by the SQL oracle.
+
+Background: REPOSE (ICDE'21) and Odyssey (VLDB'23) in PAPERS.md — both
+distribute exact verification after a cheap partition-level filter; the
+IVF layout here is the same idea expressed as a Spark bucket join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.queries.relational import r2d
+
+# dot(a,b) via zip_with + aggregate, double accumulation, JVM-side.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cosine_expr(a: str, b: str) -> F.Column:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+
+
+# DuckDB twin of the same formula (sequential double accumulation in both
+# engines -> bit-identical before rounding).
+_DOT_DUCK = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " p -> p[1] * p[2]))"
+)
+
+
+def _cosine_duck(a: str, b: str) -> str:
+    dot = _DOT_DUCK.format(a=a, b=b)
+    na = _DOT_DUCK.format(a=a, b=a)
+    nb = _DOT_DUCK.format(a=b, b=b)
+    return f"{dot} / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "x03_topk_cosine",
+    f"""SELECT q_id, n_id, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                 {_cosine_duck('a.embedding', 'b.embedding')} AS c,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                     ORDER BY {_cosine_duck('a.embedding', 'b.embedding')} DESC,
+                              b.vec_id) AS rn
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+          WHERE a.vec_id < 5)
+        WHERE rn <= 5 ORDER BY q_id, n_id, cos""",
+)
+def x03_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X03 brute-force cosine top-5 for 5 query vectors.  Queries broadcast;
+    corpus scanned once; WindowGroupLimit keeps only 5 rows per query on
+    each map side before the final shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "n_id")
+    return (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("c", _cosine_expr("q_emb", "n_emb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "n_id", r2d(F.col("c")).alias("cos"))
+        .orderBy("q_id", "n_id", "cos")
+    )
+
+
+@register(
+    "x03b_embedding_neardup",
+    f"""SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos FROM (
+          SELECT a.vec_id AS da, b.vec_id AS db,
+                 {_cosine_duck('a.embedding', 'b.embedding')} AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 300 AND b.vec_id < 300)
+        WHERE c > 0.35 ORDER BY da, db, cos""",
+)
+def x03b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X03b embedding near-dup pairs (cos > 0.35) on a bounded candidate
+    set — the exact-verify stage that follows an ANN/LSH candidate filter
+    in production (never run unfiltered at 100 TB)."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("da") < F.col("db"))
+        .withColumn("c", _cosine_expr("ea", "eb"))
+        .filter(F.col("c") > 0.35)
+        .select("da", "db", r2d(F.col("c")).alias("cos"))
+        .orderBy("da", "db", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (scale path; engine-validated by recall, not by the oracle)
+# ---------------------------------------------------------------------------
+
+
+def _seeded_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic 'training-free' centroids: the first n_centroids
+    vectors by a seeded hash order.  (A production build would k-means
+    these; selection strategy is orthogonal to the bucketing plan.)"""
+    w = Window.orderBy(F.xxhash64(F.col("vec_id"), F.lit(42)))
+    return (
+        emb.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_centroids)
+        .select(F.col("rk").alias("cid"), F.col("embedding").alias("cent"))
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (one broadcast pass).
+    Output: (vec_id, embedding, cid) — at scale, write this partitioned by
+    cid so probes prune files (partition pruning on the bucket column)."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("d", _cosine_expr("embedding", "cent"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: queries probe only their nprobe nearest centroid
+    buckets; exact cosine within the probed buckets.  Work per query is
+    (nprobe/n_centroids) of brute force; recall vs x03 asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = _seeded_centroids(emb, n_centroids)
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cid")
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _cosine_expr("q_emb", "cent"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "cid")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "vec_id")
+    return (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("c", _cosine_expr("q_emb", "embedding"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("n_id"), r2d(F.col("c")).alias("cos"))
+    )
+
+
+@register("x03c_ivf_ann")
+def x03c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X03c IVF ANN (rows-only driver check; recall-vs-exact asserted in
+    tests/test_similarity.py — approximate results are not SQL-declarable)."""
+    return ivf_topk(spark, sf_dir).orderBy("q_id", "n_id", "cos")

@@ -1,0 +1,178 @@
+"""Text analysis operators (SURVEY §2C X04/X05): token statistics, quality
+scoring, language stats, heuristic language-ID, document fingerprinting.
+
+Everything here is pure pyspark.sql.functions (JVM/codegen) — per-document
+work is a handful of string ops, so 100 TB throughput is scan-bound, not
+CPU-bound.  No Python UDFs in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.queries.relational import r2d
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "x04_text_stats",
+    f"""SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+          CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS tokens,
+          CAST(LENGTH(text) AS BIGINT) AS chars,
+          CAST(ROUND(CAST(LENGTH(text) AS DOUBLE)
+               / len(string_split(text, ' ')), 2) AS DECIMAL(18,2)) AS chars_per_word
+       FROM documents ORDER BY doc_id, words, tokens, chars, chars_per_word""",
+)
+def x04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X04 per-document token statistics: whitespace word count, regex
+    (BPE-ish) token count, char count, chars-per-word."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("words"),
+            F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+            .cast("long")
+            .alias("tokens"),
+            F.length("text").cast("long").alias("chars"),
+            r2d(
+                F.length("text").cast("double") / F.size(F.split("text", " "))
+            ).alias("chars_per_word"),
+        )
+        .orderBy("doc_id", "words", "tokens", "chars", "chars_per_word")
+    )
+
+
+@register(
+    "x04b_lang_stats",
+    """SELECT lang, COUNT(*) AS docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2)
+               AS DECIMAL(18,2)) AS avg_chars
+       FROM documents GROUP BY lang ORDER BY lang, docs, total_chars, avg_chars""",
+)
+def x04b_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X04b corpus language distribution (the lang-filter aggregate)."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            r2d(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang", "docs", "total_chars", "avg_chars")
+    )
+
+
+@register(
+    "x05_quality_filter",
+    """SELECT doc_id,
+          (words BETWEEN 20 AND 2000
+           AND mwl BETWEEN 2.0 AND 12.0
+           AND uniq_ratio >= 0.2) AS keep
+       FROM (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS words,
+                CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS mwl,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS uniq_ratio
+         FROM documents)
+       ORDER BY doc_id, keep""",
+)
+def x05_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X05 heuristic quality gate (Gopher/C4-style rule shapes): word-count
+    band, mean word length band, distinct-word ratio.  Pure expressions —
+    a 100 TB filter pass is one scan with predicate evaluation in codegen."""
+    ws = F.split("text", " ")
+    words = F.size(ws)
+    mwl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "double"
+    ) / words
+    uniq = F.size(F.array_distinct(ws)).cast("double") / words
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            (
+                words.between(20, 2000)
+                & mwl.between(2.0, 12.0)
+                & (uniq >= 0.2)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id", "keep")
+    )
+
+
+@register(
+    "x06_fingerprint",
+    """SELECT doc_id, MIN(md5(sh)) AS fp FROM (
+         SELECT doc_id, UNNEST(list_transform(
+             range(1, greatest(length(text)-7, 1)+1),
+             i -> substr(text, i, 8))) AS sh
+         FROM documents)
+       GROUP BY doc_id ORDER BY doc_id, fp""",
+)
+def x06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X06 document fingerprint: winnowing-style min-hash over rolling char
+    8-grams (one md5 per window, min per doc).  Equal fingerprints =>
+    shared rarest window — a cheap containment signal."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-7, 1)),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("sh")).alias("fp"))
+        .orderBy("doc_id", "fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language ID (engine-side; scoring weights are engine-internal,
+# validated against the fixture's lang column in tests/test_text.py)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "zh": ("de", "le", "shi", "bu", "wo"),
+}
+
+
+def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language scores: fraction of words that are stopwords
+    of each candidate language; argmax wins.  All JVM-side: split once,
+    array_intersect-style membership via explode + groupBy."""
+    ws = F.split(F.col(text_col), " ")
+    scores = [
+        (
+            F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in sw])))
+            .cast("double")
+            / F.size(F.array_distinct(ws))
+        ).alias(f"score_{lang}")
+        for lang, sw in _STOPWORDS.items()
+    ]
+    scored = df.select("*", *scores)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _STOPWORDS])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in _STOPWORDS:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred)
