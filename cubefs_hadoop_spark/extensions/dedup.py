@@ -232,14 +232,12 @@ SELECT doc_id, CAST({fp} AS BIGINT) AS fp
 FROM tok GROUP BY doc_id ORDER BY doc_id, fp"""
 
 
-@register("x02c_simhash", _simhash_sql_duck())
-def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X02c SimHash fingerprint (32-bit, md5-derived, engine-portable).
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): 32-bit SimHash over distinct whitespace tokens.
     One explode + one groupBy per doc; near-dup search then becomes
     fingerprint equality / low Hamming distance — constant work per doc."""
-    docs = load(spark, sf_dir, "documents")
     tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
         .distinct()
         .withColumn("h", F.md5("w"))
     )
@@ -255,11 +253,14 @@ def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = bit_terms[0]
     for t in bit_terms[1:]:
         fp = fp + t
-    return (
-        tok.groupBy("doc_id")
-        .agg(fp.cast("long").alias("fp"))
-        .orderBy("doc_id", "fp")
-    )
+    return tok.groupBy("doc_id").agg(fp.cast("long").alias("fp"))
+
+
+@register("x02c_simhash", _simhash_sql_duck())
+def x02c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02c SimHash fingerprint (32-bit, md5-derived, engine-portable)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs).orderBy("doc_id", "fp")
 
 
 def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:

@@ -1,0 +1,215 @@
+"""Structured Streaming operators S01-S08 (SURVEY §2B).
+
+The reference's streaming story is "Flink/Spark run on CubeFS through the
+storage contract" (reference README.md:85-88): the connector supplies a
+file source/sink plus flush-durability for checkpoints
+(CubefsOutputStream.java:116-141).  Here that story is Spark-native:
+
+- S01 file source/sink: readStream over a directory of parquet parts,
+  writeStream with a checkpoint dir — the same create/rename/flush commit
+  contract, driven by Spark's own streaming committer.
+- S02-S04 windows: tumbling / sliding / session windows over event time.
+- S05 watermark: late rows beyond the watermark are dropped in append mode.
+- S06 stateful dedup, S07 stream-static join, S08 applyInPandasWithState.
+
+Every operator is a pure stream->stream transform so batch twins
+(queries/streaming_twins.py) can assert equality; tests replay ``events``
+as a file source with trigger(availableNow) and maxFilesPerTrigger=1 so
+multiple micro-batches actually exercise state.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cubefs_hadoop_spark.catalog import load
+
+# Raw schema of the replayed events files (ts kept as int64 nanos exactly as
+# in the fixture parquet; converted to timestamp in normalize()).
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stage_replay(
+    spark: SparkSession, sf_dir: str, stage_dir: str, n_files: int = 4
+) -> None:
+    """Split the events fixture into n_files parquet files, bucketed by
+    time so file-arrival order == event-time order (realistic replay).
+    Files land under stage_dir/data/."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.select(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = (hi - lo).total_seconds() or 1.0
+    bucket = F.least(
+        F.lit(n_files - 1),
+        F.floor(
+            (F.unix_micros(F.col("ts").cast("timestamp"))
+             - F.lit(int(lo.timestamp() * 1_000_000)))
+            / F.lit(int(span * 1_000_000 / n_files) + 1)
+        ).cast("int"),
+    )
+    staged = events.withColumn("bucket", bucket)
+    for b in range(n_files):
+        (
+            staged.filter(F.col("bucket") == b)
+            .drop("bucket")
+            .withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+
+
+def read_stream(spark: SparkSession, stage_dir: str, one_file_per_batch: bool = True) -> DataFrame:
+    """S01 source: file-replay readStream with explicit schema (streaming
+    sources never infer).  maxFilesPerTrigger=1 => one micro-batch per file
+    so stateful operators cross batch boundaries."""
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+    )
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    raw = reader.load(os.path.join(stage_dir, "data"))
+    return normalize(raw)
+
+
+def normalize(raw: DataFrame) -> DataFrame:
+    """int64-nanos ts -> microsecond timestamp (same truncation as
+    catalog.load's batch path)."""
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    sdf: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str = "q",
+) -> DataFrame:
+    """Drain the stream with trigger(availableNow=True) into a memory sink
+    and return the materialized result as a DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(query_name)
+
+
+def sink_parquet(
+    sdf: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """S01 sink: parquet writeStream; checkpoint dir is the N9 durability
+    analog (cfs_flush -> checkpoint commit log)."""
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# -- windowed aggregations --------------------------------------------------
+
+
+def tumbling_counts(sdf: DataFrame) -> DataFrame:
+    """S02: 1-hour tumbling window counts/sums with a 10-minute watermark."""
+    return (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("v"))
+        .select(F.col("win.start").alias("w"), "c", "v")
+    )
+
+
+def sliding_counts(sdf: DataFrame) -> DataFrame:
+    """S03: 1-hour window sliding every 30 minutes."""
+    return (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("win.start").alias("w"), "c")
+    )
+
+
+def session_counts(sdf: DataFrame) -> DataFrame:
+    """S04: session windows with a 10-minute gap, per user."""
+    return (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("win.start").alias("s"), "n")
+    )
+
+
+def dedup_stream(sdf: DataFrame) -> DataFrame:
+    """S06: stateful exact dedup on the event key."""
+    return sdf.dropDuplicates(["event_id"])
+
+
+def stream_static_join(sdf: DataFrame, static_df: DataFrame) -> DataFrame:
+    """S07: stream-static equi-join (static side broadcast per micro-batch)."""
+    return sdf.join(
+        F.broadcast(static_df), sdf.user_id == static_df.c_custkey, "inner"
+    )
+
+
+# -- arbitrary stateful processing (S08) ------------------------------------
+
+
+def _running_max(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running max over event time, state carried across
+    micro-batches.  Rows within a batch are sorted by (ts, event_id) —
+    arrival order inside a batch is not guaranteed."""
+    cur = state.get[0] if state.exists else float("-inf")
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_max = pdf["value"].cummax().clip(lower=cur if cur != float("-inf") else None)
+        cur = max(cur, float(pdf["value"].max()))
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "run_max": out_max,
+            }
+        )
+    state.update((cur,))
+
+
+def running_max_stateful(sdf: DataFrame) -> DataFrame:
+    """S08: applyInPandasWithState running max per user (the arbitrary-
+    stateful escape hatch; state is one float per user — constant memory
+    per key at any scale)."""
+    return (
+        sdf.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_max,
+            outputStructType="user_id bigint, event_id bigint, run_max double",
+            stateStructType="cur double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
