@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract + BASELINE.md §2 protocol).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], 3 timed runs per query (run 1 warms the JVM/page
+cache and is discarded; median of the remaining runs reported), and prints
+ONE JSON line:
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# BASELINE.md bench set: B01-B10.
+BENCH_QUERIES = [
+    "q01_scan_count",
+    "q03_filter_conjunctive",
+    "q06_tpch_q1",
+    "q11_join_broadcast",
+    "q12_tpch_q3",
+    "q20_window_rank",
+    "q22_window_frame",
+    "q25_union_distinct",
+    "x01_exact_dedup",
+    "x03_topk_cosine",
+]
+
+RUNS = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        samples = []
+        for run in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples[1:]), 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
