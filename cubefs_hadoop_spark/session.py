@@ -38,6 +38,10 @@ DEFAULT_CONF = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Managed-table location (bucketed tables) — keep out of the repo dir.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/cubefs_hadoop_spark_warehouse"
+    ),
 }
 
 
