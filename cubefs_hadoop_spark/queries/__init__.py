@@ -4,6 +4,7 @@ from cubefs_hadoop_spark.queries.registry import ORACLE, QUERIES, register
 
 # Modules self-register on import.
 from cubefs_hadoop_spark.queries import relational  # noqa: E402,F401
+from cubefs_hadoop_spark.queries import functions_extra  # noqa: E402,F401
 
 try:  # batch twins of the streaming surface (S-series)
     from cubefs_hadoop_spark.queries import streaming_twins  # noqa: F401

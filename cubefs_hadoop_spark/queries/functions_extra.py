@@ -1,0 +1,199 @@
+"""Extended function-family coverage (SURVEY §2B Q06/Q20/Q27-Q30 depth):
+statistical aggregates, percentiles, additional window/string/date/array
+functions.  Same determinism contract as relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.queries.relational import r2d
+
+
+@register(
+    "q06b_percentiles",
+    """SELECT l_returnflag,
+          CAST(ROUND(quantile_cont(l_quantity, 0.5), 2) AS DECIMAL(18,2)) AS p50,
+          CAST(ROUND(quantile_cont(l_quantity, 0.9), 2) AS DECIMAL(18,2)) AS p90,
+          CAST(MIN(l_quantity) AS DECIMAL(18,2)) AS mn,
+          CAST(MAX(l_quantity) AS DECIMAL(18,2)) AS mx
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag, p50, p90, mn, mx""",
+)
+def q06b_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    quantile_cont: linear interpolation).  For 100 TB use
+    `approx_percentile` (t-digest sketch, constant memory) — exposed below,
+    validated engine-side against the exact form."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r2d(F.expr("percentile(l_quantity, 0.5)")).alias("p50"),
+            r2d(F.expr("percentile(l_quantity, 0.9)")).alias("p90"),
+            F.min("l_quantity").cast("decimal(18,2)").alias("mn"),
+            F.max("l_quantity").cast("decimal(18,2)").alias("mx"),
+        )
+        .orderBy("l_returnflag", "p50", "p90", "mn", "mx")
+    )
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentile (scale path for q06b)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_quantity", 0.9, 10000).alias("p90"),
+        )
+    )
+
+
+@register(
+    "q06c_stats_aggs",
+    """SELECT c_nationkey,
+          CAST(ROUND(STDDEV_SAMP(c_acctbal), 2) AS DECIMAL(18,2)) AS sd,
+          CAST(ROUND(VAR_SAMP(c_acctbal) / 1000, 2) AS DECIMAL(18,2)) AS vr_k,
+          CAST(ROUND(CORR(c_acctbal, c_custkey), 2) AS DECIMAL(18,2)) AS cor,
+          CAST(ROUND(COVAR_SAMP(c_acctbal, c_custkey) / 1000, 2) AS DECIMAL(18,2)) AS cov_k
+       FROM customer GROUP BY c_nationkey
+       ORDER BY c_nationkey, sd, vr_k, cor, cov_k""",
+)
+def q06c_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar, sample forms).
+    Variance/covariance scaled by 1e3 before rounding so the R2 grid is
+    meaningful for large magnitudes."""
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            r2d(F.stddev_samp("c_acctbal")).alias("sd"),
+            r2d(F.var_samp("c_acctbal") / 1000).alias("vr_k"),
+            r2d(F.corr("c_acctbal", "c_custkey")).alias("cor"),
+            r2d(F.covar_samp("c_acctbal", "c_custkey") / 1000).alias("cov_k"),
+        )
+        .orderBy("c_nationkey", "sd", "vr_k", "cor", "cov_k")
+    )
+
+
+@register(
+    "q20b_window_distribution",
+    """SELECT o_orderkey,
+          CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+          CAST(ROUND(PERCENT_RANK() OVER w, 2) AS DECIMAL(18,2)) AS pr,
+          CAST(ROUND(CUME_DIST() OVER w, 2) AS DECIMAL(18,2)) AS cd,
+          CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_k
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderkey, quartile, pr, cd, first_k""",
+)
+def q20b_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile, percent_rank, cume_dist,
+    first_value — one shuffle on the partition key, single window pass."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            r2d(F.percent_rank().over(w)).alias("pr"),
+            r2d(F.cume_dist().over(w)).alias("cd"),
+            F.first("o_orderkey").over(w).cast("long").alias("first_k"),
+        )
+        .orderBy("o_orderkey", "quartile", "pr", "cd", "first_k")
+    )
+
+
+@register(
+    "q27b_string_funcs2",
+    """SELECT p_partkey,
+          REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS rr,
+          LPAD(p_brand, 12, '.') AS lp,
+          REVERSE(p_type) AS rv,
+          REPLACE(p_name, ' ', '-') AS tr,
+          CAST(STRPOS(p_name, 'a') AS BIGINT) AS ps
+       FROM part ORDER BY p_partkey, rr, lp, rv, tr, ps""",
+)
+def q27b_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family: regexp_replace, lpad, reverse, replace,
+    position-of-substring."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("rr"),
+            F.lpad("p_brand", 12, ".").alias("lp"),
+            F.reverse("p_type").alias("rv"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("tr"),
+            F.instr(F.col("p_name"), "a").cast("long").alias("ps"),
+        )
+        .orderBy("p_partkey", "rr", "lp", "rv", "tr", "ps")
+    )
+
+
+@register(
+    "q28b_date_funcs2",
+    """SELECT o_orderkey,
+          CAST(QUARTER(o_orderdate) AS INT) AS q,
+          CAST(DAYOFWEEK(o_orderdate) + 1 AS INT) AS dow,
+          CAST(LAST_DAY(o_orderdate) AS DATE) AS eom,
+          CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+          CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS mstart
+       FROM orders WHERE o_orderkey < 300
+       ORDER BY o_orderkey, q, dow, eom, plus30, mstart""",
+)
+def q28b_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date family: quarter, dayofweek, last_day, interval
+    arithmetic, month truncation.  DuckDB DAYOFWEEK is 0-based (Sunday=0)
+    while Spark's is 1-based (Sunday=1); the oracle adds 1 to align.
+    Likewise DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics (see q27b)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            F.dayofweek("o_orderdate").cast("int").alias("dow"),
+            F.last_day("o_orderdate").alias("eom"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("plus30"),
+            F.date_trunc("month", "o_orderdate").alias("mstart"),
+        )
+        .orderBy("o_orderkey", "q", "dow", "eom", "plus30", "mstart")
+    )
+
+
+@register(
+    "q30b_array_funcs2",
+    """SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS nd,
+          CAST(list_contains(ws, 'spark') AS BOOLEAN) AS has_spark,
+          list_sort(list_distinct(ws))[1] AS first_word,
+          array_to_string(list_sort(list_distinct(ws))[1:3], ',') AS first3
+       FROM (SELECT doc_id, string_split(text, ' ') AS ws
+             FROM documents WHERE doc_id < 50)
+       ORDER BY doc_id, n, nd, has_spark, first_word, first3""",
+)
+def q30b_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array family: size, array_distinct, array_contains,
+    sort_array, slice, array_join — all JVM higher-order functions."""
+    ws = F.split("text", " ")
+    sorted_distinct = F.array_sort(F.array_distinct(ws))
+    return (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(ws).cast("long").alias("n"),
+            F.size(F.array_distinct(ws)).cast("long").alias("nd"),
+            F.array_contains(ws, "spark").alias("has_spark"),
+            F.element_at(sorted_distinct, 1).alias("first_word"),
+            F.array_join(F.slice(sorted_distinct, 1, 3), ",").alias("first3"),
+        )
+        .orderBy("doc_id", "n", "nd", "has_spark", "first_word", "first3")
+    )

@@ -153,6 +153,35 @@ def u04_udtf_wordsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "u04b_python_udtf",
+    """SELECT doc_id, COUNT(*) AS words FROM (
+         SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+         FROM documents WHERE doc_id < 10)
+       GROUP BY doc_id ORDER BY doc_id, words""",
+)
+def u04b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U04b: a real Python UDTF (Spark >=3.5 `@udtf` class) registered and
+    invoked through SQL LATERAL — the full table-function surface, same
+    declared result as Q31/U04."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="w string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w,)
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        """SELECT doc_id, COUNT(*) AS words
+           FROM _docs_udtf, LATERAL split_words(text) AS t(w)
+           WHERE doc_id < 10
+           GROUP BY doc_id ORDER BY doc_id, words"""
+    )
+
+
+@register(
     "u05_row_udf",
     """SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS pri, COUNT(*) AS c
        FROM orders GROUP BY 1 ORDER BY pri, c""",

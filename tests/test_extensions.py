@@ -126,6 +126,18 @@ def test_langid_coverage(spark):
     assert covered >= 0.9 * docs.count()
 
 
+def test_approx_percentile_close_to_exact(spark):
+    from cubefs_hadoop_spark.queries.functions_extra import (
+        approx_percentiles,
+        q06b_percentiles,
+    )
+
+    exact = {r.l_returnflag: float(r.p50) for r in q06b_percentiles(spark, SF_SMOKE).collect()}
+    approx = {r.l_returnflag: r.p50 for r in approx_percentiles(spark, SF_SMOKE).collect()}
+    for k in exact:
+        assert abs(exact[k] - approx[k]) <= max(1.0, 0.05 * exact[k])
+
+
 def test_approx_distinct_close_to_exact(spark):
     exact = load(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
     approx = approx_distinct(spark, SF_SMOKE, rsd=0.02).first().c
