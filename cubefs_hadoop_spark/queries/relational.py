@@ -223,6 +223,30 @@ def q09_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q09b_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
+          COUNT(*) AS c
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY f, s, c""",
+)
+def q09b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q09b CUBE: all 2^k grouping sets in one pass (the expand-based plan
+    multiplies map output by the set count — at 100 TB prefer explicit
+    GROUPING SETS over full CUBE when only some combinations matter)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("f"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("s"),
+            "c",
+        )
+        .orderBy("f", "s", "c")
+    )
+
+
+@register(
     "q10_having",
     """SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
        HAVING COUNT(*) >= 2 ORDER BY o_custkey, c""",
