@@ -143,6 +143,49 @@ def x06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x07_train_test_split",
+    """SELECT doc_id,
+          CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train' ELSE 'test' END
+            AS split
+       FROM documents ORDER BY doc_id, split""",
+)
+def x07_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X07 deterministic train/test split by content hash: hex prefix of
+    md5(text) < 'd' => train (13/16 = 81.25%).  Content-addressed, so the
+    assignment is stable under repartitioning, re-runs, and incremental
+    ingest — unlike rand(seed), which depends on partition layout.  One
+    narrow projection, no shuffle."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(F.substring(F.md5("text"), 1, 1) < "d", F.lit("train"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .orderBy("doc_id", "split")
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, train_pct: int = 80, buckets: int = 100
+) -> DataFrame:
+    """Engine-side split with arbitrary percentage: md5(key) -> 16-bit int
+    bucket -> modulo.  Same stability contract as X07 at finer granularity."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct * buckets / 100, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Heuristic language ID (engine-side; scoring weights are engine-internal,
 # validated against the fixture's lang column in tests/test_text.py)

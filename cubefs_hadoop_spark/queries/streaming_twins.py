@@ -160,3 +160,40 @@ def s08_running_max_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", r2d(F.max("value").over(w)).alias("run_max"))
         .orderBy("event_id", "run_max")
     )
+
+
+@register(
+    "s09_interval_join_twin",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+       WHERE c.event_type = 'click'
+       ORDER BY click_id, purchase_id""",
+)
+def s09_interval_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S09 stream-stream interval-join twin: click->purchase pairs within a
+    1-hour horizon per user, batch range-join form.  The streaming form
+    (streaming/ops.py stream_stream_interval_join) bounds state with
+    watermarks on BOTH sides; equality asserted in tests/test_streaming.py."""
+    events = load(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("click_id", "purchase_id")
+        .orderBy("click_id", "purchase_id")
+    )

@@ -181,6 +181,50 @@ def u04b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _asof_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    # Per-user pandas merge_asof: latest 'click' ts at-or-before each event.
+    # Both sides must be ts-sorted; backward direction + exact matches give
+    # the <= semantics of the declared range-join oracle.
+    pdf = pdf.sort_values("ts", kind="mergesort")
+    clicks = pdf.loc[pdf["event_type"] == "click", ["ts"]].rename(
+        columns={"ts": "asof_ts"}
+    )
+    out = pd.merge_asof(
+        pdf[["event_id", "ts"]],
+        clicks,
+        left_on="ts",
+        right_on="asof_ts",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    return out[["event_id", "asof_ts"]]
+
+
+@register(
+    "u06_asof_merge_pandas",
+    """SELECT e.event_id, MAX(CAST(c.ts AS TIMESTAMP)) AS asof_ts
+       FROM events e LEFT JOIN events c
+         ON c.user_id = e.user_id AND c.event_type = 'click' AND c.ts <= e.ts
+       GROUP BY e.event_id ORDER BY e.event_id, asof_ts""",
+)
+def u06_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U06: as-of join via applyInPandas ``pd.merge_asof`` — the grouped
+    Arrow-batch alternative to Q18's single-window-scan plan, same oracle.
+
+    Scale note: one shuffle on user_id, then O(n log n) sort + linear merge
+    per group entirely in pandas.  Right for wide as-of joins where the
+    window trick doesn't apply (e.g. nearest-by-value tolerance matches);
+    Q18's pure-window form is preferred when expressible because it stays
+    JVM-side.  Skewed users would need salting: the whole group must fit
+    one Arrow batch stream."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .applyInPandas(_asof_merge, "event_id bigint, asof_ts timestamp_ntz")
+        .orderBy("event_id", "asof_ts")
+    )
+
+
 @register(
     "u05_row_udf",
     """SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS pri, COUNT(*) AS c

@@ -172,6 +172,64 @@ def stream_static_join(sdf: DataFrame, static_df: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(sdf: DataFrame) -> DataFrame:
+    """S09: stream-stream interval join — each 'click' joined to the same
+    user's 'purchase' events within [click_ts, click_ts + 1 hour].
+
+    Both sides carry a 30-minute watermark and the join condition bounds
+    event time in both directions, so Spark can expire join state: a click
+    is held for at most 1h + 30min of event time, a purchase for 30min.
+    Without the time bound the state store would grow unboundedly — the
+    thing that actually kills stream-stream joins at scale."""
+    clicks = (
+        sdf.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        sdf.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id")
+
+
+def sink_foreach_batch(
+    sdf: DataFrame, checkpoint_dir: str, batch_fn
+) -> list[int]:
+    """S10: foreachBatch sink — hands each micro-batch DataFrame plus its
+    batch id to arbitrary engine code (e.g. Engine.append for exactly-once
+    idempotent upserts keyed on batch_id).  Returns the seen batch ids."""
+    seen: list[int] = []
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        batch_fn(batch_df, batch_id)
+
+    q = (
+        sdf.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
 # -- arbitrary stateful processing (S08) ------------------------------------
 
 

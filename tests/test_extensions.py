@@ -173,3 +173,20 @@ def test_multimodal_plumbing(spark, tmp_path):
     # real-decode path is an explicit stub
     with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
         mm.extract_features(df, fake=False).collect()
+
+
+def test_hash_split_stable_and_sized(spark):
+    from cubefs_hadoop_spark.extensions.text import hash_split
+
+    docs = load(spark, SF_SMOKE, "documents")
+    a = hash_split(docs, "text", train_pct=80)
+    frac = a.filter(F.col("split") == "train").count() / docs.count()
+    assert 0.70 <= frac <= 0.90
+    # content-addressed: identical assignment under repartitioning
+    b = hash_split(docs.repartition(7), "text", train_pct=80)
+    assert (
+        a.select("doc_id", "split")
+        .exceptAll(b.select("doc_id", "split"))
+        .count()
+        == 0
+    )

@@ -176,3 +176,38 @@ def test_s08_stateful_running_max(spark, staged, tmp_path):
         for r in twins.s08_running_max_twin(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_s09_stream_stream_interval_join(spark, staged, tmp_path):
+    """S09: stream-stream interval join equals the batch range-join twin.
+    Replay is time-ordered, so every purchase arrives before the watermark
+    expires its click's state — the join must be exactly complete."""
+    sdf = ops.stream_stream_interval_join(ops.read_stream(spark, staged))
+    res = ops.run_available_now(sdf, _ckpt(tmp_path, "s09"), "append", "s09")
+    got = {(r.click_id, r.purchase_id) for r in res.collect()}
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in twins.s09_interval_join_twin(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_s10_foreach_batch_sink(spark, staged, tmp_path):
+    """S10: foreachBatch drives the Engine storage contract — one append per
+    micro-batch; final table count equals the source count and batch ids are
+    sequential (the idempotence key for exactly-once sinks)."""
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    sdf = ops.read_stream(spark, staged)
+
+    def write_batch(batch_df, batch_id):
+        eng.write_table(batch_df, "events_sink", mode="append")
+
+    seen = ops.sink_foreach_batch(sdf, _ckpt(tmp_path, "s10"), write_batch)
+    assert seen == sorted(seen) and len(seen) >= 4
+    assert (
+        eng.table("events_sink").count()
+        == load(spark, SF_SMOKE, "events").count()
+    )
