@@ -34,6 +34,7 @@ query compute to its host engines.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import time
 
@@ -120,6 +121,58 @@ class Engine:
         for name in self.list_tables():
             self.table(name).createOrReplaceTempView(name)
         return self.spark.sql(query)
+
+    def execute(self, stmt: str) -> DataFrame | None:
+        """Hive/FsShell-parity statement router (the E3 metadata path plus
+        Hive's CTAS/INSERT DML, SURVEY §3).  DDL/DML statements map onto the
+        storage contract; anything else is a query delegated to sql().
+
+          CREATE TABLE [IF NOT EXISTS] t AS <select>   -> write_table
+          INSERT INTO t <select>                       -> append
+          DROP TABLE [IF EXISTS] t                     -> drop_table
+          SHOW TABLES                                  -> list_tables
+          DESCRIBE t                                   -> describe
+        """
+        s = stmt.strip().rstrip(";")
+        m = re.match(
+            r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            if_not_exists, name, select = m.group(1), m.group(2), m.group(3)
+            if if_not_exists and self.table_exists(name):
+                return None
+            self.write_table(self.sql(select), name)
+            return None
+        m = re.match(
+            r"INSERT\s+INTO\s+(\w+)\s+(.+)", s, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            name, select = m.group(1), m.group(2)
+            df = self.sql(select)
+            target = set(self.table(name).columns)
+            if set(df.columns) != target:
+                raise EngineIOError(
+                    f"INSERT INTO {name}: column mismatch "
+                    f"{sorted(df.columns)} vs {sorted(target)}"
+                )
+            self.append(df, name)
+            return None
+        m = re.match(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE
+        )
+        if m:
+            self.drop_table(m.group(2), ignore_missing=bool(m.group(1)))
+            return None
+        if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(t,) for t in self.list_tables()], "table string"
+            )
+        m = re.match(r"DESCRIBE\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            return self.describe(m.group(1))
+        return self.sql(s)
 
     # -- write path --------------------------------------------------------
 

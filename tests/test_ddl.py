@@ -1,0 +1,64 @@
+"""Engine.execute — the Hive/FsShell-parity statement surface (SURVEY §3
+E3): CTAS, INSERT INTO, DROP TABLE, SHOW TABLES, DESCRIBE routed onto the
+storage contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.errors import EngineIOError, TableNotFoundError
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse)
+    e.write_table(
+        load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name"),
+        "nation",
+    )
+    return e
+
+
+def test_ctas_and_show_tables(eng):
+    eng.execute("CREATE TABLE big_nations AS SELECT * FROM nation WHERE n_nationkey >= 10")
+    assert eng.table("big_nations").count() == eng.table("nation").filter(
+        "n_nationkey >= 10"
+    ).count()
+    shown = {r.table for r in eng.execute("SHOW TABLES").collect()}
+    assert shown == {"nation", "big_nations"}
+
+
+def test_ctas_if_not_exists_is_idempotent(eng):
+    eng.execute("CREATE TABLE t1 AS SELECT * FROM nation")
+    eng.execute("CREATE TABLE IF NOT EXISTS t1 AS SELECT * FROM nation")
+    from cubefs_hadoop_spark.errors import TableAlreadyExistsError
+
+    with pytest.raises(TableAlreadyExistsError):
+        eng.execute("CREATE TABLE t1 AS SELECT * FROM nation")
+
+
+def test_insert_into_appends_and_validates_schema(eng):
+    n = eng.table("nation").count()
+    eng.execute("INSERT INTO nation SELECT * FROM nation")
+    assert eng.table("nation").count() == 2 * n
+    with pytest.raises(EngineIOError, match="column mismatch"):
+        eng.execute("INSERT INTO nation SELECT n_nationkey FROM nation")
+
+
+def test_drop_table_statement(eng):
+    eng.execute("CREATE TABLE doomed AS SELECT * FROM nation")
+    eng.execute("DROP TABLE doomed")
+    assert not eng.table_exists("doomed")
+    with pytest.raises(TableNotFoundError):
+        eng.execute("DROP TABLE doomed")
+    eng.execute("DROP TABLE IF EXISTS doomed")  # no raise
+
+
+def test_describe_and_query_passthrough(eng):
+    d = eng.execute("DESCRIBE nation")
+    assert {"file", "size", "mtime_ms", "is_marker"} <= set(d.columns)
+    res = eng.execute("SELECT COUNT(*) AS c FROM nation")
+    assert res.first().c == eng.table("nation").count()
