@@ -228,6 +228,28 @@ class Engine:
         shutil.rmtree(path)
         return True
 
+    def compact_table(
+        self, name: str, target_file_bytes: int = 128 << 20
+    ) -> int:
+        """Rewrite a table's parts toward target-sized files (the small-
+        files maintenance op; default = the reference's 128 MiB block size,
+        CubefsFileSystem.java:97).  Committed via the N10 rename primitive:
+        the rewrite lands in a temp dir and swaps in atomically, so readers
+        never see a half-compacted table."""
+        from cubefs_hadoop_spark.plans.layout import compact
+
+        path = self._table_path(name)
+        if not os.path.isdir(path):
+            raise TableNotFoundError("table not found", name)
+        tmp = path + ".__compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        n = compact(self.table(name), tmp, target_file_bytes)
+        old = path + ".__old"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        return n
+
     # -- metadata path -----------------------------------------------------
 
     def list_tables(self) -> list[str]:
@@ -284,7 +306,9 @@ class Engine:
         n_files, n_bytes = 0, 0
         for root, _dirs, files in os.walk(path):
             for f in files:
-                if f.startswith("_"):
+                # skip commit markers (_SUCCESS) and hidden checksum files
+                # (.part-*.crc) — stats cover data content, not bookkeeping
+                if f.startswith(("_", ".")):
                     continue
                 n_files += 1
                 n_bytes += os.path.getsize(os.path.join(root, f))

@@ -168,6 +168,60 @@ def x07_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x08_redact",
+    """SELECT doc_id,
+          regexp_replace(text, '\\b(customer|key)\\b', '[REDACTED]', 'g') AS clean,
+          CAST(len(regexp_extract_all(text, '\\b(customer|key)\\b')) AS BIGINT)
+            AS n_hits
+       FROM documents ORDER BY doc_id, clean, n_hits""",
+)
+def x08_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X08 pattern scrubbing (the PII-redaction shape: emails/phones/SSNs in
+    production, sensitive vocabulary here): global regexp_replace plus a
+    per-doc hit count for audit.  One projection pass, codegen'd — a 100 TB
+    redaction sweep is scan-bound.  Swap the pattern for
+    r'[\\w.+-]+@[\\w-]+\\.[\\w.]+' etc. in a real pipeline."""
+    pat = r"\b(customer|key)\b"
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.regexp_replace("text", pat, "[REDACTED]").alias("clean"),
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .orderBy("doc_id", "clean", "n_hits")
+    )
+
+
+@register(
+    "x09_stopword_ratio",
+    """SELECT doc_id,
+          CAST(ROUND(CAST(len(list_filter(string_split(text, ' '),
+                   w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 2) AS DECIMAL(18,2)) AS sw_ratio
+       FROM documents ORDER BY doc_id, sw_ratio""",
+)
+def x09_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X09 stopword-ratio quality score (C4/Gopher-style signal: natural
+    prose has a stable stopword fraction; word salad and boilerplate don't).
+    Higher-order array functions only — no explode, no shuffle."""
+    ws = F.split("text", " ")
+    hits = F.filter(
+        ws, lambda w: w.isin("the", "a", "of", "and", "to")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            r2d(F.size(hits).cast("double") / F.size(ws)).alias("sw_ratio"),
+        )
+        .orderBy("doc_id", "sw_ratio")
+    )
+
+
 def hash_split(
     df: DataFrame, key_col: str, train_pct: int = 80, buckets: int = 100
 ) -> DataFrame:

@@ -1,0 +1,151 @@
+"""Physical layout maintenance: compaction, range clustering, z-order.
+
+The reference's block model (synthetic 128 MiB splits,
+CubefsFileSystem.java:400-430) gives parallelism but no data organization:
+every scan reads every row group.  These utilities shape the parquet layout
+so Spark's scan skips data instead:
+
+- compact: many small part files -> ~target-sized files.  At 100 TB the
+  small-files problem is a *planning* bottleneck (listing + one task per
+  tiny file); compaction restores the 128 MiB-split economics the block
+  model assumes.
+- cluster_by: range-partition + sort so each row group covers a narrow
+  min/max range of the sort key; parquet footer stats then let a pushed
+  predicate skip whole row groups/files.
+- z-order: bit-interleaved key over two columns — row groups stay narrow in
+  BOTH dimensions, so selective predicates on either column skip.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compact(
+    df: DataFrame, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Rewrite ``df`` at ``path`` with files sized toward
+    ``target_file_bytes`` (the reference's 128 MiB block default,
+    CubefsFileSystem.java:97).  Returns the file count written.  Uses a
+    sampled on-disk size estimate — cheap relative to the rewrite."""
+    import pyspark.sql
+
+    spark = df.sparkSession
+    # estimate bytes from the source scan when available, else via count
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = df.count() * 256
+    n = max(1, math.ceil(est / target_file_bytes))
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    return n
+
+
+def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Bit-interleave two non-negative int columns into one z-order key.
+    Clamp each input to ``bits`` bits, then weave a0 b0 a1 b1 ...  The key
+    is a plain BIGINT expression — sortable, codegen'd, shuffle-free to
+    compute."""
+    max_v = (1 << bits) - 1
+    a = F.least(col_a.cast("long"), F.lit(max_v))
+    b = F.least(col_b.cast("long"), F.lit(max_v))
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
+        )
+    key = parts[0]
+    for p in parts[1:]:
+        key = key.bitwiseOR(p)
+    return key
+
+
+def cluster_by(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int = 8
+) -> None:
+    """Range-partition + in-partition sort on ``sort_cols`` and write: each
+    output file (and row group within it) covers a narrow, near-disjoint
+    key range, which parquet min/max footer stats turn into scan skipping."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def quantize(col: Column, lo, hi, bits: int) -> Column:
+    """Min-max quantize ``col`` into [0, 2^bits): equal-width bins.
+    Z-order REQUIRES equal bit-widths — interleaving raw values whose
+    cardinalities differ lets the wider column's high bits dominate every
+    split boundary and the narrow column never gets clustered."""
+    n_bins = (1 << bits) - 1
+    scaled = (col.cast("double") - lo) / F.lit(max(hi - lo, 1e-300)) * n_bins
+    return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(n_bins))
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order variant of cluster_by for two-column predicates: quantize
+    both columns to ``bits`` bins (one tiny min/max agg job), interleave,
+    range-partition + sort on the key."""
+    mm = df.select(
+        F.min(col_a).alias("a_lo"),
+        F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"),
+        F.max(col_b).alias("b_hi"),
+    ).first()
+    with_key = df.withColumn(
+        "__z",
+        zorder_key(
+            quantize(F.col(col_a), mm["a_lo"], mm["a_hi"], bits),
+            quantize(F.col(col_b), mm["b_lo"], mm["b_hi"], bits),
+            bits=bits,
+        ),
+    )
+    (
+        with_key.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_ranges(path: str, column: str) -> list[tuple]:
+    """(min, max) of ``column`` for every parquet row group under ``path``
+    — the footer stats the scan's skipping decisions read."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            out.append((st.min, st.max))
+    return out
+
+
+def overlap_fraction(ranges: list[tuple], lo, hi) -> float:
+    """Fraction of row groups whose [min,max] intersects [lo,hi] — i.e.,
+    the fraction of data a pushed range predicate must actually read."""
+    if not ranges:
+        return 1.0
+    n = sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+    return n / len(ranges)
