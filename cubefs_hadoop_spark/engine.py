@@ -104,15 +104,22 @@ class Engine:
 
     # -- read path ---------------------------------------------------------
 
-    def table(self, name: str) -> DataFrame:
+    def table(self, name: str, merge_schema: bool = False) -> DataFrame:
         """N3 open/scan analog.  Schema resolution performs the N13 stat
-        check first so a missing table raises the typed ENOENT analog."""
+        check first so a missing table raises the typed ENOENT analog.
+
+        ``merge_schema=True`` reconciles parts written with evolved schemas
+        (new nullable columns appear as null in old parts) — reads every
+        footer instead of one, so keep it off for stable-schema tables."""
         path = self._table_path(name)
         if not os.path.exists(path):
             raise TableNotFoundError("table not found", name)
         if not os.path.isdir(path):
             raise NotATableError("path is not a table directory", name)
-        return self.spark.read.parquet(path)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(path)
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over the warehouse: registers every table as a temp view

@@ -165,3 +165,20 @@ def test_sql_over_warehouse(spark, engine):
     engine.write_table(nat, "nation_t")
     out = engine.sql("SELECT COUNT(*) AS c FROM nation_t").first()
     assert out.c == 25
+
+
+def test_schema_evolution_merge_schema(spark, tmp_warehouse):
+    """Append parts with a new nullable column; merge_schema reconciles
+    (old rows null), plain read keeps the first-footer schema."""
+    from cubefs_hadoop_spark.engine import Engine
+
+    from cubefs_hadoop_spark.catalog import load
+
+    eng = Engine(spark, tmp_warehouse)
+    nation = load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name")
+    eng.write_table(nation, "evolving")
+    eng.append(nation.withColumn("extra", F.lit(1)), "evolving")
+    merged = eng.table("evolving", merge_schema=True)
+    assert "extra" in merged.columns
+    assert merged.count() == 2 * nation.count()
+    assert merged.filter(F.col("extra").isNull()).count() == nation.count()
