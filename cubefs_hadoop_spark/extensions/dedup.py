@@ -299,3 +299,67 @@ def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+@register(
+    "x02d_edit_distance_dedup",
+    """WITH fp AS (
+         SELECT doc_id, text, MIN(md5(sh)) AS fp FROM (
+           SELECT doc_id, text, UNNEST(list_transform(
+               range(1, greatest(length(text)-7, 1)+1),
+               i -> substr(text, i, 8))) AS sh
+           FROM documents)
+         GROUP BY doc_id, text)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.text, b.text)
+             <= CAST(0.15 * greatest(length(a.text), length(b.text)) AS INT)
+       ORDER BY id_a, id_b, dist""",
+)
+def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02d exact-verify near-dup stage: block candidate pairs on the X06
+    winnowing fingerprint (equal rarest 8-gram), then confirm with true
+    edit distance under a relative threshold (15% of the longer doc).
+
+    This is the verify tier of a production dedup cascade: cheap blocking
+    bounds the pair count (no crossJoin — the join key IS the block), and
+    the O(len^2) levenshtein runs only inside blocks.  At 100 TB the
+    fingerprint join shuffles once on fp; per-block pair counts stay small
+    when the fingerprint has enough entropy (use longer shingles / more
+    bands to tighten blocks on real corpora)."""
+    docs = load(spark, sf_dir, "documents")
+    fp = (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text)-7, 1)),"
+                    " i -> substring(text, i, 8))"
+                )
+            ).alias("sh"),
+        )
+        .groupBy("doc_id", "text")
+        .agg(F.min(F.md5("sh")).alias("fp"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    rel_cap = (
+        F.lit(0.15)
+        * F.greatest(F.length("a.text"), F.length("b.text"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= rel_cap)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dist.cast("long").alias("dist"),
+        )
+        .orderBy("id_a", "id_b", "dist")
+    )

@@ -211,3 +211,24 @@ def test_s10_foreach_batch_sink(spark, staged, tmp_path):
         eng.table("events_sink").count()
         == load(spark, SF_SMOKE, "events").count()
     )
+
+
+def test_s02b_complete_mode_exact_equality(spark, staged, tmp_path):
+    """Complete output mode re-emits every window each batch — the final
+    memory-sink state must equal the batch twin exactly (no open-window
+    subset caveat like append mode)."""
+    sdf = ops.tumbling_counts(ops.read_stream(spark, staged))
+    res = ops.run_available_now(sdf, _ckpt(tmp_path, "s02b"), "complete", "s02b")
+    got = {(r.w, r.c) for r in res.collect()}
+    want = {(r.w, r.c) for r in twins.s02_tumbling_window(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
+def test_s06b_update_mode_dedup_total(spark, staged, tmp_path):
+    """Update mode on stateful dedup: the union of all emitted rows equals
+    the distinct key set (each key emitted exactly once across batches)."""
+    sdf = ops.dedup_stream(ops.read_stream(spark, staged)).select("event_id")
+    res = ops.run_available_now(sdf, _ckpt(tmp_path, "s06b"), "update", "s06b")
+    ids = [r.event_id for r in res.collect()]
+    assert len(ids) == len(set(ids))
+    assert len(ids) == load(spark, SF_SMOKE, "events").select("event_id").distinct().count()
