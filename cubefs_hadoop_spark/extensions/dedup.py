@@ -313,6 +313,8 @@ def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        AND abs(length(a.text) - length(b.text))
+            <= CAST(0.15 * greatest(length(a.text), length(b.text)) AS INT)
        WHERE levenshtein(a.text, b.text)
              <= CAST(0.15 * greatest(length(a.text), length(b.text)) AS INT)
        ORDER BY id_a, id_b, dist""",
@@ -344,22 +346,44 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.md5("sh")).alias("fp"))
     )
     a, b = fp.alias("a"), fp.alias("b")
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
     rel_cap = (
         F.lit(0.15)
         * F.greatest(F.length("a.text"), F.length("b.text"))
     ).cast("int")
-    return (
+    # length-band prefilter INSIDE the join condition: levenshtein >=
+    # |len(a)-len(b)|, so the band never changes the result but prunes
+    # ~75% of candidate pairs before the O(len^2) distance runs
+    len_band = (
+        F.abs(F.length("a.text") - F.length("b.text")) <= rel_cap
+    )
+    cand = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_band,
         )
-        .filter(dist <= rel_cap)
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            dist.cast("long").alias("dist"),
+            F.col("a.text").alias("ta"),
+            F.col("b.text").alias("tb"),
         )
+    )
+    # Optimizer barrier before the expensive predicate.  Without it,
+    # Catalyst merges `levenshtein <= cap` into the join condition and
+    # evaluates it FIRST, on every raw fp match (~17x more calls than the
+    # banded candidate set) — and AQE coalesces the tiny join output to one
+    # partition, making those calls single-threaded.  The explicit
+    # repartition + lazy localCheckpoint pins the verify stage to the full
+    # cluster width with only the cheap conditions upstream.
+    cand = cand.repartition(64, "id_a", "id_b").localCheckpoint(eager=False)
+    dist = F.levenshtein("ta", "tb")
+    cap2 = (
+        F.lit(0.15) * F.greatest(F.length("ta"), F.length("tb"))
+    ).cast("int")
+    return (
+        cand.filter(dist <= cap2)
+        .select("id_a", "id_b", dist.cast("long").alias("dist"))
         .orderBy("id_a", "id_b", "dist")
     )

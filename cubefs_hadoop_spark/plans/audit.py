@@ -25,6 +25,7 @@ class PlanAudit:
     has_python_eval: bool = False
     has_take_ordered: bool = False
     has_window_group_limit: bool = False
+    has_codegen: bool = False
     text: str = ""
 
     def scan_columns(self) -> list[set[str]]:
@@ -35,29 +36,62 @@ class PlanAudit:
         return out
 
 
-def audit_plan(df: DataFrame) -> PlanAudit:
-    """Parse the formatted physical plan into assertable facts."""
+def audit_plan(df: DataFrame, executed: bool = False) -> PlanAudit:
+    """Parse the formatted physical plan into assertable facts.
+
+    ``executed=True`` runs the query first and audits the FINAL adaptive
+    plan — AQE's initial plan carries no codegen annotations and may still
+    show exchanges that runtime re-planning (broadcast demotion, partition
+    coalescing) removes."""
+    if executed:
+        df.collect()
     je = df._jdf.queryExecution()
     mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     text = je.explainString(mode)
     a = PlanAudit(text=text)
+
+    # An executed adaptive plan prints the final tree AND the pre-AQE
+    # "Initial Plan" tree, with detail blocks for the nodes of both.
+    # Audit the final tree only, and keep only detail blocks whose node id
+    # appears in it — otherwise every operator counts twice.
+    tree = text
+    m = re.search(r"== Final Plan ==(.*?)== Initial Plan ==", text, re.DOTALL)
+    if m:
+        tree = m.group(1)
+        final_ids = set(re.findall(r"\((\d+)\)", tree))
+        details = [
+            b
+            for b in re.split(r"\n(?=\(\d+\)\s)", text)
+            if (h := re.match(r"\((\d+)\)\s", b)) and h.group(1) in final_ids
+        ]
+        text = "\n".join(details)
+
     for line in text.splitlines():
         s = line.strip()
         if s.startswith("PushedFilters:"):
             a.pushed_filters.append(s.removeprefix("PushedFilters:").strip())
         elif s.startswith("ReadSchema:"):
             a.read_schemas.append(s.removeprefix("ReadSchema:").strip())
-    a.broadcast_joins = text.count("BroadcastHashJoin")
-    a.sort_merge_joins = text.count("SortMergeJoin")
-    a.nested_loop_joins = text.count("BroadcastNestedLoopJoin") + text.count(
+    a.broadcast_joins = tree.count("BroadcastHashJoin")
+    a.sort_merge_joins = tree.count("SortMergeJoin")
+    a.nested_loop_joins = tree.count("BroadcastNestedLoopJoin") + tree.count(
         "CartesianProduct"
     )
-    a.shuffles = len(re.findall(r"\bExchange hashpartitioning", text)) + len(
-        re.findall(r"\bExchange rangepartitioning", text)
+    # formatted trees name shuffle nodes "Exchange (N)"; simple-mode text
+    # (non-formatted callers) prints "Exchange hashpartitioning(...)"
+    a.shuffles = len(re.findall(r"\bExchange\s+\(\d+\)", tree)) or len(
+        re.findall(r"\bExchange (?:hash|range)partitioning", tree)
     )
-    a.has_python_eval = "BatchEvalPython" in text or "ArrowEvalPython" in text
-    a.has_take_ordered = "TakeOrderedAndProject" in text
-    a.has_window_group_limit = "WindowGroupLimit" in text
+    a.has_python_eval = "EvalPython" in tree or "EvalPython" in text
+    a.has_take_ordered = "TakeOrderedAndProject" in tree
+    a.has_window_group_limit = "WindowGroupLimit" in tree
+    # codegen: "[codegen id : N]" detail annotations, "*" markers in the
+    # final tree, or simple-mode WholeStageCodegen spans
+    a.has_codegen = (
+        "codegen id" in text
+        or bool(re.search(r"[+:]- \* ", tree))
+        or "WholeStageCodegen" in tree
+    )
     return a
