@@ -247,6 +247,28 @@ def q09b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q09c_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS f, COALESCE(l_linestatus, 'ALL') AS s,
+          COUNT(*) AS c
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+       ORDER BY f, s, c""",
+)
+def q09c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q09c explicit GROUPING SETS via SQL text — at 100 TB prefer naming
+    exactly the set combinations needed: the Expand operator multiplies
+    map-side output by the number of sets."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS f,
+                  COALESCE(l_linestatus, 'ALL') AS s, COUNT(*) AS c
+           FROM _li_gs
+           GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+           ORDER BY f, s, c"""
+    )
+
+
+@register(
     "q10_having",
     """SELECT o_custkey, COUNT(*) AS c FROM orders GROUP BY o_custkey
        HAVING COUNT(*) >= 2 ORDER BY o_custkey, c""",
@@ -452,6 +474,29 @@ def q19_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
+
+
+@register(
+    "q19b_correlated_sql",
+    """SELECT c_custkey FROM customer c
+       WHERE c_acctbal > (
+         SELECT CAST(ROUND(AVG(c2.c_acctbal), 2) AS DECIMAL(18,2))
+         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+       ORDER BY c_custkey""",
+)
+def q19b_correlated_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19b the same correlated scalar subquery as SQL TEXT, so Catalyst's
+    own decorrelation rewrites it (RewriteCorrelatedScalarSubquery) — the
+    engine-visible proof that the subquery surface works un-rewritten.
+    Same declared oracle as Q19."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_cust_corr")
+    return spark.sql(
+        """SELECT c_custkey FROM _cust_corr c
+           WHERE c_acctbal > (
+             SELECT CAST(ROUND(AVG(c2.c_acctbal), 2) AS DECIMAL(18,2))
+             FROM _cust_corr c2 WHERE c2.c_nationkey = c.c_nationkey)
+           ORDER BY c_custkey"""
+    )
 
 
 @register(
