@@ -32,7 +32,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 DEFAULT_BLOCK_SIZE = 128 << 20  # CubefsFileSystem.java:97
 
@@ -93,6 +98,61 @@ class CfsFilesReader(DataSourceReader):
         )
 
 
+class CfsFilesStreamReader(SimpleDataSourceStreamReader):
+    """File-arrival micro-batch stream: the offset is the set of file names
+    already emitted (exactly how host engines tail a landing directory on
+    the reference's listStatus contract).  Each batch emits whole files that
+    appeared since the last offset; replays between offsets are
+    deterministic, so checkpoint recovery re-reads the same files."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("cfsfiles: option 'path' is required")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _listing(self) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in sorted(files):
+                if not f.startswith((".", "_")):
+                    out.append(os.path.join(dirpath, f))
+        return sorted(out)
+
+    def _rows(self, paths: list[str]) -> list[tuple]:
+        # a LIST, not a generator: the simple-reader API pickles the batch
+        # for prefetch/replay caching
+        out = []
+        for fp in paths:
+            st = os.stat(fp)
+            with open(fp, "rb") as fh:
+                content = fh.read()
+            out.append(
+                (
+                    fp,
+                    os.path.basename(fp),
+                    st.st_size,
+                    int(st.st_mtime * 1000),
+                    0,
+                    st.st_size,
+                    content,
+                )
+            )
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        now = self._listing()
+        new = [p for p in now if p not in seen]
+        return self._rows(new), {"seen": now}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
+        seen = set(start.get("seen", []))
+        return self._rows([p for p in end.get("seen", []) if p not in seen])
+
+
 class CfsFilesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -106,6 +166,9 @@ class CfsFilesDataSource(DataSource):
 
     def reader(self, schema) -> CfsFilesReader:
         return CfsFilesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> CfsFilesStreamReader:
+        return CfsFilesStreamReader(self.options)
 
 
 def register(spark) -> None:

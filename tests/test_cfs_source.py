@@ -55,3 +55,42 @@ def test_source_composes_with_sql(spark, tmp_path):
     (tmp_path / "files" / "_SUCCESS").write_bytes(b"")
     (tmp_path / "files" / ".crc").write_bytes(b"zz")
     assert cfs_source.read_files(spark, d).count() == 3
+
+
+def test_streaming_file_arrival(spark, tmp_path):
+    """simpleStreamReader: files landed between micro-batches arrive as new
+    rows; the offset (seen-file set) makes replay deterministic."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "f0.bin").write_bytes(b"one")
+    cfs_source.register(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    sdf = spark.readStream.format("cfsfiles").option("path", str(d)).load()
+    q = (
+        sdf.select("name", "size")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r.name for r in spark.read.parquet(out).collect()} == {"f0.bin"}
+
+    # second arrival: only the new file lands in the next run
+    (d / "f1.bin").write_bytes(b"two-two")
+    q = (
+        spark.readStream.format("cfsfiles").option("path", str(d)).load()
+        .select("name", "size")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.name for r in rows) == ["f0.bin", "f1.bin"]
+    assert {r.name: r.size for r in rows}["f1.bin"] == 7
