@@ -230,6 +230,55 @@ def sink_foreach_batch(
     return seen
 
 
+def _session_close(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """S11: per-user session accumulator with a processing-time TTL.  While
+    events keep arriving the state only accumulates; when the timeout fires
+    (no events for the TTL) the finished session is emitted and the state
+    cleared — the emit-on-silence pattern session_window cannot express in
+    arbitrary-state form."""
+    if state.hasTimedOut:
+        n, lo, hi = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "events": [n], "first_us": [lo], "last_us": [hi]}
+        )
+        return
+    n, lo, hi = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        n += len(pdf)
+        lo = min([x for x in [lo, *us] if x is not None])
+        hi = max([x for x in [hi, *us] if x is not None])
+    state.update((n, lo, hi))
+    state.setTimeoutDuration(2000)  # 2 s of silence closes the session
+    yield pd.DataFrame(
+        {"user_id": [], "events": [], "first_us": [], "last_us": []}
+    )
+
+
+def session_close_stateful(sdf: DataFrame) -> DataFrame:
+    """S11: applyInPandasWithState with ProcessingTimeTimeout — sessions
+    emit when a key goes quiet, state per key is 3 scalars (constant
+    memory at any fan-out)."""
+    return (
+        sdf.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_close,
+            outputStructType=(
+                "user_id bigint, events bigint, first_us bigint, last_us bigint"
+            ),
+            stateStructType="n bigint, lo bigint, hi bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 # -- arbitrary stateful processing (S08) ------------------------------------
 
 

@@ -232,3 +232,55 @@ def test_s06b_update_mode_dedup_total(spark, staged, tmp_path):
     ids = [r.event_id for r in res.collect()]
     assert len(ids) == len(set(ids))
     assert len(ids) == load(spark, SF_SMOKE, "events").select("event_id").distinct().count()
+
+
+def test_s11_stateful_session_timeout(spark, tmp_path):
+    """S11: processing-time state TTL — a user's session is emitted after
+    the key goes quiet, even though no further events for that key arrive."""
+    import pandas as pd
+
+    src = tmp_path / "s11src"
+    src.mkdir()
+
+    def land(name, user, n):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(n),
+                "ts": pd.to_datetime(["2024-01-01 00:00:00"] * n),
+                "user_id": [user] * n,
+                "event_type": ["click"] * n,
+                "value": [1.0] * n,
+                "props": ["{}"] * n,
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")  # raw int64 nanos like fixture
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / "data")
+        )
+
+    land("a", user=1, n=3)
+    sdf = ops.session_close_stateful(ops.read_stream(spark, str(src)))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("s11")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s11"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # wait past the 2s TTL, then land data for ANOTHER user so batches
+        # keep running and the timeout for user 1 can fire
+        time.sleep(3.0)
+        land("b", user=2, n=2)
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("s11").collect()
+            if any(r.user_id == 1 for r in rows):
+                break
+            time.sleep(0.5)
+        sessions = {r.user_id: r.events for r in rows}
+        assert sessions.get(1) == 3  # closed by silence, all 3 events
+    finally:
+        q.stop()
