@@ -122,12 +122,60 @@ class Engine:
         return reader.parquet(path)
 
     def sql(self, query: str) -> DataFrame:
-        """Run SQL over the warehouse: registers every table as a temp view
-        then delegates to Catalyst (the host-engine delegation the reference
-        exists for, README.md:61-88)."""
+        """Run SQL over the warehouse: registers every table (and saved
+        view) as a temp view then delegates to Catalyst (the host-engine
+        delegation the reference exists for, README.md:61-88)."""
         for name in self.list_tables():
             self.table(name).createOrReplaceTempView(name)
+        for name, text in self._views().items():
+            self.spark.sql(text).createOrReplaceTempView(name)
         return self.spark.sql(query)
+
+    # -- views (Hive-metastore parity: named saved queries) ----------------
+
+    def _views_path(self) -> str:
+        return os.path.join(self._db_path(), "_views.json")
+
+    def _views(self) -> dict[str, str]:
+        import json
+
+        try:
+            with open(self._views_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def create_view(self, name: str, select: str, replace: bool = False) -> None:
+        """Persist a named view definition in the database ( _views.json —
+        metadata-only, like a metastore entry; expanded lazily at sql()
+        time so views always see current table data)."""
+        import json
+
+        views = self._views()
+        if name in views and not replace:
+            raise TableAlreadyExistsError("view already exists", name)
+        if self.table_exists(name):
+            raise TableAlreadyExistsError("table with this name exists", name)
+        views[name] = select
+        os.makedirs(self._db_path(), exist_ok=True)
+        with open(self._views_path(), "w") as f:
+            json.dump(views, f)
+
+    def drop_view(self, name: str, ignore_missing: bool = False) -> bool:
+        import json
+
+        views = self._views()
+        if name not in views:
+            if ignore_missing:
+                return False
+            raise TableNotFoundError("view not found", name)
+        del views[name]
+        with open(self._views_path(), "w") as f:
+            json.dump(views, f)
+        return True
+
+    def list_views(self) -> list[str]:
+        return sorted(self._views())
 
     def execute(self, stmt: str) -> DataFrame | None:
         """Hive/FsShell-parity statement router (the E3 metadata path plus
@@ -135,12 +183,26 @@ class Engine:
         storage contract; anything else is a query delegated to sql().
 
           CREATE TABLE [IF NOT EXISTS] t AS <select>   -> write_table
+          CREATE [OR REPLACE] VIEW v AS <select>       -> create_view
           INSERT INTO t <select>                       -> append
           DROP TABLE [IF EXISTS] t                     -> drop_table
+          DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
         """
         s = stmt.strip().rstrip(";")
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            self.create_view(m.group(2), m.group(3), replace=bool(m.group(1)))
+            return None
+        m = re.match(r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE)
+        if m:
+            self.drop_view(m.group(2), ignore_missing=bool(m.group(1)))
+            return None
         m = re.match(
             r"CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.+)",
             s,

@@ -62,3 +62,35 @@ def test_describe_and_query_passthrough(eng):
     assert {"file", "size", "mtime_ms", "is_marker"} <= set(d.columns)
     res = eng.execute("SELECT COUNT(*) AS c FROM nation")
     assert res.first().c == eng.table("nation").count()
+
+
+def test_views_persist_and_track_table_data(eng, spark, tmp_warehouse):
+    eng.execute("CREATE VIEW big AS SELECT * FROM nation WHERE n_nationkey >= 10")
+    n1 = eng.sql("SELECT COUNT(*) AS c FROM big").first().c
+    assert n1 == eng.table("nation").filter("n_nationkey >= 10").count()
+    # views are lazy over current data: appending to the base table shows up
+    eng.execute("INSERT INTO nation SELECT * FROM nation")
+    assert eng.sql("SELECT COUNT(*) AS c FROM big").first().c == 2 * n1
+    # persisted as metadata: a fresh Engine over the same warehouse sees it
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng2 = Engine(spark, tmp_warehouse)
+    assert eng2.list_views() == ["big"]
+    assert eng2.sql("SELECT COUNT(*) AS c FROM big").first().c == 2 * n1
+
+
+def test_view_name_collisions_and_drop(eng):
+    from cubefs_hadoop_spark.errors import TableAlreadyExistsError, TableNotFoundError
+
+    eng.execute("CREATE VIEW v1 AS SELECT n_name FROM nation")
+    with pytest.raises(TableAlreadyExistsError):
+        eng.execute("CREATE VIEW v1 AS SELECT n_name FROM nation")
+    eng.execute("CREATE OR REPLACE VIEW v1 AS SELECT n_nationkey FROM nation")
+    assert eng.sql("SELECT * FROM v1").columns == ["n_nationkey"]
+    with pytest.raises(TableAlreadyExistsError):
+        eng.create_view("nation", "SELECT 1")  # collides with a table
+    eng.execute("DROP VIEW v1")
+    assert eng.list_views() == []
+    with pytest.raises(TableNotFoundError):
+        eng.execute("DROP VIEW v1")
+    eng.execute("DROP VIEW IF EXISTS v1")
