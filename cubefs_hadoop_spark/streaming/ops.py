@@ -279,6 +279,48 @@ def session_close_stateful(sdf: DataFrame) -> DataFrame:
     )
 
 
+def running_count_tws(sdf: DataFrame) -> DataFrame:
+    """S12: per-user running event count via transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (typed ValueState handles, RocksDB
+    state store).  Supersedes applyInPandasWithState for new code: state
+    is schema'd and composable (value/list/map states, timers) instead of
+    one opaque tuple.
+
+    Dependency gate: the transformWithState protocol needs ``protobuf``
+    at runtime (pyspark's StateMessage_pb2); environments without it
+    should use running_max_stateful/session_close_stateful (S08/S11),
+    which cover arbitrary state on the older API with no extra deps."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState("count", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.select("user_id", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningCount(),
+            outputStructType="user_id bigint, n bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 # -- arbitrary stateful processing (S08) ------------------------------------
 
 

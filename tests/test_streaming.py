@@ -284,3 +284,36 @@ def test_s11_stateful_session_timeout(spark, tmp_path):
         assert sessions.get(1) == 3  # closed by silence, all 3 events
     finally:
         q.stop()
+
+
+def test_s12_transform_with_state(spark, staged, tmp_path):
+    """S12: transformWithStateInPandas running count — the last update per
+    user equals the batch groupBy count.  Needs the RocksDB state store and
+    protobuf (the state-protocol wire format; absent in this container, so
+    the operator is dependency-gated — S08 covers arbitrary state without
+    it)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = ops.running_count_tws(ops.read_stream(spark, staged))
+        res = ops.run_available_now(sdf, _ckpt(tmp_path, "s12"), "update", "s12")
+        finals = {}
+        for r in res.collect():  # update mode: later rows supersede
+            finals[r.user_id] = max(r.n, finals.get(r.user_id, 0))
+        want = {
+            r.user_id: r.c
+            for r in load(spark, SF_SMOKE, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert finals == want
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
