@@ -319,6 +319,27 @@ class Engine:
         shutil.rmtree(old)
         return n
 
+    def vacuum(self) -> list[str]:
+        """Remove orphaned work dirs left by interrupted maintenance ops
+        (``*.__compacting`` / ``*.__old`` from compact_table) and Spark
+        ``_temporary`` attempt dirs from crashed writes.  Safe any time:
+        live tables never have these suffixes."""
+        removed = []
+        root = self._db_path()
+        if not os.path.isdir(root):
+            return removed
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if d.endswith((".__compacting", ".__old")):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(d)
+            elif os.path.isdir(p):
+                tmp = os.path.join(p, "_temporary")
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    removed.append(os.path.join(d, "_temporary"))
+        return removed
+
     # -- metadata path -----------------------------------------------------
 
     def list_tables(self) -> list[str]:

@@ -102,3 +102,23 @@ def test_engine_compact_table_atomic_swap(spark, tmp_path):
     assert not os.path.exists(
         os.path.join(str(tmp_path / "wh"), "default", "orders.__compacting")
     )
+
+
+def test_vacuum_removes_orphans(spark, tmp_path):
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.write_table(load(spark, SF_SMOKE, "nation"), "nation")
+    db = os.path.join(str(tmp_path / "wh"), "default")
+    os.makedirs(os.path.join(db, "nation.__compacting"))
+    os.makedirs(os.path.join(db, "old_t.__old"))
+    os.makedirs(os.path.join(db, "nation", "_temporary", "0"))
+    removed = eng.vacuum()
+    assert sorted(removed) == [
+        "nation.__compacting",
+        "nation/_temporary",
+        "old_t.__old",
+    ]
+    assert eng.list_tables() == ["nation"]
+    assert eng.table("nation").count() > 0
+    assert eng.vacuum() == []
