@@ -133,7 +133,13 @@ def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-shingles, banded 3x3; pairs sharing any band bucket.  The pair join is
     on (band, key) — bucket-local, never all-pairs."""
     docs = load(spark, sf_dir, "documents")
-    bands = lsh_bands(minhash_signature(docs)).alias("a")
+    # cache the (tiny) band table: a plain self-join recomputes the whole
+    # shingle-explode + 9-way min-agg pipeline on BOTH sides (verified: 2x
+    # Generate + 2x SortAggregate pairs in the plan).  At scale the
+    # signature table is a real materialization point of the dedup
+    # pipeline; cache() expresses that while keeping the plan AQE-visible
+    # (measured faster here than a localCheckpoint RDD cut)
+    bands = lsh_bands(minhash_signature(docs)).cache().alias("a")
     other = bands.alias("b")
     return (
         bands.join(
@@ -187,6 +193,8 @@ def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gm"),
         )
         .distinct()
+        # used three times below (a-side, b-side, sizes): materialize once
+        .localCheckpoint(eager=False)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
@@ -283,6 +291,9 @@ def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "fp", "bk.band", "bk.key")
+    # self-joined below: materialize the tiny band table once instead of
+    # recomputing the simhash aggregation per side
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -344,6 +355,8 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "text")
         .agg(F.min(F.md5("sh")).alias("fp"))
+        # self-joined below: materialize the per-doc fingerprints once
+        .localCheckpoint(eager=False)
     )
     a, b = fp.alias("a"), fp.alias("b")
     rel_cap = (
