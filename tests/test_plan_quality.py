@@ -11,6 +11,11 @@ from tests.conftest import SF_SMOKE
 
 
 def _audit(spark, name):
+    # Earlier tests may have materialized cached subtrees (the dedup family
+    # shares self-join sides via .cache()); a warm cache replaces whole join
+    # subtrees with InMemoryTableScan and hides the operators these gates
+    # assert on.  Clear it so every audit sees the real computed plan.
+    spark.catalog.clearCache()
     return audit_plan(QUERIES[name](spark, SF_SMOKE))
 
 
