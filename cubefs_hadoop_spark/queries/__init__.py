@@ -9,6 +9,7 @@ from cubefs_hadoop_spark.queries import functions_extra  # noqa: E402,F401
 # Import loudly: a swallowed ImportError here would silently drop whole
 # query families from the driver's correctness gate.
 from cubefs_hadoop_spark.queries import streaming_twins  # noqa: E402,F401
+from cubefs_hadoop_spark.queries import tpch_shapes  # noqa: E402,F401
 from cubefs_hadoop_spark.queries import udfs  # noqa: E402,F401
 from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 

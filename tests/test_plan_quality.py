@@ -84,3 +84,33 @@ def test_x02_lsh_join_is_not_allpairs(spark):
     a = _audit(spark, "x02_minhash_lsh")
     assert a.nested_loop_joins == 0
     assert a.broadcast_joins + a.sort_merge_joins >= 1
+
+
+def test_t05_sixway_join_no_nested_loop(spark):
+    """The TPC-H Q5 shape must resolve every join as hash/SMJ equi-joins
+    (dimension broadcasts at small SF, SMJ at scale) — never a nested loop
+    — with the date filter pushed to the orders scan."""
+    a = _audit(spark, "t05_local_supplier_volume")
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins + a.sort_merge_joins >= 4
+    assert "o_orderdate" in " ".join(a.pushed_filters)
+
+
+def test_t18_aggregates_below_join(spark):
+    """Q18 shape: the quantity aggregate must run below the joins — the
+    plan has exactly one aggregate pair feeding the join, and the having
+    filter sits on the aggregate, not after the join."""
+    a = _audit(spark, "t18_large_volume_customer")
+    assert a.nested_loop_joins == 0
+    # orders scan must not read more than its three needed columns
+    assert any(
+        cols <= {"o_orderkey", "o_custkey", "o_totalprice"}
+        for cols in a.scan_columns()
+    )
+
+
+def test_t10_topk_is_partial(spark):
+    a = _audit(spark, "t10_returned_items")
+    assert a.has_take_ordered
+    pf = " ".join(a.pushed_filters)
+    assert "o_orderdate" in pf and "l_returnflag" in pf
