@@ -197,3 +197,117 @@ def q30b_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "n", "nd", "has_spark", "first_word", "first3")
     )
+
+
+@register(
+    "q20c_window_value_funcs",
+    """SELECT o_custkey, o_orderkey,
+          CAST(NTILE(4) OVER w AS INT) AS quartile,
+          FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+          LAST_VALUE(o_orderkey) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS last_ok,
+          NTH_VALUE(o_orderkey, 2) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS second_ok
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey, quartile, first_ok, last_ok,
+                second_ok NULLS FIRST LIMIT 500""",
+)
+def q20c_window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions: ntile, first_value, last_value, nth_value.
+    last/nth use an unbounded-both-ways frame (the default frame stops at
+    CURRENT ROW, which would make last_value degenerate).  One shuffle on
+    o_custkey serves all four windows."""
+    running = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = running.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(running).cast("int").alias("quartile"),
+            F.first("o_orderkey").over(running).alias("first_ok"),
+            F.last("o_orderkey").over(full).alias("last_ok"),
+            F.nth_value("o_orderkey", 2).over(full).alias("second_ok"),
+        )
+        .orderBy(
+            "o_custkey", "o_orderkey", "quartile", "first_ok", "last_ok",
+            F.col("second_ok").asc_nulls_first(),
+        )
+        .limit(500)
+    )
+
+
+@register(
+    "q27c_string_funcs3",
+    """SELECT p_partkey,
+          md5(p_name) AS h,
+          CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS lev,
+          translate(p_type, 'AEO', 'aeo') AS tr,
+          lpad(CAST(p_size AS VARCHAR), 4, '0') AS pad,
+          reverse(p_brand) AS rev,
+          repeat(left(p_name, 2), 2) AS rep,
+          CAST(ascii(p_name) AS INT) AS a0,
+          CAST(strpos(p_name, '_') AS BIGINT) AS us
+       FROM part WHERE p_partkey < 400
+       ORDER BY p_partkey, h, lev, tr, pad, rev, rep, a0, us""",
+)
+def q27c_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string family: md5 fingerprint, levenshtein, translate,
+    lpad, reverse, repeat, left-slice, ascii, instr — all JVM built-ins
+    (Spark `instr` == DuckDB `strpos`, both 1-based-0-if-absent)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select(
+            "p_partkey",
+            F.md5("p_name").alias("h"),
+            F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("lev"),
+            F.translate("p_type", "AEO", "aeo").alias("tr"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("pad"),
+            F.reverse("p_brand").alias("rev"),
+            F.repeat(F.substring("p_name", 1, 2), 2).alias("rep"),
+            F.ascii("p_name").cast("int").alias("a0"),
+            F.instr("p_name", "_").cast("long").alias("us"),
+        )
+        .orderBy("p_partkey", "h", "lev", "tr", "pad", "rev", "rep", "a0", "us")
+    )
+
+
+@register(
+    "q29b_bitwise_funcs",
+    """SELECT l_orderkey,
+          CAST(l_orderkey & 255 AS BIGINT) AS band,
+          CAST(l_orderkey | 4096 AS BIGINT) AS bor,
+          CAST(xor(l_orderkey, l_partkey) AS BIGINT) AS bxor,
+          CAST(l_linenumber << 3 AS INT) AS shl,
+          CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+          CAST(bit_count(l_orderkey) AS INT) AS bits
+       FROM lineitem WHERE l_orderkey < 500
+       ORDER BY l_orderkey, band, bor, bxor, shl, shr, bits""",
+)
+def q29b_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR, shifts, popcount — pure JVM arithmetic,
+    stays inside whole-stage codegen (hash-bucketing building blocks for
+    the dedup/split operators in extensions/)."""
+    ok = F.col("l_orderkey")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(ok < 500)
+        .select(
+            "l_orderkey",
+            ok.bitwiseAND(F.lit(255)).cast("long").alias("band"),
+            ok.bitwiseOR(F.lit(4096)).cast("long").alias("bor"),
+            ok.bitwiseXOR(F.col("l_partkey")).cast("long").alias("bxor"),
+            F.shiftleft(F.col("l_linenumber"), 3).cast("int").alias("shl"),
+            F.shiftright(ok, 2).cast("long").alias("shr"),
+            F.bit_count(ok).cast("int").alias("bits"),
+        )
+        .orderBy("l_orderkey", "band", "bor", "bxor", "shl", "shr", "bits")
+    )
