@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q25_union_distinct",
     "x01_exact_dedup",
     "x03_topk_cosine",
+    "t05_local_supplier_volume",
+    "t18_large_volume_customer",
 ]
 
 RUNS = 3

@@ -311,3 +311,75 @@ def q29b_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "band", "bor", "bxor", "shl", "shr", "bits")
     )
+
+
+@register(
+    "q06d_median",
+    """SELECT l_returnflag,
+          CAST(ROUND(MEDIAN(l_quantity), 2) AS DECIMAL(18,2)) AS med_qty,
+          CAST(ROUND(MEDIAN(l_extendedprice), 2) AS DECIMAL(18,2)) AS med_price
+       FROM lineitem GROUP BY l_returnflag
+       ORDER BY l_returnflag, med_qty, med_price""",
+)
+def q06d_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median aggregate (both engines interpolate even-count
+    middles identically; r2d absorbs the float midpoint)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            r2d(F.median("l_quantity")).alias("med_qty"),
+            r2d(F.median("l_extendedprice")).alias("med_price"),
+        )
+        .orderBy("l_returnflag", "med_qty", "med_price")
+    )
+
+
+@register(
+    "q30c_collect_sorted",
+    """SELECT o_custkey,
+          array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS oks
+       FROM orders WHERE o_custkey < 200
+       GROUP BY o_custkey ORDER BY o_custkey, oks""",
+)
+def q30c_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list made deterministic: collection order varies with
+    partitioning, so the list is sorted *inside* the aggregate row before
+    serialization (array_sort ∘ collect_list ≡ array_agg ORDER BY)."""
+    sorted_keys = F.array_sort(F.collect_list("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(sorted_keys, lambda c: c.cast("string")), ","
+            ).alias("oks")
+        )
+        .orderBy("o_custkey", "oks")
+    )
+
+
+@register(
+    "q37b_unpivot",
+    """SELECT * FROM
+       (SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+               CAST(p_size AS DOUBLE) AS p_size
+        FROM part WHERE p_partkey < 300)
+       UNPIVOT (v FOR k IN (p_retailprice, p_size))
+       ORDER BY p_partkey, k, v""",
+)
+def q37b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of Q37's pivot; wide columns become
+    (key, value) rows JVM-side (Expand node, no shuffle)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "k", "v")
+        .orderBy("p_partkey", "k", "v")
+    )
