@@ -383,3 +383,33 @@ def q37b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_retailprice", "p_size"], "k", "v")
         .orderBy("p_partkey", "k", "v")
     )
+
+
+@register(
+    "q30d_higher_order_funcs",
+    """SELECT vec_id,
+          CAST(ROUND(list_sum(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE))), 2)
+               AS DECIMAL(18,2)) AS s,
+          CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS npos
+       FROM embeddings ORDER BY vec_id, s, npos""",
+)
+def q30d_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions head-on: aggregate (left fold), filter,
+    transform — the JVM lambda path the similarity operators build on.
+    Elements are cast to double before folding so both engines accumulate
+    in the same precision and order (array order is preserved)."""
+    return (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            r2d(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE),"
+                    " (acc, x) -> acc + CAST(x AS DOUBLE))"
+                )
+            ).alias("s"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("int").alias("npos"),
+        )
+        .orderBy("vec_id", "s", "npos")
+    )
