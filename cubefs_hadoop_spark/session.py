@@ -36,6 +36,15 @@ DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Runtime row-level filtering: inject a bloom filter built from the
+    # selective side of a join into the other side's scan.  At 100 TB this
+    # prunes fact-table row groups against dimension predicates that
+    # static pushdown can't see (e.g. t05's region filter reaching the
+    # lineitem scan through three joins).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(
+        64 * 1024 * 1024
+    ),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
     # Managed-table location (bucketed tables) — keep out of the repo dir.
