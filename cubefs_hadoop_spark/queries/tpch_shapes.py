@@ -400,3 +400,401 @@ def t22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "numcust", "totacctbal")
     )
+
+
+@register(
+    "t06_forecast_revenue",
+    """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2))), 2)
+                   AS DECIMAL(18,2)) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+)
+def t06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins.  All three
+    predicates push to the parquet scan (shipdate min/max row-group skipping
+    carries the year filter at 100 TB); the aggregate is a single partial+
+    final sum over exact decimals."""
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return lineitem.agg(
+        r2(F.sum(dec("l_extendedprice") * dec("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "t09_product_profit",
+    f"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS profit
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2 ORDER BY nation, o_year, profit""",
+)
+def t09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp cost side in the fixtures, so
+    profit = revenue): per-nation-per-year revenue on a part-name substring.
+    The LIKE filter shrinks part BEFORE the fact join; supplier->nation is a
+    broadcast chain; the lineitem-orders join shuffles on the order key."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = F.broadcast(
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", F.col("n_name").alias("nation")
+        )
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", _rev().alias("rev")
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "o_year")
+        .agg(r2(F.sum("rev")).alias("profit"))
+        .orderBy("nation", "o_year", "profit")
+    )
+
+
+@register(
+    "t12_priority_shipping",
+    """SELECT l_linestatus,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate
+         AND l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_linestatus ORDER BY l_linestatus, high_count, low_count""",
+)
+def t12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: fixtures carry no l_shipmode, so the group
+    key is l_linestatus): priority mix of late-shipped lines in a year.
+    The shipdate range is pushed to the lineitem scan; the late-shipping
+    residual (l_shipdate > o_orderdate) rides the equi-join; the CASE
+    counts come out of one aggregation pass."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    return (
+        lineitem.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_count"),
+        )
+        .orderBy("l_linestatus", "high_count", "low_count")
+    )
+
+
+@register(
+    "t13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist
+       FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY c_count, custdist""",
+)
+def t13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts, including
+    zero-order customers (the left join's NULL rows count as 0 via
+    COUNT(column)).  Double aggregation: the first shuffles on c_custkey,
+    the second on the tiny count domain (~dozens of values), so the second
+    exchange is negligible at any scale."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy("c_count", "custdist")
+    )
+
+
+@register(
+    "t15_top_supplier",
+    f"""WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey, s_name, total_revenue""",
+)
+def t15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The revenue aggregate is computed ONCE and reused for both the max
+    scalar and the equality filter (Spark reuses the exchange; at scale,
+    persist() would pin it).  Exact-decimal revenue makes the max-equality
+    comparison engine-independent — never compare raw double aggregates."""
+    revenue = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(r2(F.sum(_rev())).alias("total_revenue"))
+    )
+    best = F.broadcast(revenue.agg(F.max("total_revenue").alias("best")))
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(best)
+        .filter(F.col("total_revenue") == F.col("best"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "t16_supplier_relationship",
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type, p_size
+       ORDER BY p_brand, p_type, p_size, supplier_cnt""",
+)
+def t16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: lineitem stands in for partsupp as the
+    part<->supplier relation): distinct-supplier counts per part class,
+    excluding suppliers from a NOT IN subquery.  The exclusion list is a
+    broadcast anti-join (s_suppkey is non-null, so NOT IN == anti join);
+    both part predicates push to the part scan before the fact join."""
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy("p_brand", "p_type", "p_size", "supplier_cnt")
+    )
+
+
+@register(
+    "t17_small_quantity_revenue",
+    """SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 2) AS DECIMAL(18,2)) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#1'
+         AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = lineitem.l_partkey)""",
+)
+def t17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of below-one-fifth-of-average-quantity
+    orders for one brand.  The correlated per-part average is an
+    aggregate-below-join (groupBy l_partkey, then equi-join back), not a
+    per-row subquery.  l_quantity holds integer values, so the per-part
+    AVG over doubles is exact and order-independent — safe to compare
+    across engines.  At 100 TB the avg aggregate would be semi-joined to
+    the brand's parts first; here the agg input is already one scan."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    thr = lineitem.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(thr, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            r2d(
+                F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "t19_discounted_revenue",
+    f"""SELECT CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)""",
+)
+def t19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive predicates spanning both join sides.
+    The OR cannot push through the join as-is, so each side gets its
+    IMPLIED single-table disjunction pushed to its scan (brand in {1,2}
+    with the size bound; quantity in the union range) — the classic Q19
+    rewrite — and the full disjunction evaluates on the joined rows."""
+    part = load(spark, sf_dir, "part").filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25))
+    ).select("p_partkey", "p_brand", "p_size")
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 11) | F.col("l_quantity").between(10, 20)
+    ).select("l_partkey", "l_quantity", _rev().alias("rev"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(r2(F.sum("rev")).alias("revenue"))
+    )
+
+
+@register(
+    "t20_part_promotion",
+    """SELECT s_suppkey, s_name FROM supplier
+       WHERE s_suppkey IN (
+         SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_name LIKE '%red%'
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_suppkey
+         HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 100)
+       ORDER BY s_suppkey, s_name""",
+)
+def t20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: lineitem volume stands in for partsupp
+    availability): suppliers who moved >100 units of red parts in a year.
+    IN-subquery becomes a left-semi join against the HAVING aggregate;
+    the part-name filter is broadcast into the fact scan side."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey"
+    )
+    movers = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "t21_waiting_supplier",
+    """SELECT s_name, numwait FROM (
+         SELECT s_name, COUNT(*) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100)
+       ORDER BY s_name, numwait""",
+)
+def t21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: l_shipdate > o_orderdate stands in for the
+    receipt-after-commit lateness the fixtures don't carry): suppliers who
+    were the SOLE late shipper on finished multi-supplier orders.  The
+    doubly-correlated EXISTS / NOT EXISTS become a left-semi and a
+    left-anti self-join on the order key; both self-join sides shuffle on
+    l_orderkey, so at 100 TB all three lineitem passes co-partition and
+    AQE reuses the exchange."""
+    l1 = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    l2 = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    )
+    base = l1.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+    )
+    candidates = base.join(
+        l2,
+        (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("k3") == F.col("l_orderkey"))
+        & (F.col("s3") != F.col("l_suppkey"))
+        & (F.col("d3") > F.col("o_orderdate")),
+        "left_anti",
+    )
+    supplier = F.broadcast(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    top = (
+        candidates.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+    return top.orderBy("s_name", "numwait")

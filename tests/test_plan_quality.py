@@ -114,3 +114,49 @@ def test_t10_topk_is_partial(spark):
     assert a.has_take_ordered
     pf = " ".join(a.pushed_filters)
     assert "o_orderdate" in pf and "l_returnflag" in pf
+
+
+def test_t13_double_aggregation_pruned(spark):
+    """Q13 shape: both aggregation levels present, scans pruned to the two
+    join keys, no nested loop."""
+    a = _audit(spark, "t13_customer_distribution")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert all(
+        cols <= {"c_custkey", "o_custkey", "o_orderkey"}
+        for cols in a.scan_columns()
+    )
+
+
+def test_t17_aggregate_below_join(spark):
+    """Q17 shape: the per-part average is an aggregate feeding an equi-join
+    (never a per-row subquery), and every lineitem scan reads only the three
+    needed columns."""
+    a = _audit(spark, "t17_small_quantity_revenue")
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins + a.sort_merge_joins >= 2
+    assert all(
+        cols <= {"l_partkey", "l_quantity", "l_extendedprice", "p_brand", "p_partkey"}
+        for cols in a.scan_columns()
+    )
+
+
+def test_t19_disjunction_pushed_to_both_scans(spark):
+    """Q19 shape: the OR-of-conjuncts must push its single-table implications
+    to BOTH scans (brand/size disjunction to part, quantity-range union to
+    lineitem) — at 100 TB this is row-group skipping on the fact table."""
+    a = _audit(spark, "t19_discounted_revenue")
+    pf = " ".join(a.pushed_filters)
+    assert "Brand#1" in pf and "Brand#2" in pf
+    assert "l_quantity" in pf
+    assert a.nested_loop_joins == 0
+
+
+def test_t21_self_joins_are_equi(spark):
+    """Q21 shape: the EXISTS/NOT EXISTS self-joins must plan as equi
+    (hash/SMJ) joins on the order key carrying the inequality residuals —
+    never nested loops — with the status filter pushed to the orders scan."""
+    a = _audit(spark, "t21_waiting_supplier")
+    assert a.nested_loop_joins == 0
+    pf = " ".join(a.pushed_filters)
+    assert "o_orderstatus" in pf
