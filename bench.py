@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# BASELINE.md bench set: B01-B10.
+# BASELINE.md bench set: B01-B14.
 BENCH_QUERIES = [
     "q01_scan_count",
     "q03_filter_conjunctive",
@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "x03_topk_cosine",
     "t05_local_supplier_volume",
     "t18_large_volume_customer",
+    "t13_customer_distribution",
+    "t21_waiting_supplier",
 ]
 
 RUNS = 3
