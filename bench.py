@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# BASELINE.md bench set: B01-B14.
+# BASELINE.md bench set: B01-B15.
 BENCH_QUERIES = [
     "q01_scan_count",
     "q03_filter_conjunctive",
@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "t18_large_volume_customer",
     "t13_customer_distribution",
     "t21_waiting_supplier",
+    "x02_minhash_lsh",
 ]
 
 RUNS = 3
@@ -53,6 +54,11 @@ def main() -> None:
         fn = QUERIES[name]
         samples = []
         for run in range(RUNS):
+            # drop any DataFrame cache a prior sample materialized (x02's
+            # band table) — each sample must pay the full pipeline, not a
+            # cache hit; Spark's CacheManager matches analyzed plans across
+            # the structurally-identical per-run DataFrames.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
