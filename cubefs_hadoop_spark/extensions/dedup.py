@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.queries.registry import register
 from cubefs_hadoop_spark.queries.relational import r2d
 
@@ -119,6 +120,10 @@ def minhash_signature(docs: DataFrame, n_seeds: int = N_SEEDS) -> DataFrame:
       {init},
       (acc, h) -> {step}
     )"""
+    # widen_for_cpu: a small corpus arrives as one file split; the md5
+    # pass is CPU-bound, so fan it out to every core first (no-op at
+    # scale where splits >= cores).  Measured 5.8s -> 0.5s at sf0.1.
+    docs = widen_for_cpu(docs, "doc_id")
     return docs.select("doc_id", F.expr(agg).alias("_m")).select(
         "doc_id", *[F.col(f"_m.m{i}").alias(f"mh{i}") for i in range(n_seeds)]
     )
@@ -170,18 +175,15 @@ ORDER BY da, db"""
 )
 
 
-@register("x02_minhash_lsh", _X02_ORACLE)
-def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X02 MinHash-LSH near-dup candidates: 9 min-hashes over char
-    8-shingles (single-pass HOF signature, see minhash_signature), banded
-    3x3; pairs sharing any band bucket.  The pair join is on (band, key) —
-    bucket-local, never all-pairs."""
-    docs = load(spark, sf_dir, "documents")
-    # cache the (tiny) band table: a plain self-join recomputes the whole
-    # signature pipeline on BOTH sides.  At scale the signature table is a
-    # real materialization point of the dedup pipeline; cache() expresses
-    # that while keeping the plan AQE-visible (measured faster here than a
-    # localCheckpoint RDD cut)
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """(da, db) doc-id pairs sharing at least one LSH band bucket.
+
+    The pair join is on (band, key) — bucket-local, never all-pairs.  The
+    band table is cached: a plain self-join would recompute the whole
+    signature pipeline on BOTH sides.  At scale the signature table is a
+    real materialization point of the dedup pipeline; cache() expresses
+    that while keeping the plan AQE-visible (measured faster here than a
+    localCheckpoint RDD cut)."""
     bands = lsh_bands(minhash_signature(docs)).cache().alias("a")
     other = bands.alias("b")
     return (
@@ -193,8 +195,16 @@ def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
-        .orderBy("da", "db")
     )
+
+
+@register("x02_minhash_lsh", _X02_ORACLE)
+def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02 MinHash-LSH near-dup candidates: 9 min-hashes over char
+    8-shingles (single-pass HOF signature, see minhash_signature), banded
+    3x3; pairs sharing any band bucket."""
+    docs = load(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs).orderBy("da", "db")
 
 
 @register(
@@ -288,7 +298,8 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     One explode + one groupBy per doc; near-dup search then becomes
     fingerprint equality / low Hamming distance — constant work per doc."""
     tok = (
-        docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
+        widen_for_cpu(docs, "doc_id")
+        .select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
         .distinct()
         .withColumn("h", F.md5("w"))
     )
@@ -355,91 +366,64 @@ def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
     )
 
 
-@register(
-    "x02d_edit_distance_dedup",
-    """WITH fp AS (
-         SELECT doc_id, text, MIN(md5(sh)) AS fp FROM (
-           SELECT doc_id, text, UNNEST(list_transform(
-               range(1, greatest(length(text)-7, 1)+1),
-               i -> substr(text, i, 8))) AS sh
-           FROM documents)
-         GROUP BY doc_id, text)
-       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        AND abs(length(a.text) - length(b.text))
-            <= CAST(0.15 * greatest(length(a.text), length(b.text)) AS INT)
-       WHERE levenshtein(a.text, b.text)
-             <= CAST(0.15 * greatest(length(a.text), length(b.text)) AS INT)
-       ORDER BY id_a, id_b, dist""",
+_X02D_ORACLE = (
+    _X02_ORACLE.split("SELECT DISTINCT")[0].rstrip().rstrip(")")
+    + """),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                            AND a.doc_id < b.doc_id)
+SELECT c.da AS id_a, c.db AS id_b,
+       CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+FROM cand c
+JOIN documents x ON x.doc_id = c.da
+JOIN documents y ON y.doc_id = c.db
+WHERE levenshtein(x.text, y.text)
+      <= CAST(0.15 * greatest(length(x.text), length(y.text)) AS INT)
+ORDER BY id_a, id_b, dist"""
 )
-def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X02d exact-verify near-dup stage: block candidate pairs on the X06
-    winnowing fingerprint (equal rarest 8-gram), then confirm with true
-    edit distance under a relative threshold (15% of the longer doc).
 
-    This is the verify tier of a production dedup cascade: cheap blocking
-    bounds the pair count (no crossJoin — the join key IS the block), and
-    the O(len^2) levenshtein runs only inside blocks.  At 100 TB the
-    fingerprint join shuffles once on fp; per-block pair counts stay small
-    when the fingerprint has enough entropy (use longer shingles / more
-    bands to tighten blocks on real corpora)."""
+
+@register("x02d_edit_distance_dedup", _X02D_ORACLE)
+def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02d exact-verify near-dup stage — the verify tier of the
+    production dedup cascade: X02's MinHash-LSH band join proposes
+    candidate pairs, then true edit distance under a relative threshold
+    (15% of the longer doc) confirms them.
+
+    Scale design: the O(len^2) levenshtein runs ONLY on pairs that
+    already share an LSH bucket, so its input is the (tiny) candidate
+    set, not a blocked self-join of the corpus — at 100 TB the expensive
+    predicate cost is proportional to the near-dup density, not corpus
+    size.  A single-min-gram blocking variant was measured at 74k
+    candidate pairs for 5k docs (degenerate blocks on templated text);
+    the 3-band LSH filter admits ~2k."""
     docs = load(spark, sf_dir, "documents")
-    fp = (
-        docs.select(
-            "doc_id",
-            "text",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text)-7, 1)),"
-                    " i -> substring(text, i, 8))"
-                )
-            ).alias("sh"),
-        )
-        .groupBy("doc_id", "text")
-        .agg(F.min(F.md5("sh")).alias("fp"))
-        # self-joined below: materialize the per-doc fingerprints once
-        .localCheckpoint(eager=False)
-    )
-    a, b = fp.alias("a"), fp.alias("b")
-    rel_cap = (
-        F.lit(0.15)
-        * F.greatest(F.length("a.text"), F.length("b.text"))
-    ).cast("int")
-    # length-band prefilter INSIDE the join condition: levenshtein >=
-    # |len(a)-len(b)|, so the band never changes the result but prunes
-    # ~75% of candidate pairs before the O(len^2) distance runs
-    len_band = (
-        F.abs(F.length("a.text") - F.length("b.text")) <= rel_cap
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & len_band,
-        )
+    cand = lsh_candidate_pairs(docs)
+    texts = docs.select("doc_id", "text")
+    pairs = (
+        cand.join(texts.alias("x"), F.col("da") == F.col("x.doc_id"))
+        .join(texts.alias("y"), F.col("db") == F.col("y.doc_id"))
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.text").alias("ta"),
-            F.col("b.text").alias("tb"),
+            F.col("da").alias("id_a"),
+            F.col("db").alias("id_b"),
+            F.col("x.text").alias("ta"),
+            F.col("y.text").alias("tb"),
         )
     )
     # Optimizer barrier before the expensive predicate.  Without it,
-    # Catalyst merges `levenshtein <= cap` into the join condition and
-    # evaluates it FIRST, on every raw fp match (~17x more calls than the
-    # banded candidate set) — and AQE coalesces the tiny join output to one
-    # partition, making those calls single-threaded.  The explicit
-    # repartition + lazy localCheckpoint pins the verify stage to the full
-    # cluster width with only the cheap conditions upstream.
-    cand = cand.repartition(64, "id_a", "id_b").localCheckpoint(eager=False)
+    # Catalyst merges `levenshtein <= cap` into the broadcast-join
+    # condition and AQE coalesces the tiny join output to one partition,
+    # making those calls single-threaded.  The explicit repartition +
+    # lazy localCheckpoint pins the verify stage to the full cluster
+    # width with only the cheap conditions upstream.
+    pairs = pairs.repartition(64, "id_a", "id_b").localCheckpoint(eager=False)
     dist = F.levenshtein("ta", "tb")
-    cap2 = (
+    cap = (
         F.lit(0.15) * F.greatest(F.length("ta"), F.length("tb"))
     ).cast("int")
     return (
-        cand.filter(dist <= cap2)
+        pairs.filter(dist <= cap)
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
         .orderBy("id_a", "id_b", "dist")
     )

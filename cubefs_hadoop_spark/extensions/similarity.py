@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.queries.registry import register
 from cubefs_hadoop_spark.queries.relational import r2d
 
@@ -40,6 +41,17 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
     return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+
+
+def _norm_expr(a: str) -> F.Column:
+    """sqrt(dot(a,a)) — precomputed once per vector so pairwise cosine
+    needs ONE dot product instead of three (norms are join-invariant;
+    recomputing them per pair multiplies the hot-loop FLOPs by 3)."""
+    return F.expr(f"sqrt({_DOT.format(a=a, b=a)})")
+
+
+def _cosine_with_norms(a: str, b: str, na: str, nb: str) -> F.Column:
+    return F.expr(f"{_DOT.format(a=a, b=b)} / ({na} * {nb})")
 
 
 # DuckDB twin of the same formula (sequential double accumulation in both
@@ -75,15 +87,21 @@ def x03_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     each map side before the final shuffle."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm_expr("embedding").alias("q_n"),
     )
-    corpus = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    corpus = widen_for_cpu(emb, "vec_id").select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        _norm_expr("embedding").alias("n_n"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "n_id")
     return (
         F.broadcast(queries)
         .crossJoin(corpus)
         .filter(F.col("n_id") != F.col("q_id"))
-        .withColumn("c", _cosine_expr("q_emb", "n_emb"))
+        .withColumn("c", _cosine_with_norms("q_emb", "n_emb", "q_n", "n_n"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("q_id", "n_id", r2d(F.col("c")).alias("cos"))
@@ -105,11 +123,19 @@ def x03b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — the exact-verify stage that follows an ANN/LSH candidate filter
     in production (never run unfiltered at 100 TB)."""
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
+    a = widen_for_cpu(emb, "vec_id").select(
+        F.col("vec_id").alias("da"),
+        F.col("embedding").alias("ea"),
+        _norm_expr("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("db"),
+        F.col("embedding").alias("eb"),
+        _norm_expr("embedding").alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("da") < F.col("db"))
-        .withColumn("c", _cosine_expr("ea", "eb"))
+        .withColumn("c", _cosine_with_norms("ea", "eb", "na", "nb"))
         .filter(F.col("c") > 0.35)
         .select("da", "db", r2d(F.col("c")).alias("cos"))
         .orderBy("da", "db", "cos")
@@ -139,7 +165,8 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     cid so probes prune files (partition pruning on the bucket column)."""
     w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
     return (
-        emb.crossJoin(F.broadcast(centroids))
+        widen_for_cpu(emb, "vec_id")
+        .crossJoin(F.broadcast(centroids))
         .withColumn("d", _cosine_expr("embedding", "cent"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.queries.registry import register
 from cubefs_hadoop_spark.queries.relational import r2d
 
@@ -125,20 +126,21 @@ def x05_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x06_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X06 document fingerprint: winnowing-style min-hash over rolling char
     8-grams (one md5 per window, min per doc).  Equal fingerprints =>
-    shared rarest window — a cheap containment signal."""
+    shared rarest window — a cheap containment signal.
+
+    Computed as a row-local higher-order expression (array_min over a
+    transform) — no explode, no aggregation shuffle; widen_for_cpu fans
+    the md5-bound map stage out to every core when the input arrives as
+    fewer splits than cores."""
+    docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     return (
-        load(spark, sf_dir, "documents")
-        .select(
+        docs.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text)-7, 1)),"
-                    " i -> substring(text, i, 8))"
-                )
-            ).alias("sh"),
+            F.expr(
+                "array_min(transform(sequence(1, greatest(length(text)-7, 1)),"
+                " i -> md5(substring(text, i, 8))))"
+            ).alias("fp"),
         )
-        .groupBy("doc_id")
-        .agg(F.min(F.md5("sh")).alias("fp"))
         .orderBy("doc_id", "fp")
     )
 

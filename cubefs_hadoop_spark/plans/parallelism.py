@@ -1,0 +1,31 @@
+"""Scan-width guard for CPU-bound map stages.
+
+Spark sizes file-scan parallelism by bytes (`spark.sql.files.maxPartitionBytes`,
+128 MiB — the reference's synthetic-block stride, CubefsFileSystem.java:97,400-430),
+which is right for IO-bound scans but starves CPU-heavy per-row operators:
+a 1.5 MiB documents table arrives as ONE split, so a minhash/simhash pass
+that costs seconds of CPU per MiB runs on one core of the cluster.
+
+``widen_for_cpu`` repartitions such inputs up to the session's default
+parallelism — a shuffle of the (by definition small) input, bought once,
+that unlocks every core for the expensive map stage.  Inputs that already
+have >= parallelism splits are returned unchanged, so at 100 TB (thousands
+of splits) this is a no-op and no shuffle is added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def widen_for_cpu(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition ``df`` to the session default parallelism iff it
+    currently has fewer partitions, optionally hash-partitioned by
+    ``cols`` (keeps downstream per-key ops co-located)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if cols:
+        return df.repartition(target, *cols)
+    return df.repartition(target)
