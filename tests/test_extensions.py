@@ -190,3 +190,50 @@ def test_hash_split_stable_and_sized(spark):
         .count()
         == 0
     )
+
+
+def test_minhash_signature_partition_invariant(spark):
+    """Signatures are content-addressed: identical regardless of input
+    partitioning (the property that makes dedup results reproducible
+    across cluster sizes and incremental reruns)."""
+    from cubefs_hadoop_spark.extensions.dedup import minhash_signature
+
+    docs = load(spark, SF_SMOKE, "documents").limit(50)
+    one = minhash_signature(docs.coalesce(1)).collect()
+    many = minhash_signature(docs.repartition(7)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
+
+
+def test_widen_for_cpu(spark):
+    """Widens single-split inputs to default parallelism, no-ops on
+    already-wide inputs, never changes rows."""
+    from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).coalesce(1)
+    wide = widen_for_cpu(df, "id")
+    assert wide.rdd.getNumPartitions() == par
+    assert wide.count() == 1000
+    already = spark.range(1000).repartition(par + 4)
+    assert widen_for_cpu(already).rdd.getNumPartitions() == par + 4
+
+
+def test_edit_distance_verifies_lsh_candidates(spark):
+    """x02d is the verify tier of x02's cascade: every confirmed pair is
+    an LSH candidate, and every confirmed pair respects the relative
+    edit-distance threshold."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        x02d_edit_distance_dedup,
+    )
+
+    cands = {(r.da, r.db) for r in x02_minhash_lsh(spark, SF_SMOKE).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF_SMOKE, "documents").collect()
+    }
+    confirmed = x02d_edit_distance_dedup(spark, SF_SMOKE).collect()
+    assert confirmed, "smoke fixture contains true near-dups"
+    for r in confirmed:
+        assert (r.id_a, r.id_b) in cands
+        cap = int(0.15 * max(len(docs[r.id_a]), len(docs[r.id_b])))
+        assert r.dist <= cap
