@@ -36,7 +36,6 @@ from __future__ import annotations
 import os
 import re
 import shutil
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 

@@ -3,6 +3,8 @@ for the headline queries — the judge-facing scale contract, enforced."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from cubefs_hadoop_spark.plans.audit import audit_plan
@@ -160,3 +162,44 @@ def test_t21_self_joins_are_equi(spark):
     assert a.nested_loop_joins == 0
     pf = " ".join(a.pushed_filters)
     assert "o_orderstatus" in pf
+
+
+def test_minhash_signature_is_map_only(spark):
+    """X02 signature stage: a single-pass HOF projection — no explode
+    (Generate), no aggregation operator, and at most the widen_for_cpu
+    repartition exchange.  This is the property that keeps the 100 TB
+    signature stage scan-shaped."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.dedup import minhash_signature
+
+    sig = minhash_signature(load(spark, SF_SMOKE, "documents"))
+    a = audit_plan(sig)
+    assert "Generate" not in a.text
+    assert "HashAggregate" not in a.text
+    assert "SortAggregate" not in a.text
+    assert "ObjectHashAggregate" not in a.text
+    assert a.shuffles <= 1  # only the widen repartition
+
+
+def test_x06_fingerprint_is_map_only(spark):
+    """Winnowing fingerprint: array_min over a transform, row-local —
+    no explode, no aggregate (the tail ORDER BY is the only exchange)."""
+    a = _audit(spark, "x06_fingerprint")
+    assert "Generate" not in a.text
+    assert "HashAggregate" not in a.text
+    assert "SortAggregate" not in a.text
+
+
+def test_u06_defeats_aqe_byte_coalescing(spark):
+    """The applyInPandas exchange must be a user-specified hash
+    repartition on the group key (AQE-coalesce-exempt) at default
+    parallelism — per-row-expensive Python stages must not be squeezed
+    into byte-sized partitions."""
+    from cubefs_hadoop_spark.plans.audit import audit_plan as ap
+
+    a = ap(QUERIES["u06_asof_merge_pandas"](spark, SF_SMOKE))
+    par = spark.sparkContext.defaultParallelism
+    m = re.search(r"hashpartitioning\(user_id#\d+L?, (\d+)\), (\w+)", a.text)
+    assert m, a.text
+    assert int(m.group(1)) == par
+    assert m.group(2) == "REPARTITION_BY_NUM"  # user-specified, AQE-exempt
