@@ -275,3 +275,86 @@ def langid_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in _STOPWORDS:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.withColumn("lang_pred", pred)
+
+
+@register(
+    "x10_decontaminate",
+    """WITH ev AS (
+         SELECT DISTINCT gm FROM (
+           SELECT UNNEST(list_transform(
+               range(1, greatest(len(string_split(text,' '))-4, 1)+1),
+               i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS gm
+           FROM documents WHERE doc_id % 20 = 0)),
+       tr AS (
+         SELECT doc_id,
+                UNNEST(list_transform(
+                  range(1, greatest(len(string_split(text,' '))-4, 1)+1),
+                  i -> array_to_string(string_split(text,' ')[i:i+4], ' '))) AS gm
+         FROM documents WHERE doc_id % 20 <> 0)
+       SELECT DISTINCT doc_id FROM tr WHERE gm IN (SELECT gm FROM ev)
+       ORDER BY doc_id""",
+)
+def x10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 benchmark decontamination: flag training docs sharing any word
+    5-gram with the (small) eval set — the standard pre-training hygiene
+    sweep (eval set stand-in: doc_id % 20 == 0).
+
+    Scale design: the eval side is small by nature, so its distinct gram
+    set BROADCASTS and the train side is a scan -> explode -> broadcast
+    LEFT SEMI join -> distinct doc_id.  No shuffle touches the corpus
+    until the (tiny) contaminated-id distinct; at 100 TB this is a pure
+    map-side membership probe, the same plan as a bloom-filter gate."""
+    docs = load(spark, sf_dir, "documents")
+    grams5 = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' '))-4, 1)),"
+        " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+    )
+    ev = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(grams5).alias("gm"))
+        .distinct()
+    )
+    tr = (
+        widen_for_cpu(docs.filter(F.col("doc_id") % 20 != 0), "doc_id")
+        .select("doc_id", F.explode(grams5).alias("gm"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "gm", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "x11_repetition_ratio",
+    """SELECT doc_id,
+          CAST(ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                         / len(g), 2) AS DECIMAL(18,2)) AS rep_ratio
+       FROM (
+         SELECT doc_id, list_transform(
+             range(1, greatest(len(string_split(text,' '))-2, 1)+1),
+             i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g
+         FROM documents)
+       ORDER BY doc_id, rep_ratio""",
+)
+def x11_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11 repetition filter (Gopher-style quality signal): fraction of
+    duplicate word 3-grams per document, 1 - distinct/total.  Repetitive
+    boilerplate and degenerate generations score high and get dropped.
+    Row-local higher-order functions only — map-shaped at any scale."""
+    g = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' '))-2, 1)),"
+        " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+    )
+    return (
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            r2d(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id", "rep_ratio")
+    )
