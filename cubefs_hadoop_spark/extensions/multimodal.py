@@ -122,3 +122,51 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             )
         ),
     )
+
+
+RESIZED_SCHEMA = "item_id bigint, width int, height int, content binary"
+
+
+def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
+    """mapInPandas worker factory for image resize.  Same integration
+    contract as decode_image_batches: swap the fake branch for
+    PIL.Image.resize in production.  The fake resize emits a
+    deterministic payload (sha256 of input + target dims, truncated to a
+    size proportional to the target area) so tests can assert size
+    monotonicity and determinism without a codec."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv (not in this "
+                    "container); use fake=True for plumbing tests"
+                )
+            out_bytes = []
+            for p in pdf["content"]:
+                seed = hashlib.sha256(
+                    bytes(p) + f"{target_w}x{target_h}".encode()
+                ).digest()
+                n = max(1, (target_w * target_h) // 64)
+                out_bytes.append((seed * (n // len(seed) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "content": out_bytes,
+                }
+            )
+
+    return resize
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, fake: bool = True
+) -> DataFrame:
+    """Resize every image payload to (target_w, target_h) — Arrow-batched,
+    partition-local, no shuffle; the output binary column is written back
+    through the same parquet sink as any other column."""
+    return df.select("item_id", "content").mapInPandas(
+        resize_image_batches(target_w, target_h, fake=fake), RESIZED_SCHEMA
+    )

@@ -237,3 +237,27 @@ def test_edit_distance_verifies_lsh_candidates(spark):
         assert (r.id_a, r.id_b) in cands
         cap = int(0.15 * max(len(docs[r.id_a]), len(docs[r.id_b])))
         assert r.dist <= cap
+
+
+def test_multimodal_resize_plumbing(spark, tmp_path):
+    """X06 resize stub: schema, determinism, and output-size scaling with
+    target area — the Spark-side contract a real codec drops into."""
+    d = tmp_path / "media2"
+    d.mkdir()
+    for i in range(3):
+        (d / f"g{i}.bin").write_bytes(bytes([i + 1]) * 100)
+    df = mm.ingest_binary_dir(spark, str(d)).withColumn(
+        "item_id", F.monotonically_increasing_id()
+    )
+    small = mm.resize_images(df, 32, 32, fake=True).collect()
+    large = mm.resize_images(df, 64, 64, fake=True).collect()
+    assert len(small) == len(large) == 3
+    assert all(r.width == 32 and r.height == 32 for r in small)
+    assert all(
+        len(bytes(s.content)) < len(bytes(l.content))
+        for s, l in zip(small, large)
+    )
+    again = mm.resize_images(df, 32, 32, fake=True).collect()
+    assert {bytes(r.content) for r in small} == {bytes(r.content) for r in again}
+    with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
+        mm.resize_images(df, 32, 32, fake=False).collect()
