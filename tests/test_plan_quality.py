@@ -203,3 +203,12 @@ def test_u06_defeats_aqe_byte_coalescing(spark):
     assert m, a.text
     assert int(m.group(1)) == par
     assert m.group(2) == "REPARTITION_BY_NUM"  # user-specified, AQE-exempt
+
+
+def test_x10_decontamination_broadcasts_eval_grams(spark):
+    """Decontamination must probe eval-gram membership via a BROADCAST
+    semi-join — the corpus side never shuffles on the gram key (at 100 TB
+    a sort-merge here would shuffle the entire exploded gram stream)."""
+    a = _audit(spark, "x10_decontaminate")
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
