@@ -170,3 +170,55 @@ def resize_images(
     return df.select("item_id", "content").mapInPandas(
         resize_image_batches(target_w, target_h, fake=fake), RESIZED_SCHEMA
     )
+
+
+AUDIO_SCHEMA = (
+    "item_id bigint, sample_rate int, n_samples bigint, duration_s double, "
+    "rms float, peak float"
+)
+
+
+def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
+    """mapInPandas worker factory for audio decode / loudness features —
+    the audio member of the image/audio/video triad.  Swap the fake
+    branch for soundfile/librosa in production; the fake decoder derives
+    a deterministic pseudo-waveform from sha256(payload) so tests pin the
+    schema, batch shape, and determinism without a codec."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa (not in "
+                    "this container); use fake=True for plumbing tests"
+                )
+            rows = []
+            for p in pdf["content"]:
+                h = hashlib.sha256(bytes(p)).digest()
+                n_samples = 1000 + int.from_bytes(h[:2], "big")
+                samples = [(b - 128) / 128.0 for b in h]
+                rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+                peak = max(abs(s) for s in samples)
+                rows.append((n_samples, rms, peak))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "sample_rate": [sample_rate] * len(rows),
+                    "n_samples": [r[0] for r in rows],
+                    "duration_s": [r[0] / sample_rate for r in rows],
+                    "rms": [r[1] for r in rows],
+                    "peak": [r[2] for r in rows],
+                }
+            )
+
+    return decode
+
+
+def extract_audio_features(
+    df: DataFrame, sample_rate: int = 16000, fake: bool = True
+) -> DataFrame:
+    """Run the (stub) audio decoder over (item_id, content) rows — same
+    Arrow-batched partition-local contract as extract_features."""
+    return df.select("item_id", "content").mapInPandas(
+        decode_audio_batches(sample_rate=sample_rate, fake=fake), AUDIO_SCHEMA
+    )

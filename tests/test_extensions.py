@@ -261,3 +261,24 @@ def test_multimodal_resize_plumbing(spark, tmp_path):
     assert {bytes(r.content) for r in small} == {bytes(r.content) for r in again}
     with pytest.raises(Exception, match="NotImplementedError|PIL|opencv"):
         mm.resize_images(df, 32, 32, fake=False).collect()
+
+
+def test_multimodal_audio_plumbing(spark, tmp_path):
+    """X06 audio stub: schema, determinism, duration arithmetic."""
+    d = tmp_path / "media3"
+    d.mkdir()
+    for i in range(3):
+        (d / f"a{i}.bin").write_bytes(bytes([i + 7]) * 80)
+    df = mm.ingest_binary_dir(spark, str(d)).withColumn(
+        "item_id", F.monotonically_increasing_id()
+    )
+    feats = mm.extract_audio_features(df, sample_rate=8000, fake=True).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert r.sample_rate == 8000
+        assert abs(r.duration_s - r.n_samples / 8000) < 1e-9
+        assert 0.0 <= r.rms <= r.peak <= 1.0
+    again = mm.extract_audio_features(df, sample_rate=8000, fake=True).collect()
+    assert {(r.item_id, r.rms) for r in feats} == {(r.item_id, r.rms) for r in again}
+    with pytest.raises(Exception, match="NotImplementedError|soundfile|librosa"):
+        mm.extract_audio_features(df, fake=False).collect()
