@@ -84,7 +84,16 @@ class Engine:
 
     # -- namespace ---------------------------------------------------------
 
+    def _check_open(self) -> None:
+        # N19 fidelity: the reference's closed native client rejects every
+        # subsequent call (cfs_close_client, CubefsFileSystem.java:443-447);
+        # a closed Engine does the same instead of silently operating.
+        if self._closed:
+            raise EngineIOError("engine is closed")
+
     def _db_path(self, database: str | None = None) -> str:
+        # single chokepoint: every verb resolves a path through here
+        self._check_open()
         return os.path.join(self.warehouse_root, database or self.database)
 
     def _table_path(self, name: str, database: str | None = None) -> str:

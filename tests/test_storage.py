@@ -182,3 +182,24 @@ def test_schema_evolution_merge_schema(spark, tmp_warehouse):
     assert "extra" in merged.columns
     assert merged.count() == 2 * nation.count()
     assert merged.filter(F.col("extra").isNull()).count() == nation.count()
+
+
+def test_closed_engine_rejects_ops(spark, tmp_path):
+    """N19 fidelity: after close(), every verb raises (the reference's
+    closed native client rejects all calls, CubefsFileSystem.java:443-447)."""
+    from cubefs_hadoop_spark.engine import Engine
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.close()
+    import pytest as _pt
+
+    for op in [
+        lambda: eng.list_tables(),
+        lambda: eng.table("t"),
+        lambda: eng.write_table(spark.range(1), "t"),
+        lambda: eng.drop_table("t"),
+        lambda: eng.describe("t"),
+    ]:
+        with _pt.raises(EngineIOError, match="closed"):
+            op()
