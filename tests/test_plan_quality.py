@@ -199,7 +199,7 @@ def test_u06_defeats_aqe_byte_coalescing(spark):
 
     a = ap(QUERIES["u06_asof_merge_pandas"](spark, SF_SMOKE))
     par = spark.sparkContext.defaultParallelism
-    m = re.search(r"hashpartitioning\(user_id#\d+L?, (\d+)\), (\w+)", a.text)
+    m = re.search(r"hashpartitioning\(_b#\d+L?, (\d+)\), (\w+)", a.text)
     assert m, a.text
     assert int(m.group(1)) == par
     assert m.group(2) == "REPARTITION_BY_NUM"  # user-specified, AQE-exempt
