@@ -53,13 +53,17 @@ def connected_components(
                 ).alias("comp"),
             )
         )
+        # materialize FIRST (lineage cut), then count convergence against
+        # the old labels — counting the un-checkpointed frame would compute
+        # the whole propagation join twice per round
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels
