@@ -110,3 +110,29 @@ def test_salted_join_left(spark):
     out = salted_join(large, small, "k", salt=4, how="left")
     assert out.count() == 100
     assert out.filter(F.col("v").isNull()).count() == 40  # k in {3,4}
+
+
+def test_compression_codecs_roundtrip(spark, tmp_path):
+    """Compression is a first-class 100 TB knob: parquet zstd/snappy/gzip
+    and csv gzip all round-trip bit-identical values, and the codec is
+    visible in the part-file names (prove it actually applied)."""
+    import os
+
+    from cubefs_hadoop_spark.sources.formats import read_any, write_any
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+    rows = sorted(map(tuple, df.collect()))
+    for fmt, codec, marker in [
+        ("parquet", "zstd", ".zstd."),
+        ("parquet", "snappy", ".snappy."),
+        ("parquet", "gzip", ".gz."),
+        ("csv", "gzip", ".csv.gz"),
+    ]:
+        out = str(tmp_path / f"t_{fmt}_{codec}")
+        write_any(df, out, fmt=fmt, compression=codec)
+        names = [f for f in os.listdir(out) if f.startswith("part-")]
+        assert names and all(marker in n for n in names), (codec, names)
+        back = read_any(
+            spark, out, fmt=fmt, schema="id bigint, v bigint, s string"
+        )
+        assert sorted(map(tuple, back.collect())) == rows
