@@ -35,6 +35,10 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(DEFAULT_MAX_PARTITION_BYTES),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # zstd over the snappy default: ~30% smaller files at comparable CPU —
+    # at 100 TB that is tens of TB of storage and scan IO saved.  Level 3
+    # (Spark default) keeps the write path cheap.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Runtime row-level filtering: inject a bloom filter built from the
     # selective side of a join into the other side's scan.  At 100 TB this
