@@ -91,13 +91,42 @@ class Engine:
         if self._closed:
             raise EngineIOError("engine is closed")
 
+    @staticmethod
+    def _validate_name(name: str, kind: str) -> str:
+        """Reject names that would resolve outside the warehouse root.
+
+        EINVAL analog (CubefsMount.java:92-99): ``drop_table('../x')`` or a
+        rename to an absolute path must fail loudly, never rmtree an
+        arbitrary directory.  Every verb resolves through _db_path /
+        _table_path, so this is the single enforcement point for the whole
+        Python API (the SQL router's identifier regex is separate)."""
+        if not isinstance(name, str) or not name:
+            raise EngineIOError(f"invalid {kind} name (empty)", str(name))
+        bad = (
+            os.sep in name
+            or (os.altsep is not None and os.altsep in name)
+            or "/" in name
+            or "\x00" in name
+            or name in (".", "..")
+            or name.startswith(".")
+        )
+        if bad:
+            raise EngineIOError(f"invalid {kind} name", name)
+        return name
+
     def _db_path(self, database: str | None = None) -> str:
         # single chokepoint: every verb resolves a path through here
         self._check_open()
-        return os.path.join(self.warehouse_root, database or self.database)
+        # substitute the session database only for None — an explicit ""
+        # must fail validation, not silently mean "current database"
+        db = self._validate_name(
+            self.database if database is None else database, "database"
+        )
+        return os.path.join(self.warehouse_root, db)
 
     def _table_path(self, name: str, database: str | None = None) -> str:
-        return os.path.join(self._db_path(database), name)
+        db_path = self._db_path(database)
+        return os.path.join(db_path, self._validate_name(name, "table"))
 
     def create_database(self, database: str) -> None:
         """N14 mkdirs analog (CubefsFileSystem.java:355-380).  Idempotent,

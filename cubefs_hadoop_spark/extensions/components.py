@@ -3,16 +3,24 @@
 
 After LSH emits candidate pairs, dedup groups are the connected components
 of the pair graph: keep one doc per component.  Algorithm: iterative
-min-label propagation (a.k.a. hash-to-min) — every vertex repeatedly adopts
-the smallest label among itself and its neighbors.  Converges in
-O(log(diameter)) rounds; each round is one join + one aggregate, both plain
-shuffles on doc_id, so the pattern runs unchanged on a 1000-executor
-cluster.  Deterministic (labels are doc_ids; no RNG).
+min-label propagation — every vertex repeatedly adopts the smallest label
+among itself and its neighbors.  Converges in O(diameter) rounds (NOT
+O(log d) — that bound belongs to the alternating large/small-star
+algorithm); each round is one join + one aggregate, both plain shuffles on
+doc_id, so the pattern runs unchanged on a 1000-executor cluster.  Near-dup
+clusters are dense and shallow (diameter is small in practice), which is
+why plain propagation is the default; a chain-shaped graph needs max_iter
+>= its diameter.  Deterministic (labels are doc_ids; no RNG).
 
 The loop is driver-side but each iteration is fully distributed; the only
-driver-visible value per round is the convergence count.  For graphs with
-huge diameter (rare for dedup: near-dup clusters are dense and shallow),
-swap in the alternating large/small-star algorithm — same join shapes.
+driver-visible value per round is the convergence count.
+
+Durability (round-2): per-round materialization goes through
+``plans.materialize.barrier`` — ``reliable=True`` checkpoints iteration
+state to the warehouse checkpoint dir so an executor loss mid-round does
+not kill the job (VERDICT r01 "What's wrong" #3).  Exhausting ``max_iter``
+without converging RAISES ``UnconvergedError`` instead of silently
+returning wrong labels (ADVICE r01).
 """
 
 from __future__ import annotations
@@ -20,13 +28,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cubefs_hadoop_spark.plans.materialize import barrier
+
+
+class UnconvergedError(RuntimeError):
+    """Label propagation exhausted max_iter with labels still changing —
+    the returned labels would be wrong (some components split)."""
+
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, reliable: bool = False
 ) -> DataFrame:
     """(da, db) undirected edges -> (doc_id, component) with component =
     min doc_id reachable.  Isolated vertices are absent (a doc with no
-    near-dup pair is its own trivial component)."""
+    near-dup pair is its own trivial component).
+
+    ``reliable=True`` uses fault-tolerant checkpoints for per-round state
+    (required on a real cluster; local mode works either way).  Raises
+    :class:`UnconvergedError` if ``max_iter`` rounds don't converge —
+    raise ``max_iter`` to at least the expected graph diameter.
+    """
     edges = (
         pairs.select(F.col("da").alias("src"), F.col("db").alias("dst"))
         .union(pairs.select(F.col("db").alias("src"), F.col("da").alias("dst")))
@@ -37,6 +58,7 @@ def connected_components(
         F.least(F.min("dst"), F.first("src")).alias("comp")
     ).select(F.col("src").alias("doc_id"), "comp")
 
+    changed = -1
     for _ in range(max_iter):
         # propagate: my new label = min(my label, labels of my neighbors)
         neighbor_labels = (
@@ -56,7 +78,7 @@ def connected_components(
         # materialize FIRST (lineage cut), then count convergence against
         # the old labels — counting the un-checkpointed frame would compute
         # the whole propagation join twice per round
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = barrier(new_labels, eager=True, reliable=reliable)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -66,12 +88,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise UnconvergedError(
+            f"label propagation still changing after {max_iter} rounds "
+            f"({changed} labels moved last round); raise max_iter to >= the "
+            "graph diameter"
+        )
     return labels
 
 
-def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, reliable: bool = False
+) -> DataFrame:
     """Final near-dup dedup decision: for every doc, keep=True unless it is
     a non-representative member of a component (representative = min doc_id)."""
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, reliable=reliable)
     drop = comps.filter(F.col("doc_id") != F.col("comp")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")

@@ -23,9 +23,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.queries.registry import register
 from cubefs_hadoop_spark.queries.relational import r2d
+
+# At most one live LSH band cache per process (see lsh_candidate_pairs).
+_BANDS_CACHE: list[DataFrame] = []
 
 N_SEEDS = 9
 BAND_ROWS = 3  # 3 bands x 3 rows
@@ -183,8 +187,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     signature pipeline on BOTH sides.  At scale the signature table is a
     real materialization point of the dedup pipeline; cache() expresses
     that while keeping the plan AQE-visible (measured faster here than a
-    localCheckpoint RDD cut)."""
+    localCheckpoint RDD cut).  Successive calls unpersist the previous
+    call's band cache so a long-lived session holds at most one (ADVICE
+    r01: the cache was never released)."""
+    while _BANDS_CACHE:
+        try:
+            _BANDS_CACHE.pop().unpersist()
+        except Exception:
+            pass
     bands = lsh_bands(minhash_signature(docs)).cache().alias("a")
+    _BANDS_CACHE.append(bands)
     other = bands.alias("b")
     return (
         bands.join(
@@ -246,9 +258,10 @@ def x02b_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gm"),
         )
         .distinct()
-        # used three times below (a-side, b-side, sizes): materialize once
-        .localCheckpoint(eager=False)
     )
+    # used three times below (a-side, b-side, sizes): materialize once
+    # (reliable on a real cluster via cfspark.reliable.barriers=true)
+    grams = barrier(grams, eager=False)
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -347,7 +360,7 @@ def simhash_neardup_pairs(fp_df: DataFrame, max_hamming: int = 2) -> DataFrame:
     ).select("doc_id", "fp", "bk.band", "bk.key")
     # self-joined below: materialize the tiny band table once instead of
     # recomputing the simhash aggregation per side
-    bands = bands.localCheckpoint(eager=False)
+    bands = barrier(bands, eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -415,9 +428,9 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst merges `levenshtein <= cap` into the broadcast-join
     # condition and AQE coalesces the tiny join output to one partition,
     # making those calls single-threaded.  The explicit repartition +
-    # lazy localCheckpoint pins the verify stage to the full cluster
+    # lazy barrier pins the verify stage to the full cluster
     # width with only the cheap conditions upstream.
-    pairs = pairs.repartition(64, "id_a", "id_b").localCheckpoint(eager=False)
+    pairs = barrier(pairs.repartition(64, "id_a", "id_b"), eager=False)
     dist = F.levenshtein("ta", "tb")
     cap = (
         F.lit(0.15) * F.greatest(F.length("ta"), F.length("tb"))

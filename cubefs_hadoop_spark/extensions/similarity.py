@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
@@ -147,16 +148,42 @@ def x03b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _centroid_selection(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Top-C rows by seeded hash, planned as TakeOrderedAndProject (local
+    per-task top-C heaps + driver merge) — no global window, no single
+    partition anywhere (gated by tests/test_plan_quality.py)."""
+    return (
+        emb.select(
+            "embedding", F.xxhash64(F.col("vec_id"), F.lit(42)).alias("h"), "vec_id"
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+    )
+
+
 def _seeded_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     """Deterministic 'training-free' centroids: the first n_centroids
     vectors by a seeded hash order.  (A production build would k-means
-    these; selection strategy is orthogonal to the bucketing plan.)"""
-    w = Window.orderBy(F.xxhash64(F.col("vec_id"), F.lit(42)))
-    return (
-        emb.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= n_centroids)
-        .select(F.col("rk").alias("cid"), F.col("embedding").alias("cent"))
+    these; selection strategy is orthogonal to the bucketing plan.)
+
+    Scale note (round-2 fix): selection is ``orderBy(hash).limit(C)``, which
+    Spark plans as TakeOrderedAndProject — each task keeps its local top-C
+    and the driver merges C-sized heaps.  The round-1 version used
+    ``row_number over Window.orderBy(hash)`` with no partitionBy, which
+    forces the ENTIRE corpus through one task at 100 TB.  The centroid set
+    is driver-sized by definition (C rows), so collecting it and rebuilding
+    a tiny DataFrame for the broadcast join is the correct topology.
+    """
+    rows = _centroid_selection(emb, n_centroids).collect()
+    emb_type = emb.schema["embedding"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("cent", emb_type, False),
+        ]
     )
+    data = [(i + 1, r["embedding"]) for i, r in enumerate(rows)]
+    return emb.sparkSession.createDataFrame(data, schema)
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -1,0 +1,85 @@
+"""Lineage-cut materialization with a durability choice.
+
+Iterative algorithms (connected components) and optimizer barriers (the
+expensive-predicate isolation in x02d) need to cut lineage mid-pipeline.
+Two tiers:
+
+- ``localCheckpoint`` (default): blocks live on executor block managers.
+  Fast (no FS round-trip), but an executor loss kills the job mid-iteration
+  — acceptable on local[32] and for short-lived barriers, NOT for long
+  iterative jobs on a real cluster (VERDICT r01 "What's wrong" #3).
+- ``reliable=True``: ``RDD.checkpoint`` to a fault-tolerant directory under
+  the warehouse/checkpoint root — the N9 flush/sync durability analog
+  (CubefsOutputStream.java:116-141: data survives the writer); here the
+  materialized iteration state survives executor loss.
+
+``ensure_checkpoint_dir`` is idempotent and respects a dir the caller (or
+the streaming engine, which already manages checkpoint locations) set
+earlier.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_checkpoint_dir(spark: SparkSession, path: str | None = None) -> str:
+    """Set the reliable-checkpoint dir if unset; return the effective dir.
+
+    Default resolution order: explicit ``path`` > already-set dir >
+    ``cfspark.checkpoint.dir`` conf > ``<spark.sql.warehouse.dir>/_checkpoints``
+    > a tempdir (local mode).  At 100 TB this must be shared storage — the
+    same volume the engine's warehouse lives on.
+    """
+    sc = spark.sparkContext
+    current = sc.getCheckpointDir()
+    if path is None and current is not None:
+        return current
+    if path is None:
+        try:
+            path = spark.conf.get("cfspark.checkpoint.dir", None)
+        except Exception:
+            path = None
+    if path is None:
+        try:
+            wh = spark.conf.get("spark.sql.warehouse.dir", None)
+        except Exception:
+            wh = None
+        if wh:
+            path = os.path.join(wh.removeprefix("file:"), "_checkpoints")
+    if path is None:
+        path = os.path.join(tempfile.gettempdir(), "cfspark-checkpoints")
+    sc.setCheckpointDir(path)
+    return sc.getCheckpointDir() or path
+
+
+def barrier(
+    df: DataFrame, eager: bool = True, reliable: bool | None = None
+) -> DataFrame:
+    """Cut lineage at this point in the plan.
+
+    ``reliable=False`` -> localCheckpoint (executor-local, fast).
+    ``reliable=True``  -> fault-tolerant checkpoint; sets a checkpoint dir
+    under the warehouse root if none is configured yet.
+    ``reliable=None``  -> read ``cfspark.reliable.barriers`` (default
+    false): one session conf flips every barrier in the dedup/components
+    pipelines to durable checkpoints for real-cluster runs, with no
+    signature churn through the registered query functions.
+    """
+    if reliable is None:
+        try:
+            reliable = (
+                str(
+                    df.sparkSession.conf.get("cfspark.reliable.barriers", "false")
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            reliable = False
+    if reliable:
+        ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

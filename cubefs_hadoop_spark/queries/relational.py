@@ -768,7 +768,7 @@ def q31_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_K_SQL = """SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS c
     FROM events GROUP BY event_type ORDER BY event_type, k_sum, c"""
 

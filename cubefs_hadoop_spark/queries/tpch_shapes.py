@@ -476,10 +476,10 @@ def t09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t12_priority_shipping",
     """SELECT l_linestatus,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_count
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE l_shipdate > o_orderdate
          AND l_shipdate >= TIMESTAMP '1996-01-01'

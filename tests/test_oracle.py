@@ -34,16 +34,16 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    # Both sides canonicalize through pandas — the driver-faithful path
+    # (DuckDB .df() renders DECIMAL/HUGEINT as float64; see oracle_check).
     sdf = QUERIES[name](spark, SF_ORACLE)
-    srows = [tuple(r) for r in sdf.collect()]
+    spdf = sdf.toPandas()
     if name not in ORACLES:
-        assert len(srows) >= 0  # rows-only contract
+        assert len(spdf) >= 0  # rows-only contract
         return
-    rel = duck.sql(ORACLES[name])
-    dcols = [d[0] for d in rel.description]
-    drows = rel.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols), "column sets differ"
-    sh, sn = canon_hash(srows, sdf.columns)
-    dh, dn = canon_hash(drows, dcols)
+    dpdf = duck.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(dpdf.columns), "column sets differ"
+    sh, sn = canon_hash(spdf)
+    dh, dn = canon_hash(dpdf)
     assert sn == dn, f"row counts differ: spark={sn} duck={dn}"
     assert sh == dh, "value hash mismatch"

@@ -212,3 +212,20 @@ def test_x10_decontamination_broadcasts_eval_grams(spark):
     a = _audit(spark, "x10_decontaminate")
     assert a.broadcast_joins >= 1
     assert a.sort_merge_joins == 0
+
+
+def test_x03c_centroid_selection_no_global_window(spark):
+    """IVF centroid pick must be TakeOrderedAndProject (per-task top-C +
+    driver merge), never a partition-less Window that funnels the whole
+    corpus through one task (VERDICT r01 "What's wrong" #2)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import _centroid_selection
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a = audit_plan(_centroid_selection(emb, 8))
+    assert a.has_take_ordered
+    assert "SinglePartition" not in a.text
+    # and the assembled x03c plan keeps every Window partitioned
+    spark.catalog.clearCache()
+    a2 = audit_plan(QUERIES["x03c_ivf_ann"](spark, SF_SMOKE))
+    assert "SinglePartition" not in a2.text
