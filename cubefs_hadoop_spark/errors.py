@@ -36,6 +36,14 @@ class TableAlreadyExistsError(EngineError):
     code = "EEXIST"
 
 
+class VersionConflictError(TableAlreadyExistsError):
+    """EEXIST on a version-manifest commit: another writer committed the
+    same version number first (optimistic concurrency, versioning.py).
+    Subclasses the EEXIST analog — same errno family, finer grain."""
+
+    code = "EEXIST"
+
+
 class NotATableError(EngineError):
     """ENOTDIR/EISDIR analog (CubefsMount.java:90-91)."""
 

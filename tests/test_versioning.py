@@ -1,0 +1,157 @@
+"""Snapshot/versioned-table tests (Iceberg-capability analog): atomic
+multi-file commit, time travel, append lineage, rollback, GC, and the
+concurrent-writer conflict (VERDICT r01 next-round #7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.errors import TableNotFoundError, VersionConflictError
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    return Engine(spark, tmp_warehouse)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_read_at_version_time_travel(eng, spark):
+    v1 = eng.write_table_version(_df(spark, 0, 10), "t")
+    v2 = eng.write_table_version(_df(spark, 0, 5), "t")  # overwrite
+    assert (v1, v2) == (1, 2)
+    assert eng.read_version("t").count() == 5  # latest
+    assert eng.read_version("t", 1).count() == 10  # time travel
+    assert eng.table_versions("t") == [1, 2]
+    with pytest.raises(TableNotFoundError):
+        eng.read_version("t", 99)
+
+
+def test_append_builds_on_parent_files(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.write_table_version(_df(spark, 10, 15), "t", mode="append")
+    assert eng.read_version("t").count() == 15
+    assert eng.read_version("t", 1).count() == 10
+    # append manifest references parent's files, not copies of their data
+    m1 = versioning.read_manifest(eng._table_path("t"), 1)
+    m2 = versioning.read_manifest(eng._table_path("t"), 2)
+    assert set(m1["files"]) < set(m2["files"])
+
+
+def test_rollback_is_append_only(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    v3 = eng.rollback_table("t", 1)
+    assert v3 == 3
+    assert eng.read_version("t").count() == 10
+    # the bad version stays inspectable
+    assert eng.read_version("t", 2).count() == 3
+
+
+def test_expire_versions_gc(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    stats = eng.expire_table_versions("t", keep_last=1)
+    assert stats["versions_removed"] == 1
+    assert stats["files_removed"] >= 1
+    assert eng.table_versions("t") == [2]
+    assert eng.read_version("t").count() == 5
+    with pytest.raises(TableNotFoundError):
+        eng.read_version("t", 1)
+
+
+def test_commit_never_tears_a_read(eng, spark):
+    """A reader resolving version N keeps reading N's exact file set even
+    after an overwrite commit lands."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    snapshot = eng.read_version("t")  # resolved to v1's files
+    eng.write_table_version(_df(spark, 0, 2), "t")
+    assert snapshot.count() == 10  # still v1
+
+
+def test_concurrent_writers_one_wins(eng, spark, tmp_warehouse):
+    """Two racing OVERWRITE commits to the same next version: exactly one
+    manifest lands; the loser raises VersionConflictError."""
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    path = eng._table_path("t")
+
+    # Stage both writers' data first, then race the manifest commits so the
+    # CAS (os.link create-if-absent) is what decides the winner.
+    _, files_a = versioning._stage_write(_df(spark, 0, 4), path)
+    _, files_b = versioning._stage_write(_df(spark, 0, 6), path)
+    manifest = {"parent": 1, "mode": "overwrite", "ts_ms": 0, "schema": None}
+    results: list = [None, None]
+
+    def commit(i, files):
+        try:
+            results[i] = versioning._commit_manifest(
+                path, {**manifest, "version": 2, "files": files}, 2
+            )
+        except VersionConflictError as ex:
+            results[i] = ex
+
+    ts = [
+        threading.Thread(target=commit, args=(0, files_a)),
+        threading.Thread(target=commit, args=(1, files_b)),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(type(r).__name__ for r in results) == [
+        "VersionConflictError", "int",
+    ]
+    # the committed manifest is exactly one of the two candidates, intact
+    m = versioning.read_manifest(path, 2)
+    assert m["files"] in (files_a, files_b)
+
+
+def test_append_retries_through_conflict(eng, spark):
+    """Append commits commute: a conflicting append retries onto the new
+    parent instead of failing."""
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    path = eng._table_path("t")
+    real_commit = versioning._commit_manifest
+    raced = {"done": False}
+
+    def racing_commit(table_path, manifest, version):
+        # first attempt: sneak a competing commit in just before ours
+        if not raced["done"]:
+            raced["done"] = True
+            _, files = versioning._stage_write(_df(spark, 100, 103), path)
+            real_commit(
+                path,
+                {"version": version, "parent": manifest["parent"],
+                 "mode": "append", "files": files, "ts_ms": 0, "schema": None},
+                version,
+            )
+        return real_commit(table_path, manifest, version)
+
+    versioning._commit_manifest = racing_commit
+    try:
+        v = eng.write_table_version(_df(spark, 3, 6), "t", mode="append")
+    finally:
+        versioning._commit_manifest = real_commit
+    assert v == 3  # retried onto the interloper's v2
+    assert eng.read_version("t").count() == 6  # 3 base + 3 appended... via parent v2
+
+    # the appended rows AND the interloper's rows are both present
+    ids = {r.id for r in eng.read_version("t").collect()}
+    assert {3, 4, 5} <= ids and {100, 101, 102} <= ids
+
+
+def test_manifest_is_durable_json(eng, spark):
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    mp = os.path.join(eng._table_path("t"), "_manifests", "v00001.json")
+    with open(mp, encoding="utf-8") as fh:
+        m = json.load(fh)
+    assert m["version"] == 1 and m["parent"] is None
+    assert all(f.startswith("data/") for f in m["files"])
