@@ -214,6 +214,84 @@ class Engine:
     def list_views(self) -> list[str]:
         return sorted(self._views())
 
+    # -- session-catalog integration (metastore parity, SURVEY §3 E3) ------
+
+    def sync_catalog(self, database: str | None = None) -> list[str]:
+        """Register every warehouse table into Spark's SESSION CATALOG as
+        an external parquet table, and every saved view as a catalog view —
+        the Hive-metastore-parity path (the reference carries hive-metastore
+        deps for exactly this, reference pom.xml:147-160).
+
+        After syncing, plain ``spark.sql("SELECT ... FROM db.t")`` and the
+        ``spark.catalog`` API (and therefore any Spark-connected tool —
+        thriftserver, notebooks) see the warehouse without going through
+        ``Engine.sql()``'s temp-view bridge.  Tables are EXTERNAL (LOCATION
+        = the warehouse path): dropping the catalog entry never deletes
+        data, and appends through the Engine are visible after the refresh
+        this method performs.  Returns the qualified names registered.
+        """
+        db = self._validate_name(
+            self.database if database is None else database, "database"
+        )
+        spark = self.spark
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        registered = []
+        for name in self.list_tables():
+            path = self._table_path(name).replace("'", "''")
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {db}.{name} "
+                f"USING parquet LOCATION '{path}'"
+            )
+            # external location: new part files (Engine.append) appear on
+            # refresh; without it Spark may serve cached file listings
+            spark.catalog.refreshTable(f"{db}.{name}")
+            registered.append(f"{db}.{name}")
+        # Saved-view SQL references bare warehouse names.  Persistent views
+        # may not reference temp objects, and Engine.sql()'s temp views
+        # shadow catalog tables — so qualify every known table/view name in
+        # the view text with the target database.  (Word-boundary rewrite;
+        # a column literally named like a table would be over-qualified —
+        # acceptable for the metastore-parity surface, noted here.)
+        views = self._views()
+        known = sorted(set(self.list_tables()) | set(views), key=len, reverse=True)
+        pending = dict(views)
+        for _ in range(max(len(pending), 1)):
+            if not pending:
+                break
+            failed: dict[str, str] = {}
+            for vname, text in pending.items():
+                q = text
+                for name in known:
+                    q = re.sub(rf"\b{re.escape(name)}\b", f"{db}.{name}", q)
+                try:
+                    spark.sql(f"CREATE OR REPLACE VIEW {db}.{vname} AS {q}")
+                    registered.append(f"{db}.{vname}")
+                except Exception:
+                    failed[vname] = text  # may depend on a not-yet-created view
+            if len(failed) == len(pending):
+                # no progress: surface the first real error
+                vname, text = next(iter(failed.items()))
+                q = text
+                for name in known:
+                    q = re.sub(rf"\b{re.escape(name)}\b", f"{db}.{name}", q)
+                spark.sql(f"CREATE OR REPLACE VIEW {db}.{vname} AS {q}")
+            pending = failed
+        return registered
+
+    def unsync_catalog(self, database: str | None = None) -> None:
+        """Remove this warehouse's entries from the session catalog
+        (metadata only — external tables, data untouched)."""
+        db = self._validate_name(
+            self.database if database is None else database, "database"
+        )
+        if not any(d.name == db for d in self.spark.catalog.listDatabases()):
+            return
+        for t in self.spark.catalog.listTables(db):
+            if t.isTemporary:
+                continue  # session temp views are not ours to drop
+            kind = "VIEW" if t.tableType == "VIEW" else "TABLE"
+            self.spark.sql(f"DROP {kind} IF EXISTS {db}.{t.name}")
+
     def execute(self, stmt: str) -> DataFrame | None:
         """Hive/FsShell-parity statement router (the E3 metadata path plus
         Hive's CTAS/INSERT DML, SURVEY §3).  DDL/DML statements map onto the

@@ -8,21 +8,46 @@ through ``mapInPandas`` — Arrow batches in/out, one Python worker per
 partition, so the pattern scales exactly like any other narrow map stage:
 no shuffle, no driver involvement, partition count = parallelism.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (seeded by the
-payload's xxhash) produces stable pseudo-features so the plumbing — schema,
-batch shapes, partitioning — is fully testable (tests/test_multimodal.py).
+The codec step is dependency-gated (round-2, mirroring the S12 protobuf
+gate): with ``fake=False`` the REAL PIL / soundfile code paths run when
+those optional libraries are importable on the executors, and raise
+NotImplementedError with the missing-dependency name otherwise (neither
+ships in this container).  ``fake=True`` keeps the deterministic
+sha256-seeded fake codec so the plumbing — schema, Arrow batch shapes,
+partitioning — is fully testable with no media libs
+(tests/test_multimodal.py; the real paths are exercised by importorskip
+tests that activate wherever PIL/soundfile exist).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _pil_image():
+    """Import gate for the optional real image codec (executors import
+    this lazily inside the Arrow worker, never at module import)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
 
 META_SCHEMA = "modality string, mime string, n_bytes bigint"
 FEATURE_SCHEMA = (
@@ -76,13 +101,26 @@ def decode_image_batches(
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if fake:
+                rows = [_fake_decode(p) for p in pdf["content"]]
+            elif Image is None:
                 raise NotImplementedError(
-                    "real image decode requires PIL/opencv (not in this "
-                    "container); use fake=True for plumbing tests"
+                    "real image decode requires the optional PIL dependency "
+                    "(pip install pillow); use fake=True for plumbing tests"
                 )
-            rows = [_fake_decode(p) for p in pdf["content"]]
+            else:
+                rows = []
+                for p in pdf["content"]:
+                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                    # 8-dim feature: mean RGB of a 2x2 thumbnail + dims —
+                    # deterministic, codec-real, cheap
+                    thumb = img.resize((2, 2))
+                    px = list(thumb.getdata())
+                    feature = [c / 255.0 for rgb in px[:2] for c in rgb][:6]
+                    feature += [img.width / 4096.0, img.height / 4096.0]
+                    rows.append((img.width, img.height, feature))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -136,19 +174,26 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
     monotonicity and determinism without a codec."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
-                    "real image resize requires PIL/opencv (not in this "
-                    "container); use fake=True for plumbing tests"
+                    "real image resize requires the optional PIL dependency "
+                    "(pip install pillow); use fake=True for plumbing tests"
                 )
             out_bytes = []
             for p in pdf["content"]:
-                seed = hashlib.sha256(
-                    bytes(p) + f"{target_w}x{target_h}".encode()
-                ).digest()
-                n = max(1, (target_w * target_h) // 64)
-                out_bytes.append((seed * (n // len(seed) + 1))[:n])
+                if fake:
+                    seed = hashlib.sha256(
+                        bytes(p) + f"{target_w}x{target_h}".encode()
+                    ).digest()
+                    n = max(1, (target_w * target_h) // 64)
+                    out_bytes.append((seed * (n // len(seed) + 1))[:n])
+                else:
+                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                    buf = io.BytesIO()
+                    img.resize((target_w, target_h)).save(buf, format="PNG")
+                    out_bytes.append(buf.getvalue())
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -186,26 +231,35 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
     schema, batch shape, and determinism without a codec."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf = None if fake else _soundfile()
         for pdf in batches:
-            if not fake:
+            if not fake and sf is None:
                 raise NotImplementedError(
-                    "real audio decode requires soundfile/librosa (not in "
-                    "this container); use fake=True for plumbing tests"
+                    "real audio decode requires the optional soundfile "
+                    "dependency (pip install soundfile); use fake=True for "
+                    "plumbing tests"
                 )
             rows = []
             for p in pdf["content"]:
-                h = hashlib.sha256(bytes(p)).digest()
-                n_samples = 1000 + int.from_bytes(h[:2], "big")
-                samples = [(b - 128) / 128.0 for b in h]
+                if fake:
+                    h = hashlib.sha256(bytes(p)).digest()
+                    n_samples = 1000 + int.from_bytes(h[:2], "big")
+                    samples = [(b - 128) / 128.0 for b in h]
+                    rate = sample_rate
+                else:
+                    data, rate = sf.read(io.BytesIO(bytes(p)))
+                    samples = [float(s) for s in data[:65536].flatten()]
+                    n_samples = len(data)
                 rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
                 peak = max(abs(s) for s in samples)
-                rows.append((n_samples, rms, peak))
+                rows.append((n_samples, rms, peak, rate))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
-                    "sample_rate": [sample_rate] * len(rows),
+                    # real path reports the file's ACTUAL rate, not the hint
+                    "sample_rate": [r[3] for r in rows],
                     "n_samples": [r[0] for r in rows],
-                    "duration_s": [r[0] / sample_rate for r in rows],
+                    "duration_s": [r[0] / r[3] for r in rows],
                     "rms": [r[1] for r in rows],
                     "peak": [r[2] for r in rows],
                 }

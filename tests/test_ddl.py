@@ -94,3 +94,31 @@ def test_view_name_collisions_and_drop(eng):
     with pytest.raises(TableNotFoundError):
         eng.execute("DROP VIEW v1")
     eng.execute("DROP VIEW IF EXISTS v1")
+
+
+def test_sync_catalog_exposes_tables_to_plain_spark_sql(eng, spark):
+    """Metastore parity (SURVEY §3 E3): after sync_catalog, the warehouse
+    is visible through spark.sql / spark.catalog with NO Engine bridge."""
+    eng.create_view("small_nations", "SELECT * FROM nation WHERE n_nationkey < 5")
+    try:
+        regs = eng.sync_catalog("cat_ddl_db")
+        assert "cat_ddl_db.nation" in regs and "cat_ddl_db.small_nations" in regs
+        names = {t.name for t in spark.catalog.listTables("cat_ddl_db")}
+        assert {"nation", "small_nations"} <= names
+        n = spark.sql("SELECT COUNT(*) c FROM cat_ddl_db.nation").collect()[0].c
+        assert n == eng.table("nation").count()
+        v = spark.sql("SELECT COUNT(*) c FROM cat_ddl_db.small_nations").collect()[0].c
+        assert v == 5
+        # appends through the Engine become visible after re-sync (refresh)
+        eng.append(eng.table("nation").limit(3), "nation")
+        eng.sync_catalog("cat_ddl_db")
+        n2 = spark.sql("SELECT COUNT(*) c FROM cat_ddl_db.nation").collect()[0].c
+        assert n2 == n + 3
+    finally:
+        eng.unsync_catalog("cat_ddl_db")
+    # only session-global TEMP views may remain (other tests' leftovers)
+    assert [
+        t for t in spark.catalog.listTables("cat_ddl_db") if not t.isTemporary
+    ] == []
+    # external semantics: dropping catalog entries never deleted data
+    assert eng.table("nation").count() == 28

@@ -282,3 +282,58 @@ def test_multimodal_audio_plumbing(spark, tmp_path):
     assert {(r.item_id, r.rms) for r in feats} == {(r.item_id, r.rms) for r in again}
     with pytest.raises(Exception, match="NotImplementedError|soundfile|librosa"):
         mm.extract_audio_features(df, fake=False).collect()
+
+
+def test_multimodal_real_image_decode_when_pil_present(spark):
+    """X06 real-codec path: activates wherever the optional PIL dependency
+    exists (dependency-gated like S12's protobuf; skipped in containers
+    without pillow)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io as _io
+
+    payloads = []
+    for i, color in enumerate([(255, 0, 0), (0, 128, 255)]):
+        buf = _io.BytesIO()
+        Image.new("RGB", (40 + i * 8, 24), color).save(buf, format="PNG")
+        payloads.append((i, bytearray(buf.getvalue())))
+    df = spark.createDataFrame(payloads, "item_id bigint, content binary")
+    df = mm.attach_metadata(df, "image", "image/png")
+    rows = {r.item_id: r for r in mm.extract_features(df, fake=False).collect()}
+    assert rows[0].width == 40 and rows[0].height == 24
+    assert rows[1].width == 48
+    # red image: first feature channel saturated, second ~0
+    assert rows[0].feature[0] > 0.95 and rows[0].feature[1] < 0.05
+
+    resized = mm.resize_images(df, 16, 16, fake=False).collect()
+    for r in resized:
+        img = Image.open(_io.BytesIO(bytes(r.content)))
+        assert img.size == (16, 16)
+
+
+def test_multimodal_real_audio_decode_when_soundfile_present(spark):
+    """X06 audio real-codec path (soundfile-gated): a stdlib-generated WAV
+    round-trips through the Arrow decode stage with correct sample count."""
+    sf = pytest.importorskip("soundfile")
+    import io as _io
+    import math
+    import wave
+
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        pcm = b"".join(
+            int(12000 * math.sin(2 * math.pi * 440 * t / 8000)).to_bytes(
+                2, "little", signed=True
+            )
+            for t in range(8000)
+        )
+        w.writeframes(pcm)
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "item_id bigint, content binary"
+    )
+    row = mm.extract_audio_features(df, sample_rate=8000, fake=False).collect()[0]
+    assert row.n_samples == 8000
+    assert row.duration_s == pytest.approx(1.0)
+    assert 0.5 < row.rms < 1.2 and row.peak <= 1.0
