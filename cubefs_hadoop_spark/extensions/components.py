@@ -97,11 +97,110 @@ def connected_components(
     return labels
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node attaches its strictly-larger neighbors to the
+    minimum of its closed neighborhood.  One groupBy + one join."""
+    sym = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: orient edges toward the smaller endpoint; every node
+    attaches its smaller neighbors (and itself) to their minimum."""
+    e = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    attached = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+    self_edges = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return (
+        attached.union(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 25, reliable: bool | None = None
+) -> DataFrame:
+    """(da, db) edges -> (doc_id, component) via alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm): converges in
+    O(log^2 n) rounds INDEPENDENT OF GRAPH DIAMETER, each round two
+    groupBy+join shuffles.  This is the 100 TB path for chain-shaped or
+    high-diameter graphs where plain min-label propagation
+    (:func:`connected_components`) would need O(diameter) rounds.
+
+    Convergence is detected by an order-insensitive edge-set signature
+    (count + sum of per-edge hashes) going stable — no driver-side edge
+    materialization.  Deterministic; raises :class:`UnconvergedError` on
+    ``max_iter`` exhaustion.
+    """
+    edges = (
+        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        edges = barrier(edges, eager=True, reliable=reliable)
+        # bit_xor, not sum: order-insensitive, cannot overflow under ANSI
+        # (edges are distinct, so xor-cancellation of duplicates is moot)
+        sig = edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                F.xxhash64(F.least("a", "b"), F.greatest("a", "b"))
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise UnconvergedError(
+            f"large/small-star still changing after {max_iter} rounds"
+        )
+    # Converged state is a star forest: small-star attached every node to
+    # its component minimum.  Label = min partner (the root labels itself).
+    nodes = (
+        pairs.select(F.col("da").alias("doc_id"))
+        .union(pairs.select(F.col("db").alias("doc_id")))
+        .distinct()
+    )
+    roots = edges.groupBy(F.col("a").alias("doc_id")).agg(
+        F.min("b").alias("comp")
+    )
+    return nodes.join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("comp")
+    )
+
+
 def dedup_keep_list(
-    docs: DataFrame, pairs: DataFrame, reliable: bool = False
+    docs: DataFrame,
+    pairs: DataFrame,
+    reliable: bool = False,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Final near-dup dedup decision: for every doc, keep=True unless it is
-    a non-representative member of a component (representative = min doc_id)."""
-    comps = connected_components(pairs, reliable=reliable)
+    a non-representative member of a component (representative = min doc_id).
+    ``algorithm="star"`` switches to the diameter-independent
+    large/small-star variant for high-diameter candidate graphs."""
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comps = cc(pairs, reliable=reliable)
     drop = comps.filter(F.col("doc_id") != F.col("comp")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.extensions.components import (
@@ -42,3 +44,40 @@ def test_dedup_keep_list_on_fixture(spark):
     reps = {r.comp for r in comps.collect()}
     kept_ids = {r.doc_id for r in kept.collect()}
     assert reps <= kept_ids
+
+
+def test_star_components_match_propagation_on_crafted_graph(spark):
+    from cubefs_hadoop_spark.extensions.components import connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 5), (5, 9)], "da bigint, db bigint"
+    )
+    star = {r.doc_id: r.comp for r in connected_components_star(pairs).collect()}
+    plain = {r.doc_id: r.comp for r in connected_components(pairs).collect()}
+    assert star == plain == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 5: 5, 7: 5, 9: 5}
+
+
+def test_star_components_beat_diameter_bound(spark):
+    """A 64-hop chain: plain propagation needs ~64 rounds (raises at
+    max_iter=20); large/small-star converges in O(log^2 n) rounds."""
+    from cubefs_hadoop_spark.extensions.components import (
+        UnconvergedError,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "da bigint, db bigint"
+    )
+    with pytest.raises(UnconvergedError):
+        connected_components(pairs, max_iter=20)
+    comps = {r.doc_id: r.comp for r in connected_components_star(pairs, max_iter=15).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 64
+
+
+def test_star_components_on_fixture_pairs(spark):
+    from cubefs_hadoop_spark.extensions.components import connected_components_star
+
+    pairs = x02_minhash_lsh(spark, SF_SMOKE)
+    star = {r.doc_id: r.comp for r in connected_components_star(pairs).collect()}
+    plain = {r.doc_id: r.comp for r in connected_components(pairs).collect()}
+    assert star == plain
