@@ -155,3 +155,54 @@ def test_manifest_is_durable_json(eng, spark):
         m = json.load(fh)
     assert m["version"] == 1 and m["parent"] is None
     assert all(f.startswith("data/") for f in m["files"])
+
+
+# -- property test: version history vs an in-memory model -------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+vop = st.one_of(
+    st.tuples(st.just("overwrite"), st.integers(1, 5)),
+    st.tuples(st.just("append"), st.integers(1, 5)),
+    st.tuples(st.just("rollback"), st.integers(1, 6)),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(vop, min_size=1, max_size=6))
+def test_version_history_agrees_with_model(spark, tmp_path_factory, ops):
+    """Random commit/append/rollback sequences: every historical version
+    must replay to the row count the model predicts — time travel never
+    rewrites history."""
+    wh = str(tmp_path_factory.mktemp("ver_wh"))
+    eng = Engine(spark, wh)
+    history: list[int] = []  # version index -> expected row count
+
+    def mk(n):
+        return spark.range(n).selectExpr("id", "id * 3 AS v")
+
+    for kind, n in ops:
+        if kind == "overwrite":
+            eng.write_table_version(mk(n), "t", mode="overwrite")
+            history.append(n)
+        elif kind == "append":
+            if history:
+                eng.write_table_version(mk(n), "t", mode="append")
+                history.append(history[-1] + n)
+            else:
+                eng.write_table_version(mk(n), "t", mode="append")
+                history.append(n)
+        elif kind == "rollback":
+            if not history:
+                continue
+            target = (n % len(history)) + 1
+            eng.rollback_table("t", target)
+            history.append(history[target - 1])
+    assert eng.table_versions("t") == list(range(1, len(history) + 1))
+    for v, expect in enumerate(history, start=1):
+        assert eng.read_version("t", v).count() == expect, f"v{v}"
