@@ -70,9 +70,9 @@ def _cosine_duck(a: str, b: str) -> str:
     return f"{dot} / (sqrt({na}) * sqrt({nb}))"
 
 
-@register(
-    "x03_topk_cosine",
-    f"""SELECT q_id, n_id, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos FROM (
+# Exact top-5-per-query oracle — shared by x03 (brute force) and x03d
+# (IVF with a full probe, which must degenerate to the same exact answer).
+_X03_ORACLE = f"""SELECT q_id, n_id, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos FROM (
           SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                  {_cosine_duck('a.embedding', 'b.embedding')} AS c,
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -80,8 +80,10 @@ def _cosine_duck(a: str, b: str) -> str:
                               b.vec_id) AS rn
           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
           WHERE a.vec_id < 5)
-        WHERE rn <= 5 ORDER BY q_id, n_id, cos""",
-)
+        WHERE rn <= 5 ORDER BY q_id, n_id, cos"""
+
+
+@register("x03_topk_cosine", _X03_ORACLE)
 def x03_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X03 brute-force cosine top-5 for 5 query vectors.  Queries broadcast;
     corpus scanned once; WindowGroupLimit keeps only 5 rows per query on
@@ -243,3 +245,15 @@ def x03c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X03c IVF ANN (rows-only driver check; recall-vs-exact asserted in
     tests/test_similarity.py — approximate results are not SQL-declarable)."""
     return ivf_topk(spark, sf_dir).orderBy("q_id", "n_id", "cos")
+
+
+@register("x03d_ivf_full_probe", _X03_ORACLE)
+def x03d_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X03d: IVF with nprobe == n_centroids probes every bucket, so the
+    bucketed machinery must reproduce the EXACT brute-force top-k — which
+    makes the whole IVF pipeline (centroid selection, assignment, probe
+    join, per-bucket scoring) hash-checkable against x03's SQL oracle.
+    x03c keeps the approximate (nprobe < C) recall gate."""
+    return ivf_topk(spark, sf_dir, n_centroids=8, nprobe=8).orderBy(
+        "q_id", "n_id", "cos"
+    )

@@ -99,7 +99,12 @@ def reorder(priority: list[str]) -> None:
 
     The driver's t2 gate checks the FIRST 50 ``queries()`` entries
     (CORRECTNESS_r01.json covered q01..q29b and nothing after), so
-    dict-insertion order decides which operators get driver-verified."""
+    dict-insertion order decides which operators get driver-verified.
+    Unknown names raise: a typo in the window list would otherwise
+    silently burn a driver-verification slot."""
+    unknown = [n for n in priority if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"reorder: names not in registry: {unknown}")
     for reg in (QUERIES, ORACLE):
         front = {n: reg[n] for n in priority if n in reg}
         back = {n: v for n, v in reg.items() if n not in front}
