@@ -25,8 +25,8 @@ from pyspark.sql.window import Window
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
-from cubefs_hadoop_spark.queries.registry import register
-from cubefs_hadoop_spark.queries.relational import r2d
+from cubefs_hadoop_spark.registry import register
+from cubefs_hadoop_spark.oracle_compat import r2d
 
 # At most one live LSH band cache per process (see lsh_candidate_pairs).
 _BANDS_CACHE: list[DataFrame] = []

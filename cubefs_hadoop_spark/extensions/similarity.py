@@ -27,8 +27,8 @@ from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
-from cubefs_hadoop_spark.queries.registry import register
-from cubefs_hadoop_spark.queries.relational import r2d
+from cubefs_hadoop_spark.registry import register
+from cubefs_hadoop_spark.oracle_compat import r2d
 
 # dot(a,b) via zip_with + aggregate, double accumulation, JVM-side.
 _DOT = (
@@ -38,6 +38,14 @@ _DOT = (
 
 
 def _cosine_expr(a: str, b: str) -> F.Column:
+    """Inline cosine: dot / (sqrt(aa) * sqrt(bb)).
+
+    FP-contract with _cosine_with_norms (ADVICE r03): both MUST evaluate
+    the identical op sequence ``dot / (sqrt(aa) * sqrt(bb))`` — x03d's
+    bit-exact oracle hash depends on the full-probe IVF path (this expr)
+    agreeing with x03's precomputed-norm path to the last ulp.  If either
+    helper is refactored (norm caching, fused multiply, reassociation),
+    keep the op sequence identical or re-verify both driver hashes."""
     dot = _DOT.format(a=a, b=b)
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
@@ -52,6 +60,9 @@ def _norm_expr(a: str) -> F.Column:
 
 
 def _cosine_with_norms(a: str, b: str, na: str, nb: str) -> F.Column:
+    """Cosine with precomputed norms — na/nb are sqrt(dot(x,x)) columns,
+    so the evaluated op sequence is dot / (sqrt(aa) * sqrt(bb)): bit-equal
+    to _cosine_expr by construction.  See the FP-contract note there."""
     return F.expr(f"{_DOT.format(a=a, b=b)} / ({na} * {nb})")
 
 

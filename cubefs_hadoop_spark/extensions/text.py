@@ -13,8 +13,8 @@ from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
-from cubefs_hadoop_spark.queries.registry import register
-from cubefs_hadoop_spark.queries.relational import r2d
+from cubefs_hadoop_spark.registry import register
+from cubefs_hadoop_spark.oracle_compat import r2d
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
 _TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"

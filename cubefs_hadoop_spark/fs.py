@@ -1,0 +1,347 @@
+"""Warehouse filesystem backends — the metadata plane behind one interface.
+
+The reference is a Hadoop ``FileSystem`` over a distributed store (its
+whole point is that ``cfs://`` URIs work wherever a Hadoop FS works,
+CubefsFileSystem.java:43,58,120-122).  The rebuild's *data* plane already
+rides Spark (which reads/writes any Hadoop FS); this module gives the
+*metadata* plane — mkdirs / rename / delete / listStatus / getFileStatus /
+getContentSummary, i.e. N10-N14, N12/N13, N18 — the same property:
+
+  ``LocalFS``   os/shutil for plain local paths.  Fast (no JVM
+                round-trips) and the ONLY place POSIX calls live.
+  ``HadoopFS``  ``org.apache.hadoop.fs.FileSystem`` through the session's
+                JVM (py4j) — works for any scheme the session's Hadoop
+                conf resolves (``file://``, ``hdfs://``, ``s3a://``, or a
+                ``cfs://`` connector like the reference), no new deps.
+
+``warehouse_fs(spark, root)`` picks the backend from the root: URIs with a
+scheme go to HadoopFS, bare paths stay on LocalFS.
+
+Contract notes (shared by both backends):
+  - ``rename`` returns **False when dst exists** — the reference's N10
+    semantics (CubefsFileSystem.java:221-223).  The pre-check also guards
+    against Hadoop's move-*into*-existing-directory rename behavior.
+  - ``create_if_absent`` is the atomic no-overwrite publish primitive the
+    versioning commit rides (versioning.py).  LocalFS uses ``os.link``
+    (atomic on POSIX); HadoopFS uses ``create(path, overwrite=false)``,
+    which HDFS-like stores enforce atomically server-side.  On ``file://``
+    through HadoopFS the exclusivity check is client-side (a small race
+    window) — fine for tests, and real deployments of this path are
+    hdfs://-or-object-store-backed by definition.
+  - ``walk_files`` yields ``(relpath, size, mtime_ms)`` with ``/``
+    separators; mtime is milliseconds (the reference surfaces ms,
+    CubefsFileSystem.java:327-329).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Iterator
+
+__all__ = ["WarehouseFS", "LocalFS", "HadoopFS", "warehouse_fs", "has_scheme"]
+
+
+def has_scheme(path: str) -> bool:
+    """True when ``path`` is a URI with a scheme (``file:///x``,
+    ``hdfs://nn/x``) rather than a bare local path.  Single-letter schemes
+    are treated as paths so Windows-style ``C:\\x`` never routes to Hadoop."""
+    i = path.find("://")
+    if i <= 1:
+        return False
+    return path[:i].replace("+", "").replace("-", "").replace(".", "").isalnum()
+
+
+class WarehouseFS:
+    """Interface: every Engine/versioning metadata verb goes through one of
+    these methods, so a backend swap touches nothing else."""
+
+    def join(self, *parts: str) -> str:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def list_dir(self, path: str) -> list[tuple[str, bool]]:
+        """[(name, is_dir)] for direct children; [] when path is missing."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> bool:
+        """False when dst exists (N10); raises FileNotFoundError on src."""
+        raise NotImplementedError
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        """True if something was removed; False when path was missing."""
+        raise NotImplementedError
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        """Yield (relpath, size_bytes, mtime_ms) for every file under path."""
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        """Raises FileNotFoundError when missing."""
+        raise NotImplementedError
+
+    def write_text(self, path: str, text: str) -> None:
+        """Overwrite ``path`` with ``text`` (parent must exist)."""
+        raise NotImplementedError
+
+    def create_if_absent(self, path: str, text: str) -> bool:
+        """Atomically publish ``text`` at ``path`` iff absent; False on
+        EEXIST.  Durable before visible (N9)."""
+        raise NotImplementedError
+
+    def cleanup_empty_dirs(self, root: str) -> None:
+        """Remove now-empty directories under ``root`` (GC housekeeping)."""
+        raise NotImplementedError
+
+
+class LocalFS(WarehouseFS):
+    """POSIX backend — all ``os``/``shutil`` calls in the warehouse
+    metadata plane live here."""
+
+    def join(self, *parts: str) -> str:
+        return os.path.join(*parts)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def list_dir(self, path: str) -> list[tuple[str, bool]]:
+        if not os.path.isdir(path):
+            return []
+        return [
+            (d, os.path.isdir(os.path.join(path, d))) for d in os.listdir(path)
+        ]
+
+    def rename(self, src: str, dst: str) -> bool:
+        if not os.path.exists(src):
+            raise FileNotFoundError(src)
+        if os.path.exists(dst):
+            return False
+        os.rename(src, dst)
+        return True
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        if not os.path.exists(path):
+            return False
+        if os.path.isdir(path):
+            if recursive:
+                shutil.rmtree(path)
+            else:
+                os.rmdir(path)
+        else:
+            os.unlink(path)
+        return True
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                yield (
+                    os.path.relpath(fp, path),
+                    int(st.st_size),
+                    int(st.st_mtime * 1000),
+                )
+
+    def read_text(self, path: str) -> str:
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+
+    def write_text(self, path: str, text: str) -> None:
+        # tmp + atomic replace: readers never observe a torn write
+        tmp = path + ".__tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+        os.replace(tmp, path)
+
+    def create_if_absent(self, path: str, text: str) -> bool:
+        import uuid
+
+        parent = os.path.dirname(path)
+        tmp = os.path.join(parent, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(text)
+            fh.flush()
+            os.fsync(fh.fileno())  # N9: durable before visible
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def cleanup_empty_dirs(self, root: str) -> None:
+        if not os.path.isdir(root):
+            return
+        for cur, _dirs, _files in os.walk(root, topdown=False):
+            # re-list: children removed earlier in this bottom-up pass
+            # don't show in the walk's captured (stale) listings
+            if cur != root and not os.listdir(cur):
+                try:
+                    os.rmdir(cur)
+                except OSError:
+                    pass
+
+
+class HadoopFS(WarehouseFS):
+    """Hadoop FileSystem backend: metadata verbs as py4j calls into the
+    session JVM — the same client API the reference implements the server
+    side of.  One ``FileSystem`` handle per (scheme, authority), resolved
+    once from the root URI (the Hadoop FS cache makes repeats cheap)."""
+
+    def __init__(self, spark, root: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(self._conf)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _p(self, path: str):
+        return self._Path(path)
+
+    @staticmethod
+    def _is_exc(ex, *class_names: str) -> bool:
+        try:
+            from py4j.protocol import Py4JJavaError
+        except ImportError:  # pragma: no cover
+            return False
+        if not isinstance(ex, Py4JJavaError):
+            return False
+        jclass = ex.java_exception.getClass().getName()
+        return any(jclass.endswith(n) for n in class_names)
+
+    def join(self, *parts: str) -> str:
+        out = parts[0].rstrip("/")
+        for p in parts[1:]:
+            out += "/" + p.strip("/")
+        return out
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._p(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._p(path)
+        return bool(self._fs.exists(p)) and bool(
+            self._fs.getFileStatus(p).isDirectory()
+        )
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._p(path))
+
+    def list_dir(self, path: str) -> list[tuple[str, bool]]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return []
+        return [
+            (st.getPath().getName(), bool(st.isDirectory()))
+            for st in self._fs.listStatus(p)
+        ]
+
+    def rename(self, src: str, dst: str) -> bool:
+        sp, dp = self._p(src), self._p(dst)
+        if not self._fs.exists(sp):
+            raise FileNotFoundError(src)
+        # pre-check implements N10 false-if-dst-exists AND blocks Hadoop's
+        # move-into-existing-dir rename semantics
+        if self._fs.exists(dp):
+            return False
+        return bool(self._fs.rename(sp, dp))
+
+    def delete(self, path: str, recursive: bool = True) -> bool:
+        return bool(self._fs.delete(self._p(path), recursive))
+
+    def walk_files(self, path: str) -> Iterator[tuple[str, int, int]]:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            return
+        base = self._fs.makeQualified(p).toString().rstrip("/")
+        it = self._fs.listFiles(p, True)  # recursive RemoteIterator
+        while it.hasNext():
+            st = it.next()
+            full = st.getPath().toString()
+            rel = full[len(base) + 1 :] if full.startswith(base) else full
+            yield (rel, int(st.getLen()), int(st.getModificationTime()))
+
+    def read_text(self, path: str) -> str:
+        p = self._p(path)
+        if not self._fs.exists(p):
+            raise FileNotFoundError(path)
+        stream = self._fs.open(p)
+        try:
+            # commons-io ships with Spark; avoids byte-at-a-time py4j reads
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        out = self._fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def create_if_absent(self, path: str, text: str) -> bool:
+        try:
+            out = self._fs.create(self._p(path), False)  # no-overwrite
+        except Exception as ex:
+            if self._is_exc(
+                ex, "FileAlreadyExistsException", "PathExistsException"
+            ):
+                return False
+            raise
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+            try:
+                out.hsync()  # durable before visible where the FS supports it
+            except Exception:
+                pass
+        finally:
+            out.close()
+        return True
+
+    def cleanup_empty_dirs(self, root: str) -> None:
+        p = self._p(root)
+        if not self._fs.exists(p):
+            return
+
+        def _prune(dp) -> bool:
+            """Depth-first: returns True when dp ends up empty and removed."""
+            children = list(self._fs.listStatus(dp))
+            remaining = 0
+            for st in children:
+                if st.isDirectory() and _prune(st.getPath()):
+                    continue
+                remaining += 1
+            if remaining == 0 and dp.toString() != self._fs.makeQualified(
+                p
+            ).toString():
+                self._fs.delete(dp, False)
+                return True
+            return False
+
+        _prune(self._fs.makeQualified(p))
+
+
+def warehouse_fs(spark, root: str) -> WarehouseFS:
+    """Backend from the warehouse root: URI scheme -> HadoopFS (any store
+    the session's Hadoop conf resolves), bare path -> LocalFS."""
+    if has_scheme(root):
+        return HadoopFS(spark, root)
+    return LocalFS()

@@ -1,6 +1,6 @@
 """Query catalog: importing this package populates the registry."""
 
-from cubefs_hadoop_spark.queries.registry import ORACLE, QUERIES, register, reorder
+from cubefs_hadoop_spark.registry import ORACLE, QUERIES, register, reorder
 
 # Modules self-register on import.
 from cubefs_hadoop_spark.queries import relational  # noqa: E402,F401

@@ -18,36 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.registry import register
 
-DEC = "decimal(18,2)"
-
-
-def r2(c: Column) -> Column:
-    """The R2 normalization: CAST(ROUND(x, 2) AS DECIMAL(18,2))."""
-    return F.round(c, 2).cast(DEC)
-
-
-def r2d(c: Column) -> Column:
-    """R2 for DOUBLE-typed expressions, emulating numeric (scaled-double)
-    rounding: sign * floor(|x|*100 + 0.5) / 100.
-
-    Spark's round() rounds the shortest decimal representation of the double
-    (BigDecimal.valueOf), while DuckDB rounds the scaled double numerically;
-    on exact .xx5 midpoints (e.g. 4201.315) they disagree.  This form is
-    verified bit-equal to DuckDB ROUND(x,2) on a 100k-value fuzz battery.
-    Use r2() for DECIMAL expressions (exact on both engines) and r2d() for
-    anything double: avg, sqrt, stddev, cosine, pandas-UDF results.
-    """
-    sign = F.when(c < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-    return (sign * F.floor(F.abs(c) * 100 + F.lit(0.5)) / 100).cast(DEC)
-
-
-def dec(c: Column | str) -> Column:
-    """Per-row decimal cast: makes SUMs exact and order-independent, so the
-    hashed value is identical across partition counts and engines."""
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast(DEC)
+# R2 numeric-normalization protocol: shared with extensions via the
+# top-level module (import-cycle-free); re-exported here for the queries
+# package's own modules.
+from cubefs_hadoop_spark.oracle_compat import DEC, dec, r2, r2d  # noqa: F401
 
 
 def _rev() -> Column:

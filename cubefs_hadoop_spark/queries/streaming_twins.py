@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.queries.relational import dec, r2, r2d
 
 

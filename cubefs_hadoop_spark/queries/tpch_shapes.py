@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.queries.relational import _REV_SQL, _rev, dec, r2, r2d
 
 

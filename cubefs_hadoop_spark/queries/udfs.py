@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.queries.registry import register
+from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.queries.relational import r2d
 
 

@@ -106,6 +106,9 @@ def reorder(priority: list[str]) -> None:
     if unknown:
         raise KeyError(f"reorder: names not in registry: {unknown}")
     for reg in (QUERIES, ORACLE):
+        # the `n in reg` filter is load-bearing for ORACLE: rows-only
+        # queries (e.g. x03c_ivf_ann) have a QUERIES entry but no oracle,
+        # so a window naming them must not KeyError here (ADVICE r03)
         front = {n: reg[n] for n in priority if n in reg}
         back = {n: v for n, v in reg.items() if n not in front}
         reg.clear()

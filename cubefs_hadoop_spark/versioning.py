@@ -14,18 +14,21 @@ one per committed version:
 Commit protocol (optimistic concurrency, Iceberg-style):
   1. Spark writes the new data files into a fresh staging dir under a
      random id — never visible to readers until a manifest references it.
-  2. The manifest is written to a temp name, fsync'd, then linked to its
-     final ``vNNNNN.json`` name with ``os.link`` — an atomic
-     create-if-absent.  Two racing writers compute the same next version;
-     exactly one link succeeds, the loser gets EEXIST -> VersionConflictError
-     (append commits retry: appends commute).  This is the same
+  2. The manifest is published with the backend's atomic
+     ``create_if_absent`` primitive (fs.py): POSIX ``os.link`` on LocalFS,
+     ``create(path, overwrite=false)`` on HadoopFS — both are the
      no-overwrite atomicity the HCFS N10 rename contract provides on
      CubeFS/HDFS (CubefsFileSystem.java:221-223 returns false when dst
-     exists); os.link is its POSIX local-FS equivalent.
+     exists).  Two racing writers compute the same next version; exactly
+     one publish succeeds, the loser gets VersionConflictError (append
+     commits retry: appends commute).
   3. Readers resolve a version (default: highest committed manifest) and
      read exactly the files it lists — they can never observe a
      half-committed version, and old versions stay readable (time travel)
      until expired.
+
+All filesystem access goes through a ``WarehouseFS`` (fs.py), so versioned
+tables work over any Hadoop-FS warehouse root, not just local paths.
 
 Scale notes: the commit is O(1) metadata operations regardless of data
 size; manifests list files explicitly so appends never rewrite data; at
@@ -37,8 +40,6 @@ this repo's scale and is noted as the swap point.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 import uuid
 
@@ -49,97 +50,98 @@ from cubefs_hadoop_spark.errors import (
     TableNotFoundError,
     VersionConflictError,
 )
+from cubefs_hadoop_spark.fs import LocalFS, WarehouseFS
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_LOCAL = LocalFS()
 
 
-def _manifest_dir(table_path: str) -> str:
-    return os.path.join(table_path, _MANIFEST_DIR)
+def _fs(fs: WarehouseFS | None) -> WarehouseFS:
+    return _LOCAL if fs is None else fs
 
 
-def _manifest_path(table_path: str, version: int) -> str:
-    return os.path.join(_manifest_dir(table_path), f"v{version:05d}.json")
+def _manifest_dir(table_path: str, fs: WarehouseFS) -> str:
+    return fs.join(table_path, _MANIFEST_DIR)
 
 
-def is_versioned(table_path: str) -> bool:
-    return os.path.isdir(_manifest_dir(table_path))
+def _manifest_path(table_path: str, version: int, fs: WarehouseFS) -> str:
+    return fs.join(_manifest_dir(table_path, fs), f"v{version:05d}.json")
 
 
-def list_versions(table_path: str) -> list[int]:
-    md = _manifest_dir(table_path)
-    if not os.path.isdir(md):
-        return []
+def is_versioned(table_path: str, fs: WarehouseFS | None = None) -> bool:
+    fs = _fs(fs)
+    return fs.is_dir(_manifest_dir(table_path, fs))
+
+
+def list_versions(table_path: str, fs: WarehouseFS | None = None) -> list[int]:
+    fs = _fs(fs)
     out = []
-    for f in os.listdir(md):
-        if f.startswith("v") and f.endswith(".json"):
+    for name, is_dir in fs.list_dir(_manifest_dir(table_path, fs)):
+        if not is_dir and name.startswith("v") and name.endswith(".json"):
             try:
-                out.append(int(f[1:-5]))
+                out.append(int(name[1:-5]))
             except ValueError:
                 continue
     return sorted(out)
 
 
-def current_version(table_path: str) -> int:
-    vs = list_versions(table_path)
+def current_version(table_path: str, fs: WarehouseFS | None = None) -> int:
+    vs = list_versions(table_path, fs)
     if not vs:
         raise TableNotFoundError("no committed versions", table_path)
     return vs[-1]
 
 
-def read_manifest(table_path: str, version: int) -> dict:
-    p = _manifest_path(table_path, version)
-    if not os.path.exists(p):
-        raise TableNotFoundError(f"version {version} not found", table_path)
-    with open(p, encoding="utf-8") as fh:
-        return json.load(fh)
+def read_manifest(
+    table_path: str, version: int, fs: WarehouseFS | None = None
+) -> dict:
+    fs = _fs(fs)
+    try:
+        return json.loads(fs.read_text(_manifest_path(table_path, version, fs)))
+    except FileNotFoundError:
+        raise TableNotFoundError(
+            f"version {version} not found", table_path
+        ) from None
 
 
-def _commit_manifest(table_path: str, manifest: dict, version: int) -> int:
+def _commit_manifest(
+    table_path: str, manifest: dict, version: int, fs: WarehouseFS
+) -> int:
     """Atomically publish ``manifest`` as ``version``.
 
     Raises VersionConflictError if that version was committed concurrently
-    (EEXIST from the no-overwrite link — the N10 false-if-dst-exists
-    analog)."""
-    md = _manifest_dir(table_path)
-    os.makedirs(md, exist_ok=True)
-    tmp = os.path.join(md, f".tmp-{uuid.uuid4().hex}.json")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-        fh.flush()
-        os.fsync(fh.fileno())  # N9: durable before visible
-    final = _manifest_path(table_path, version)
-    try:
-        os.link(tmp, final)  # atomic create-if-absent
-    except FileExistsError as ex:
+    (the backend's no-overwrite publish — the N10 false-if-dst-exists
+    analog — refused)."""
+    fs.mkdirs(_manifest_dir(table_path, fs))
+    final = _manifest_path(table_path, version, fs)
+    if not fs.create_if_absent(final, json.dumps(manifest, sort_keys=True)):
         raise VersionConflictError(
             f"version {version} committed concurrently", table_path
-        ) from ex
-    finally:
-        os.unlink(tmp)
+        )
     return version
 
 
 def _stage_write(
-    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None,
+    fs: WarehouseFS,
 ) -> tuple[str, list[str]]:
     """Write df's data files under data/<stage-id>/ and return the
-    (stage_id, relative file paths).  Invisible to readers until a manifest
-    references them."""
+    (stage_id, table-relative file paths).  Invisible to readers until a
+    manifest references them."""
     stage = uuid.uuid4().hex[:8]
-    stage_dir = os.path.join(table_path, _DATA_DIR, stage)
+    stage_dir = fs.join(table_path, _DATA_DIR, stage)
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
     files = []
-    for root, _dirs, fs in os.walk(stage_dir):
-        for f in fs:
-            if f.startswith(("_", ".")):
-                continue
-            files.append(
-                os.path.relpath(os.path.join(root, f), table_path)
-            )
+    for rel, _size, _mtime in fs.walk_files(stage_dir):
+        if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
+            continue
+        files.append(f"{_DATA_DIR}/{stage}/{rel}")
     return stage, sorted(files)
 
 
@@ -149,6 +151,7 @@ def commit_version(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     max_retries: int = 3,
+    fs: WarehouseFS | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of the table.
 
@@ -158,16 +161,17 @@ def commit_version(
     retry on version conflicts (they commute); overwrite conflicts raise —
     the caller must decide whose table wins.
     """
+    fs = _fs(fs)
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
-    stage, files = _stage_write(df, table_path, partition_by)
+    stage, files = _stage_write(df, table_path, partition_by, fs)
     attempt = 0
     while True:
-        vs = list_versions(table_path)
+        vs = list_versions(table_path, fs)
         parent = vs[-1] if vs else 0
         base_files: list[str] = []
         if mode == "append" and parent:
-            base_files = read_manifest(table_path, parent)["files"]
+            base_files = read_manifest(table_path, parent, fs)["files"]
         manifest = {
             "version": parent + 1,
             "parent": parent or None,
@@ -178,7 +182,7 @@ def commit_version(
             "schema": df.schema.jsonValue(),
         }
         try:
-            return _commit_manifest(table_path, manifest, parent + 1)
+            return _commit_manifest(table_path, manifest, parent + 1, fs)
         except VersionConflictError:
             attempt += 1
             if mode != "append" or attempt > max_retries:
@@ -188,26 +192,33 @@ def commit_version(
 
 
 def read_version(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    fs: WarehouseFS | None = None,
 ) -> DataFrame:
     """Read a committed version (default: latest) — exactly the files its
     manifest lists, so concurrent commits never tear a read."""
-    v = current_version(table_path) if version is None else version
-    m = read_manifest(table_path, v)
+    fs = _fs(fs)
+    v = current_version(table_path, fs) if version is None else version
+    m = read_manifest(table_path, v, fs)
     if not m["files"]:
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    paths = [os.path.join(table_path, f) for f in m["files"]]
+    paths = [fs.join(table_path, f) for f in m["files"]]
     return spark.read.parquet(*paths)
 
 
-def rollback(table_path: str, to_version: int) -> int:
+def rollback(
+    table_path: str, to_version: int, fs: WarehouseFS | None = None
+) -> int:
     """Commit a NEW version whose file set duplicates ``to_version`` —
     history stays append-only (Iceberg rollback semantics), so the bad
     version remains inspectable."""
-    m = read_manifest(table_path, to_version)
-    vs = list_versions(table_path)
+    fs = _fs(fs)
+    m = read_manifest(table_path, to_version, fs)
+    vs = list_versions(table_path, fs)
     parent = vs[-1]
     manifest = {
         "version": parent + 1,
@@ -218,35 +229,69 @@ def rollback(table_path: str, to_version: int) -> int:
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
     }
-    return _commit_manifest(table_path, manifest, parent + 1)
+    return _commit_manifest(table_path, manifest, parent + 1, fs)
 
 
-def expire_versions(table_path: str, keep_last: int = 1) -> dict:
+def compact_version(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    fs: WarehouseFS | None = None,
+) -> int:
+    """Compact the CURRENT version's file set into ~target-sized files and
+    commit the result as a new version (mode ``compact``) — content
+    identical, history intact (Iceberg rewrite-data-files semantics).  The
+    superseded small files stay reachable through older manifests until
+    ``expire_versions`` reclaims them."""
+    import math
+
+    fs = _fs(fs)
+    parent = current_version(table_path, fs)
+    df = read_version(spark, table_path, parent, fs)
+    # size the rewrite from the actual on-disk bytes of the parent set
+    sizes = {rel: size for rel, size, _m in fs.walk_files(table_path)}
+    est = sum(
+        sizes.get(f, 0) for f in read_manifest(table_path, parent, fs)["files"]
+    )
+    n = max(1, math.ceil(est / target_file_bytes))
+    stage, files = _stage_write(df.repartition(n), table_path, None, fs)
+    manifest = {
+        "version": parent + 1,
+        "parent": parent,
+        "mode": "compact",
+        "stage": stage,
+        "files": files,
+        "ts_ms": int(time.time() * 1000),
+        "schema": df.schema.jsonValue(),
+    }
+    return _commit_manifest(table_path, manifest, parent + 1, fs)
+
+
+def expire_versions(
+    table_path: str, keep_last: int = 1, fs: WarehouseFS | None = None
+) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data files
     no retained version references (incl. orphaned staging dirs from failed
     commits).  The time-travel GC: bounded metadata, bounded storage."""
-    vs = list_versions(table_path)
+    fs = _fs(fs)
+    vs = list_versions(table_path, fs)
     if not vs:
         return {"versions_removed": 0, "files_removed": 0}
     keep = set(vs[-max(keep_last, 1):])
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(read_manifest(table_path, v)["files"])
+        referenced.update(read_manifest(table_path, v, fs)["files"])
     removed_versions = 0
     for v in vs:
         if v not in keep:
-            os.unlink(_manifest_path(table_path, v))
+            fs.delete(_manifest_path(table_path, v, fs), recursive=False)
             removed_versions += 1
     removed_files = 0
-    data_root = os.path.join(table_path, _DATA_DIR)
-    if os.path.isdir(data_root):
-        for root, _dirs, fs in os.walk(data_root, topdown=False):
-            for f in fs:
-                fp = os.path.join(root, f)
-                rel = os.path.relpath(fp, table_path)
-                if rel not in referenced:
-                    os.unlink(fp)
-                    removed_files += 1
-            if not os.listdir(root):
-                os.rmdir(root)
+    data_root = fs.join(table_path, _DATA_DIR)
+    for rel, _size, _mtime in list(fs.walk_files(data_root)):
+        full_rel = f"{_DATA_DIR}/{rel}"
+        if full_rel not in referenced:
+            fs.delete(fs.join(data_root, rel), recursive=False)
+            removed_files += 1
+    fs.cleanup_empty_dirs(data_root)
     return {"versions_removed": removed_versions, "files_removed": removed_files}

@@ -1,0 +1,114 @@
+"""Catalog-first Engine.sql() (VERDICT r02 #6): after sync_catalog, a
+statement delegates to session-catalog tables and reconciles only entries
+dirtied since the last statement — not O(#tables) temp-view
+re-registrations per call.  Unsynced engines keep the temp-view bridge
+with identical behavior."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubefs_hadoop_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    e = Engine(spark, tmp_warehouse, database="cfsql")
+    e.write_table(spark.range(0, 10).selectExpr("id", "id * 2 AS v"), "a")
+    e.write_table(spark.range(0, 4).selectExpr("id"), "b")
+    yield e
+    e.unsync_catalog()
+    spark.sql("DROP DATABASE IF EXISTS cfsql CASCADE")
+
+
+def test_unsynced_engine_uses_temp_view_bridge(eng, monkeypatch):
+    calls = {"n": 0}
+    orig = Engine.table
+
+    def counting(self, name, **kw):
+        calls["n"] += 1
+        return orig(self, name, **kw)
+
+    monkeypatch.setattr(Engine, "table", counting)
+    assert eng.sql("SELECT count(*) AS n FROM a").first().n == 10
+    assert calls["n"] >= 2  # re-registers every table per statement
+
+
+def test_synced_sql_is_not_o_tables_per_statement(eng, monkeypatch):
+    eng.sync_catalog()
+    calls = {"tables": 0, "sql": 0}
+    orig_table = Engine.table
+    orig_sql = type(eng.spark).sql
+
+    def counting_table(self, name, **kw):
+        calls["tables"] += 1
+        return orig_table(self, name, **kw)
+
+    def counting_sql(self, q, **kw):
+        calls["sql"] += 1
+        return orig_sql(self, q, **kw)
+
+    monkeypatch.setattr(Engine, "table", counting_table)
+    monkeypatch.setattr(type(eng.spark), "sql", counting_sql)
+    assert eng.sql("SELECT count(*) AS n FROM a").first().n == 10
+    assert calls["tables"] == 0  # no per-table re-registration scans
+    assert calls["sql"] == 1  # exactly the user's statement, no DDL
+
+
+def test_sync_drops_stale_bridge_temp_views(eng, spark):
+    """Temp views leaked by the unsynced bridge must not shadow catalog
+    tables after syncing — shadowing would silently serve stale data."""
+    eng.sql("SELECT 1").collect()  # bridge registers temp views a, b
+    eng.append(spark.range(4, 8).selectExpr("id"), "b")
+    eng.sync_catalog()
+    # catalog-first path must see the append, not the stale temp view
+    assert eng.sql("SELECT count(*) AS n FROM b").first().n == 8
+
+
+def test_synced_sql_sees_engine_writes(eng, spark):
+    eng.sync_catalog()
+    assert eng.sql("SELECT count(*) AS n FROM a").first().n == 10
+
+    # append -> dirty -> refresh on next statement
+    eng.append(spark.range(10, 15).selectExpr("id", "id * 2 AS v"), "a")
+    assert eng.sql("SELECT count(*) AS n FROM a").first().n == 15
+
+    # new table -> registered on next statement
+    eng.write_table(spark.range(3).selectExpr("id"), "c")
+    assert eng.sql("SELECT count(*) AS n FROM c").first().n == 3
+
+    # rename -> old name gone, new name resolves
+    eng.rename_table("c", "d")
+    assert eng.sql("SELECT count(*) AS n FROM d").first().n == 3
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM c").collect()
+
+    # drop -> unresolvable
+    eng.drop_table("d")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM d").collect()
+
+
+def test_synced_sql_sees_view_changes(eng):
+    eng.sync_catalog()
+    eng.create_view("a_big", "SELECT * FROM a WHERE v >= 10")
+    assert eng.sql("SELECT count(*) AS n FROM a_big").first().n == 5
+    eng.drop_view("a_big")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM a_big").collect()
+
+
+def test_synced_sql_restores_current_database(eng):
+    prev = eng.spark.catalog.currentDatabase()
+    eng.sync_catalog()
+    eng.sql("SELECT 1 AS one").collect()
+    assert eng.spark.catalog.currentDatabase() == prev
+
+
+def test_use_other_database_falls_back(eng, spark):
+    eng.sync_catalog()
+    eng.create_database("other")
+    eng.use("other")
+    eng.write_table(spark.range(2), "t_other")
+    # unsynced database -> temp-view bridge, still correct
+    assert eng.sql("SELECT count(*) AS n FROM t_other").first().n == 2

@@ -13,6 +13,9 @@ import pytest
 from cubefs_hadoop_spark import versioning
 from cubefs_hadoop_spark.engine import Engine
 from cubefs_hadoop_spark.errors import TableNotFoundError, VersionConflictError
+from cubefs_hadoop_spark.fs import LocalFS
+
+FS = LocalFS()
 
 
 @pytest.fixture()
@@ -85,15 +88,15 @@ def test_concurrent_writers_one_wins(eng, spark, tmp_warehouse):
 
     # Stage both writers' data first, then race the manifest commits so the
     # CAS (os.link create-if-absent) is what decides the winner.
-    _, files_a = versioning._stage_write(_df(spark, 0, 4), path)
-    _, files_b = versioning._stage_write(_df(spark, 0, 6), path)
+    _, files_a = versioning._stage_write(_df(spark, 0, 4), path, None, FS)
+    _, files_b = versioning._stage_write(_df(spark, 0, 6), path, None, FS)
     manifest = {"parent": 1, "mode": "overwrite", "ts_ms": 0, "schema": None}
     results: list = [None, None]
 
     def commit(i, files):
         try:
             results[i] = versioning._commit_manifest(
-                path, {**manifest, "version": 2, "files": files}, 2
+                path, {**manifest, "version": 2, "files": files}, 2, FS
             )
         except VersionConflictError as ex:
             results[i] = ex
@@ -122,18 +125,19 @@ def test_append_retries_through_conflict(eng, spark):
     real_commit = versioning._commit_manifest
     raced = {"done": False}
 
-    def racing_commit(table_path, manifest, version):
+    def racing_commit(table_path, manifest, version, fs):
         # first attempt: sneak a competing commit in just before ours
         if not raced["done"]:
             raced["done"] = True
-            _, files = versioning._stage_write(_df(spark, 100, 103), path)
+            _, files = versioning._stage_write(_df(spark, 100, 103), path, None, fs)
             real_commit(
                 path,
                 {"version": version, "parent": manifest["parent"],
                  "mode": "append", "files": files, "ts_ms": 0, "schema": None},
                 version,
+                fs,
             )
-        return real_commit(table_path, manifest, version)
+        return real_commit(table_path, manifest, version, fs)
 
     versioning._commit_manifest = racing_commit
     try:
@@ -206,3 +210,48 @@ def test_version_history_agrees_with_model(spark, tmp_path_factory, ops):
     assert eng.table_versions("t") == list(range(1, len(history) + 1))
     for v, expect in enumerate(history, start=1):
         assert eng.read_version("t", v).count() == expect, f"v{v}"
+
+
+# -- maintenance verbs vs versioned tables (VERDICT r02 #5) ----------------
+
+
+def test_write_table_routes_through_version_commit(eng, spark):
+    """Plain write_table on a versioned table must commit through the
+    manifest protocol — never rewrite the dir around _manifests/."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table(_df(spark, 0, 3), "t", mode="overwrite")
+    assert eng.table_versions("t") == [1, 2]  # history intact
+    assert eng.read_version("t", 1).count() == 5  # time travel intact
+    assert eng.table("t").count() == 3
+
+    eng.append(_df(spark, 10, 12), "t")  # append -> versioned append
+    assert eng.table_versions("t") == [1, 2, 3]
+    assert eng.table("t").count() == 5
+
+    from cubefs_hadoop_spark.errors import TableAlreadyExistsError
+
+    with pytest.raises(TableAlreadyExistsError):
+        eng.write_table(_df(spark, 0, 1), "t")  # errorifexists honored
+    eng.write_table(_df(spark, 0, 1), "t", mode="ignore")  # no-op
+    assert eng.table_versions("t") == [1, 2, 3]
+
+
+def test_compact_versioned_table_preserves_history(eng, spark):
+    """compact_table on a versioned table commits a new 'compact' version:
+    identical content, intact history, old versions still readable."""
+    eng.write_table_version(_df(spark, 0, 4), "t")
+    eng.write_table_version(_df(spark, 4, 10), "t", mode="append")
+    before = sorted(r.id for r in eng.table("t").collect())
+
+    eng.compact_table("t")
+    vs = eng.table_versions("t")
+    assert vs == [1, 2, 3]
+    m = versioning.read_manifest(eng._table_path("t"), 3)
+    assert m["mode"] == "compact"
+    assert sorted(r.id for r in eng.table("t").collect()) == before
+    assert eng.read_version("t", 1).count() == 4  # history intact
+
+    # expire reclaims the superseded pre-compaction files
+    eng.expire_table_versions("t", keep_last=1)
+    assert eng.table_versions("t") == [3]
+    assert sorted(r.id for r in eng.table("t").collect()) == before
