@@ -1,9 +1,10 @@
 """Benchmark harness (driver contract + BASELINE.md §2 protocol).
 
 Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS], 3 timed runs per query (run 1 warms the JVM/page
-cache and is discarded; median of the remaining runs reported), and prints
-ONE JSON line:
+local[$SPARK_GRAFT_CPUS], 4 timed runs per query (run 1 warms the JVM/page
+cache and is discarded; median of the remaining 3 reported — a 2-sample
+median is just a mean, which let one noisy sample inflate x02/t21 in the
+r03 record; see BASELINE.md), and prints ONE JSON line:
 
     {"metric": "bench_total_sec", "value": N, "unit": "sec",
      "queries": {...}, "sf": 0.1}
@@ -38,7 +39,7 @@ BENCH_QUERIES = [
     "x02_minhash_lsh",
 ]
 
-RUNS = 3
+RUNS = 4
 
 
 def main() -> None:
