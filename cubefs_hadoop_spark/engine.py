@@ -359,6 +359,55 @@ class Engine:
             pending = failed
         return registered
 
+    def analyze_table(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        enable_cbo: bool = True,
+    ) -> dict:
+        """Collect table (and optionally per-column) statistics into the
+        session catalog — ANALYZE TABLE — so Catalyst's cost-based
+        optimizer has real cardinalities for join reordering and
+        broadcast-side selection (the reference leans on its host engines'
+        ANALYZE for the same purpose; hive-metastore deps in reference
+        pom.xml:147-160).
+
+        Scale note: at 100 TB, CBO stats are what keep an 8-table join
+        from picking a shuffle order that materializes a huge intermediate
+        — size/rowCount are computed distributed (one scan), stored O(1)
+        in the metastore.  Requires ``sync_catalog`` first (stats attach
+        to catalog entries, not paths).  Returns the recorded stats.
+        """
+        if self._synced_db is None:
+            raise EngineIOError(
+                "analyze_table requires sync_catalog() first "
+                "(statistics attach to session-catalog tables)"
+            )
+        if not self.table_exists(name):
+            raise TableNotFoundError("table not found", name)
+        qn = f"{self._synced_db}.{self._validate_name(name, 'table')}"
+        spark = self.spark
+        if enable_cbo:
+            # runtime-settable SQL confs; harmless if already on
+            spark.conf.set("spark.sql.cbo.enabled", "true")
+            spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        # reconcile pending dirt so ANALYZE sees current files
+        self._sql_catalog("SELECT 1")
+        spark.sql(f"ANALYZE TABLE {qn} COMPUTE STATISTICS")
+        if columns:
+            cols = ", ".join(self._validate_name(c, "column") for c in columns)
+            spark.sql(f"ANALYZE TABLE {qn} COMPUTE STATISTICS FOR COLUMNS {cols}")
+        stats: dict = {}
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {qn}").collect():
+            if row.col_name == "Statistics":
+                stats["summary"] = row.data_type
+        for c in columns or []:
+            desc = spark.sql(
+                f"DESCRIBE TABLE EXTENDED {qn} {c}"
+            ).collect()
+            stats[c] = {r.info_name: r.info_value for r in desc}
+        return stats
+
     def unsync_catalog(self, database: str | None = None) -> None:
         """Remove this warehouse's entries from the session catalog
         (metadata only — external tables, data untouched)."""

@@ -120,6 +120,23 @@ def s06_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s13_dedup_watermark_twin",
+    "SELECT COUNT(DISTINCT event_id) AS c FROM events",
+)
+def s13_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 bounded-state dedup twin: dropDuplicatesWithinWatermark equals
+    exact dedup whenever duplicates arrive within the watermark horizon —
+    true for the fixture replay, asserted stream-vs-twin in
+    tests/test_streaming.py (which also proves the post-eviction
+    re-emission that distinguishes S13 from S06)."""
+    return (
+        load(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
     "s07_stream_static_join_twin",
     """SELECT event_type, COUNT(*) AS c FROM events
        JOIN customer ON user_id = c_custkey

@@ -165,6 +165,21 @@ def dedup_stream(sdf: DataFrame) -> DataFrame:
     return sdf.dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    sdf: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """S13: bounded-state dedup — duplicates are only suppressed within the
+    watermark horizon, so per-key state is EVICTED once the watermark
+    passes it.  This is the 100 TB-correct form of S06: plain
+    dropDuplicates keeps every key forever (state grows with the stream),
+    while this holds state proportional to (arrival rate × delay).
+    Semantics match exact dedup whenever true duplicates arrive within
+    ``delay`` of the original (the usual at-least-once-delivery case)."""
+    return sdf.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_static_join(sdf: DataFrame, static_df: DataFrame) -> DataFrame:
     """S07: stream-static equi-join (static side broadcast per micro-batch)."""
     return sdf.join(

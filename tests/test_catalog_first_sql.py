@@ -112,3 +112,29 @@ def test_use_other_database_falls_back(eng, spark):
     eng.write_table(spark.range(2), "t_other")
     # unsynced database -> temp-view bridge, still correct
     assert eng.sql("SELECT count(*) AS n FROM t_other").first().n == 2
+
+
+def test_analyze_table_records_cbo_stats(eng, spark):
+    """ANALYZE writes size+rowCount (and per-column NDV/min/max) into the
+    catalog, and plans then carry the real rowCount — the input CBO needs
+    for join reordering at scale."""
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    with pytest.raises(EngineIOError):
+        eng.analyze_table("a")  # requires sync_catalog first
+
+    eng.sync_catalog()
+    stats = eng.analyze_table("a", columns=["id", "v"])
+    assert "10 rows" in stats["summary"]
+    assert stats["id"].get("distinct_count") == "10"
+    assert stats["v"].get("max") == "18"
+
+    # the optimized plan's statistics now carry the analyzed rowCount
+    plan = (
+        eng.sql("SELECT * FROM a")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .toString()
+    )
+    assert "rowCount=10" in plan

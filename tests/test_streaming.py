@@ -317,3 +317,57 @@ def test_s12_transform_with_state(spark, staged, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_s13_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """S13: duplicates inside the watermark horizon collapse; once the
+    watermark passes a key's eviction point its state is GONE, so a far-
+    future duplicate is re-emitted — the bounded-state contract."""
+    stage = str(tmp_path / "wmdup")
+    data = os.path.join(stage, "data")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    base = 1_700_000_000_000_000_000
+    hour = 3_600_000_000_000
+    # batch 1: ids 0-9 at t0, with id 5 duplicated in-horizon (suppressed)
+    spark.createDataFrame(
+        [(i, base, 1, "a", 1.0, "{}") for i in range(10)]
+        + [(5, base + 60_000_000_000, 1, "a", 1.0, "{}")],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(data)
+    time.sleep(1.1)
+    # batches 2+3: advance the watermark far past batch 1's horizon (state
+    # cleanup lags one batch behind the watermark update, so two advancing
+    # batches guarantee batch-1 keys are evicted before batch 4)
+    spark.createDataFrame(
+        [(100, base + hour, 1, "a", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(data)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [(101, base + 2 * hour, 1, "a", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(data)
+    time.sleep(1.1)
+    # batch 4: id 5 again, far outside the horizon -> state gone, re-emitted
+    spark.createDataFrame(
+        [(5, base + 2 * hour + 60_000_000_000, 1, "a", 1.0, "{}")], schema
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    sdf = ops.dedup_stream_within_watermark(
+        ops.read_stream(spark, stage), "10 minutes"
+    )
+    res = ops.run_available_now(sdf, _ckpt(tmp_path, "s13"), "append", "s13")
+    ids = [r.event_id for r in res.collect()]
+    assert sorted(set(ids)) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 100, 101]
+    assert ids.count(5) == 2  # suppressed in-horizon, re-emitted post-eviction
+    assert len(ids) == 13  # 10 + 2 advancing + re-emitted duplicate
+
+
+def test_s13_matches_exact_dedup_when_dups_in_horizon(spark, staged, tmp_path):
+    """On the fixture replay (no cross-horizon duplicates) S13 equals the
+    exact-dedup twin."""
+    sdf = ops.dedup_stream_within_watermark(ops.read_stream(spark, staged))
+    res = ops.run_available_now(sdf, _ckpt(tmp_path, "s13f"), "append", "s13f")
+    want = twins.s06_dedup_twin(spark, SF_SMOKE).first().c
+    assert res.select("event_id").distinct().count() == want
