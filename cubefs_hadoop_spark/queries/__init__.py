@@ -14,42 +14,38 @@ from cubefs_hadoop_spark.queries import udfs  # noqa: E402,F401
 from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-3 window
-# (VERDICT r02 next-round #1): lead with the 14 entries that have never
-# been inside a driver window (q06d/q30c/q30d/q37b + 10 t-shapes) plus the
-# new oracle-checkable IVF entry (x03d, VERDICT #3) and any round-3
-# additions — after this round every registry entry has a green driver row
-# across rounds.  r01+r02 greens stand for rotated-out entries; the rest of
-# the window re-confirms the bench set and the families round 3 touched
-# (versioning-adjacent storage paths are pytest-only by design).
-_R3_WINDOW = [
-    # never driver-checked (VERDICT r02 "What's missing" #1)
-    "q06d_median", "q30c_collect_sorted", "q30d_higher_order_funcs",
-    "q37b_unpivot",
-    "t04_order_priority", "t06_forecast_revenue", "t07_volume_shipping",
-    "t09_product_profit", "t15_top_supplier", "t16_supplier_relationship",
-    "t17_small_quantity_revenue", "t19_discounted_revenue",
-    "t20_part_promotion", "t22_sales_opportunity",
-    # new this round: IVF machinery under an exact-equivalence oracle
-    "x03d_ivf_full_probe",
-    # keep the non-oracle ANN row adjacent so the pair is visible together
-    "x03c_ivf_ann",
-    # re-confirm the bench set (bench protocol changed this round)
-    "q01_scan_count", "q03_filter_conjunctive", "q06_tpch_q1",
-    "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
-    "q22_window_frame", "q25_union_distinct", "x01_exact_dedup",
-    "x03_topk_cosine", "t05_local_supplier_volume",
-    "t18_large_volume_customer", "t13_customer_distribution",
-    "t21_waiting_supplier", "x02_minhash_lsh",
-    # re-confirm remaining previously-green families (rotating coverage)
-    "q05_case_projection", "q06b_percentiles", "q06c_stats_aggs",
-    "q30b_array_funcs2", "q29b_bitwise_funcs", "q19_correlated_subquery",
-    "q19b_correlated_sql", "q36_sample_twin", "q37_pivot",
-    "u01_scalar_pandas_udf", "u06_asof_merge_pandas",
-    "s02_tumbling_window", "s04_sessionization",
-    "x02b_ngram_jaccard", "x02d_edit_distance_dedup", "x07_train_test_split",
-    "x10_decontaminate", "t08_market_share", "t14_promo_revenue",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  After round 3 every
+# registry entry has a green driver row (union of r01-r03).  Round-4
+# window: lead with this round's NEW entry (s13), then re-confirm the 49
+# entries whose last green row is oldest — the q02..q35 relational series
+# and t10/t12 (r01-only), then the r02-checked window/string/streaming/UDF
+# families.  Rotated-out entries keep their r02/r03 greens.
+_R4_WINDOW = [
+    # new this round: bounded-state streaming dedup twin
+    "s13_dedup_watermark_twin",
+    # last driver-checked in r01
+    "q02_projection", "q04_filter_in_like", "q07_count_distinct",
+    "q08_approx_distinct_twin", "q09_rollup", "q09b_cube",
+    "q09c_grouping_sets", "q10_having", "q13_left_join", "q14_semi_join",
+    "q15_anti_join", "q16_theta_join", "q17_cross_join", "q18_asof_join",
+    "q21_window_lag", "q23_sort_limit", "q25_union_all", "q26_intersect",
+    "q26_except", "q27_string_funcs", "q28_date_funcs", "q29_math_funcs",
+    "q30_array_funcs", "q31_explode", "q32_map_funcs", "q33_json_funcs",
+    "q34_conditional_funcs", "q35_distinct",
+    "t10_returned_items", "t12_priority_shipping",
+    # last driver-checked in r02
+    "q20b_window_distribution", "q27b_string_funcs2", "q28b_date_funcs2",
+    "q20c_window_value_funcs", "q27c_string_funcs3",
+    "s03_sliding_window", "s06_dedup_twin", "s07_stream_static_join_twin",
+    "s08_running_max_twin", "s09_interval_join_twin",
+    "u02_grouped_map_zscore", "u03_grouped_agg_mean", "u04_udtf_wordsplit",
+    "u04b_python_udtf", "u05_row_udf",
+    "x02c_simhash", "x03b_embedding_neardup", "x04_text_stats",
+    "x04b_lang_stats",
 ]
-reorder(_R3_WINDOW)
+# the driver checks exactly the first 50 entries: a 51st name here would
+# silently push the last one out of verification (ADVICE r03)
+assert len(_R4_WINDOW) == 50, len(_R4_WINDOW)
+reorder(_R4_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]
