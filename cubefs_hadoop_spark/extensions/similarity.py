@@ -268,3 +268,123 @@ def x03d_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, n_centroids=8, nprobe=8).orderBy(
         "q_id", "n_id", "cos"
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized ANN (the scan-economics scale path)
+# ---------------------------------------------------------------------------
+#
+# At 100 TB of float32/float64 embeddings, the candidate stage is scan- and
+# memory-bandwidth-bound.  Symmetric int8 quantization (per-vector scale
+# s = 127/max|x|, q_i = floor(x_i*s + 0.5)) cuts candidate-stage bytes 4-8x
+# and turns the dot product into exact integer arithmetic — then only the
+# top-C candidates per query pay the full-precision re-rank.  Both stages
+# are deterministic (integer dot; float ops in a fixed sequence), so unlike
+# IVF-with-partial-probe this pipeline is hash-checkable end-to-end: the
+# oracle below replicates quantization, candidate ranking, and re-rank.
+
+_QSCALE = (
+    "CASE WHEN array_max(transform({a}, v -> abs(v))) > 0 "
+    "THEN 127.0D / array_max(transform({a}, v -> abs(v))) ELSE 1.0D END"
+)
+_QUANT = "transform({a}, v -> CAST(floor(v * {s} + 0.5D) AS BIGINT))"
+_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+_QSCALE_DUCK = (
+    "CASE WHEN list_max(list_transform(CAST({a} AS DOUBLE[]), v -> abs(v))) > 0 "
+    "THEN 127.0 / list_max(list_transform(CAST({a} AS DOUBLE[]), v -> abs(v))) "
+    "ELSE 1.0 END"
+)
+_QUANT_DUCK = (
+    "list_transform(CAST({a} AS DOUBLE[]), v -> CAST(floor(v * {s} + 0.5) AS BIGINT))"
+)
+_IDOT_DUCK = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+)
+
+_X03E_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb,
+         {_QSCALE_DUCK.format(a='embedding')} AS sa
+  FROM embeddings WHERE vec_id < 5
+), qq AS (
+  SELECT q_id, q_emb, sa, {_QUANT_DUCK.format(a='q_emb', s='sa')} AS q_q FROM q
+), c AS (
+  SELECT vec_id AS n_id, embedding AS n_emb,
+         {_QSCALE_DUCK.format(a='embedding')} AS sb
+  FROM embeddings
+), cq AS (
+  SELECT n_id, n_emb, sb, {_QUANT_DUCK.format(a='n_emb', s='sb')} AS n_q FROM c
+), cand AS (
+  SELECT q_id, n_id, q_emb, n_emb,
+         CAST({_IDOT_DUCK.format(a='q_q', b='n_q')} AS DOUBLE) / (sa * sb) AS approx,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             CAST({_IDOT_DUCK.format(a='q_q', b='n_q')} AS DOUBLE) / (sa * sb) DESC,
+             n_id) AS rc
+  FROM qq JOIN cq ON n_id <> q_id
+), rer AS (
+  SELECT q_id, n_id,
+         {_cosine_duck('q_emb', 'n_emb')} AS cexact,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+             {_cosine_duck('q_emb', 'n_emb')} DESC, n_id) AS rk
+  FROM cand WHERE rc <= 20
+)
+SELECT q_id, n_id, CAST(ROUND(cexact, 2) AS DECIMAL(18,2)) AS cos
+FROM rer WHERE rk <= 5 ORDER BY q_id, n_id, cos"""
+
+
+def quantize_embeddings(emb: DataFrame, col: str = "embedding") -> DataFrame:
+    """Add (q, scale) int8-quantization columns for ``col``.  Map-shaped,
+    JVM higher-order functions only — at scale, persist this as the
+    compact candidate-stage table (bigint here for exact cross-engine
+    arithmetic; a production sink would pack to 1-byte lanes)."""
+    return emb.withColumn(
+        "q_scale", F.expr(_QSCALE.format(a=col))
+    ).withColumn("q_vec", F.expr(_QUANT.format(a=col, s="q_scale")))
+
+
+@register("x03e_int8_ann", _X03E_ORACLE)
+def x03e_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X03e int8-quantized ANN top-5: integer-dot candidate stage (top-20
+    per query), full-precision re-rank of the candidates only.  Exactly
+    replicated by the DuckDB oracle — quantization included — so the row
+    is hash-checked, not rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = quantize_embeddings(
+        emb.filter(F.col("vec_id") < 5)
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("q_scale").alias("sa"),
+        F.col("q_vec").alias("q_q"),
+    )
+    corpus = quantize_embeddings(widen_for_cpu(emb, "vec_id")).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("q_scale").alias("sb"),
+        F.col("q_vec").alias("n_q"),
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.col("approx").desc(), "n_id")
+    cand = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn(
+            "approx",
+            F.expr(_IDOT.format(a="q_q", b="n_q")).cast("double")
+            / (F.col("sa") * F.col("sb")),
+        )
+        .withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") <= 20)
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("cexact").desc(), "n_id")
+    return (
+        cand.withColumn("cexact", _cosine_expr("q_emb", "n_emb"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id", r2d(F.col("cexact")).alias("cos"))
+        .orderBy("q_id", "n_id", "cos")
+    )

@@ -21,8 +21,8 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 # and t10/t12 (r01-only), then the r02-checked window/string/streaming/UDF
 # families.  Rotated-out entries keep their r02/r03 greens.
 _R4_WINDOW = [
-    # new this round: bounded-state streaming dedup twin
-    "s13_dedup_watermark_twin",
+    # new this round: bounded-state streaming dedup twin + int8 ANN
+    "s13_dedup_watermark_twin", "x03e_int8_ann",
     # last driver-checked in r01
     "q02_projection", "q04_filter_in_like", "q07_count_distinct",
     "q08_approx_distinct_twin", "q09_rollup", "q09b_cube",
@@ -41,7 +41,6 @@ _R4_WINDOW = [
     "u02_grouped_map_zscore", "u03_grouped_agg_mean", "u04_udtf_wordsplit",
     "u04b_python_udtf", "u05_row_udf",
     "x02c_simhash", "x03b_embedding_neardup", "x04_text_stats",
-    "x04b_lang_stats",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)

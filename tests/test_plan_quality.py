@@ -229,3 +229,18 @@ def test_x03c_centroid_selection_no_global_window(spark):
     spark.catalog.clearCache()
     a2 = audit_plan(QUERIES["x03c_ivf_ann"](spark, SF_SMOKE))
     assert "SinglePartition" not in a2.text
+
+
+def test_x03e_int8_ann_plan_is_jvm_and_broadcast(spark):
+    """Int8 ANN: quantization + integer dot stay in JVM HOFs (no Python
+    eval), the query side broadcasts (corpus never shuffles for the
+    candidate stage), and every window is partitioned by q_id — no global
+    funnel anywhere."""
+    a = _audit(spark, "x03e_int8_ann")
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    # the 5-row query side is the broadcast build of the candidate cross
+    # join (BroadcastNestedLoopJoin BuildLeft) — the corpus side streams,
+    # never shuffles
+    assert "BroadcastNestedLoopJoin Cross BuildLeft" in a.text
+    assert a.sort_merge_joins == 0
+    assert "SinglePartition" not in a.text
