@@ -122,3 +122,33 @@ def test_sync_catalog_exposes_tables_to_plain_spark_sql(eng, spark):
     ] == []
     # external semantics: dropping catalog entries never deleted data
     assert eng.table("nation").count() == 28
+
+
+def test_sync_catalog_view_column_named_like_table(spark, tmp_warehouse):
+    """A view column that shares a table's name must not be qualified as
+    if it were the table (the round-2 regex rewrite would have broken
+    this; resolution-based qualification cannot)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, tmp_warehouse, database="cat_colname_db")
+    try:
+        eng.write_table(
+            load(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name"),
+            "nation",
+        )
+        # column alias 'nation' collides with the table name
+        eng.create_view("v1", "SELECT n_name AS nation FROM nation")
+        eng.create_view(
+            "v2", "SELECT nation FROM v1 WHERE nation = 'NATION_1'"
+        )
+        eng.sync_catalog()
+        got = spark.sql(
+            "SELECT nation FROM cat_colname_db.v2 ORDER BY nation"
+        ).collect()
+        assert [r.nation for r in got] == ["NATION_1"]
+        assert eng.sql("SELECT count(*) AS n FROM v2").first().n == 1
+    finally:
+        eng.unsync_catalog()
+        spark.sql("DROP DATABASE IF EXISTS cat_colname_db CASCADE")
