@@ -721,10 +721,28 @@ class Engine:
         """N18 getContentSummary analog (CubefsFileSystem.java:432-436):
         recursive walk summing file count and bytes; row count via a
         parquet-metadata-only Spark count."""
+        from cubefs_hadoop_spark import versioning
+
         path = self._table_path(name)
         if not self.fs.is_dir(path):
             raise TableNotFoundError("table not found", name)
         n_files, n_bytes = 0, 0
+        if versioning.is_versioned(path, self.fs):
+            # logical stats = the CURRENT snapshot's file set; historical
+            # versions' bytes are retention cost, not table content
+            m = versioning.read_manifest(
+                path, versioning.current_version(path, self.fs), self.fs
+            )
+            live = set(m["files"])
+            for rel, size, _mtime in self.fs.walk_files(path):
+                if rel in live:
+                    n_files += 1
+                    n_bytes += size
+            return {
+                "files": n_files,
+                "bytes": n_bytes,
+                "rows": self.table(name).count(),
+            }
         for rel, size, _mtime in self.fs.walk_files(path):
             # skip commit markers (_SUCCESS) and hidden checksum files
             # (.part-*.crc) — stats cover data content, not bookkeeping

@@ -255,3 +255,14 @@ def test_compact_versioned_table_preserves_history(eng, spark):
     eng.expire_table_versions("t", keep_last=1)
     assert eng.table_versions("t") == [3]
     assert sorted(r.id for r in eng.table("t").collect()) == before
+
+
+def test_table_stats_scope_to_current_snapshot(eng, spark):
+    """table_stats on a versioned table reports the current snapshot's
+    files/bytes, not every historical version's."""
+    eng.write_table_version(_df(spark, 0, 100), "t")
+    eng.write_table_version(_df(spark, 0, 10), "t")  # overwrite, smaller
+    st = eng.table_stats("t")
+    assert st["rows"] == 10
+    m = versioning.read_manifest(eng._table_path("t"), 2)
+    assert st["files"] == len(m["files"])  # v1's files not counted
