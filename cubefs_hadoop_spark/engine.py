@@ -542,6 +542,75 @@ class Engine:
     def append(self, df: DataFrame, name: str) -> None:
         self.write_table(df, name, mode="append")
 
+    def merge_table(
+        self, df: DataFrame, name: str, on: str | list[str]
+    ) -> None:
+        """Upsert — the MERGE INTO capability the reference's host engines
+        get from Iceberg (reference README.md:79-83): rows of ``df``
+        replace the table's rows with matching ``on`` keys; unmatched
+        table rows are kept; new keys are inserted.
+
+        Implementation is one anti-join + union committed atomically:
+        versioned tables get a new snapshot (old versions stay readable);
+        plain tables stage to a temp dir and swap via the N10 rename
+        primitive so readers never see a half-merged table.  Scale note:
+        the anti-join shuffles on the merge key only; at 100 TB partition
+        the table by the merge key's bucket to make this co-located.
+        """
+        from cubefs_hadoop_spark import versioning
+
+        keys = [on] if isinstance(on, str) else list(on)
+        current = self.table(name)
+        missing = [k for k in keys if k not in current.columns]
+        if missing:
+            raise EngineIOError(f"merge keys not in table: {missing}", name)
+        if set(df.columns) != set(current.columns):
+            raise EngineIOError(
+                f"MERGE {name}: column mismatch "
+                f"{sorted(df.columns)} vs {sorted(current.columns)}"
+            )
+        kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(df)
+        path = self._table_path(name)
+        if versioning.is_versioned(path, self.fs):
+            versioning.commit_version(merged, path, mode="overwrite", fs=self.fs)
+        else:
+            self._swap_rewrite(name, merged)
+        self._mark_dirty(name)
+
+    def delete_from(self, name: str, predicate: str) -> None:
+        """Row-level DELETE: drop rows matching ``predicate`` (a SQL
+        boolean expression).  Same atomic commit paths as merge_table —
+        versioned snapshot or staged rename swap.  The 100 TB
+        right-to-be-forgotten verb: one filtered scan, no driver loop."""
+        from cubefs_hadoop_spark import versioning
+        from pyspark.sql import functions as F
+
+        remaining = self.table(name).filter(~F.expr(predicate))
+        path = self._table_path(name)
+        if versioning.is_versioned(path, self.fs):
+            versioning.commit_version(
+                remaining, path, mode="overwrite", fs=self.fs
+            )
+        else:
+            self._swap_rewrite(name, remaining)
+        self._mark_dirty(name)
+
+    def _swap_rewrite(self, name: str, df: DataFrame) -> None:
+        """Rewrite ``name`` with ``df`` atomically: stage to a temp dir,
+        swap via the N10 rename primitive (same pattern as compact_table).
+        Spark refuses to overwrite a path it is lazily reading from, and a
+        direct overwrite would tear concurrent readers anyway."""
+        path = self._table_path(name)
+        tmp = path + ".__merging"
+        self.fs.delete(tmp, recursive=True)
+        df.write.mode("errorifexists").parquet(tmp)
+        old = path + ".__old"
+        if not self.fs.rename(path, old):
+            raise EngineIOError("stale .__old dir blocks rewrite", name)
+        self.fs.rename(tmp, path)
+        self.fs.delete(old, recursive=True)
+
     def rename_table(self, src: str, dst: str) -> bool:
         """N10 rename with the reference's exact semantics: returns False when
         dst exists (CubefsFileSystem.java:221-223), True on success, raises
@@ -665,14 +734,14 @@ class Engine:
 
     def vacuum(self) -> list[str]:
         """Remove orphaned work dirs left by interrupted maintenance ops
-        (``*.__compacting`` / ``*.__old`` from compact_table) and Spark
+        (``*.__compacting`` / ``*.__merging`` / ``*.__old``) and Spark
         ``_temporary`` attempt dirs from crashed writes.  Safe any time:
         live tables never have these suffixes."""
         removed = []
         root = self._db_path()
         for d, is_dir in self.fs.list_dir(root):
             p = self.fs.join(root, d)
-            if d.endswith((".__compacting", ".__old")):
+            if d.endswith((".__compacting", ".__merging", ".__old")):
                 self.fs.delete(p, recursive=True)
                 removed.append(d)
             elif is_dir:
