@@ -434,12 +434,48 @@ class Engine:
           CREATE TABLE [IF NOT EXISTS] t AS <select>   -> write_table
           CREATE [OR REPLACE] VIEW v AS <select>       -> create_view
           INSERT INTO t <select>                       -> append
+          DELETE FROM t WHERE <pred>                   -> delete_from
+          MERGE INTO t USING (<select>) ON c1[, c2...] -> merge_table
           DROP TABLE [IF EXISTS] t                     -> drop_table
           DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
+          ... FROM t VERSION AS OF n ...               -> time-travel read
+
+        MERGE uses a restricted ANSI form (upsert-by-key: matched rows
+        replaced, unmatched inserted — the same semantics merge_table
+        implements); WHEN-clause grammars are out of scope.
         """
         s = stmt.strip().rstrip(";")
+        # time travel: rewrite `t VERSION AS OF n` to a temp view over the
+        # snapshot (Iceberg SQL parity for versioned tables)
+        tt = re.findall(r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", s, re.IGNORECASE)
+        for tname, ver in tt:
+            view = f"__timetravel_{tname}_v{ver}"
+            self.read_version(tname, int(ver)).createOrReplaceTempView(view)
+            s = re.sub(
+                rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+{ver}\b",
+                view,
+                s,
+                flags=re.IGNORECASE,
+            )
+        m = re.match(
+            r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)", s, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            self.delete_from(m.group(1), m.group(2))
+            return None
+        m = re.match(
+            r"MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+([\w\s,]+)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name, select, keys = m.group(1), m.group(2), m.group(3)
+            self.merge_table(
+                self.sql(select), name, [k.strip() for k in keys.split(",")]
+            )
+            return None
         m = re.match(
             r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)",
             s,

@@ -84,3 +84,24 @@ def test_merge_visible_through_synced_catalog(eng, spark):
     finally:
         eng.unsync_catalog()
         spark.sql("DROP DATABASE IF EXISTS dml CASCADE")
+
+
+def test_execute_delete_merge_and_time_travel(eng, spark):
+    eng.write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), "t")
+    eng.execute("DELETE FROM t WHERE id = 3")
+    assert sorted(r.id for r in eng.table("t").collect()) == [1, 2]
+
+    eng.execute(
+        "MERGE INTO t USING (SELECT CAST(2 AS BIGINT) AS id, 'B' AS v) ON id"
+    )
+    got = {(r.id, r.v) for r in eng.table("t").collect()}
+    assert got == {(1, "a"), (2, "B")}
+
+    eng.write_table_version(_df(spark, [(1, "old")]), "vt")
+    eng.write_table_version(_df(spark, [(1, "new"), (2, "x")]), "vt")
+    row = eng.execute(
+        "SELECT v FROM vt VERSION AS OF 1"
+    ).collect()
+    assert [r.v for r in row] == ["old"]
+    # current version unaffected
+    assert eng.execute("SELECT count(*) AS n FROM vt").first().n == 2
