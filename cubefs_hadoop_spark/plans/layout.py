@@ -90,31 +90,49 @@ def quantize(col: Column, lo, hi, bits: int) -> Column:
     return F.least(F.greatest(scaled.cast("long"), F.lit(0)), F.lit(n_bins))
 
 
+def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-column z-order key: round-robin bit-interleave over every column
+    (column j contributes bit i at position i*N + j).  Reduces to
+    zorder_key's layout for N=2.  Still one plain BIGINT expression —
+    sortable, codegen'd, shuffle-free.  N*bits must fit in 63 bits."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
+    max_v = (1 << bits) - 1
+    clamped = [F.least(c.cast("long"), F.lit(max_v)) for c in cols]
+    key = None
+    for i in range(bits):
+        for j, c in enumerate(clamped):
+            part = F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(1), i * n + j
+            )
+            key = part if key is None else key.bitwiseOR(part)
+    return key
+
+
 def cluster_by_zorder(
     df: DataFrame,
     path: str,
     col_a: str,
     col_b: str,
+    *more_cols: str,
     n_files: int = 8,
     bits: int = 8,
 ) -> None:
-    """Z-order variant of cluster_by for two-column predicates: quantize
-    both columns to ``bits`` bins (one tiny min/max agg job), interleave,
-    range-partition + sort on the key."""
-    mm = df.select(
-        F.min(col_a).alias("a_lo"),
-        F.max(col_a).alias("a_hi"),
-        F.min(col_b).alias("b_lo"),
-        F.max(col_b).alias("b_hi"),
-    ).first()
-    with_key = df.withColumn(
-        "__z",
-        zorder_key(
-            quantize(F.col(col_a), mm["a_lo"], mm["a_hi"], bits),
-            quantize(F.col(col_b), mm["b_lo"], mm["b_hi"], bits),
-            bits=bits,
-        ),
-    )
+    """Z-order variant of cluster_by for multi-column predicates: quantize
+    every column to ``bits`` bins (one tiny min/max agg job), interleave,
+    range-partition + sort on the key.  Two columns use the original
+    a0 b0 a1 b1 layout; additional columns extend the round-robin weave."""
+    names = [col_a, col_b, *more_cols]
+    aggs = []
+    for c in names:
+        aggs.append(F.min(c).alias(f"{c}_lo"))
+        aggs.append(F.max(c).alias(f"{c}_hi"))
+    mm = df.select(*aggs).first()
+    qcols = [
+        quantize(F.col(c), mm[f"{c}_lo"], mm[f"{c}_hi"], bits) for c in names
+    ]
+    with_key = df.withColumn("__z", zorder_key_n(qcols, bits=bits))
     (
         with_key.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

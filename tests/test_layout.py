@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
@@ -122,3 +123,57 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     assert eng.list_tables() == ["nation"]
     assert eng.table("nation").count() > 0
     assert eng.vacuum() == []
+
+
+def test_zorder_key_n_matches_two_col_form():
+    """N-column weave reduces to the classic a0 b0 a1 b1 layout at N=2,
+    and is bijective on a 3-column grid."""
+    from pyspark.sql import Row, SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = [Row(a=a, b=b) for a in range(4) for b in range(4)]
+    df = (
+        spark.createDataFrame(rows)
+        .withColumn("z2", layout.zorder_key(F.col("a"), F.col("b"), bits=2))
+        .withColumn(
+            "zn", layout.zorder_key_n([F.col("a"), F.col("b")], bits=2)
+        )
+    )
+    assert all(r.z2 == r.zn for r in df.collect())
+
+    rows3 = [Row(a=a, b=b, c=c) for a in range(4) for b in range(4) for c in range(4)]
+    df3 = spark.createDataFrame(rows3).withColumn(
+        "z", layout.zorder_key_n([F.col("a"), F.col("b"), F.col("c")], bits=2)
+    )
+    zs = [r.z for r in df3.collect()]
+    assert len(set(zs)) == 64  # bijective on the 4x4x4 grid
+    assert min(zs) == 0 and max(zs) == 63
+
+    with pytest.raises(ValueError):
+        layout.zorder_key_n([F.col("a")] * 8, bits=8)  # 64 bits > signed long
+
+
+def test_zorder_three_columns_skips_all_dimensions(spark, tmp_path):
+    rnd = str(tmp_path / "rand3")
+    zrd = str(tmp_path / "zord3")
+    df = load(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    df.repartition(8).write.parquet(rnd)
+    layout.cluster_by_zorder(
+        df, zrd, "o_orderkey", "o_custkey", "o_totalprice", n_files=8
+    )
+    bounds = df.selectExpr(
+        "min(o_totalprice) AS lo", "max(o_totalprice) AS hi"
+    ).first()
+    p_span = (bounds.lo, bounds.lo + (bounds.hi - bounds.lo) / 4)
+    for col, lo, hi in (
+        ("o_orderkey", 0, 120),
+        ("o_custkey", 0, 40),
+        ("o_totalprice", *p_span),
+    ):
+        f_rnd = layout.overlap_fraction(layout.rowgroup_ranges(rnd, col), lo, hi)
+        f_z = layout.overlap_fraction(layout.rowgroup_ranges(zrd, col), lo, hi)
+        assert f_rnd == 1.0
+        assert f_z < 1.0, col  # narrowed in ALL THREE dimensions
+    assert spark.read.parquet(zrd).count() == df.count()
