@@ -760,6 +760,33 @@ class Engine:
         self._mark_dirty(name)
         return v
 
+    def table_history(self, name: str) -> DataFrame:
+        """Snapshot metadata for a versioned table (Iceberg's ``snapshots``
+        metadata-table parity): one row per committed version with mode,
+        commit timestamp, parent, and file count.  Metadata-only — never
+        touches data files."""
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        rows = []
+        for v in versioning.list_versions(path, self.fs):
+            m = versioning.read_manifest(path, v, self.fs)
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    m.get("mode"),
+                    m.get("ts_ms"),
+                    len(m.get("files", [])),
+                    m.get("batch_id"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, mode string, ts_ms bigint, "
+            "n_files int, batch_id bigint",
+        )
+
     def expire_table_versions(self, name: str, keep_last: int = 1) -> dict:
         """GC manifests + unreferenced data files beyond ``keep_last``."""
         from cubefs_hadoop_spark import versioning

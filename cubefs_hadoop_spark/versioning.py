@@ -145,6 +145,20 @@ def _stage_write(
     return stage, sorted(files)
 
 
+def committed_batch_ids(
+    table_path: str, fs: WarehouseFS | None = None
+) -> set[int]:
+    """Batch ids recorded by streaming commits (sink_versioned) — the
+    exactly-once ledger.  Metadata-only: reads manifests, never data."""
+    fs = _fs(fs)
+    out: set[int] = set()
+    for v in list_versions(table_path, fs):
+        bid = read_manifest(table_path, v, fs).get("batch_id")
+        if bid is not None:
+            out.add(int(bid))
+    return out
+
+
 def commit_version(
     df: DataFrame,
     table_path: str,
@@ -152,6 +166,7 @@ def commit_version(
     partition_by: list[str] | None = None,
     max_retries: int = 3,
     fs: WarehouseFS | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of the table.
 
@@ -180,6 +195,7 @@ def commit_version(
             "files": sorted(base_files + files),
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
+            **(extra or {}),
         }
         try:
             return _commit_manifest(table_path, manifest, parent + 1, fs)

@@ -371,3 +371,34 @@ def test_s13_matches_exact_dedup_when_dups_in_horizon(spark, staged, tmp_path):
     res = ops.run_available_now(sdf, _ckpt(tmp_path, "s13f"), "append", "s13f")
     want = twins.s06_dedup_twin(spark, SF_SMOKE).first().c
     assert res.select("event_id").distinct().count() == want
+
+
+def test_s14_versioned_sink_exactly_once(spark, staged, tmp_path):
+    """S14: each micro-batch lands as one versioned append; replaying a
+    batch id (foreachBatch at-least-once) is a no-op; total content equals
+    the batch twin."""
+    from cubefs_hadoop_spark.engine import Engine
+    from cubefs_hadoop_spark import versioning
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    sdf = ops.read_stream(spark, staged).select("event_id", "user_id")
+    ops.sink_versioned(sdf, eng, "ev", _ckpt(tmp_path, "s14"))
+
+    versions = eng.table_versions("ev")
+    assert len(versions) >= 2  # one per micro-batch (maxFilesPerTrigger=1)
+    total = load(spark, SF_SMOKE, "events").count()
+    assert eng.table("ev").count() == total
+
+    # replay the first batch id -> ledger hit -> no new version
+    commit = ops.versioned_batch_committer(eng, "ev")
+    commit(spark.range(3).selectExpr("id AS event_id", "id AS user_id"), 0)
+    assert eng.table_versions("ev") == versions
+    assert eng.table("ev").count() == total
+
+    # a NEW batch id commits normally
+    commit(spark.range(2).selectExpr("id AS event_id", "id AS user_id"), 10_000)
+    assert len(eng.table_versions("ev")) == len(versions) + 1
+    assert eng.table("ev").count() == total + 2
+    # history surfaces the batch ledger
+    hist = eng.table_history("ev")
+    assert hist.filter("batch_id IS NOT NULL").count() == len(versions) + 1
