@@ -8,15 +8,14 @@ through ``mapInPandas`` — Arrow batches in/out, one Python worker per
 partition, so the pattern scales exactly like any other narrow map stage:
 no shuffle, no driver involvement, partition count = parallelism.
 
-The codec step is dependency-gated (round-2, mirroring the S12 protobuf
-gate): with ``fake=False`` the REAL PIL / soundfile code paths run when
-those optional libraries are importable on the executors, and raise
-NotImplementedError with the missing-dependency name otherwise (neither
-ships in this container).  ``fake=True`` keeps the deterministic
-sha256-seeded fake codec so the plumbing — schema, Arrow batch shapes,
-partitioning — is fully testable with no media libs
-(tests/test_multimodal.py; the real paths are exercised by importorskip
-tests that activate wherever PIL/soundfile exist).
+Codec resolution (round-4): with ``fake=False`` the real paths try PIL /
+soundfile first (the fast path when installed), then fall back to the
+stdlib codecs in codecs.py — pure-Python PNG (zlib+struct) and PCM WAV
+(wave module) — so PNG images and WAV audio decode for real with ZERO
+optional dependencies.  Only non-PNG/non-WAV formats without the optional
+libs raise NotImplementedError naming the missing dependency.
+``fake=True`` keeps the deterministic sha256-seeded fake codec so
+plumbing tests are format-independent.
 """
 
 from __future__ import annotations
@@ -105,22 +104,33 @@ def decode_image_batches(
         for pdf in batches:
             if fake:
                 rows = [_fake_decode(p) for p in pdf["content"]]
-            elif Image is None:
-                raise NotImplementedError(
-                    "real image decode requires the optional PIL dependency "
-                    "(pip install pillow); use fake=True for plumbing tests"
-                )
             else:
+                from cubefs_hadoop_spark.extensions import codecs
+
                 rows = []
                 for p in pdf["content"]:
-                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
-                    # 8-dim feature: mean RGB of a 2x2 thumbnail + dims —
-                    # deterministic, codec-real, cheap
-                    thumb = img.resize((2, 2))
-                    px = list(thumb.getdata())
-                    feature = [c / 255.0 for rgb in px[:2] for c in rgb][:6]
-                    feature += [img.width / 4096.0, img.height / 4096.0]
-                    rows.append((img.width, img.height, feature))
+                    b = bytes(p)
+                    if Image is not None:
+                        img = Image.open(io.BytesIO(b)).convert("RGB")
+                        # 8-dim feature: first 2 px of a 2x2 thumbnail + dims
+                        thumb = img.resize((2, 2))
+                        px = list(thumb.getdata())
+                        feature = [c / 255.0 for rgb in px[:2] for c in rgb][:6]
+                        feature += [img.width / 4096.0, img.height / 4096.0]
+                        rows.append((img.width, img.height, feature))
+                        continue
+                    try:
+                        w, h, rgb = codecs.png_decode(b)
+                    except ValueError as ex:
+                        raise NotImplementedError(
+                            "real decode of non-PNG images requires the "
+                            "optional PIL dependency (pip install pillow); "
+                            f"stdlib PNG codec said: {ex}"
+                        ) from ex
+                    thumb = codecs.rgb_resize_nearest(w, h, rgb, 2, 2)
+                    feature = [c / 255.0 for c in thumb[:6]]
+                    feature += [w / 4096.0, h / 4096.0]
+                    rows.append((w, h, feature))
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -176,11 +186,6 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake and Image is None:
-                raise NotImplementedError(
-                    "real image resize requires the optional PIL dependency "
-                    "(pip install pillow); use fake=True for plumbing tests"
-                )
             out_bytes = []
             for p in pdf["content"]:
                 if fake:
@@ -189,11 +194,28 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
                     ).digest()
                     n = max(1, (target_w * target_h) // 64)
                     out_bytes.append((seed * (n // len(seed) + 1))[:n])
-                else:
+                elif Image is not None:
                     img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
                     buf = io.BytesIO()
                     img.resize((target_w, target_h)).save(buf, format="PNG")
                     out_bytes.append(buf.getvalue())
+                else:
+                    from cubefs_hadoop_spark.extensions import codecs
+
+                    try:
+                        w, h, rgb = codecs.png_decode(bytes(p))
+                    except ValueError as ex:
+                        raise NotImplementedError(
+                            "real resize of non-PNG images requires the "
+                            "optional PIL dependency (pip install pillow); "
+                            f"stdlib PNG codec said: {ex}"
+                        ) from ex
+                    small = codecs.rgb_resize_nearest(
+                        w, h, rgb, target_w, target_h
+                    )
+                    out_bytes.append(
+                        codecs.png_encode(target_w, target_h, small)
+                    )
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"],
@@ -233,12 +255,6 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sf = None if fake else _soundfile()
         for pdf in batches:
-            if not fake and sf is None:
-                raise NotImplementedError(
-                    "real audio decode requires the optional soundfile "
-                    "dependency (pip install soundfile); use fake=True for "
-                    "plumbing tests"
-                )
             rows = []
             for p in pdf["content"]:
                 if fake:
@@ -246,10 +262,23 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
                     n_samples = 1000 + int.from_bytes(h[:2], "big")
                     samples = [(b - 128) / 128.0 for b in h]
                     rate = sample_rate
-                else:
+                elif sf is not None:
                     data, rate = sf.read(io.BytesIO(bytes(p)))
                     samples = [float(s) for s in data[:65536].flatten()]
                     n_samples = len(data)
+                else:
+                    from cubefs_hadoop_spark.extensions import codecs
+
+                    try:
+                        samples, rate = codecs.wav_decode(bytes(p))
+                    except Exception as ex:
+                        raise NotImplementedError(
+                            "real decode of non-WAV audio requires the "
+                            "optional soundfile dependency (pip install "
+                            f"soundfile); stdlib WAV codec said: {ex}"
+                        ) from ex
+                    n_samples = len(samples)
+                    samples = samples[:65536]
                 rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
                 peak = max(abs(s) for s in samples)
                 rows.append((n_samples, rms, peak, rate))

@@ -337,3 +337,87 @@ def test_multimodal_real_audio_decode_when_soundfile_present(spark):
     assert row.n_samples == 8000
     assert row.duration_s == pytest.approx(1.0)
     assert 0.5 < row.rms < 1.2 and row.peak <= 1.0
+
+
+# -- stdlib codecs: PNG/WAV real paths with zero optional deps (round 4) ----
+
+
+def test_codec_png_roundtrip_and_filters():
+    from cubefs_hadoop_spark.extensions import codecs
+
+    w, h = 5, 3
+    rgb = bytes((x * 17 + y * 31 + c * 7) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    data = codecs.png_encode(w, h, rgb)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    w2, h2, rgb2 = codecs.png_decode(data)
+    assert (w2, h2, rgb2) == (w, h, rgb)
+
+    with pytest.raises(ValueError):
+        codecs.png_decode(b"JFIF not a png")
+    with pytest.raises(ValueError):
+        codecs.png_encode(2, 2, b"short")
+
+
+def test_codec_wav_roundtrip():
+    import math
+
+    from cubefs_hadoop_spark.extensions import codecs
+
+    samples = [math.sin(2 * math.pi * 440 * t / 8000) * 0.5 for t in range(800)]
+    data = codecs.wav_encode(samples, rate=8000)
+    out, rate = codecs.wav_decode(data)
+    assert rate == 8000 and len(out) == 800
+    assert max(abs(a - b) for a, b in zip(samples, out)) < 1e-3
+
+
+def test_multimodal_real_image_decode_stdlib(spark):
+    """X06 real image path WITHOUT PIL: the stdlib PNG codec decodes
+    actual PNG bytes inside the Arrow worker (no skip, no fake)."""
+    from cubefs_hadoop_spark.extensions import codecs
+
+    payloads = []
+    for i, color in enumerate([(255, 0, 0), (0, 128, 255)]):
+        w, h = 40 + i * 8, 24
+        rgb = bytes(color) * (w * h)
+        payloads.append((i, bytearray(codecs.png_encode(w, h, rgb))))
+    df = spark.createDataFrame(payloads, "item_id bigint, content binary")
+    df = mm.attach_metadata(df, "image", "image/png")
+    rows = {r.item_id: r for r in mm.extract_features(df, fake=False).collect()}
+    assert rows[0].width == 40 and rows[0].height == 24
+    assert rows[1].width == 48
+    assert rows[0].feature[0] > 0.95 and rows[0].feature[1] < 0.05  # red
+
+    resized = {r.item_id: r for r in mm.resize_images(df, 16, 16, fake=False).collect()}
+    for i, color in enumerate([(255, 0, 0), (0, 128, 255)]):
+        w2, h2, rgb2 = codecs.png_decode(bytes(resized[i].content))
+        assert (w2, h2) == (16, 16)
+        assert rgb2[:3] == bytes(color)  # solid color survives resize
+
+    # non-PNG bytes without PIL -> typed NotImplementedError, not garbage
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"JFIFnotapng"))], "item_id bigint, content binary"
+    )
+    bad = mm.attach_metadata(bad, "image", "image/jpeg")
+    with pytest.raises(Exception, match="NotImplementedError|pillow"):
+        mm.extract_features(bad, fake=False).collect()
+
+
+def test_multimodal_real_audio_decode_stdlib(spark):
+    """X06 real audio path WITHOUT soundfile: stdlib WAV codec inside the
+    Arrow worker (no skip, no fake)."""
+    import math
+
+    from cubefs_hadoop_spark.extensions import codecs
+
+    samples = [math.sin(2 * math.pi * 440 * t / 8000) * 0.366 for t in range(8000)]
+    df = spark.createDataFrame(
+        [(1, bytearray(codecs.wav_encode(samples, rate=8000)))],
+        "item_id bigint, content binary",
+    )
+    row = mm.extract_audio_features(df, sample_rate=8000, fake=False).collect()[0]
+    assert row.sample_rate == 8000
+    assert row.n_samples == 8000
+    assert row.duration_s == pytest.approx(1.0)
+    assert row.rms == pytest.approx(0.366 / 2**0.5, rel=0.01)
+    assert row.peak == pytest.approx(0.366, rel=0.01)
