@@ -183,3 +183,17 @@ def test_versioned_tables_over_uri(uri_eng, spark):
 
     # engine-level reads resolve the latest snapshot, not the raw dir
     assert eng.table("v").count() == 5
+
+
+def test_sync_catalog_over_uri_root(uri_eng, spark):
+    """Catalog registration works when table LOCATIONs are Hadoop-FS URIs
+    — the deployment shape of a real distributed warehouse."""
+    eng = uri_eng
+    eng.write_table(spark.range(6).selectExpr("id"), "t")
+    try:
+        eng.sync_catalog()
+        assert spark.sql("SELECT count(*) AS n FROM default.t").first().n == 6
+        eng.append(spark.range(2).selectExpr("id"), "t")
+        assert eng.sql("SELECT count(*) AS n FROM t").first().n == 8
+    finally:
+        eng.unsync_catalog()
