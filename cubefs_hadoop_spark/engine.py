@@ -91,6 +91,7 @@ class Engine:
         # only entries dirtied since the last statement (VERDICT r02 #6)
         self._synced_db: str | None = None
         self._dirty_tables: set[str] = set()
+        self._catalog_known: set[str] = set()
         self._views_dirty = False
         if create:
             self.create_database(database)
@@ -204,6 +205,15 @@ class Engine:
 
     def _sql_catalog(self, query: str) -> DataFrame:
         db, spark = self._synced_db, self.spark
+        # ONE warehouse listing per statement (the budget VERDICT r02 #6
+        # prescribes): catches tables another Engine/process created or
+        # dropped in this warehouse since our sync — our own writes are in
+        # the dirty set already.  Cross-engine APPENDS to an existing
+        # table still need that engine's refresh (documented; detecting
+        # them would cost a stat per table per statement).
+        current = set(self.list_tables())
+        self._dirty_tables.update(current ^ self._catalog_known)
+        self._catalog_known = current
         for name in sorted(self._dirty_tables):
             qn = f"{db}.{name}"
             if self.table_exists(name):
@@ -323,6 +333,7 @@ class Engine:
             # activate catalog-first sql() delegation for this engine
             self._synced_db = db
             self._dirty_tables.clear()
+            self._catalog_known = set(self.list_tables())
             self._views_dirty = False
         return registered
 

@@ -138,3 +138,16 @@ def test_analyze_table_records_cbo_stats(eng, spark):
         .toString()
     )
     assert "rowCount=10" in plan
+
+
+def test_synced_sql_sees_other_engines_tables(eng, spark, tmp_warehouse):
+    """A SECOND engine writing into the same warehouse: the synced
+    engine's per-statement listing pass picks up created and dropped
+    tables without a re-sync."""
+    eng.sync_catalog()
+    other = Engine(spark, tmp_warehouse, database="cfsql")
+    other.write_table(spark.range(7).selectExpr("id"), "from_other")
+    assert eng.sql("SELECT count(*) AS n FROM from_other").first().n == 7
+    other.drop_table("from_other")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM from_other").collect()
