@@ -241,7 +241,19 @@ class HadoopFS(WarehouseFS):
         )
 
     def mkdirs(self, path: str) -> None:
-        self._fs.mkdirs(self._p(path))
+        try:
+            self._fs.mkdirs(self._p(path))
+        except Exception as ex:
+            # contract parity with LocalFS: mkdirs over an existing file
+            # (or under one) is FileExistsError, not a raw Java exception
+            if self._is_exc(
+                ex,
+                "ParentNotDirectoryException",
+                "FileAlreadyExistsException",
+                "PathExistsException",
+            ):
+                raise FileExistsError(path) from ex
+            raise
 
     def list_dir(self, path: str) -> list[tuple[str, bool]]:
         p = self._p(path)
@@ -291,7 +303,15 @@ class HadoopFS(WarehouseFS):
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
-        out = self._fs.create(self._p(path), True)
+        try:
+            out = self._fs.create(self._p(path), True)
+        except Exception as ex:
+            if self._is_exc(
+                ex, "FileAlreadyExistsException", "ParentNotDirectoryException"
+            ):
+                # LocalFS raises IsADirectoryError (an OSError) here
+                raise IsADirectoryError(path) from ex
+            raise
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:

@@ -197,3 +197,75 @@ def test_sync_catalog_over_uri_root(uri_eng, spark):
         assert eng.sql("SELECT count(*) AS n FROM t").first().n == 8
     finally:
         eng.unsync_catalog()
+
+
+# -- property test: backend parity under random op sequences ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_NAMES = st.sampled_from(["a", "b", "c", "d1", "d2"])
+_OP = st.one_of(
+    st.tuples(st.just("mkdir"), _NAMES),
+    st.tuples(st.just("write"), _NAMES, st.text(max_size=8)),
+    st.tuples(st.just("rename"), _NAMES, _NAMES),
+    st.tuples(st.just("delete"), _NAMES),
+    st.tuples(st.just("cia"), _NAMES, st.text(max_size=8)),  # create_if_absent
+)
+
+
+def _apply(fs, root, op):
+    kind = op[0]
+    p = fs.join(root, op[1])
+    try:
+        if kind == "mkdir":
+            fs.mkdirs(p)
+            return ("ok",)
+        if kind == "write":
+            if fs.is_dir(p):
+                return ("skip",)  # writing over a dir diverges per-FS; out of contract
+            fs.write_text(p, op[2])
+            return ("ok",)
+        if kind == "rename":
+            return ("ren", fs.rename(p, fs.join(root, op[2])))
+        if kind == "delete":
+            return ("del", fs.delete(p))
+        if kind == "cia":
+            if fs.is_dir(p):
+                return ("skip",)
+            return ("cia", fs.create_if_absent(p, op[2]))
+    except FileNotFoundError:
+        return ("enoent",)
+    except OSError as ex:
+        return ("oserr", type(ex).__name__)
+
+
+def _observe(fs, root):
+    out = {}
+    for rel, size, _m in sorted(fs.walk_files(root)):
+        out[rel] = (size, fs.read_text(fs.join(root, rel)))
+    dirs = sorted(n for n, d in fs.list_dir(root) if d)
+    return out, dirs
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=12))
+def test_backend_parity_property(spark, tmp_path_factory, ops):
+    """Any op sequence leaves LocalFS and HadoopFS in identical observable
+    states (files+contents+dirs) with identical per-op results — the
+    contract the Engine relies on to be backend-agnostic."""
+    base = tmp_path_factory.mktemp("fsprop")
+    lfs, lroot = LocalFS(), str(base / "l")
+    hfs = HadoopFS(spark, "file://" + str(base / "h"))
+    hroot = "file://" + str(base / "h")
+    lfs.mkdirs(lroot)
+    hfs.mkdirs(hroot)
+    for op in ops:
+        ra = _apply(lfs, lroot, op)
+        rb = _apply(hfs, hroot, op)
+        assert ra == rb, (op, ra, rb)
+    assert _observe(lfs, lroot) == _observe(hfs, hroot)
