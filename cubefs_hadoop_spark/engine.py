@@ -809,15 +809,31 @@ class Engine:
     def vacuum(self) -> list[str]:
         """Remove orphaned work dirs left by interrupted maintenance ops
         (``*.__compacting`` / ``*.__merging`` / ``*.__old``) and Spark
-        ``_temporary`` attempt dirs from crashed writes.  Safe any time:
-        live tables never have these suffixes."""
+        ``_temporary`` attempt dirs from crashed writes.
+
+        Crash-recovery rule for ``.__old``: the swap sequence is
+        rename(table -> .__old) then rename(staged -> table), so a crash
+        BETWEEN the renames leaves ``.__old`` as the only copy of the
+        table.  ``.__old`` is therefore deleted only when the base table
+        exists (swap completed); otherwise it is RESTORED via the same N10
+        rename primitive.  Staging dirs (.__compacting/.__merging) are
+        always safe to drop — their content is reproducible."""
         removed = []
         root = self._db_path()
         for d, is_dir in self.fs.list_dir(root):
             p = self.fs.join(root, d)
-            if d.endswith((".__compacting", ".__merging", ".__old")):
+            if d.endswith((".__compacting", ".__merging")):
                 self.fs.delete(p, recursive=True)
                 removed.append(d)
+            elif d.endswith(".__old"):
+                base = self.fs.join(root, d.removesuffix(".__old"))
+                if self.fs.exists(base):
+                    self.fs.delete(p, recursive=True)
+                    removed.append(d)
+                else:
+                    # interrupted swap: .__old IS the table — roll back
+                    self.fs.rename(p, base)
+                    removed.append(f"{d} -> restored {d.removesuffix('.__old')}")
             elif is_dir:
                 tmp = self.fs.join(p, "_temporary")
                 if self.fs.is_dir(tmp):

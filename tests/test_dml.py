@@ -105,3 +105,23 @@ def test_execute_delete_merge_and_time_travel(eng, spark):
     assert [r.v for r in row] == ["old"]
     # current version unaffected
     assert eng.execute("SELECT count(*) AS n FROM vt").first().n == 2
+
+
+def test_vacuum_restores_interrupted_swap(eng, spark):
+    """A crash between the two swap renames leaves <t>.__old as the ONLY
+    copy of the table; vacuum must restore it, never delete it."""
+    eng.write_table(_df(spark, [(1, "a"), (2, "b")]), "t")
+    root = eng._db_path()
+    # simulate the crash window: table renamed away, staged dir not yet in
+    assert eng.fs.rename(eng.fs.join(root, "t"), eng.fs.join(root, "t.__old"))
+    assert not eng.table_exists("t")
+    removed = eng.vacuum()
+    assert any("restored" in r for r in removed)
+    assert eng.table_exists("t")
+    assert eng.table("t").count() == 2
+
+    # completed swap: base exists -> .__old is garbage and IS deleted
+    eng.fs.mkdirs(eng.fs.join(root, "t.__old"))
+    removed = eng.vacuum()
+    assert "t.__old" in removed
+    assert eng.table("t").count() == 2

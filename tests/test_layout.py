@@ -112,15 +112,17 @@ def test_vacuum_removes_orphans(spark, tmp_path):
     eng.write_table(load(spark, SF_SMOKE, "nation"), "nation")
     db = os.path.join(str(tmp_path / "wh"), "default")
     os.makedirs(os.path.join(db, "nation.__compacting"))
-    os.makedirs(os.path.join(db, "old_t.__old"))
+    os.makedirs(os.path.join(db, "nation.__old"))  # completed swap: garbage
+    os.makedirs(os.path.join(db, "old_t.__old"))  # interrupted swap: restore
     os.makedirs(os.path.join(db, "nation", "_temporary", "0"))
     removed = eng.vacuum()
     assert sorted(removed) == [
         "nation.__compacting",
+        "nation.__old",
         "nation/_temporary",
-        "old_t.__old",
+        "old_t.__old -> restored old_t",
     ]
-    assert eng.list_tables() == ["nation"]
+    assert eng.list_tables() == ["nation", "old_t"]
     assert eng.table("nation").count() > 0
     assert eng.vacuum() == []
 
