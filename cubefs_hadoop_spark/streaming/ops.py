@@ -27,6 +27,7 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from cubefs_hadoop_spark.catalog import load
@@ -416,6 +417,50 @@ def sink_versioned(
     from Flink+Iceberg, reference README.md:79-88)."""
     q = (
         sdf.writeStream.foreachBatch(versioned_batch_committer(engine, table))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sink_merge(
+    sdf: DataFrame,
+    engine,
+    table: str,
+    on: str | list[str],
+    checkpoint_dir: str,
+) -> None:
+    """S15: CDC-style streaming UPSERT sink — each micro-batch is merged
+    into ``table`` by key (matched rows replaced, new keys inserted), the
+    Flink/Iceberg upsert-sink capability over this engine's merge_table.
+
+    Effectively exactly-once without a ledger: merge is IDEMPOTENT (re-
+    applying a batch replaces keys with identical rows), so foreachBatch's
+    at-least-once replay around checkpoint boundaries converges to the
+    same table state.  Late-arriving duplicates of a key simply win by
+    arrival order — last writer per key, the upsert contract.  First batch
+    creates the table."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keys = [on] if isinstance(on, str) else list(on)
+        # one key-value per batch: keep the last row per key so a batch
+        # containing multiple updates to one key applies its final state
+        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not engine.table_exists(table):
+            engine.write_table(latest, table)
+        else:
+            engine.merge_table(latest, table, on=keys)
+
+    q = (
+        sdf.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

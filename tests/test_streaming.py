@@ -402,3 +402,49 @@ def test_s14_versioned_sink_exactly_once(spark, staged, tmp_path):
     # history surfaces the batch ledger
     hist = eng.table_history("ev")
     assert hist.filter("batch_id IS NOT NULL").count() == len(versions) + 1
+
+
+def test_s15_merge_sink_upserts_by_key(spark, tmp_path):
+    """S15: streaming upsert — later micro-batches replace earlier rows
+    with the same key; replaying is idempotent (merge converges)."""
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    stage = str(tmp_path / "cdc")
+    data = os.path.join(stage, "data")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    base = 1_700_000_000_000_000_000
+    # batch 1: users 1..3 initial state
+    spark.createDataFrame(
+        [(i, base + i, i, "init", 1.0, "{}") for i in (1, 2, 3)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(data)
+    time.sleep(1.1)
+    # batch 2: user 2 updated twice in one batch (last wins) + user 4 new
+    spark.createDataFrame(
+        [
+            (10, base + 10, 2, "upd", 2.0, "{}"),
+            (11, base + 11, 2, "upd", 3.0, "{}"),
+            (12, base + 12, 4, "init", 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    sdf = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
+    ops.sink_merge(sdf, eng, "user_state", on="user_id", checkpoint_dir=_ckpt(tmp_path, "s15"))
+
+    got = {(r.user_id, r.event_type, r.value) for r in eng.table("user_state").collect()}
+    assert got == {
+        (1, "init", 1.0),
+        (2, "upd", 3.0),  # last update in batch 2 won
+        (3, "init", 1.0),
+        (4, "init", 1.0),
+    }
+
+    # idempotence: new stream, FRESH checkpoint, same source -> same state
+    sdf2 = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
+    ops.sink_merge(sdf2, eng, "user_state", on="user_id", checkpoint_dir=_ckpt(tmp_path, "s15b"))
+    got2 = {(r.user_id, r.event_type, r.value) for r in eng.table("user_state").collect()}
+    assert got2 == got
