@@ -266,3 +266,23 @@ def test_table_stats_scope_to_current_snapshot(eng, spark):
     assert st["rows"] == 10
     m = versioning.read_manifest(eng._table_path("t"), 2)
     assert st["files"] == len(m["files"])  # v1's files not counted
+
+
+def test_expire_reaps_orphaned_staging_from_failed_commit(eng, spark):
+    """A commit that staged data files but crashed before the manifest
+    publish leaves an orphan stage dir; expire_versions reclaims it (and
+    never touches referenced files)."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    path = eng._table_path("t")
+    # simulate the crash: stage data, never publish a manifest
+    _stage, orphan_files = versioning._stage_write(
+        _df(spark, 100, 200), path, None, FS
+    )
+    assert orphan_files
+    stats = eng.expire_table_versions("t", keep_last=5)
+    assert stats["files_removed"] >= len(orphan_files)
+    assert eng.read_version("t").count() == 5  # live version untouched
+    # the orphan stage dir itself is gone
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "data", _stage))
