@@ -44,12 +44,12 @@ __all__ = ["WarehouseFS", "LocalFS", "HadoopFS", "warehouse_fs", "has_scheme"]
 
 def has_scheme(path: str) -> bool:
     """True when ``path`` is a URI with a scheme (``file:///x``,
-    ``hdfs://nn/x``) rather than a bare local path.  Single-letter schemes
-    are treated as paths so Windows-style ``C:\\x`` never routes to Hadoop."""
-    i = path.find("://")
-    if i <= 1:
-        return False
-    return path[:i].replace("+", "").replace("-", "").replace(".", "").isalnum()
+    ``hdfs://nn/x``, and Hadoop's single-slash ``file:/x`` form) rather
+    than a bare local path.  Single-letter schemes are treated as paths so
+    Windows-style ``C:\\x`` never routes to Hadoop."""
+    import re as _re
+
+    return bool(_re.match(r"^[A-Za-z][A-Za-z0-9+.\-]+:/", path))
 
 
 class WarehouseFS:

@@ -269,3 +269,8 @@ def test_backend_parity_property(spark, tmp_path_factory, ops):
         rb = _apply(hfs, hroot, op)
         assert ra == rb, (op, ra, rb)
     assert _observe(lfs, lroot) == _observe(hfs, hroot)
+
+
+def test_has_scheme_single_slash_uri():
+    assert has_scheme("file:/single/slash")  # Hadoop's short URI form
+    assert not has_scheme("C:/windows/drive")
