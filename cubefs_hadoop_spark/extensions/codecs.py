@@ -186,3 +186,26 @@ def wav_decode(data: bytes) -> tuple[list[float], int]:
             sum(vals[i : i + n_ch]) / n_ch for i in range(0, len(vals), n_ch)
         ]
     return [v / scale for v in vals], rate
+
+
+def split_png_stream(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG byte stream ("motion PNG": frames stored
+    back-to-back, the PNG analog of MJPEG) into individual PNG payloads.
+    Frames are delimited by the PNG signature and their own IEND chunk, so
+    the split is exact — no guessing, no resynchronization heuristics."""
+    frames = []
+    pos = 0
+    while True:
+        start = data.find(_PNG_SIG, pos)
+        if start < 0:
+            break
+        p = start + 8
+        while p + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[p : p + 4])
+            kind = data[p + 4 : p + 8]
+            p += 12 + ln
+            if kind == b"IEND":
+                break
+        frames.append(data[start:p])
+        pos = p
+    return frames

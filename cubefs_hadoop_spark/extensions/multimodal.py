@@ -156,6 +156,76 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     ).mapInPandas(decode_image_batches(fake=fake), FEATURE_SCHEMA)
 
 
+VIDEO_FRAME_SCHEMA = (
+    "item_id bigint, frame_idx int, width int, height int, "
+    "feature array<float>"
+)
+
+
+def decode_video_batches(every_n: int = 1, fake: bool = True):
+    """mapInPandas worker factory for video frame extraction + per-frame
+    features.  Real path: the payload is a motion-PNG stream (concatenated
+    PNGs) split exactly by signature/IEND and decoded with the stdlib PNG
+    codec — every ``every_n``-th frame is kept (the frame-sampling step of
+    a training-data pipeline).  Containers needing real demuxers (mp4,
+    webm) raise NotImplementedError naming the gap; the fake path keeps
+    format-independent plumbing tests."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from cubefs_hadoop_spark.extensions import codecs
+
+        for pdf in batches:
+            ids, idxs, ws, hs, feats = [], [], [], [], []
+            for item_id, p in zip(pdf["item_id"], pdf["content"]):
+                b = bytes(p)
+                if fake:
+                    h = hashlib.sha256(b).digest()
+                    n_frames = 1 + h[0] % 8
+                    for fi in range(0, n_frames, every_n):
+                        ids.append(item_id)
+                        idxs.append(fi)
+                        ws.append(16 + h[1] % 64)
+                        hs.append(16 + h[2] % 64)
+                        feats.append([x / 255.0 for x in h[fi : fi + 4]])
+                    continue
+                frames = codecs.split_png_stream(b)
+                if not frames:
+                    raise NotImplementedError(
+                        "real video decode supports motion-PNG streams; "
+                        "mp4/webm need an external demuxer (ffmpeg)"
+                    )
+                for fi in range(0, len(frames), every_n):
+                    w, h2, rgb = codecs.png_decode(frames[fi])
+                    thumb = codecs.rgb_resize_nearest(w, h2, rgb, 2, 2)
+                    ids.append(item_id)
+                    idxs.append(fi)
+                    ws.append(w)
+                    hs.append(h2)
+                    feats.append([c / 255.0 for c in thumb[:4]])
+            yield pd.DataFrame(
+                {
+                    "item_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "feature": feats,
+                }
+            )
+
+    return decode
+
+
+def extract_video_frames(
+    df: DataFrame, every_n: int = 1, fake: bool = True
+) -> DataFrame:
+    """Frame-sample + per-frame features over (item_id, content) video
+    rows — Arrow-batched, partition-local; output rows explode per kept
+    frame (the decode-then-explode plan shape of a video pipeline)."""
+    return df.select("item_id", "content").mapInPandas(
+        decode_video_batches(every_n=every_n, fake=fake), VIDEO_FRAME_SCHEMA
+    )
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits frame indexes 0, n, 2n... per item
     based on metadata only (decode deferred to extract_features).  Shows

@@ -421,3 +421,34 @@ def test_multimodal_real_audio_decode_stdlib(spark):
     assert row.duration_s == pytest.approx(1.0)
     assert row.rms == pytest.approx(0.366 / 2**0.5, rel=0.01)
     assert row.peak == pytest.approx(0.366, rel=0.01)
+
+
+def test_multimodal_real_video_frames_stdlib(spark):
+    """X06 video real path: a motion-PNG stream (concatenated PNGs) is
+    split exactly, every_n-th frame decoded — the frame-sampling plan
+    shape with a REAL decode, zero optional deps."""
+    from cubefs_hadoop_spark.extensions import codecs
+
+    frames = []
+    for i, color in enumerate([(250, 0, 0), (0, 250, 0), (0, 0, 250), (9, 9, 9)]):
+        frames.append(codecs.png_encode(8, 6, bytes(color) * 48))
+    stream = b"".join(frames)
+    assert len(codecs.split_png_stream(stream)) == 4
+
+    df = spark.createDataFrame(
+        [(7, bytearray(stream))], "item_id bigint, content binary"
+    )
+    all_f = mm.extract_video_frames(df, every_n=1, fake=False).collect()
+    assert [r.frame_idx for r in sorted(all_f, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert all(r.width == 8 and r.height == 6 for r in all_f)
+    by_idx = {r.frame_idx: r.feature for r in all_f}
+    assert by_idx[0][0] > 0.9 and by_idx[1][1] > 0.9  # per-frame color
+
+    sampled = mm.extract_video_frames(df, every_n=2, fake=False).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
+
+    bad = spark.createDataFrame(
+        [(8, bytearray(b"mp4boxnotpng"))], "item_id bigint, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|demuxer|ffmpeg"):
+        mm.extract_video_frames(bad, fake=False).collect()
