@@ -93,6 +93,8 @@ class Engine:
         self._dirty_tables: set[str] = set()
         self._catalog_known: set[str] = set()
         self._views_dirty = False
+        # bcache analog (cfs.enable.bcache): cached table handles
+        self._cached: dict[str, DataFrame] = {}
         if create:
             self.create_database(database)
 
@@ -166,6 +168,11 @@ class Engine:
         ``merge_schema=True`` reconciles parts written with evolved schemas
         (new nullable columns appear as null in old parts) — reads every
         footer instead of one, so keep it off for stable-schema tables."""
+        if name in self._cached:
+            # bcache tier: serve the pinned handle (invalidated on any
+            # write through this engine; external writers bypass it, the
+            # standard cache-coherency bound of a client-side cache)
+            return self._cached[name]
         path = self._table_path(name)
         if not self.fs.exists(path):
             raise TableNotFoundError("table not found", name)
@@ -202,6 +209,44 @@ class Engine:
     def _mark_dirty(self, *names: str) -> None:
         if self._synced_db is not None:
             self._dirty_tables.update(names)
+        for n in names:
+            # a write invalidates the bcache tier for that table
+            cached = self._cached.pop(n, None)
+            if cached is not None:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+
+    def bcache_enabled(self) -> bool:
+        """cfs.enable.bcache analog (CubefsConfigs.java:21-49, default
+        false): when true, cache_table pins table blocks in Spark's
+        block-manager cache — the client-side cache tier."""
+        try:
+            return (
+                str(
+                    self.spark.conf.get("cfspark.enable.bcache", "false")
+                ).lower()
+                == "true"
+            )
+        except Exception:
+            return False
+
+    def cache_table(self, name: str) -> DataFrame:
+        """Pin ``name`` in the block-manager cache (bcache tier).  A
+        no-op returning the plain scan when ``cfspark.enable.bcache`` is
+        false — the reference's disabled-client-cache default.  Any write
+        through this engine invalidates the cached handle."""
+        if not self.bcache_enabled():
+            return self.table(name)
+        if name not in self._cached:
+            self._cached[name] = self.table(name).cache()
+        return self._cached[name]
+
+    def uncache_table(self, name: str) -> None:
+        cached = self._cached.pop(name, None)
+        if cached is not None:
+            cached.unpersist()
 
     def _sql_catalog(self, query: str) -> DataFrame:
         db, spark = self._synced_db, self.spark
