@@ -816,6 +816,23 @@ class Engine:
         self._mark_dirty(name)
         return v
 
+    def read_table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental scan: rows added to ``name`` after ``from_version``
+        up to ``to_version`` (default latest).  Append-only ranges only —
+        see versioning.read_changes.  A consumer tracking its last-seen
+        version (table_history) gets CDC-style reads with no rescan."""
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.read_changes(
+            self.spark,
+            self._table_path(name),
+            from_version,
+            to_version,
+            fs=self.fs,
+        )
+
     def table_history(self, name: str) -> DataFrame:
         """Snapshot metadata for a versioned table (Iceberg's ``snapshots``
         metadata-table parity): one row per committed version with mode,

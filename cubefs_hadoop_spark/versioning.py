@@ -226,6 +226,47 @@ def read_version(
     return spark.read.parquet(*paths)
 
 
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    fs: WarehouseFS | None = None,
+) -> DataFrame:
+    """Incremental scan (Iceberg incremental-read analog): the rows ADDED
+    between ``from_version`` (exclusive) and ``to_version`` (inclusive,
+    default latest) — i.e. exactly the files present in the target
+    manifest but not in the base manifest.  The CDC-read primitive for
+    append-shaped pipelines: a consumer that remembers its last version
+    reads only new data, never rescans the table.
+
+    Raises EngineIOError when the range contains a non-additive commit
+    (overwrite/compact/rollback dropped files) — the file-set diff would
+    not equal the row-level change set, so refusing beats silently wrong
+    incremental results."""
+    fs = _fs(fs)
+    to_v = current_version(table_path, fs) if to_version is None else to_version
+    base = set(read_manifest(table_path, from_version, fs)["files"])
+    target_m = read_manifest(table_path, to_v, fs)
+    target = set(target_m["files"])
+    removed = base - target
+    if removed:
+        raise EngineIOError(
+            f"non-additive commit in ({from_version}, {to_v}]: "
+            f"{len(removed)} file(s) removed; incremental read is only "
+            "defined over append-only ranges",
+            table_path,
+        )
+    added = sorted(target - base)
+    if not added:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType.fromJson(target_m["schema"])
+        )
+    return spark.read.parquet(*(fs.join(table_path, f) for f in added))
+
+
 def rollback(
     table_path: str, to_version: int, fs: WarehouseFS | None = None
 ) -> int:

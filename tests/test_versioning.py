@@ -286,3 +286,25 @@ def test_expire_reaps_orphaned_staging_from_failed_commit(eng, spark):
     import os
 
     assert not os.path.isdir(os.path.join(path, "data", _stage))
+
+
+def test_incremental_read_changes(eng, spark):
+    """read_table_changes returns exactly the rows added in the version
+    range; non-additive ranges are refused."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table_version(_df(spark, 5, 8), "t", mode="append")
+    eng.write_table_version(_df(spark, 8, 10), "t", mode="append")
+
+    inc = eng.read_table_changes("t", from_version=1)
+    assert sorted(r.id for r in inc.collect()) == [5, 6, 7, 8, 9]
+    inc12 = eng.read_table_changes("t", from_version=1, to_version=2)
+    assert sorted(r.id for r in inc12.collect()) == [5, 6, 7]
+    # empty range -> empty frame with the table schema
+    assert eng.read_table_changes("t", 3, 3).count() == 0
+
+    # overwrite breaks additivity -> typed refusal
+    eng.write_table_version(_df(spark, 0, 2), "t", mode="overwrite")
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    with pytest.raises(EngineIOError):
+        eng.read_table_changes("t", from_version=1)
