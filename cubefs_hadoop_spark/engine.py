@@ -678,7 +678,12 @@ class Engine:
         from cubefs_hadoop_spark import versioning
         from pyspark.sql import functions as F
 
-        remaining = self.table(name).filter(~F.expr(predicate))
+        # SQL DELETE semantics: remove rows where the predicate IS TRUE;
+        # rows where it evaluates NULL are KEPT (a bare ~pred would drop
+        # them — three-valued logic)
+        remaining = self.table(name).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
         path = self._table_path(name)
         if versioning.is_versioned(path, self.fs):
             versioning.commit_version(

@@ -125,3 +125,14 @@ def test_vacuum_restores_interrupted_swap(eng, spark):
     removed = eng.vacuum()
     assert "t.__old" in removed
     assert eng.table("t").count() == 2
+
+
+def test_delete_from_null_predicate_rows_are_kept(eng, spark):
+    """SQL DELETE three-valued logic: rows where the predicate evaluates
+    NULL are kept, not deleted."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id bigint, v double"
+    )
+    eng.write_table(df, "n")
+    eng.delete_from("n", "v > 50")  # NULL for id=2 -> keep
+    assert sorted(r.id for r in eng.table("n").collect()) == [1, 2]
