@@ -136,3 +136,64 @@ def test_delete_from_null_predicate_rows_are_kept(eng, spark):
     eng.write_table(df, "n")
     eng.delete_from("n", "v > 50")  # NULL for id=2 -> keep
     assert sorted(r.id for r in eng.table("n").collect()) == [1, 2]
+
+
+# -- property test: DML sequence vs an in-memory model ----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_dml_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 99)),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    st.tuples(st.just("delete_ge"), st.integers(0, 99)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_dml_op, min_size=1, max_size=5), versioned=st.booleans())
+def test_dml_sequence_agrees_with_model(spark, tmp_path_factory, ops, versioned):
+    """Random merge/delete sequences leave the table exactly where a
+    dict model lands — on both the plain (rename-swap) and versioned
+    (snapshot-commit) paths."""
+    wh = str(tmp_path_factory.mktemp("dml_wh"))
+    eng = Engine(spark, wh)
+    model = {i: i * 10 for i in range(4)}
+    init = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], "id bigint, v bigint"
+    )
+    if versioned:
+        eng.write_table_version(init, "t")
+    else:
+        eng.write_table(init, "t")
+
+    for op in ops:
+        if op[0] == "merge":
+            # last occurrence of each key in the batch wins (upsert batch)
+            batch = {}
+            for k, v in op[1]:
+                batch[k] = v
+            df = spark.createDataFrame(
+                [(k, v) for k, v in batch.items()], "id bigint, v bigint"
+            )
+            eng.merge_table(df, "t", on="id")
+            model.update(batch)
+        else:
+            eng.delete_from("t", f"v >= {op[1]}")
+            model = {k: v for k, v in model.items() if not v >= op[1]}
+
+    got = {r.id: r.v for r in eng.table("t").collect()}
+    assert got == model
+    if versioned:
+        # every DML commit added a version; history intact
+        assert len(eng.table_versions("t")) == 1 + len(ops)
