@@ -910,6 +910,13 @@ class Engine:
 
     # -- metadata path -----------------------------------------------------
 
+    def status(self) -> dict:
+        """FsStatus analog (N22-adjacent; reference getStatus surfaces
+        capacity/remaining, CubeFileSystemTest.java:30-36): byte capacity
+        report of the store under the warehouse root, through whichever
+        backend serves it."""
+        return self.fs.status(self.warehouse_root)
+
     def list_tables(self) -> list[str]:
         """N12 listStatus analog (CubefsFileSystem.java:280-336): table names
         are the directories under the database root."""

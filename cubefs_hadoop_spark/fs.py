@@ -101,6 +101,12 @@ class WarehouseFS:
         """Remove now-empty directories under ``root`` (GC housekeeping)."""
         raise NotImplementedError
 
+    def status(self, path: str) -> dict:
+        """Store capacity report for the filesystem holding ``path``:
+        {capacity, used, remaining} in bytes — the FsStatus/getStatus verb
+        (reference testFsStatus, CubeFileSystemTest.java:30-36)."""
+        raise NotImplementedError
+
 
 class LocalFS(WarehouseFS):
     """POSIX backend — all ``os``/``shutil`` calls in the warehouse
@@ -183,6 +189,14 @@ class LocalFS(WarehouseFS):
             return False
         finally:
             os.unlink(tmp)
+
+    def status(self, path: str) -> dict:
+        du = shutil.disk_usage(path)
+        return {
+            "capacity": int(du.total),
+            "used": int(du.used),
+            "remaining": int(du.free),
+        }
 
     def cleanup_empty_dirs(self, root: str) -> None:
         if not os.path.isdir(root):
@@ -335,6 +349,14 @@ class HadoopFS(WarehouseFS):
         finally:
             out.close()
         return True
+
+    def status(self, path: str) -> dict:
+        st = self._fs.getStatus(self._p(path))
+        return {
+            "capacity": int(st.getCapacity()),
+            "used": int(st.getUsed()),
+            "remaining": int(st.getRemaining()),
+        }
 
     def cleanup_empty_dirs(self, root: str) -> None:
         p = self._p(root)

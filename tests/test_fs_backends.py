@@ -274,3 +274,12 @@ def test_backend_parity_property(spark, tmp_path_factory, ops):
 def test_has_scheme_single_slash_uri():
     assert has_scheme("file:/single/slash")  # Hadoop's short URI form
     assert not has_scheme("C:/windows/drive")
+
+
+def test_status_reports_capacity(spark, tmp_path, uri_eng):
+    """FsStatus parity (reference testFsStatus): capacity/remaining > 0 on
+    both backends."""
+    for eng in (Engine(spark, str(tmp_path / "lwh")), uri_eng):
+        st = eng.status()
+        assert st["capacity"] > 0 and st["remaining"] > 0
+        assert st["used"] >= 0 and st["capacity"] >= st["remaining"]
