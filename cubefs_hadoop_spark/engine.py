@@ -183,7 +183,9 @@ class Engine:
         if versioning.is_versioned(path, self.fs):
             # manifest-backed table: resolve the latest committed snapshot
             # (reading the raw directory would mix versions)
-            return versioning.read_version(self.spark, path, fs=self.fs)
+            return versioning.read_version(
+                self.spark, path, fs=self.fs, merge_schema=merge_schema
+            )
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -256,13 +258,21 @@ class Engine:
         # the dirty set already.  Cross-engine APPENDS to an existing
         # table still need that engine's refresh (documented; detecting
         # them would cost a stat per table per statement).
+        from cubefs_hadoop_spark import versioning
+
         current = set(self.list_tables())
         self._dirty_tables.update(current ^ self._catalog_known)
         self._catalog_known = current
         for name in sorted(self._dirty_tables):
             qn = f"{db}.{name}"
             if self.table_exists(name):
-                if spark.catalog.tableExists(qn):
+                if versioning.is_versioned(self._table_path(name), self.fs):
+                    # manifest-backed: refresh the snapshot temp view (a
+                    # LOCATION table would mix versions); drop any stale
+                    # plain-table entry from a pre-versioned life
+                    self.table(name).createOrReplaceTempView(name)
+                    spark.sql(f"DROP TABLE IF EXISTS {qn}")
+                elif spark.catalog.tableExists(qn):
                     # appended/compacted data: drop cached file listings
                     spark.catalog.refreshTable(qn)
                 else:
@@ -271,8 +281,10 @@ class Engine:
                         f"CREATE TABLE IF NOT EXISTS {qn} "
                         f"USING parquet LOCATION '{path}'"
                     )
+                    spark.catalog.dropTempView(name)
             else:
                 spark.sql(f"DROP TABLE IF EXISTS {qn}")
+                spark.catalog.dropTempView(name)
         self._dirty_tables.clear()
         if self._views_dirty:
             self._sync_catalog_views(db)
@@ -353,10 +365,20 @@ class Engine:
         db = self._validate_name(
             self.database if database is None else database, "database"
         )
+        from cubefs_hadoop_spark import versioning
+
         spark = self.spark
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
         registered = []
+        versioned_tables: list[str] = []
         for name in self.list_tables():
+            if versioning.is_versioned(self._table_path(name), self.fs):
+                # a manifest-backed table has no single static file set; a
+                # raw LOCATION catalog table would scan EVERY snapshot's
+                # files (mixing versions).  Registered below as a temp
+                # view over the current snapshot instead.
+                versioned_tables.append(name)
+                continue
             path = self._table_path(name).replace("'", "''")
             spark.sql(
                 f"CREATE TABLE IF NOT EXISTS {db}.{name} "
@@ -373,6 +395,11 @@ class Engine:
         # INVALID_TEMP_OBJ_REFERENCE when the view body names the table.
         for name in set(self.list_tables()) | set(self._views()):
             spark.catalog.dropTempView(name)
+        for name in versioned_tables:
+            # current snapshot as a session view; the per-statement dirty
+            # reconcile refreshes it after each versioned commit
+            self.table(name).createOrReplaceTempView(name)
+            registered.append(name)
         registered.extend(self._sync_catalog_views(db))
         if db == self._validate_name(self.database, "database"):
             # activate catalog-first sql() delegation for this engine
@@ -409,9 +436,24 @@ class Engine:
                         # may depend on a not-yet-created sibling view
                         failed[vname] = text
                 if len(failed) == len(pending):
-                    # no progress: surface the first real error
-                    vname, text = next(iter(failed.items()))
-                    spark.sql(f"CREATE OR REPLACE VIEW {db}.{vname} AS {text}")
+                    # No progress.  A view over a manifest-backed table
+                    # cannot be a persistent catalog view (it would
+                    # reference the snapshot TEMP view); register such
+                    # views as temp views instead.  Anything still failing
+                    # after that raises its real error.
+                    still: dict[str, str] = {}
+                    for vname, text in failed.items():
+                        try:
+                            spark.sql(text).createOrReplaceTempView(vname)
+                            registered.append(vname)
+                        except Exception:
+                            still[vname] = text
+                    if len(still) == len(failed):
+                        vname, text = next(iter(still.items()))
+                        spark.sql(
+                            f"CREATE OR REPLACE VIEW {db}.{vname} AS {text}"
+                        )
+                    failed = still
                 pending = failed
         finally:
             spark.catalog.setCurrentDatabase(prev_db)
@@ -702,10 +744,24 @@ class Engine:
         tmp = path + ".__merging"
         self.fs.delete(tmp, recursive=True)
         df.write.mode("errorifexists").parquet(tmp)
+        self._swap_in(name, tmp)
+
+    def _swap_in(self, name: str, tmp: str) -> None:
+        """Swap staged dir ``tmp`` in as table ``name`` via two N10
+        renames.  EVERY rename result is checked: on a failed second
+        rename the ``.__old`` dir — the only committed copy — is left in
+        place for ``vacuum()`` to restore; it is deleted only after the
+        staged data is live."""
+        path = self._table_path(name)
         old = path + ".__old"
         if not self.fs.rename(path, old):
             raise EngineIOError("stale .__old dir blocks rewrite", name)
-        self.fs.rename(tmp, path)
+        if not self.fs.rename(tmp, path):
+            raise EngineIOError(
+                "swap-in rename failed; original preserved in .__old "
+                "(vacuum() restores it)",
+                name,
+            )
         self.fs.delete(old, recursive=True)
 
     def rename_table(self, src: str, dst: str) -> bool:
@@ -764,11 +820,7 @@ class Engine:
         tmp = path + ".__compacting"
         self.fs.delete(tmp, recursive=True)
         n = compact(self.table(name), tmp, target_file_bytes)
-        old = path + ".__old"
-        if not self.fs.rename(path, old):
-            raise EngineIOError("stale .__old dir blocks compaction", name)
-        self.fs.rename(tmp, path)
-        self.fs.delete(old, recursive=True)
+        self._swap_in(name, tmp)
         self._mark_dirty(name)
         return n
 

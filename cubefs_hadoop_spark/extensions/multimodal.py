@@ -349,8 +349,13 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
                         ) from ex
                     n_samples = len(samples)
                     samples = samples[:65536]
-                rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
-                peak = max(abs(s) for s in samples)
+                if samples:
+                    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+                    peak = max(abs(s) for s in samples)
+                else:
+                    # zero-frame WAV (truncated recording): emit silence
+                    # stats instead of crashing the Arrow worker/task
+                    rms, peak = 0.0, 0.0
                 rows.append((n_samples, rms, peak, rate))
             yield pd.DataFrame(
                 {

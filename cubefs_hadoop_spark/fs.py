@@ -270,12 +270,13 @@ class HadoopFS(WarehouseFS):
             raise
 
     def list_dir(self, path: str) -> list[tuple[str, bool]]:
-        p = self._p(path)
-        if not self._fs.exists(p):
+        # contract parity with LocalFS: non-directories list as [] —
+        # Hadoop's listStatus(file) would return the file itself
+        if not self.is_dir(path):
             return []
         return [
             (st.getPath().getName(), bool(st.isDirectory()))
-            for st in self._fs.listStatus(p)
+            for st in self._fs.listStatus(self._p(path))
         ]
 
     def rename(self, src: str, dst: str) -> bool:
@@ -332,22 +333,36 @@ class HadoopFS(WarehouseFS):
             out.close()
 
     def create_if_absent(self, path: str, text: str) -> bool:
-        try:
-            out = self._fs.create(self._p(path), False)  # no-overwrite
-        except Exception as ex:
-            if self._is_exc(
-                ex, "FileAlreadyExistsException", "PathExistsException"
-            ):
-                return False
-            raise
+        """Write to a hidden tmp name, then publish via rename — the final
+        path NEVER exists partially written (a direct create(path) would
+        expose a zero-length file before the bytes land, and a concurrent
+        reader would parse a torn manifest).  HDFS-like stores make the
+        rename-onto-existing-dst refusal atomic server-side; on ``file://``
+        the exists pre-check is client-side (test-only caveat, as above)."""
+        import uuid
+
+        p = self._p(path)
+        if self._fs.exists(p):
+            return False
+        parent, base = path.rsplit("/", 1)
+        tmp = self.join(parent, f".tmp-{base}-{uuid.uuid4().hex}")
+        tp = self._p(tmp)
+        out = self._fs.create(tp, True)
         try:
             out.write(bytearray(text.encode("utf-8")))
             try:
-                out.hsync()  # durable before visible where the FS supports it
+                out.hsync()  # durable before visible where supported
             except Exception:
                 pass
         finally:
             out.close()
+        try:
+            if self._fs.exists(p) or not self._fs.rename(tp, p):
+                self._fs.delete(tp, False)
+                return False
+        except Exception:
+            self._fs.delete(tp, False)
+            raise
         return True
 
     def status(self, path: str) -> dict:

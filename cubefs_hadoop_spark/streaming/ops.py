@@ -394,16 +394,22 @@ def versioned_batch_committer(engine, table: str):
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         path = engine._table_path(table)
-        if engine.fs.exists(path) and batch_id in versioning.committed_batch_ids(
-            path, engine.fs
-        ):
-            return  # replayed batch: already durable, skip
+        ledger: set[int] = set()
+        if engine.fs.exists(path):
+            # one metadata read: the cumulative ledger in the latest
+            # manifest (survives expire_versions GC; O(1) per batch)
+            ledger = versioning.committed_batch_ids(path, engine.fs)
+            if batch_id in ledger:
+                return  # replayed batch: already durable, skip
         versioning.commit_version(
             batch_df,
             path,
             mode="append",
             fs=engine.fs,
-            extra={"batch_id": int(batch_id)},
+            extra={
+                "batch_id": int(batch_id),
+                "batch_ids": sorted(ledger | {int(batch_id)}),
+            },
         )
 
     return _commit
@@ -430,25 +436,37 @@ def sink_merge(
     table: str,
     on: str | list[str],
     checkpoint_dir: str,
+    order_by: str | None = None,
 ) -> None:
     """S15: CDC-style streaming UPSERT sink — each micro-batch is merged
     into ``table`` by key (matched rows replaced, new keys inserted), the
     Flink/Iceberg upsert-sink capability over this engine's merge_table.
 
+    ``order_by`` names the column that decides which row wins when a batch
+    carries several updates to one key (highest value wins — typically the
+    event timestamp or a change sequence number).  Without it the pick
+    falls back to ordering over all non-key columns: DETERMINISTIC across
+    replays, but not "latest" in any temporal sense — pass ``order_by``
+    for real CDC streams.  (A physical-order pick via
+    monotonically_increasing_id would embed the partition index in the
+    high bits and could prefer an OLDER row from a later partition.)
+
     Effectively exactly-once without a ledger: merge is IDEMPOTENT (re-
     applying a batch replaces keys with identical rows), so foreachBatch's
     at-least-once replay around checkpoint boundaries converges to the
-    same table state.  Late-arriving duplicates of a key simply win by
-    arrival order — last writer per key, the upsert contract.  First batch
-    creates the table."""
+    same table state.  First batch creates the table."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         keys = [on] if isinstance(on, str) else list(on)
-        # one key-value per batch: keep the last row per key so a batch
-        # containing multiple updates to one key applies its final state
-        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        if order_by is not None:
+            order_cols = [F.col(order_by).desc()]
+        else:
+            order_cols = [
+                F.col(c).desc() for c in batch_df.columns if c not in keys
+            ] or [F.lit(1)]
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

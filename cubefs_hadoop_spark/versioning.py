@@ -149,10 +149,21 @@ def committed_batch_ids(
     table_path: str, fs: WarehouseFS | None = None
 ) -> set[int]:
     """Batch ids recorded by streaming commits (sink_versioned) — the
-    exactly-once ledger.  Metadata-only: reads manifests, never data."""
+    exactly-once ledger.  Each streaming commit carries the CUMULATIVE
+    ``batch_ids`` set forward in its manifest, so this is ONE metadata
+    read (the latest manifest), the ledger survives ``expire_versions``
+    GC (the latest manifest is always retained), and per-batch cost stays
+    O(1) instead of O(#versions).  Falls back to scanning every manifest
+    for chains written before the cumulative field existed."""
     fs = _fs(fs)
+    vs = list_versions(table_path, fs)
+    if not vs:
+        return set()
+    latest = read_manifest(table_path, vs[-1], fs)
+    if "batch_ids" in latest:
+        return {int(b) for b in latest["batch_ids"]}
     out: set[int] = set()
-    for v in list_versions(table_path, fs):
+    for v in vs:
         bid = read_manifest(table_path, v, fs).get("batch_id")
         if bid is not None:
             out.add(int(bid))
@@ -187,6 +198,13 @@ def commit_version(
         base_files: list[str] = []
         if mode == "append" and parent:
             base_files = read_manifest(table_path, parent, fs)["files"]
+        inherited: dict = {}
+        if parent:
+            pm = read_manifest(table_path, parent, fs)
+            if "batch_ids" in pm:
+                # the streaming exactly-once ledger rides every commit so
+                # a manual commit between streaming batches never drops it
+                inherited["batch_ids"] = pm["batch_ids"]
         manifest = {
             "version": parent + 1,
             "parent": parent or None,
@@ -195,6 +213,7 @@ def commit_version(
             "files": sorted(base_files + files),
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
+            **inherited,
             **(extra or {}),
         }
         try:
@@ -212,9 +231,12 @@ def read_version(
     table_path: str,
     version: int | None = None,
     fs: WarehouseFS | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a committed version (default: latest) — exactly the files its
-    manifest lists, so concurrent commits never tear a read."""
+    manifest lists, so concurrent commits never tear a read.
+    ``merge_schema`` reconciles parts committed with evolved schemas
+    across appends (same contract as Engine.table)."""
     fs = _fs(fs)
     v = current_version(table_path, fs) if version is None else version
     m = read_manifest(table_path, v, fs)
@@ -223,7 +245,10 @@ def read_version(
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
     paths = [fs.join(table_path, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def read_changes(
@@ -277,6 +302,7 @@ def rollback(
     m = read_manifest(table_path, to_version, fs)
     vs = list_versions(table_path, fs)
     parent = vs[-1]
+    pm = read_manifest(table_path, parent, fs)
     manifest = {
         "version": parent + 1,
         "parent": parent,
@@ -286,6 +312,8 @@ def rollback(
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
     }
+    if "batch_ids" in pm:
+        manifest["batch_ids"] = pm["batch_ids"]
     return _commit_manifest(table_path, manifest, parent + 1, fs)
 
 
@@ -321,6 +349,9 @@ def compact_version(
         "ts_ms": int(time.time() * 1000),
         "schema": df.schema.jsonValue(),
     }
+    pm = read_manifest(table_path, parent, fs)
+    if "batch_ids" in pm:
+        manifest["batch_ids"] = pm["batch_ids"]
     return _commit_manifest(table_path, manifest, parent + 1, fs)
 
 

@@ -151,3 +151,21 @@ def test_synced_sql_sees_other_engines_tables(eng, spark, tmp_warehouse):
     other.drop_table("from_other")
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM from_other").collect()
+
+
+def test_synced_sql_resolves_versioned_tables_to_current_snapshot(eng, spark):
+    """A manifest-backed table must never be registered as a raw LOCATION
+    catalog table (that would scan every snapshot's files); the
+    catalog-first path serves the CURRENT snapshot and tracks commits."""
+    eng.write_table_version(spark.range(5).selectExpr("id"), "vt")
+    eng.write_table_version(spark.range(3).selectExpr("id"), "vt")  # overwrite
+    eng.sync_catalog()
+    assert eng.sql("SELECT count(*) AS n FROM vt").first().n == 3  # not 8
+
+    # a new versioned commit is visible on the next statement
+    eng.write_table_version(spark.range(7).selectExpr("id"), "vt")
+    assert eng.sql("SELECT count(*) AS n FROM vt").first().n == 7
+
+    # DML through the engine too
+    eng.delete_from("vt", "id >= 5")
+    assert eng.sql("SELECT count(*) AS n FROM vt").first().n == 5

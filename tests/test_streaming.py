@@ -433,18 +433,24 @@ def test_s15_merge_sink_upserts_by_key(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(data)
 
     sdf = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
-    ops.sink_merge(sdf, eng, "user_state", on="user_id", checkpoint_dir=_ckpt(tmp_path, "s15"))
+    ops.sink_merge(
+        sdf, eng, "user_state", on="user_id",
+        checkpoint_dir=_ckpt(tmp_path, "s15"), order_by="value",
+    )
 
     got = {(r.user_id, r.event_type, r.value) for r in eng.table("user_state").collect()}
     assert got == {
         (1, "init", 1.0),
-        (2, "upd", 3.0),  # last update in batch 2 won
+        (2, "upd", 3.0),  # highest order_by value in batch 2 won
         (3, "init", 1.0),
         (4, "init", 1.0),
     }
 
     # idempotence: new stream, FRESH checkpoint, same source -> same state
     sdf2 = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
-    ops.sink_merge(sdf2, eng, "user_state", on="user_id", checkpoint_dir=_ckpt(tmp_path, "s15b"))
+    ops.sink_merge(
+        sdf2, eng, "user_state", on="user_id",
+        checkpoint_dir=_ckpt(tmp_path, "s15b"), order_by="value",
+    )
     got2 = {(r.user_id, r.event_type, r.value) for r in eng.table("user_state").collect()}
     assert got2 == got
