@@ -454,3 +454,29 @@ def test_s15_merge_sink_upserts_by_key(spark, tmp_path):
     )
     got2 = {(r.user_id, r.event_type, r.value) for r in eng.table("user_state").collect()}
     assert got2 == got
+
+
+def test_s14_ledger_survives_version_gc(spark, tmp_path):
+    """expire_versions must not erase the exactly-once ledger: after GC to
+    keep_last=1, a replayed batch id is still detected and skipped."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    commit = ops.versioned_batch_committer(eng, "ev")
+    for bid in range(3):
+        commit(spark.range(bid * 10, bid * 10 + 5).selectExpr("id"), bid)
+    assert eng.table("ev").count() == 15
+
+    eng.expire_table_versions("ev", keep_last=1)
+    assert eng.table_versions("ev") == [3]
+    # ledger intact after GC: all three batch ids still recorded
+    assert versioning.committed_batch_ids(eng._table_path("ev"), eng.fs) == {0, 1, 2}
+    commit(spark.range(99).selectExpr("id"), 1)  # replay -> no-op
+    assert eng.table("ev").count() == 15
+    assert eng.table_versions("ev") == [3]
+
+    # a manual (non-streaming) commit in between keeps carrying the ledger
+    eng.write_table_version(spark.range(2).selectExpr("id"), "ev", mode="append")
+    commit(spark.range(99).selectExpr("id"), 2)  # replay -> still a no-op
+    assert eng.table("ev").count() == 17
