@@ -22,10 +22,12 @@ Contract notes (shared by both backends):
     semantics (CubefsFileSystem.java:221-223).  The pre-check also guards
     against Hadoop's move-*into*-existing-directory rename behavior.
   - ``create_if_absent`` is the atomic no-overwrite publish primitive the
-    versioning commit rides (versioning.py).  LocalFS uses ``os.link``
-    (atomic on POSIX); HadoopFS uses ``create(path, overwrite=false)``,
-    which HDFS-like stores enforce atomically server-side.  On ``file://``
-    through HadoopFS the exclusivity check is client-side (a small race
+    versioning commit rides (versioning.py).  Both backends write the
+    full content to a hidden tmp name first and publish in one step —
+    ``os.link`` on LocalFS (atomic on POSIX), rename-without-overwrite on
+    HadoopFS (atomic server-side on HDFS-like stores) — so the final path
+    can NEVER be observed empty or torn.  On ``file://`` through HadoopFS
+    the no-overwrite refusal is a client-side pre-check (a small race
     window) — fine for tests, and real deployments of this path are
     hdfs://-or-object-store-backed by definition.
   - ``walk_files`` yields ``(relpath, size, mtime_ms)`` with ``/``

@@ -15,13 +15,14 @@ Commit protocol (optimistic concurrency, Iceberg-style):
   1. Spark writes the new data files into a fresh staging dir under a
      random id — never visible to readers until a manifest references it.
   2. The manifest is published with the backend's atomic
-     ``create_if_absent`` primitive (fs.py): POSIX ``os.link`` on LocalFS,
-     ``create(path, overwrite=false)`` on HadoopFS — both are the
-     no-overwrite atomicity the HCFS N10 rename contract provides on
-     CubeFS/HDFS (CubefsFileSystem.java:221-223 returns false when dst
-     exists).  Two racing writers compute the same next version; exactly
-     one publish succeeds, the loser gets VersionConflictError (append
-     commits retry: appends commute).
+     ``create_if_absent`` primitive (fs.py): content lands in a hidden
+     tmp name first, then one atomic publish step (POSIX ``os.link`` on
+     LocalFS, no-overwrite rename on HadoopFS) — the no-overwrite
+     atomicity the HCFS N10 rename contract provides on CubeFS/HDFS
+     (CubefsFileSystem.java:221-223 returns false when dst exists).  Two
+     racing writers compute the same next version; exactly one publish
+     succeeds, the loser gets VersionConflictError (append commits retry:
+     appends commute).
   3. Readers resolve a version (default: highest committed manifest) and
      read exactly the files it lists — they can never observe a
      half-committed version, and old versions stay readable (time travel)
