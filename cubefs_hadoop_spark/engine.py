@@ -341,6 +341,9 @@ class Engine:
         self._views_dirty = True
         if self._synced_db is not None:
             self.spark.sql(f"DROP VIEW IF EXISTS {self._synced_db}.{name}")
+            # a view over a versioned table was registered via the
+            # temp-view fallback; drop that registration too
+            self.spark.catalog.dropTempView(name)
         return True
 
     def list_views(self) -> list[str]:
@@ -397,7 +400,11 @@ class Engine:
             spark.catalog.dropTempView(name)
         for name in versioned_tables:
             # current snapshot as a session view; the per-statement dirty
-            # reconcile refreshes it after each versioned commit
+            # reconcile refreshes it after each versioned commit.  Drop
+            # any stale plain LOCATION entry from before the table became
+            # versioned — a qualified db.t query would scan raw files
+            # (temp views do not shadow qualified names).
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
             self.table(name).createOrReplaceTempView(name)
             registered.append(name)
         registered.extend(self._sync_catalog_views(db))
@@ -967,6 +974,7 @@ class Engine:
         capacity/remaining, CubeFileSystemTest.java:30-36): byte capacity
         report of the store under the warehouse root, through whichever
         backend serves it."""
+        self._check_open()
         return self.fs.status(self.warehouse_root)
 
     def list_tables(self) -> list[str]:

@@ -351,13 +351,18 @@ class HadoopFS(WarehouseFS):
         tp = self._p(tmp)
         out = self._fs.create(tp, True)
         try:
-            out.write(bytearray(text.encode("utf-8")))
             try:
-                out.hsync()  # durable before visible where supported
-            except Exception:
-                pass
-        finally:
-            out.close()
+                out.write(bytearray(text.encode("utf-8")))
+                try:
+                    out.hsync()  # durable before visible where supported
+                except Exception:
+                    pass
+            finally:
+                out.close()
+        except Exception:
+            # failed mid-write: don't leak the tmp file into the dir
+            self._fs.delete(tp, False)
+            raise
         try:
             if self._fs.exists(p) or not self._fs.rename(tp, p):
                 self._fs.delete(tp, False)

@@ -384,22 +384,21 @@ def versioned_batch_committer(engine, table: str):
     """The foreachBatch function behind sink_versioned, exposed so tests
     (and custom writeStream wiring) can drive it directly.
 
-    Exactly-once: each micro-batch commits as a versioned APPEND with its
-    batch id recorded in the manifest; a replayed batch id (foreachBatch is
-    at-least-once around checkpoint boundaries) is detected against the
-    manifest ledger and skipped, so the version chain holds every batch
-    exactly once.  The ledger read is metadata-only and the commit itself
-    is the atomic create-if-absent manifest publish (versioning.py)."""
+    Exactly-once: each micro-batch commits as a versioned APPEND carrying
+    the batch-id WATERMARK (Structured Streaming batch ids are
+    monotonically increasing per checkpoint, so "already committed" is
+    exactly ``batch_id <= watermark``).  A replayed batch (foreachBatch is
+    at-least-once around checkpoint boundaries) is skipped; the watermark
+    is one O(1) metadata read that survives version GC.  The commit
+    itself is the atomic no-overwrite manifest publish (versioning.py)."""
     from cubefs_hadoop_spark import versioning
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         path = engine._table_path(table)
-        ledger: set[int] = set()
+        prev_max = None
         if engine.fs.exists(path):
-            # one metadata read: the cumulative ledger in the latest
-            # manifest (survives expire_versions GC; O(1) per batch)
-            ledger = versioning.committed_batch_ids(path, engine.fs)
-            if batch_id in ledger:
+            prev_max = versioning.last_committed_batch(path, engine.fs)
+            if prev_max is not None and int(batch_id) <= prev_max:
                 return  # replayed batch: already durable, skip
         versioning.commit_version(
             batch_df,
@@ -408,7 +407,9 @@ def versioned_batch_committer(engine, table: str):
             fs=engine.fs,
             extra={
                 "batch_id": int(batch_id),
-                "batch_ids": sorted(ledger | {int(batch_id)}),
+                "batch_id_max": max(
+                    int(batch_id), prev_max if prev_max is not None else -1
+                ),
             },
         )
 

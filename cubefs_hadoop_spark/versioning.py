@@ -71,8 +71,14 @@ def _manifest_path(table_path: str, version: int, fs: WarehouseFS) -> str:
 
 
 def is_versioned(table_path: str, fs: WarehouseFS | None = None) -> bool:
+    """True only when at least one COMMITTED manifest exists — a bare
+    ``_manifests/`` dir left by a crash between mkdirs and the publish
+    must not flip the table into versioned mode (it would brick every
+    read with 'no committed versions')."""
     fs = _fs(fs)
-    return fs.is_dir(_manifest_dir(table_path, fs))
+    if not fs.is_dir(_manifest_dir(table_path, fs)):
+        return False
+    return bool(list_versions(table_path, fs))
 
 
 def list_versions(table_path: str, fs: WarehouseFS | None = None) -> list[int]:
@@ -146,29 +152,30 @@ def _stage_write(
     return stage, sorted(files)
 
 
-def committed_batch_ids(
+def last_committed_batch(
     table_path: str, fs: WarehouseFS | None = None
-) -> set[int]:
-    """Batch ids recorded by streaming commits (sink_versioned) — the
-    exactly-once ledger.  Each streaming commit carries the CUMULATIVE
-    ``batch_ids`` set forward in its manifest, so this is ONE metadata
-    read (the latest manifest), the ledger survives ``expire_versions``
-    GC (the latest manifest is always retained), and per-batch cost stays
-    O(1) instead of O(#versions).  Falls back to scanning every manifest
-    for chains written before the cumulative field existed."""
+) -> int | None:
+    """The exactly-once streaming ledger as a WATERMARK: Structured
+    Streaming batch ids are monotonically increasing per checkpoint, so
+    "already committed" is exactly ``batch_id <= max committed id``.  The
+    watermark rides every manifest (``batch_id_max``), making the ledger
+    ONE metadata read and O(1) bytes regardless of stream length, and it
+    survives ``expire_versions`` GC (the latest manifest is always
+    retained).  Falls back to scanning per-commit ``batch_id`` fields for
+    chains written before the watermark field existed."""
     fs = _fs(fs)
     vs = list_versions(table_path, fs)
     if not vs:
-        return set()
+        return None
     latest = read_manifest(table_path, vs[-1], fs)
-    if "batch_ids" in latest:
-        return {int(b) for b in latest["batch_ids"]}
-    out: set[int] = set()
-    for v in vs:
-        bid = read_manifest(table_path, v, fs).get("batch_id")
-        if bid is not None:
-            out.add(int(bid))
-    return out
+    if "batch_id_max" in latest:
+        return int(latest["batch_id_max"])
+    seen = [
+        int(b)
+        for v in vs
+        if (b := read_manifest(table_path, v, fs).get("batch_id")) is not None
+    ]
+    return max(seen) if seen else None
 
 
 def commit_version(
@@ -197,15 +204,15 @@ def commit_version(
         vs = list_versions(table_path, fs)
         parent = vs[-1] if vs else 0
         base_files: list[str] = []
-        if mode == "append" and parent:
-            base_files = read_manifest(table_path, parent, fs)["files"]
         inherited: dict = {}
         if parent:
             pm = read_manifest(table_path, parent, fs)
-            if "batch_ids" in pm:
-                # the streaming exactly-once ledger rides every commit so
-                # a manual commit between streaming batches never drops it
-                inherited["batch_ids"] = pm["batch_ids"]
+            if mode == "append":
+                base_files = pm["files"]
+            if "batch_id_max" in pm:
+                # the streaming exactly-once watermark rides every commit
+                # so a manual commit between batches never drops it
+                inherited["batch_id_max"] = pm["batch_id_max"]
         manifest = {
             "version": parent + 1,
             "parent": parent or None,
@@ -313,8 +320,8 @@ def rollback(
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
     }
-    if "batch_ids" in pm:
-        manifest["batch_ids"] = pm["batch_ids"]
+    if "batch_id_max" in pm:
+        manifest["batch_id_max"] = pm["batch_id_max"]
     return _commit_manifest(table_path, manifest, parent + 1, fs)
 
 
@@ -333,12 +340,11 @@ def compact_version(
 
     fs = _fs(fs)
     parent = current_version(table_path, fs)
+    pm = read_manifest(table_path, parent, fs)
     df = read_version(spark, table_path, parent, fs)
     # size the rewrite from the actual on-disk bytes of the parent set
     sizes = {rel: size for rel, size, _m in fs.walk_files(table_path)}
-    est = sum(
-        sizes.get(f, 0) for f in read_manifest(table_path, parent, fs)["files"]
-    )
+    est = sum(sizes.get(f, 0) for f in pm["files"])
     n = max(1, math.ceil(est / target_file_bytes))
     stage, files = _stage_write(df.repartition(n), table_path, None, fs)
     manifest = {
@@ -350,9 +356,8 @@ def compact_version(
         "ts_ms": int(time.time() * 1000),
         "schema": df.schema.jsonValue(),
     }
-    pm = read_manifest(table_path, parent, fs)
-    if "batch_ids" in pm:
-        manifest["batch_ids"] = pm["batch_ids"]
+    if "batch_id_max" in pm:
+        manifest["batch_id_max"] = pm["batch_id_max"]
     return _commit_manifest(table_path, manifest, parent + 1, fs)
 
 
@@ -371,6 +376,11 @@ def expire_versions(
     for v in keep:
         referenced.update(read_manifest(table_path, v, fs)["files"])
     removed_versions = 0
+    md = _manifest_dir(table_path, fs)
+    for name, is_dir in fs.list_dir(md):
+        # sweep orphaned publish tmp files left by a crash mid-commit
+        if not is_dir and name.startswith(".tmp-"):
+            fs.delete(fs.join(md, name), recursive=False)
     for v in vs:
         if v not in keep:
             fs.delete(_manifest_path(table_path, v, fs), recursive=False)
