@@ -95,6 +95,10 @@ class Engine:
         self._views_dirty = False
         # bcache analog (cfs.enable.bcache): cached table handles
         self._cached: dict[str, DataFrame] = {}
+        # views registered as TEMP views (they reference versioned tables
+        # and cannot be persistent): name -> SQL text, re-registered after
+        # every dirty reconcile so they track the current snapshot
+        self._temp_fallback_views: dict[str, str] = {}
         if create:
             self.create_database(database)
 
@@ -285,10 +289,22 @@ class Engine:
             else:
                 spark.sql(f"DROP TABLE IF EXISTS {qn}")
                 spark.catalog.dropTempView(name)
+        reconciled_any = bool(self._dirty_tables)
         self._dirty_tables.clear()
         if self._views_dirty:
             self._sync_catalog_views(db)
             self._views_dirty = False
+        elif reconciled_any and self._temp_fallback_views:
+            # temp-fallback views capture one snapshot's file list at
+            # registration; re-register them so they track the table
+            # state the reconcile just updated
+            prev = spark.catalog.currentDatabase()
+            spark.catalog.setCurrentDatabase(db)
+            try:
+                for vname, text in self._temp_fallback_views.items():
+                    spark.sql(text).createOrReplaceTempView(vname)
+            finally:
+                spark.catalog.setCurrentDatabase(prev)
         prev = spark.catalog.currentDatabase()
         spark.catalog.setCurrentDatabase(db)
         try:
@@ -339,6 +355,7 @@ class Engine:
         del views[name]
         self.fs.write_text(self._views_path(), json.dumps(views))
         self._views_dirty = True
+        self._temp_fallback_views.pop(name, None)
         if self._synced_db is not None:
             self.spark.sql(f"DROP VIEW IF EXISTS {self._synced_db}.{name}")
             # a view over a versioned table was registered via the
@@ -428,6 +445,7 @@ class Engine:
         spark = self.spark
         registered: list[str] = []
         pending = dict(self._views())
+        self._temp_fallback_views = {}  # rebuilt by the fallback below
         prev_db = spark.catalog.currentDatabase()
         spark.catalog.setCurrentDatabase(db)
         try:
@@ -452,6 +470,7 @@ class Engine:
                     for vname, text in failed.items():
                         try:
                             spark.sql(text).createOrReplaceTempView(vname)
+                            self._temp_fallback_views[vname] = text
                             registered.append(vname)
                         except Exception:
                             still[vname] = text
@@ -928,9 +947,13 @@ class Engine:
         """GC manifests + unreferenced data files beyond ``keep_last``."""
         from cubefs_hadoop_spark import versioning
 
-        return versioning.expire_versions(
+        stats = versioning.expire_versions(
             self._table_path(name), keep_last, fs=self.fs
         )
+        # catalog/bcache/fallback-view handles may reference reclaimed
+        # files; reconcile on the next statement
+        self._mark_dirty(name)
+        return stats
 
     def vacuum(self) -> list[str]:
         """Remove orphaned work dirs left by interrupted maintenance ops

@@ -169,3 +169,24 @@ def test_synced_sql_resolves_versioned_tables_to_current_snapshot(eng, spark):
     # DML through the engine too
     eng.delete_from("vt", "id >= 5")
     assert eng.sql("SELECT count(*) AS n FROM vt").first().n == 5
+
+
+def test_views_over_versioned_tables_track_snapshots(eng, spark):
+    """A saved view over a manifest-backed table registers as a temp
+    fallback; it must follow new versioned commits, not freeze the
+    snapshot captured at sync time."""
+    eng.write_table_version(spark.range(4).selectExpr("id"), "vt2")
+    eng.create_view("v_big", "SELECT id FROM vt2 WHERE id >= 2")
+    eng.sync_catalog()
+    assert eng.sql("SELECT count(*) AS n FROM v_big").first().n == 2
+
+    eng.write_table_version(spark.range(10).selectExpr("id"), "vt2")
+    assert eng.sql("SELECT count(*) AS n FROM v_big").first().n == 8
+
+    # GC the old snapshot: the refreshed view must not point at dead files
+    eng.expire_table_versions("vt2", keep_last=1)
+    assert eng.sql("SELECT count(*) AS n FROM v_big").first().n == 8
+
+    eng.drop_view("v_big")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM v_big").collect()
