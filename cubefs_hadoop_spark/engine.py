@@ -564,6 +564,9 @@ class Engine:
           DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
+          OPTIMIZE t                                   -> compact_table
+          VACUUM                                       -> vacuum
+          ANALYZE TABLE t [FOR COLUMNS c1, c2]         -> analyze_table
           ... FROM t VERSION AS OF n ...               -> time-travel read
 
         MERGE uses a restricted ANSI form (upsert-by-key: matched rows
@@ -636,6 +639,26 @@ class Engine:
                     f"{sorted(df.columns)} vs {sorted(target)}"
                 )
             self.append(df, name)
+            return None
+        m = re.match(r"OPTIMIZE\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            self.compact_table(m.group(1))
+            return None
+        if re.match(r"VACUUM$", s, re.IGNORECASE):
+            self.vacuum()
+            return None
+        m = re.match(
+            r"ANALYZE\s+TABLE\s+(\w+)(?:\s+FOR\s+COLUMNS\s+([\w\s,]+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            cols = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else None
+            )
+            self.analyze_table(m.group(1), columns=cols)
             return None
         m = re.match(
             r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)", s, re.IGNORECASE

@@ -152,3 +152,28 @@ def test_sync_catalog_view_column_named_like_table(spark, tmp_warehouse):
     finally:
         eng.unsync_catalog()
         spark.sql("DROP DATABASE IF EXISTS cat_colname_db CASCADE")
+
+
+def test_execute_maintenance_verbs(spark, tmp_warehouse):
+    """OPTIMIZE / VACUUM / ANALYZE TABLE route to the maintenance verbs."""
+    from cubefs_hadoop_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+    from cubefs_hadoop_spark.catalog import load
+
+    eng = Engine(spark, tmp_warehouse, database="maint_db")
+    try:
+        eng.write_table(load(spark, SF_SMOKE, "orders").repartition(10), "o")
+        assert eng.table_stats("o")["files"] == 10
+        eng.execute("OPTIMIZE o")
+        assert eng.table_stats("o")["files"] == 1
+        eng.execute("VACUUM")
+        eng.sync_catalog()
+        eng.execute("ANALYZE TABLE o FOR COLUMNS o_orderkey")
+        plan = (
+            eng.sql("SELECT * FROM o")._jdf.queryExecution()
+            .optimizedPlan().stats().toString()
+        )
+        assert "rowCount=" in plan
+    finally:
+        eng.unsync_catalog()
+        spark.sql("DROP DATABASE IF EXISTS maint_db CASCADE")

@@ -308,3 +308,16 @@ def test_incremental_read_changes(eng, spark):
 
     with pytest.raises(EngineIOError):
         eng.read_table_changes("t", from_version=1)
+
+
+def test_versioned_schema_evolution_merge_schema(eng, spark):
+    """Appending a snapshot with a new nullable column: merge_schema reads
+    reconcile old and new parts (the same contract as plain tables)."""
+    eng.write_table_version(spark.range(3).selectExpr("id"), "t")
+    eng.write_table_version(
+        spark.range(3, 5).selectExpr("id", "id * 2 AS extra"), "t", mode="append"
+    )
+    merged = eng.table("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows[0] is None and rows[4] == 8
