@@ -267,6 +267,7 @@ class Engine:
         current = set(self.list_tables())
         self._dirty_tables.update(current ^ self._catalog_known)
         self._catalog_known = current
+        versioned_touched = False
         for name in sorted(self._dirty_tables):
             qn = f"{db}.{name}"
             if self.table_exists(name):
@@ -276,6 +277,7 @@ class Engine:
                     # plain-table entry from a pre-versioned life
                     self.table(name).createOrReplaceTempView(name)
                     spark.sql(f"DROP TABLE IF EXISTS {qn}")
+                    versioned_touched = True
                 elif spark.catalog.tableExists(qn):
                     # appended/compacted data: drop cached file listings
                     spark.catalog.refreshTable(qn)
@@ -289,22 +291,29 @@ class Engine:
             else:
                 spark.sql(f"DROP TABLE IF EXISTS {qn}")
                 spark.catalog.dropTempView(name)
-        reconciled_any = bool(self._dirty_tables)
         self._dirty_tables.clear()
         if self._views_dirty:
             self._sync_catalog_views(db)
             self._views_dirty = False
-        elif reconciled_any and self._temp_fallback_views:
+        elif versioned_touched and self._temp_fallback_views:
             # temp-fallback views capture one snapshot's file list at
-            # registration; re-register them so they track the table
-            # state the reconcile just updated
+            # registration; re-register them so they track the versioned
+            # table state the reconcile just updated.  A view whose base
+            # was dropped must not fail unrelated statements — prune it.
             prev = spark.catalog.currentDatabase()
             spark.catalog.setCurrentDatabase(db)
+            broken = []
             try:
                 for vname, text in self._temp_fallback_views.items():
-                    spark.sql(text).createOrReplaceTempView(vname)
+                    try:
+                        spark.sql(text).createOrReplaceTempView(vname)
+                    except Exception:
+                        spark.catalog.dropTempView(vname)
+                        broken.append(vname)
             finally:
                 spark.catalog.setCurrentDatabase(prev)
+            for vname in broken:
+                self._temp_fallback_views.pop(vname, None)
         prev = spark.catalog.currentDatabase()
         spark.catalog.setCurrentDatabase(db)
         try:
@@ -355,12 +364,14 @@ class Engine:
         del views[name]
         self.fs.write_text(self._views_path(), json.dumps(views))
         self._views_dirty = True
-        self._temp_fallback_views.pop(name, None)
+        was_fallback = self._temp_fallback_views.pop(name, None) is not None
         if self._synced_db is not None:
             self.spark.sql(f"DROP VIEW IF EXISTS {self._synced_db}.{name}")
-            # a view over a versioned table was registered via the
-            # temp-view fallback; drop that registration too
-            self.spark.catalog.dropTempView(name)
+            if was_fallback:
+                # drop OUR temp-view registration only — a same-named
+                # user temp view is not ours to destroy (the rule
+                # unsync_catalog honors)
+                self.spark.catalog.dropTempView(name)
         return True
 
     def list_views(self) -> list[str]:

@@ -170,6 +170,9 @@ def last_committed_batch(
     latest = read_manifest(table_path, vs[-1], fs)
     if "batch_id_max" in latest:
         return int(latest["batch_id_max"])
+    if latest.get("batch_ids"):
+        # chains written when the ledger was a cumulative id list
+        return max(int(b) for b in latest["batch_ids"])
     seen = [
         int(b)
         for v in vs
@@ -377,10 +380,14 @@ def expire_versions(
         referenced.update(read_manifest(table_path, v, fs)["files"])
     removed_versions = 0
     md = _manifest_dir(table_path, fs)
-    for name, is_dir in fs.list_dir(md):
-        # sweep orphaned publish tmp files left by a crash mid-commit
-        if not is_dir and name.startswith(".tmp-"):
-            fs.delete(fs.join(md, name), recursive=False)
+    now_ms = int(time.time() * 1000)
+    for rel, _size, mtime_ms in list(fs.walk_files(md)):
+        # sweep orphaned publish tmp files left by a crash mid-commit —
+        # ONLY when old enough that no in-flight commit can still own
+        # them (a concurrent writer is between tmp-write and publish for
+        # milliseconds, not minutes)
+        if rel.startswith(".tmp-") and now_ms - mtime_ms > 15 * 60 * 1000:
+            fs.delete(fs.join(md, rel), recursive=False)
     for v in vs:
         if v not in keep:
             fs.delete(_manifest_path(table_path, v, fs), recursive=False)
