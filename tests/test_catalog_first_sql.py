@@ -190,3 +190,17 @@ def test_views_over_versioned_tables_track_snapshots(eng, spark):
     eng.drop_view("v_big")
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM v_big").collect()
+
+
+def test_dropping_versioned_base_prunes_fallback_view(eng, spark):
+    """Dropping the base TABLE (not the view) of a temp-fallback view must
+    not make unrelated statements fail — the broken view is pruned."""
+    eng.write_table_version(spark.range(3).selectExpr("id"), "vt3")
+    eng.create_view("v3", "SELECT * FROM vt3")
+    eng.sync_catalog()
+    assert eng.sql("SELECT count(*) AS n FROM v3").first().n == 3
+    eng.drop_table("vt3")
+    # unrelated statement still works; the broken view is gone
+    assert eng.sql("SELECT 1 AS one").first().one == 1
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM v3").collect()
