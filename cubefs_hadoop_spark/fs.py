@@ -165,13 +165,16 @@ class LocalFS(WarehouseFS):
                 )
 
     def read_text(self, path: str) -> str:
-        with open(path, encoding="utf-8") as fh:
+        # newline="" disables universal-newline translation: a stored
+        # "\r" must read back as "\r" (byte-faithful, matching the
+        # Hadoop backend's raw UTF-8 read)
+        with open(path, encoding="utf-8", newline="") as fh:
             return fh.read()
 
     def write_text(self, path: str, text: str) -> None:
         # tmp + atomic replace: readers never observe a torn write
         tmp = path + ".__tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.write(text)
         os.replace(tmp, path)
 
@@ -180,7 +183,7 @@ class LocalFS(WarehouseFS):
 
         parent = os.path.dirname(path)
         tmp = os.path.join(parent, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.write(text)
             fh.flush()
             os.fsync(fh.fileno())  # N9: durable before visible
