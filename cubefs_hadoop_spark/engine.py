@@ -34,6 +34,7 @@ query compute to its host engines.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,6 +47,20 @@ from cubefs_hadoop_spark.errors import (
 from cubefs_hadoop_spark.fs import warehouse_fs
 
 _VALID_MODES = ("errorifexists", "overwrite", "append", "ignore")
+
+# SparkSession -> names of temp views Engines registered on it (weak so a
+# stopped session's entry does not outlive it)
+_SESSION_TEMP_VIEWS: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_engine_temp_views(spark: SparkSession) -> set[str]:
+    views = _SESSION_TEMP_VIEWS.get(spark)
+    if views is None:
+        views = set()
+        _SESSION_TEMP_VIEWS[spark] = views
+    return views
 
 
 class Engine:
@@ -99,6 +114,16 @@ class Engine:
         # and cannot be persistent): name -> SQL text, re-registered after
         # every dirty reconcile so they track the current snapshot
         self._temp_fallback_views: dict[str, str] = {}
+        # every temp-view name AN ENGINE registered on this SparkSession
+        # (bridge views, versioned-snapshot views, fallback views,
+        # time-travel views).  Engine code may only dropTempView names in
+        # this set — a same-named temp view the USER registered is not
+        # ours to destroy (ADVICE r04; the rule drop_view/unsync_catalog
+        # already honor).  Session-scoped, not instance-scoped: temp views
+        # are session-global, so a later Engine must still be able to
+        # clear a stale bridge view a PRIOR Engine leaked (it would shadow
+        # catalog tables and serve stale data).
+        self._engine_temp_views: set[str] = _session_engine_temp_views(spark)
         if create:
             self.create_database(database)
 
@@ -207,10 +232,20 @@ class Engine:
         if self._synced_db is not None:
             return self._sql_catalog(query)
         for name in self.list_tables():
-            self.table(name).createOrReplaceTempView(name)
+            self._register_temp_view(self.table(name), name)
         for name, text in self._views().items():
-            self.spark.sql(text).createOrReplaceTempView(name)
+            self._register_temp_view(self.spark.sql(text), name)
         return self.spark.sql(query)
+
+    def _register_temp_view(self, df: DataFrame, name: str) -> None:
+        df.createOrReplaceTempView(name)
+        self._engine_temp_views.add(name)
+
+    def _drop_engine_temp_view(self, name: str) -> None:
+        """Drop a temp view only if THIS engine registered it."""
+        if name in self._engine_temp_views:
+            self.spark.catalog.dropTempView(name)
+            self._engine_temp_views.discard(name)
 
     def _mark_dirty(self, *names: str) -> None:
         if self._synced_db is not None:
@@ -275,7 +310,7 @@ class Engine:
                     # manifest-backed: refresh the snapshot temp view (a
                     # LOCATION table would mix versions); drop any stale
                     # plain-table entry from a pre-versioned life
-                    self.table(name).createOrReplaceTempView(name)
+                    self._register_temp_view(self.table(name), name)
                     spark.sql(f"DROP TABLE IF EXISTS {qn}")
                     versioned_touched = True
                 elif spark.catalog.tableExists(qn):
@@ -287,10 +322,10 @@ class Engine:
                         f"CREATE TABLE IF NOT EXISTS {qn} "
                         f"USING parquet LOCATION '{path}'"
                     )
-                    spark.catalog.dropTempView(name)
+                    self._drop_engine_temp_view(name)
             else:
                 spark.sql(f"DROP TABLE IF EXISTS {qn}")
-                spark.catalog.dropTempView(name)
+                self._drop_engine_temp_view(name)
         self._dirty_tables.clear()
         if self._views_dirty:
             self._sync_catalog_views(db)
@@ -306,9 +341,9 @@ class Engine:
             try:
                 for vname, text in self._temp_fallback_views.items():
                     try:
-                        spark.sql(text).createOrReplaceTempView(vname)
+                        self._register_temp_view(spark.sql(text), vname)
                     except Exception:
-                        spark.catalog.dropTempView(vname)
+                        self._drop_engine_temp_view(vname)
                         broken.append(vname)
             finally:
                 spark.catalog.setCurrentDatabase(prev)
@@ -371,7 +406,7 @@ class Engine:
                 # drop OUR temp-view registration only — a same-named
                 # user temp view is not ours to destroy (the rule
                 # unsync_catalog honors)
-                self.spark.catalog.dropTempView(name)
+                self._drop_engine_temp_view(name)
         return True
 
     def list_views(self) -> list[str]:
@@ -425,7 +460,7 @@ class Engine:
         # data to the catalog-first path or make CREATE VIEW fail with
         # INVALID_TEMP_OBJ_REFERENCE when the view body names the table.
         for name in set(self.list_tables()) | set(self._views()):
-            spark.catalog.dropTempView(name)
+            self._drop_engine_temp_view(name)
         for name in versioned_tables:
             # current snapshot as a session view; the per-statement dirty
             # reconcile refreshes it after each versioned commit.  Drop
@@ -433,7 +468,7 @@ class Engine:
             # versioned — a qualified db.t query would scan raw files
             # (temp views do not shadow qualified names).
             spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
-            self.table(name).createOrReplaceTempView(name)
+            self._register_temp_view(self.table(name), name)
             registered.append(name)
         registered.extend(self._sync_catalog_views(db))
         if db == self._validate_name(self.database, "database"):
@@ -480,7 +515,7 @@ class Engine:
                     still: dict[str, str] = {}
                     for vname, text in failed.items():
                         try:
-                            spark.sql(text).createOrReplaceTempView(vname)
+                            self._register_temp_view(spark.sql(text), vname)
                             self._temp_fallback_views[vname] = text
                             registered.append(vname)
                         except Exception:
@@ -590,7 +625,7 @@ class Engine:
         tt = re.findall(r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", s, re.IGNORECASE)
         for tname, ver in tt:
             view = f"__timetravel_{tname}_v{ver}"
-            self.read_version(tname, int(ver)).createOrReplaceTempView(view)
+            self._register_temp_view(self.read_version(tname, int(ver)), view)
             s = re.sub(
                 rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+{ver}\b",
                 view,
@@ -977,12 +1012,22 @@ class Engine:
             "n_files int, batch_id bigint",
         )
 
-    def expire_table_versions(self, name: str, keep_last: int = 1) -> dict:
-        """GC manifests + unreferenced data files beyond ``keep_last``."""
+    def expire_table_versions(
+        self,
+        name: str,
+        keep_last: int = 1,
+        orphan_grace_ms: int = 15 * 60 * 1000,
+    ) -> dict:
+        """GC manifests + unreferenced data files beyond ``keep_last``.
+        ``orphan_grace_ms``: never-referenced files younger than this are
+        spared — they may be an in-flight commit's staged data."""
         from cubefs_hadoop_spark import versioning
 
         stats = versioning.expire_versions(
-            self._table_path(name), keep_last, fs=self.fs
+            self._table_path(name),
+            keep_last,
+            fs=self.fs,
+            orphan_grace_ms=orphan_grace_ms,
         )
         # catalog/bcache/fallback-view handles may reference reclaimed
         # files; reconcile on the next statement

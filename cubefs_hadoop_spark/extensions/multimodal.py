@@ -121,11 +121,16 @@ def decode_image_batches(
                         continue
                     try:
                         w, h, rgb = codecs.png_decode(b)
-                    except ValueError as ex:
+                    except Exception as ex:
+                        # a corrupt/truncated payload can surface as
+                        # zlib.error / struct.error / IndexError, not just
+                        # ValueError — all must become the helpful install
+                        # message, not an opaque Arrow-worker crash
                         raise NotImplementedError(
-                            "real decode of non-PNG images requires the "
-                            "optional PIL dependency (pip install pillow); "
-                            f"stdlib PNG codec said: {ex}"
+                            "real decode of non-PNG (or corrupt) images "
+                            "requires the optional PIL dependency "
+                            "(pip install pillow); "
+                            f"stdlib PNG codec said: {ex!r}"
                         ) from ex
                     thumb = codecs.rgb_resize_nearest(w, h, rgb, 2, 2)
                     feature = [c / 255.0 for c in thumb[:6]]
@@ -195,7 +200,13 @@ def decode_video_batches(every_n: int = 1, fake: bool = True):
                         "mp4/webm need an external demuxer (ffmpeg)"
                     )
                 for fi in range(0, len(frames), every_n):
-                    w, h2, rgb = codecs.png_decode(frames[fi])
+                    try:
+                        w, h2, rgb = codecs.png_decode(frames[fi])
+                    except Exception as ex:
+                        raise NotImplementedError(
+                            "corrupt/truncated frame in motion-PNG stream "
+                            f"(frame {fi}); stdlib PNG codec said: {ex!r}"
+                        ) from ex
                     thumb = codecs.rgb_resize_nearest(w, h2, rgb, 2, 2)
                     ids.append(item_id)
                     idxs.append(fi)
@@ -274,11 +285,12 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
 
                     try:
                         w, h, rgb = codecs.png_decode(bytes(p))
-                    except ValueError as ex:
+                    except Exception as ex:
                         raise NotImplementedError(
-                            "real resize of non-PNG images requires the "
-                            "optional PIL dependency (pip install pillow); "
-                            f"stdlib PNG codec said: {ex}"
+                            "real resize of non-PNG (or corrupt) images "
+                            "requires the optional PIL dependency "
+                            "(pip install pillow); "
+                            f"stdlib PNG codec said: {ex!r}"
                         ) from ex
                     small = codecs.rgb_resize_nearest(
                         w, h, rgb, target_w, target_h

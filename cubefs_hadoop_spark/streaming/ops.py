@@ -397,6 +397,18 @@ def versioned_batch_committer(engine, table: str):
         path = engine._table_path(table)
         prev_max = None
         if engine.fs.exists(path):
+            if not versioning.is_versioned(path, engine.fs):
+                # a PLAIN parquet table already lives here: once a manifest
+                # publishes, reads serve only the manifest snapshot, so
+                # first adopt the existing files as version 1 or every
+                # pre-existing row silently vanishes (ADVICE r04).  An
+                # empty directory (no data files) has nothing to shadow.
+                try:
+                    versioning.adopt_plain_table(path, engine.fs)
+                except versioning.EngineIOError:
+                    pass  # empty dir: nothing to adopt
+                except versioning.VersionConflictError:
+                    pass  # concurrent committer already adopted
             prev_max = versioning.last_committed_batch(path, engine.fs)
             if prev_max is not None and int(batch_id) <= prev_max:
                 return  # replayed batch: already durable, skip

@@ -237,6 +237,39 @@ def commit_version(
                 raise
 
 
+def adopt_plain_table(table_path: str, fs: WarehouseFS | None = None) -> int:
+    """Commit the PRE-EXISTING plain-parquet contents of ``table_path`` as
+    version 1, referencing the files in place — no rewrite, O(1) metadata.
+
+    The bridge from an unversioned table to the versioned protocol: once
+    ``_manifests/`` exists, readers serve only the manifest snapshot, so a
+    versioned append onto a plain table would otherwise silently shadow
+    every pre-existing row (ADVICE r04).  Raises EngineIOError if the table
+    is already versioned or has no data files to adopt."""
+    fs = _fs(fs)
+    if is_versioned(table_path, fs):
+        raise EngineIOError("table is already versioned", table_path)
+    files = []
+    for rel, _size, _mtime in fs.walk_files(table_path):
+        top = rel.split("/", 1)[0]
+        if top in (_MANIFEST_DIR, _DATA_DIR):
+            continue
+        if rel.rsplit("/", 1)[-1].startswith(("_", ".")):
+            continue
+        files.append(rel)
+    if not files:
+        raise EngineIOError("no plain data files to adopt", table_path)
+    manifest = {
+        "version": 1,
+        "parent": None,
+        "mode": "adopt",
+        "files": sorted(files),
+        "ts_ms": int(time.time() * 1000),
+        "schema": None,
+    }
+    return _commit_manifest(table_path, manifest, 1, fs)
+
+
 def read_version(
     spark: SparkSession,
     table_path: str,
@@ -365,19 +398,39 @@ def compact_version(
 
 
 def expire_versions(
-    table_path: str, keep_last: int = 1, fs: WarehouseFS | None = None
+    table_path: str,
+    keep_last: int = 1,
+    fs: WarehouseFS | None = None,
+    orphan_grace_ms: int = 15 * 60 * 1000,
 ) -> dict:
     """Drop all but the last ``keep_last`` manifests and delete data files
     no retained version references (incl. orphaned staging dirs from failed
-    commits).  The time-travel GC: bounded metadata, bounded storage."""
+    commits).  The time-travel GC: bounded metadata, bounded storage.
+
+    Two classes of unreferenced data file, treated differently (the
+    Iceberg orphan-file-cleanup age-cutoff pattern):
+
+    * files referenced by an EXPIRED manifest — provably superseded table
+      data; reclaimed immediately.
+    * files referenced by NO manifest this sweep can see — possibly the
+      staged parquet of an IN-FLIGHT ``commit_version`` (written by
+      ``_stage_write`` before its manifest publishes, or by a commit that
+      landed after our ``list_versions`` snapshot).  Deleting those would
+      publish a manifest pointing at vanished files.  Reclaimed only when
+      older than ``orphan_grace_ms`` — a genuinely crashed stage, not a
+      live one.
+    """
     fs = _fs(fs)
     vs = list_versions(table_path, fs)
     if not vs:
         return {"versions_removed": 0, "files_removed": 0}
     keep = set(vs[-max(keep_last, 1):])
     referenced: set[str] = set()
-    for v in keep:
-        referenced.update(read_manifest(table_path, v, fs)["files"])
+    expired_refs: set[str] = set()
+    for v in vs:
+        files = read_manifest(table_path, v, fs)["files"]
+        (referenced if v in keep else expired_refs).update(files)
+    expired_refs -= referenced
     removed_versions = 0
     md = _manifest_dir(table_path, fs)
     now_ms = int(time.time() * 1000)
@@ -386,7 +439,7 @@ def expire_versions(
         # ONLY when old enough that no in-flight commit can still own
         # them (a concurrent writer is between tmp-write and publish for
         # milliseconds, not minutes)
-        if rel.startswith(".tmp-") and now_ms - mtime_ms > 15 * 60 * 1000:
+        if rel.startswith(".tmp-") and now_ms - mtime_ms > orphan_grace_ms:
             fs.delete(fs.join(md, rel), recursive=False)
     for v in vs:
         if v not in keep:
@@ -394,10 +447,13 @@ def expire_versions(
             removed_versions += 1
     removed_files = 0
     data_root = fs.join(table_path, _DATA_DIR)
-    for rel, _size, _mtime in list(fs.walk_files(data_root)):
+    for rel, _size, mtime_ms in list(fs.walk_files(data_root)):
         full_rel = f"{_DATA_DIR}/{rel}"
-        if full_rel not in referenced:
-            fs.delete(fs.join(data_root, rel), recursive=False)
-            removed_files += 1
+        if full_rel in referenced:
+            continue
+        if full_rel not in expired_refs and now_ms - mtime_ms <= orphan_grace_ms:
+            continue  # never-referenced and fresh: may be an in-flight stage
+        fs.delete(fs.join(data_root, rel), recursive=False)
+        removed_files += 1
     fs.cleanup_empty_dirs(data_root)
     return {"versions_removed": removed_versions, "files_removed": removed_files}

@@ -204,3 +204,35 @@ def test_dropping_versioned_base_prunes_fallback_view(eng, spark):
     assert eng.sql("SELECT 1 AS one").first().one == 1
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM v3").collect()
+
+
+def test_reconcile_never_drops_user_temp_views(eng, spark, tmp_warehouse):
+    """ADVICE r04: the dirty reconcile (and sync_catalog's bridge-view
+    sweep) may only dropTempView names THIS engine registered — a
+    same-named temp view the user created must survive table churn."""
+    eng.sync_catalog()
+    # the user's own temp view, named like a table another engine is about
+    # to create and drop in the same warehouse
+    spark.range(42, 43).selectExpr("id AS user_marker").createOrReplaceTempView(
+        "churner"
+    )
+    other = Engine(spark, tmp_warehouse, database="cfsql")
+    other.write_table(spark.range(3).selectExpr("id"), "churner")
+    eng.sql("SELECT 1")  # reconcile sees the new table
+    other.drop_table("churner")
+    eng.sql("SELECT 1")  # reconcile sees the drop — must spare the view
+    got = spark.sql("SELECT * FROM churner").collect()
+    assert [r.user_marker for r in got] == [42]
+    spark.catalog.dropTempView("churner")
+
+
+def test_sync_catalog_spares_user_temp_view_named_like_table(eng, spark):
+    """sync_catalog's pre-registration sweep only clears the engine's own
+    bridge views, not a user temp view sharing a table's name."""
+    spark.range(7, 8).selectExpr("id AS user_marker").createOrReplaceTempView("a")
+    eng.sync_catalog()
+    got = spark.sql("SELECT * FROM a").collect()  # temp view still shadows
+    assert [r.user_marker for r in got] == [7]
+    spark.catalog.dropTempView("a")
+    # with the user view gone, the catalog table serves normally
+    assert eng.sql("SELECT count(*) AS n FROM a").first().n == 10

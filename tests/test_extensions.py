@@ -452,3 +452,30 @@ def test_multimodal_real_video_frames_stdlib(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|demuxer|ffmpeg"):
         mm.extract_video_frames(bad, fake=False).collect()
+
+
+def test_multimodal_corrupt_png_raises_typed_error(spark):
+    """ADVICE r04: a payload with a valid PNG signature but corrupt body
+    surfaces zlib/struct/Index errors from the stdlib codec — all must
+    become the typed NotImplementedError message, not an opaque Arrow
+    worker crash."""
+    from cubefs_hadoop_spark.extensions import codecs
+
+    good = codecs.png_encode(8, 8, bytes(range(192)))
+    bitflip = bytearray(good)
+    bitflip[45] ^= 0xFF  # corrupt the IDAT zlib stream -> zlib.error
+    corrupt = [
+        good[:20],                                   # truncated mid-header (struct.error)
+        good[: len(good) // 2],                      # truncated mid-IDAT (zlib.error)
+        bytes(bitflip),
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,         # signature-only garbage
+    ]
+    for i, payload in enumerate(corrupt):
+        bad = spark.createDataFrame(
+            [(i, bytearray(payload))], "item_id bigint, content binary"
+        )
+        bad = mm.attach_metadata(bad, "image", "image/png")
+        with pytest.raises(Exception, match="NotImplementedError|pillow"):
+            mm.extract_features(bad, fake=False).collect()
+        with pytest.raises(Exception, match="NotImplementedError|pillow"):
+            mm.resize_images(bad, 4, 4, fake=False).collect()

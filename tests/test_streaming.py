@@ -480,3 +480,28 @@ def test_s14_ledger_survives_version_gc(spark, tmp_path):
     eng.write_table_version(spark.range(2).selectExpr("id"), "ev", mode="append")
     commit(spark.range(99).selectExpr("id"), 2)  # replay -> still a no-op
     assert eng.table("ev").count() == 17
+
+
+def test_s14_committer_adopts_preexisting_plain_table(spark, tmp_path):
+    """ADVICE r04: streaming into a table that already exists as PLAIN
+    parquet must not shadow its rows — the committer adopts them as v1
+    before appending batches."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.write_table(spark.range(5).selectExpr("id"), "ev")  # plain table
+    assert not versioning.is_versioned(eng._table_path("ev"), eng.fs)
+
+    commit = ops.versioned_batch_committer(eng, "ev")
+    commit(spark.range(100, 103).selectExpr("id"), 0)
+
+    # pre-existing rows AND the streamed batch are both served
+    ids = sorted(r.id for r in eng.table("ev").collect())
+    assert ids == [0, 1, 2, 3, 4, 100, 101, 102]
+    vs = eng.table_versions("ev")
+    assert versioning.read_manifest(eng._table_path("ev"), 1)["mode"] == "adopt"
+    assert len(vs) == 2  # adopt + first batch
+    # replay of batch 0 is still a no-op
+    commit(spark.range(7).selectExpr("id"), 0)
+    assert eng.table("ev").count() == 8

@@ -270,8 +270,8 @@ def test_table_stats_scope_to_current_snapshot(eng, spark):
 
 def test_expire_reaps_orphaned_staging_from_failed_commit(eng, spark):
     """A commit that staged data files but crashed before the manifest
-    publish leaves an orphan stage dir; expire_versions reclaims it (and
-    never touches referenced files)."""
+    publish leaves an orphan stage dir; expire_versions reclaims it once
+    past the grace window (and never touches referenced files)."""
     eng.write_table_version(_df(spark, 0, 5), "t")
     path = eng._table_path("t")
     # simulate the crash: stage data, never publish a manifest
@@ -279,13 +279,66 @@ def test_expire_reaps_orphaned_staging_from_failed_commit(eng, spark):
         _df(spark, 100, 200), path, None, FS
     )
     assert orphan_files
-    stats = eng.expire_table_versions("t", keep_last=5)
+    # grace 0 = "this crash is ancient": the orphan stage is reclaimed
+    stats = eng.expire_table_versions("t", keep_last=5, orphan_grace_ms=0)
     assert stats["files_removed"] >= len(orphan_files)
     assert eng.read_version("t").count() == 5  # live version untouched
     # the orphan stage dir itself is gone
     import os
 
     assert not os.path.isdir(os.path.join(path, "data", _stage))
+
+
+def test_expire_spares_inflight_stage_but_reaps_expired_files(eng, spark):
+    """ADVICE r04: expire_versions must NOT reclaim a freshly staged,
+    never-referenced file set (an in-flight commit between _stage_write
+    and manifest publish) — while still immediately reclaiming files that
+    expired manifests provably superseded."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.write_table_version(_df(spark, 0, 5), "t")  # overwrite supersedes v1
+    path = eng._table_path("t")
+    # an in-flight commit: staged seconds ago, manifest not yet published
+    _stage, inflight = versioning._stage_write(_df(spark, 50, 60), path, None, FS)
+
+    stats = eng.expire_table_versions("t", keep_last=1)  # default grace
+    assert stats["versions_removed"] == 1
+    assert stats["files_removed"] >= 1  # v1's superseded files reclaimed
+    # the in-flight stage survived the sweep...
+    for rel in inflight:
+        assert FS.exists(FS.join(path, rel)), rel
+    # ...so the commit can still publish and the version reads cleanly
+    manifest = {
+        "version": 3, "parent": 2, "mode": "append",
+        "files": sorted(
+            versioning.read_manifest(path, 2)["files"] + inflight
+        ),
+        "ts_ms": 0, "schema": None,
+    }
+    versioning._commit_manifest(path, manifest, 3, FS)
+    assert eng.read_version("t", 3).count() == 15  # 5 + 10 staged rows
+
+
+def test_adopt_plain_table_preserves_existing_rows(eng, spark):
+    """ADVICE r04: versioning a pre-existing PLAIN parquet table must not
+    shadow its rows — adopt_plain_table commits them (in place, no
+    rewrite) as version 1."""
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    eng.write_table(_df(spark, 0, 7), "t")  # plain, unversioned
+    path = eng._table_path("t")
+    assert not versioning.is_versioned(path)
+    v = versioning.adopt_plain_table(path)
+    assert v == 1
+    m = versioning.read_manifest(path, 1)
+    assert m["mode"] == "adopt" and m["files"]
+    assert all(not f.startswith("data/") for f in m["files"])  # in place
+    assert eng.read_version("t", 1).count() == 7
+    # now a versioned append builds on the adopted file set
+    versioning.commit_version(_df(spark, 7, 10), path, mode="append")
+    assert eng.table("t").count() == 10
+    # double adopt and empty adopt are typed refusals
+    with pytest.raises(EngineIOError):
+        versioning.adopt_plain_table(path)
 
 
 def test_incremental_read_changes(eng, spark):
