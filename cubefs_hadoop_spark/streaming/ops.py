@@ -295,7 +295,31 @@ def session_close_stateful(sdf: DataFrame) -> DataFrame:
     )
 
 
-def running_count_tws(sdf: DataFrame) -> DataFrame:
+def tws_protocol_available() -> bool:
+    """True when pyspark's transformWithState wire protocol can run —
+    it serializes state requests through generated protobuf stubs
+    (StateMessage_pb2), so ``google.protobuf`` must be importable."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _running_count_fallback(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+
+def running_count_tws(sdf: DataFrame, use_tws: bool | None = None) -> DataFrame:
     """S12: per-user running event count via transformWithStateInPandas —
     the Spark 4 arbitrary-state API (typed ValueState handles, RocksDB
     state store).  Supersedes applyInPandasWithState for new code: state
@@ -303,9 +327,36 @@ def running_count_tws(sdf: DataFrame) -> DataFrame:
     one opaque tuple.
 
     Dependency gate: the transformWithState protocol needs ``protobuf``
-    at runtime (pyspark's StateMessage_pb2); environments without it
-    should use running_max_stateful/session_close_stateful (S08/S11),
-    which cover arbitrary state on the older API with no extra deps."""
+    at runtime (pyspark's StateMessage_pb2).  ``use_tws=None`` (default)
+    auto-selects: the Spark 4 API when the protocol is importable, else a
+    descriptor-free applyInPandasWithState twin with the IDENTICAL output
+    contract (one ``(user_id, n)`` row per key per micro-batch, running
+    total carried across batches) — so the operator's semantics are
+    verifiable in protobuf-less environments and the plan swaps to the
+    typed-state API without caller changes where it isn't.  ``True``
+    forces the Spark 4 API (ImportError when the protocol is absent);
+    ``False`` forces the fallback."""
+    if use_tws is None:
+        use_tws = tws_protocol_available()
+    elif use_tws and not tws_protocol_available():
+        # fail at plan time with the fix, not mid-stream in an Arrow worker
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf state protocol "
+            "(pip install protobuf); use use_tws=None/False for the "
+            "applyInPandasWithState twin"
+        )
+    if not use_tws:
+        return (
+            sdf.select("user_id", "event_id")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _running_count_fallback,
+                outputStructType="user_id bigint, n bigint",
+                stateStructType="n bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
