@@ -199,17 +199,82 @@ def _seeded_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     return emb.sparkSession.createDataFrame(data, schema)
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest centroid (one broadcast pass).
-    Output: (vec_id, embedding, cid) — at scale, write this partitioned by
-    cid so probes prune files (partition pruning on the bucket column)."""
+def kmeans_refine(
+    emb: DataFrame, centroids: DataFrame, sweeps: int = 1
+) -> DataFrame:
+    """Lloyd refinement of the seeded centroids: assign every vector to
+    its nearest centroid (cosine), replace each centroid with its
+    cluster's mean, repeat.  Each sweep is one corpus pass (broadcast
+    assign) plus a (cid, dim) shuffle of n*d scalar rows — fully
+    distributed, no driver math beyond the C-row centroid rebuild.
+
+    Cosine ranking is scale-invariant in the centroid, so the mean is
+    used un-normalized (spherical k-means without the renorm step).
+    Empty clusters keep their previous centroid.  Scale note: at 100 TB
+    the refinement would run over a corpus SAMPLE (centroid quality needs
+    bounded data; .sample(0.001) upstream), while assignment of the full
+    corpus stays one broadcast pass — same plan shapes as here."""
+    emb_type = emb.schema["embedding"].dataType
+    elem = emb_type.elementType.simpleString()
+    spark = emb.sparkSession
+    for _ in range(max(sweeps, 0)):
+        assigned = ivf_assign(emb, centroids)
+        means = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("pos", "v")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cid",
+                F.expr(f"transform(pm, x -> CAST(x.m AS {elem}))").alias(
+                    "mean"
+                ),
+            )
+        )
+        rows = (
+            centroids.withColumnRenamed("cent", "old")
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("mean", "old").alias("cent"))
+            .collect()
+        )
+        centroids = spark.createDataFrame(
+            [(r["cid"], r["cent"]) for r in rows],
+            T.StructType(
+                [
+                    T.StructField("cid", T.IntegerType(), False),
+                    T.StructField("cent", emb_type, False),
+                ]
+            ),
+        )
+    return centroids
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, replication: int = 1
+) -> DataFrame:
+    """Assign every vector to its ``replication`` nearest centroids (one
+    broadcast pass).  Output: (vec_id, embedding, cid) — at scale, write
+    this partitioned by cid so probes prune files (partition pruning on
+    the bucket column).
+
+    ``replication > 1`` is IVF multi-assignment (the spill-tree /
+    SOAR-style boundary fix): a vector that sits BETWEEN two centroids is
+    findable through either bucket, which is what lifts recall on weakly
+    clustered (near-uniform) corpora where Lloyd sweeps alone plateau —
+    index size grows by the replication factor, probe cost per query is
+    unchanged."""
     w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
     return (
         widen_for_cpu(emb, "vec_id")
         .crossJoin(F.broadcast(centroids))
         .withColumn("d", _cosine_expr("embedding", "cent"))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= replication)
         .select("vec_id", "embedding", "cid")
     )
 
@@ -221,13 +286,24 @@ def ivf_topk(
     n_queries: int = 5,
     n_centroids: int = 8,
     nprobe: int = 4,
+    kmeans_sweeps: int = 1,
+    replication: int = 2,
 ) -> DataFrame:
     """IVF ANN top-k: queries probe only their nprobe nearest centroid
     buckets; exact cosine within the probed buckets.  Work per query is
-    (nprobe/n_centroids) of brute force; recall vs x03 asserted in tests."""
+    (nprobe/n_centroids) of brute force (times the index replication
+    factor in bucket size); recall vs x03 asserted in tests (>= 0.8 at
+    nprobe=4/8 with one Lloyd sweep + multi-assignment, VERDICT r04 #3).
+
+    A multi-assigned vector can surface through several probed buckets,
+    so candidates dedupe on (q_id, vec_id) before scoring — also what
+    makes the full-probe configuration (x03d) exactly reproduce brute
+    force regardless of replication."""
     emb = load(spark, sf_dir, "embeddings")
-    cents = _seeded_centroids(emb, n_centroids)
-    assigned = ivf_assign(emb, cents)
+    cents = kmeans_refine(
+        emb, _seeded_centroids(emb, n_centroids), sweeps=kmeans_sweeps
+    )
+    assigned = ivf_assign(emb, cents, replication=replication)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -244,6 +320,8 @@ def ivf_topk(
     return (
         probes.join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()
         .withColumn("c", _cosine_expr("q_emb", "embedding"))
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
@@ -253,8 +331,9 @@ def ivf_topk(
 
 @register("x03c_ivf_ann")
 def x03c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X03c IVF ANN (rows-only driver check; recall-vs-exact asserted in
-    tests/test_similarity.py — approximate results are not SQL-declarable)."""
+    """X03c IVF ANN (rows-only driver check; recall-vs-exact >= 0.8
+    asserted at tests/test_extensions.py::test_ivf_recall_vs_bruteforce —
+    approximate results are not SQL-declarable)."""
     return ivf_topk(spark, sf_dir).orderBy("q_id", "n_id", "cos")
 
 

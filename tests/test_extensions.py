@@ -86,12 +86,24 @@ def test_simhash_banding_sound(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    exact = {(r.q_id, r.n_id) for r in x03_topk_cosine(spark, SF_SMOKE).collect()}
-    approx = {(r.q_id, r.n_id) for r in ivf_topk(spark, SF_SMOKE).collect()}
-    recall = len(exact & approx) / len(exact)
-    # uniform-random corpus, nprobe=4/8 buckets -> expect roughly half;
-    # assert a sane floor (determinism makes this stable across runs)
-    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    """VERDICT r04 #3: aggregate recall >= 0.8 AND no single query below
+    0.6 — one Lloyd sweep + replication-2 multi-assignment on a
+    near-uniform corpus (the IVF worst case); determinism makes these
+    floors stable across runs."""
+    exact: dict[int, set] = {}
+    for r in x03_topk_cosine(spark, SF_SMOKE).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set] = {}
+    for r in ivf_topk(spark, SF_SMOKE).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    per_q = {
+        q: len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    }
+    total = sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert total >= 0.8, f"IVF aggregate recall collapsed: {total} {per_q}"
+    assert min(per_q.values()) >= 0.6, f"per-query recall floor: {per_q}"
 
 
 def test_topk_cosine_against_numpy(spark):
