@@ -18,6 +18,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,8 +30,13 @@ from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.oracle_compat import r2d
 
-# At most one live LSH band cache per process (see lsh_candidate_pairs).
-_BANDS_CACHE: list[DataFrame] = []
+# At most one live LSH band cache per SPARK SESSION (see
+# lsh_candidate_pairs) — session-scoped so concurrent sessions in one
+# process never unpersist each other's cache (VERDICT r04 #5).  Weak keys:
+# a stopped session's entry dies with it.
+_BANDS_CACHE: "weakref.WeakKeyDictionary[SparkSession, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 N_SEEDS = 9
 BAND_ROWS = 3  # 3 bands x 3 rows
@@ -187,16 +194,22 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     signature pipeline on BOTH sides.  At scale the signature table is a
     real materialization point of the dedup pipeline; cache() expresses
     that while keeping the plan AQE-visible (measured faster here than a
-    localCheckpoint RDD cut).  Successive calls unpersist the previous
-    call's band cache so a long-lived session holds at most one (ADVICE
-    r01: the cache was never released)."""
-    while _BANDS_CACHE:
+    localCheckpoint RDD cut).  Successive calls ON THE SAME SESSION
+    unpersist the previous call's band cache so a long-lived session
+    holds at most one (ADVICE r01: the cache was never released);
+    unpersist only drops the materialization, never correctness — an
+    earlier call's returned frame recomputes if consumed later.  The
+    cache registry is keyed by SparkSession, so concurrent sessions in
+    one process never evict each other (VERDICT r04 #5)."""
+    session = docs.sparkSession
+    prev = _BANDS_CACHE.pop(session, None)
+    if prev is not None:
         try:
-            _BANDS_CACHE.pop().unpersist()
+            prev.unpersist()
         except Exception:
             pass
     bands = lsh_bands(minhash_signature(docs)).cache().alias("a")
-    _BANDS_CACHE.append(bands)
+    _BANDS_CACHE[session] = bands
     other = bands.alias("b")
     return (
         bands.join(
@@ -428,9 +441,12 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst merges `levenshtein <= cap` into the broadcast-join
     # condition and AQE coalesces the tiny join output to one partition,
     # making those calls single-threaded.  The explicit repartition +
-    # lazy barrier pins the verify stage to the full cluster
-    # width with only the cheap conditions upstream.
-    pairs = barrier(pairs.repartition(64, "id_a", "id_b"), eager=False)
+    # lazy barrier pins the verify stage to the full cluster width (the
+    # session's defaultParallelism — a 1000-core cluster gets 1000-wide
+    # verify tasks, not a hardcoded 64) with only the cheap conditions
+    # upstream.
+    width = spark.sparkContext.defaultParallelism
+    pairs = barrier(pairs.repartition(width, "id_a", "id_b"), eager=False)
     dist = F.levenshtein("ta", "tb")
     cap = (
         F.lit(0.15) * F.greatest(F.length("ta"), F.length("tb"))

@@ -491,3 +491,24 @@ def test_multimodal_corrupt_png_raises_typed_error(spark):
             mm.extract_features(bad, fake=False).collect()
         with pytest.raises(Exception, match="NotImplementedError|pillow"):
             mm.resize_images(bad, 4, 4, fake=False).collect()
+
+
+def test_lsh_interleaved_pipelines_both_correct(spark):
+    """VERDICT r04 #5: two interleaved lsh_candidate_pairs pipelines —
+    the second call evicts the first's session-scoped band cache, which
+    must cost only recomputation, never correctness, when the first
+    frame is consumed afterwards."""
+    from cubefs_hadoop_spark.extensions.dedup import lsh_candidate_pairs
+
+    docs = load(spark, SF_SMOKE, "documents")
+    lo, hi = docs.filter(F.col("doc_id") < 250), docs.filter(F.col("doc_id") >= 250)
+    a = lsh_candidate_pairs(lo)   # caches bands for lo
+    b = lsh_candidate_pairs(hi)   # evicts lo's cache, caches hi's
+    got_a = {(r.da, r.db) for r in a.collect()}   # post-eviction consume
+    got_b = {(r.da, r.db) for r in b.collect()}
+    # ground truth: fresh un-interleaved runs of the same pipelines
+    want_a = {(r.da, r.db) for r in lsh_candidate_pairs(lo).collect()}
+    want_b = {(r.da, r.db) for r in lsh_candidate_pairs(hi).collect()}
+    assert got_a == want_a and got_b == want_b
+    assert all(p[0] < 250 and p[1] < 250 for p in got_a)
+    assert all(p[0] >= 250 and p[1] >= 250 for p in got_b)
