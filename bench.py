@@ -20,7 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# BASELINE.md bench set: B01-B15.
+# BASELINE.md bench set: B01-B18 (B16-B18 added round 5 so the newest
+# scale-path operators get per-round regression tracking).
 BENCH_QUERIES = [
     "q01_scan_count",
     "q03_filter_conjunctive",
@@ -37,6 +38,9 @@ BENCH_QUERIES = [
     "t13_customer_distribution",
     "t21_waiting_supplier",
     "x02_minhash_lsh",
+    "x02d_edit_distance_dedup",
+    "x03e_int8_ann",
+    "s13_dedup_watermark_twin",
 ]
 
 RUNS = 4
