@@ -99,8 +99,11 @@ class WarehouseFS:
         EEXIST.  Durable before visible (N9)."""
         raise NotImplementedError
 
-    def cleanup_empty_dirs(self, root: str) -> None:
-        """Remove now-empty directories under ``root`` (GC housekeeping)."""
+    def cleanup_empty_dirs(self, root: str, min_age_ms: int = 0) -> None:
+        """Remove now-empty directories under ``root`` (GC housekeeping).
+        ``min_age_ms``: spare dirs modified more recently — an empty dir
+        can be a concurrent writer's just-created staging/attempt dir
+        (Spark's ``_temporary`` tree), and pruning it crashes the write."""
         raise NotImplementedError
 
     def status(self, path: str) -> dict:
@@ -203,14 +206,19 @@ class LocalFS(WarehouseFS):
             "remaining": int(du.free),
         }
 
-    def cleanup_empty_dirs(self, root: str) -> None:
+    def cleanup_empty_dirs(self, root: str, min_age_ms: int = 0) -> None:
         if not os.path.isdir(root):
             return
+        import time as _time
+
+        cutoff = _time.time() * 1000 - min_age_ms
         for cur, _dirs, _files in os.walk(root, topdown=False):
             # re-list: children removed earlier in this bottom-up pass
             # don't show in the walk's captured (stale) listings
             if cur != root and not os.listdir(cur):
                 try:
+                    if os.stat(cur).st_mtime * 1000 > cutoff:
+                        continue  # freshly touched: maybe a live stage
                     os.rmdir(cur)
                 except OSError:
                     pass
@@ -376,17 +384,29 @@ class HadoopFS(WarehouseFS):
         return True
 
     def status(self, path: str) -> dict:
-        st = self._fs.getStatus(self._p(path))
+        p = self._p(path)
+        try:
+            st = self._fs.getStatus(p)
+        except Exception:
+            # mount-routing filesystems (viewfs://) refuse getStatus(Path)
+            # with "Wrong FS": resolve through the mount table to the
+            # backing store and report ITS capacity — the same numbers a
+            # direct client of the mount target would see
+            resolved = self._fs.resolvePath(p)
+            st = resolved.getFileSystem(self._conf).getStatus(resolved)
         return {
             "capacity": int(st.getCapacity()),
             "used": int(st.getUsed()),
             "remaining": int(st.getRemaining()),
         }
 
-    def cleanup_empty_dirs(self, root: str) -> None:
+    def cleanup_empty_dirs(self, root: str, min_age_ms: int = 0) -> None:
+        import time as _time
+
         p = self._p(root)
         if not self._fs.exists(p):
             return
+        cutoff = _time.time() * 1000 - min_age_ms
 
         def _prune(dp) -> bool:
             """Depth-first: returns True when dp ends up empty and removed."""
@@ -399,6 +419,8 @@ class HadoopFS(WarehouseFS):
             if remaining == 0 and dp.toString() != self._fs.makeQualified(
                 p
             ).toString():
+                if self._fs.getFileStatus(dp).getModificationTime() > cutoff:
+                    return False  # freshly touched: maybe a live stage
                 self._fs.delete(dp, False)
                 return True
             return False

@@ -455,5 +455,8 @@ def expire_versions(
             continue  # never-referenced and fresh: may be an in-flight stage
         fs.delete(fs.join(data_root, rel), recursive=False)
         removed_files += 1
-    fs.cleanup_empty_dirs(data_root)
+    # the same grace guards empty-DIR pruning: an empty dir can be a
+    # concurrent Spark write's just-created _temporary attempt dir, and
+    # rmdir'ing it aborts that task
+    fs.cleanup_empty_dirs(data_root, min_age_ms=orphan_grace_ms)
     return {"versions_removed": removed_versions, "files_removed": removed_files}

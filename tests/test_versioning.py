@@ -374,3 +374,73 @@ def test_versioned_schema_evolution_merge_schema(eng, spark):
     assert set(merged.columns) == {"id", "extra"}
     rows = {r.id: r.extra for r in merged.collect()}
     assert rows[0] is None and rows[4] == 8
+
+
+def test_threaded_commit_expire_stress(spark, tmp_path_factory):
+    """VERDICT r04 #8: REAL interleavings of append commits and GC.  Three
+    writer threads append concurrently while a GC thread loops
+    expire_versions(keep_last=3) with the default orphan grace; at the
+    end every successfully committed row is present exactly once, every
+    retained manifest's file set exists on disk, and no writer lost a
+    staged file to the sweep (the expire/commit race ADVICE r04 fixed)."""
+    import time as _time
+
+    wh = str(tmp_path_factory.mktemp("stress_wh"))
+    eng = Engine(spark, wh)
+    eng.write_table_version(_df(spark, 0, 2), "t")
+    path = eng._table_path("t")
+    stop = threading.Event()
+    committed: list[tuple[int, int]] = []
+    errors: list[str] = []
+
+    def writer(tid: int) -> None:
+        for k in range(4):
+            lo = 1000 * tid + 10 * k
+            df = _df(spark, lo, lo + 3)
+            for _attempt in range(10):
+                try:
+                    versioning.commit_version(
+                        df, path, mode="append", max_retries=10
+                    )
+                    committed.append((lo, lo + 3))
+                    break
+                except TableNotFoundError:
+                    # parent manifest expired between list and read: the
+                    # caller-visible retry loop (Iceberg refresh-and-retry)
+                    _time.sleep(0.05)
+                except Exception as ex:  # pragma: no cover - diagnostic
+                    errors.append(f"writer {tid}@{lo}: {ex!r}")
+                    break
+            else:
+                errors.append(f"writer {tid} gave up at {lo}")
+
+    def gc() -> None:
+        while not stop.is_set():
+            try:
+                versioning.expire_versions(path, keep_last=3)
+            except (FileNotFoundError, TableNotFoundError):
+                pass  # racing deletes/commits; sweep again next tick
+            _time.sleep(0.02)
+
+    writers = [threading.Thread(target=writer, args=(i,)) for i in range(3)]
+    g = threading.Thread(target=gc)
+    g.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    g.join()
+
+    assert not errors, errors
+    assert len(committed) == 12  # 3 writers x 4 appends all landed
+    final = versioning.read_version(spark, path)
+    ids = sorted(r.id for r in final.collect())
+    want = sorted(
+        [0, 1] + [i for lo, hi in committed for i in range(lo, hi)]
+    )
+    assert ids == want  # nothing lost, nothing duplicated
+    # every retained manifest resolves to files that actually exist
+    for v in versioning.list_versions(path):
+        for f in versioning.read_manifest(path, v)["files"]:
+            assert FS.exists(FS.join(path, f)), (v, f)
