@@ -329,6 +329,85 @@ def ivf_topk(
     )
 
 
+def ivf_build_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_centroids: int = 8,
+    kmeans_sweeps: int = 1,
+    replication: int = 2,
+) -> None:
+    """Persist the IVF index: assignments written PARTITIONED BY cid (so
+    a probe reads only its buckets' files — partition pruning does the
+    candidate filtering at the storage layer), centroids as a tiny
+    parquet under ``_centroids/`` (underscore-prefixed: invisible to the
+    partitioned scan).  This is the at-scale form of ivf_topk's inline
+    assignment — build once, probe many."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_refine(
+        emb, _seeded_centroids(emb, n_centroids), sweeps=kmeans_sweeps
+    )
+    # repartition by cid first: each output task holds whole buckets, so
+    # the partitioned write emits ONE file per bucket instead of
+    # (tasks x buckets) small files — the file-count term that decides
+    # listing/open cost at 100 TB
+    ivf_assign(emb, cents, replication=replication).repartition(
+        "cid"
+    ).write.mode("overwrite").partitionBy("cid").parquet(index_path)
+    cents.write.mode("overwrite").parquet(index_path + "/_centroids")
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    k: int = 5,
+    n_queries: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (ivf_build_index).
+
+    The probe set (which cids each query visits) is driver-sized by
+    construction — at most C rows — so it is collected and pushed as a
+    STATIC ``cid IN (...)`` partition filter: the scan reads only the
+    probed buckets' files (`PartitionFilters` in the plan, asserted by
+    tests), which at 100 TB is the difference between scanning nprobe/C
+    of the corpus and scanning all of it.  The per-query bucket
+    restriction is then the (broadcast) probe join, and exact cosine +
+    top-k runs only inside probed buckets."""
+    cents = spark.read.parquet(index_path + "/_centroids")
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cid")
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _cosine_expr("q_emb", "cent"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_emb", "cid")
+    )
+    probed_cids = sorted(
+        {r.cid for r in probes.select("cid").distinct().collect()}
+    )
+    assigned = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probed_cids)
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "vec_id")
+    return (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", "vec_id", "embedding")
+        .distinct()
+        .withColumn("c", _cosine_expr("q_emb", "embedding"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select("q_id", F.col("vec_id").alias("n_id"), r2d(F.col("c")).alias("cos"))
+    )
+
+
 @register("x03c_ivf_ann")
 def x03c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X03c IVF ANN (rows-only driver check; recall-vs-exact >= 0.8

@@ -512,3 +512,74 @@ def test_lsh_interleaved_pipelines_both_correct(spark):
     assert got_a == want_a and got_b == want_b
     assert all(p[0] < 250 and p[1] < 250 for p in got_a)
     assert all(p[0] >= 250 and p[1] >= 250 for p in got_b)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index (partitioned by cid) serves probes through
+    STATIC partition pruning — the scan's PartitionFilters restrict to
+    the probed buckets, and recall matches the inline pipeline's gate."""
+    from cubefs_hadoop_spark.extensions.similarity import (
+        ivf_build_index,
+        ivf_topk_indexed,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    ivf_build_index(spark, SF_SMOKE, idx)
+    res = ivf_topk_indexed(spark, SF_SMOKE, idx)
+
+    # plan: the index scan carries a non-empty cid partition filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re
+
+    pf = [
+        m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cid" in m
+    ]
+    assert pf, f"no cid partition filter in plan:\n{plan[:2000]}"
+
+    # a NARROW probe physically reads fewer buckets than the index holds
+    # (inputFiles() reflects the unfiltered relation, so pruning evidence
+    # comes from the executed scan's numPartitions/numFiles metrics;
+    # defaults can probe every bucket across 5 queries' unions)
+    # AQE wraps stages (scans are no longer leaves of the adaptive plan);
+    # static plan keeps FileSourceScan metrics reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        narrow = ivf_topk_indexed(spark, SF_SMOKE, idx, n_queries=2, nprobe=2)
+        narrow.collect()
+        leaves = narrow._jdf.queryExecution().executedPlan().collectLeaves()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # the ONLY partitioned scan in this plan is the cid-bucketed index
+    # (embeddings/centroids are unpartitioned), so it alone carries a
+    # numPartitions metric.  NB: match on the metric, not on the path in
+    # toString() — Spark truncates long Location strings.
+    scans = []
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        it = node.metrics().iterator()
+        kv = {}
+        while it.hasNext():
+            e = it.next()
+            try:
+                kv[e._1()] = e._2().value()
+            except Exception:
+                pass
+        if "numPartitions" in kv:
+            scans.append(kv)
+    assert len(scans) == 1, f"expected one partitioned scan: {scans}"
+    assert 0 < scans[0]["numPartitions"] <= 4, scans  # <= 2q x 2probe of 8
+
+    # same recall bar as the inline pipeline
+    exact: dict[int, set] = {}
+    for r in x03_topk_cosine(spark, SF_SMOKE).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set] = {}
+    for r in res.collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    total = sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert total >= 0.8, f"indexed IVF recall: {total}"
