@@ -455,6 +455,17 @@ def expire_versions(
             continue  # never-referenced and fresh: may be an in-flight stage
         fs.delete(fs.join(data_root, rel), recursive=False)
         removed_files += 1
+    # ADOPTED files (adopt_plain_table) live at the table root, outside
+    # data/ — reclaim them too once expired manifests are their only
+    # reference (no age guard needed: a manifest provably referenced
+    # them, so they are not an in-flight stage)
+    for rel in sorted(expired_refs):
+        if rel.startswith(f"{_DATA_DIR}/"):
+            continue  # handled by the data_root sweep above
+        fp = fs.join(table_path, rel)
+        if fs.exists(fp):
+            fs.delete(fp, recursive=False)
+            removed_files += 1
     # the same grace guards empty-DIR pruning: an empty dir can be a
     # concurrent Spark write's just-created _temporary attempt dir, and
     # rmdir'ing it aborts that task

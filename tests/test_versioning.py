@@ -444,3 +444,21 @@ def test_threaded_commit_expire_stress(spark, tmp_path_factory):
     for v in versioning.list_versions(path):
         for f in versioning.read_manifest(path, v)["files"]:
             assert FS.exists(FS.join(path, f)), (v, f)
+
+
+def test_expire_reclaims_superseded_adopted_files(eng, spark):
+    """Adopted (root-level) files are GC'd like staged ones once only
+    expired manifests reference them — adoption must not become a
+    permanent storage leak."""
+    eng.write_table(_df(spark, 0, 6), "t")  # plain table
+    path = eng._table_path("t")
+    versioning.adopt_plain_table(path)
+    adopted = versioning.read_manifest(path, 1)["files"]
+    assert all(not f.startswith("data/") for f in adopted)
+    versioning.commit_version(_df(spark, 0, 2), path, mode="overwrite")
+
+    stats = eng.expire_table_versions("t", keep_last=1)
+    assert stats["versions_removed"] == 1
+    for f in adopted:
+        assert not FS.exists(FS.join(path, f)), f  # root files reclaimed
+    assert eng.table("t").count() == 2  # current snapshot intact
