@@ -242,7 +242,8 @@ class Engine:
         self._engine_temp_views.add(name)
 
     def _drop_engine_temp_view(self, name: str) -> None:
-        """Drop a temp view only if THIS engine registered it."""
+        """Drop a temp view only if an Engine (this session) registered
+        it — never a user-created temp view."""
         if name in self._engine_temp_views:
             self.spark.catalog.dropTempView(name)
             self._engine_temp_views.discard(name)

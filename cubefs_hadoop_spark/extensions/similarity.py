@@ -317,12 +317,16 @@ def ivf_topk(
         .select("q_id", "q_emb", "cid")
     )
     wk = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "vec_id")
-    return (
+    # same shuffle-width trick as ivf_topk: dedupe without q_emb
+    cand = (
         probes.join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id", "embedding")
         .distinct()
-        .withColumn("c", _cosine_expr("q_emb", "embedding"))
+        .join(F.broadcast(queries), "q_id")
+    )
+    return (
+        cand.withColumn("c", _cosine_expr("q_emb", "embedding"))
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("vec_id").alias("n_id"), r2d(F.col("c")).alias("cos"))
@@ -396,12 +400,18 @@ def ivf_topk_indexed(
         F.col("cid").isin(probed_cids)
     )
     wk = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "vec_id")
-    return (
+    # dedupe WITHOUT q_emb in the shuffle (it matches `embedding` in
+    # width, so carrying it doubles the distinct's bytes); re-attach from
+    # the broadcast-small query set after
+    cand = (
         probes.join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", "vec_id", "embedding")
+        .select("q_id", "vec_id", "embedding")
         .distinct()
-        .withColumn("c", _cosine_expr("q_emb", "embedding"))
+        .join(F.broadcast(queries), "q_id")
+    )
+    return (
+        cand.withColumn("c", _cosine_expr("q_emb", "embedding"))
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= k)
         .select("q_id", F.col("vec_id").alias("n_id"), r2d(F.col("c")).alias("cos"))
