@@ -548,3 +548,44 @@ def test_s14_committer_adopts_preexisting_plain_table(spark, tmp_path):
     # replay of batch 0 is still a no-op
     commit(spark.range(7).selectExpr("id"), 0)
     assert eng.table("ev").count() == 8
+
+
+def test_s14_committer_vs_gc_threads(spark, tmp_path):
+    """Exactly-once under GC churn: a GC thread loops expire(keep_last=2)
+    while batches commit and replay.  The ledger watermark rides the
+    always-retained latest manifest, so replays stay no-ops and no batch
+    is lost or doubled."""
+    import threading
+
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    commit = ops.versioned_batch_committer(eng, "ev")
+    stop = threading.Event()
+
+    def gc() -> None:
+        while not stop.is_set():
+            try:
+                eng.expire_table_versions("ev", keep_last=2)
+            except Exception:
+                pass  # races with commits; next tick converges
+            time.sleep(0.01)
+
+    g = threading.Thread(target=gc)
+    g.start()
+    try:
+        for bid in range(8):
+            commit(spark.range(bid * 10, bid * 10 + 5).selectExpr("id"), bid)
+        for bid in range(8):  # at-least-once replays, mid-churn
+            commit(spark.range(999).selectExpr("id"), bid)
+    finally:
+        stop.set()
+        g.join()
+
+    assert eng.table("ev").count() == 40  # 8 batches x 5 rows, no doubles
+    path = eng._table_path("ev")
+    assert versioning.last_committed_batch(path, eng.fs) == 7
+    # a fresh batch still commits after the churn
+    commit(spark.range(2).selectExpr("id"), 100)
+    assert eng.table("ev").count() == 42
