@@ -181,6 +181,12 @@ def last_committed_batch(
     return max(seen) if seen else None
 
 
+def _layout_partitioned(files: list[str]) -> bool:
+    """True when any file path carries a Hive-style ``key=value`` dir
+    segment (partitioned write layout)."""
+    return any("=" in seg for f in files for seg in f.split("/")[:-1])
+
+
 def commit_version(
     df: DataFrame,
     table_path: str,
@@ -197,6 +203,12 @@ def commit_version(
     ``append``: new file set = parent's files + new files.  Append commits
     retry on version conflicts (they commute); overwrite conflicts raise —
     the caller must decide whose table wins.
+
+    A version's file set must be layout-homogeneous: appending
+    unpartitioned files onto a Hive-partitioned parent (or vice versa)
+    is refused — one read of the mixed set could not recover the
+    dir-encoded partition columns consistently.  Overwrite/compact may
+    change the layout (they replace the file set wholesale).
     """
     fs = _fs(fs)
     if mode not in ("overwrite", "append"):
@@ -212,6 +224,16 @@ def commit_version(
             pm = read_manifest(table_path, parent, fs)
             if mode == "append":
                 base_files = pm["files"]
+                if base_files and _layout_partitioned(
+                    base_files
+                ) != bool(partition_by):
+                    raise EngineIOError(
+                        "append layout mismatch: parent version is "
+                        f"{'partitioned' if _layout_partitioned(base_files) else 'unpartitioned'} "
+                        f"but this append is {'partitioned' if partition_by else 'unpartitioned'}; "
+                        "match partition_by or overwrite the table",
+                        table_path,
+                    )
             if "batch_id_max" in pm:
                 # the streaming exactly-once watermark rides every commit
                 # so a manual commit between batches never drops it
@@ -221,6 +243,7 @@ def commit_version(
             "parent": parent or None,
             "mode": mode,
             "stage": stage,
+            "partition_by": list(partition_by or []),
             "files": sorted(base_files + files),
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
@@ -270,6 +293,49 @@ def adopt_plain_table(table_path: str, fs: WarehouseFS | None = None) -> int:
     return _commit_manifest(table_path, manifest, 1, fs)
 
 
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    fs: WarehouseFS,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Read an explicit manifest file list, recovering dir-encoded
+    partition columns.
+
+    Explicit file lists disable Hive-style partition discovery, which
+    would silently DROP partition columns from a ``partition_by`` commit
+    (``data/<stage>/p=1/part-*.parquet`` reads back without ``p``), and a
+    single ``basePath`` cannot span several staged commits (each stage
+    dir is its own partition root -> CONFLICTING_DIRECTORY_STRUCTURES).
+    So: group the files by partition root (path prefix up to the first
+    ``key=value`` segment), scan each group with ITS root as basePath,
+    and union the groups by name — the per-manifest-group scan shape an
+    Iceberg reader uses.  Unpartitioned layouts form one rootless group
+    and read exactly as before."""
+    groups: dict[str | None, list[str]] = {}
+    for f in files:
+        segs = f.split("/")
+        kv = next((i for i, s in enumerate(segs[:-1]) if "=" in s), None)
+        root = "/".join(segs[:kv]) if kv is not None else None
+        groups.setdefault(root, []).append(f)
+    dfs = []
+    for root in sorted(groups, key=lambda r: (r is not None, r or "")):
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        if root is not None:
+            base = fs.join(table_path, root) if root else table_path
+            reader = reader.option("basePath", base)
+        dfs.append(
+            reader.parquet(*(fs.join(table_path, f) for f in groups[root]))
+        )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out
+
+
 def read_version(
     spark: SparkSession,
     table_path: str,
@@ -288,11 +354,7 @@ def read_version(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    paths = [fs.join(table_path, f) for f in m["files"]]
-    reader = spark.read
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*paths)
+    return _read_files(spark, table_path, m["files"], fs, merge_schema)
 
 
 def read_changes(
@@ -333,7 +395,8 @@ def read_changes(
         return spark.createDataFrame(
             [], T.StructType.fromJson(target_m["schema"])
         )
-    return spark.read.parquet(*(fs.join(table_path, f) for f in added))
+    # partition-root-grouped read: keeps dir-encoded partition columns
+    return _read_files(spark, table_path, added, fs)
 
 
 def rollback(

@@ -462,3 +462,53 @@ def test_expire_reclaims_superseded_adopted_files(eng, spark):
     for f in adopted:
         assert not FS.exists(FS.join(path, f)), f  # root files reclaimed
     assert eng.table("t").count() == 2  # current snapshot intact
+
+
+def test_partitioned_versioned_commits_keep_partition_columns(eng, spark):
+    """A partition_by commit's dir-encoded column must survive versioned
+    reads (explicit file lists disable partition discovery — the grouped
+    basePath read recovers it), across appends, time travel, and
+    incremental reads."""
+    from pyspark.sql import functions as F
+
+    def mk(lo, hi):
+        return spark.range(lo, hi).withColumn(
+            "p", (F.col("id") % 2).cast("int")
+        )
+
+    eng.write_table_version(mk(0, 10), "t", partition_by=["p"])
+    r1 = eng.read_version("t")
+    assert sorted(r1.columns) == ["id", "p"]
+    assert r1.filter(F.col("p") == 1).count() == 5  # values, not just schema
+
+    eng.write_table_version(mk(10, 14), "t", mode="append", partition_by=["p"])
+    r2 = eng.read_version("t")
+    assert sorted(r2.columns) == ["id", "p"] and r2.count() == 14
+    assert eng.read_version("t", 1).count() == 10  # time travel intact
+    inc = eng.read_table_changes("t", from_version=1)
+    assert sorted(inc.columns) == ["id", "p"] and inc.count() == 4
+
+    # layout homogeneity: an UNPARTITIONED append onto the partitioned
+    # chain is a typed refusal (a mixed file set cannot recover the
+    # partition column consistently)
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    with pytest.raises(EngineIOError):
+        eng.write_table_version(mk(20, 22), "t", mode="append")
+    # overwrite replaces the file set wholesale: layout may change
+    eng.write_table_version(mk(0, 3), "t")
+    assert eng.read_version("t").count() == 3
+
+
+def test_adopt_partitioned_plain_table_keeps_partition_columns(eng, spark):
+    """adopt_plain_table over a Hive-partitioned plain table: the adopted
+    root-level kv-dir files read back WITH their partition column."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(8).withColumn("p", (F.col("id") % 2).cast("int"))
+    eng.write_table(df, "t", partition_by=["p"])
+    path = eng._table_path("t")
+    versioning.adopt_plain_table(path)
+    r = eng.read_version("t", 1)
+    assert sorted(r.columns) == ["id", "p"]
+    assert r.count() == 8 and r.filter(F.col("p") == 0).count() == 4
