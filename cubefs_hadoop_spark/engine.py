@@ -808,21 +808,43 @@ class Engine:
             self._swap_rewrite(name, merged)
         self._mark_dirty(name)
 
-    def delete_from(self, name: str, predicate: str) -> None:
+    def delete_from(
+        self, name: str, predicate: str, strategy: str = "cow"
+    ) -> None:
         """Row-level DELETE: drop rows matching ``predicate`` (a SQL
-        boolean expression).  Same atomic commit paths as merge_table —
-        versioned snapshot or staged rename swap.  The 100 TB
-        right-to-be-forgotten verb: one filtered scan, no driver loop."""
+        boolean expression).  The 100 TB right-to-be-forgotten verb: one
+        filtered scan, no driver loop.
+
+        ``strategy="cow"`` (default): copy-on-write — rewrite the live
+        file set and commit atomically (versioned snapshot or staged
+        rename swap).  Right for batch-cadence deletes.
+        ``strategy="mor"``: merge-on-read — an O(1) metadata commit
+        records the predicate; readers apply it scoped to the rows that
+        existed at delete time, and ``compact_table`` materializes it
+        (the Iceberg v2 delete tier).  Right for high-frequency small
+        deletes; requires a versioned table."""
         from cubefs_hadoop_spark import versioning
         from pyspark.sql import functions as F
 
+        path = self._table_path(name)
+        if strategy == "mor":
+            if not versioning.is_versioned(path, self.fs):
+                raise EngineIOError(
+                    "merge-on-read delete requires a versioned table "
+                    "(write_table_version first, or use strategy='cow')",
+                    name,
+                )
+            versioning.commit_delete(path, predicate, fs=self.fs)
+            self._mark_dirty(name)
+            return
+        if strategy != "cow":
+            raise EngineIOError(f"invalid delete strategy {strategy!r}")
         # SQL DELETE semantics: remove rows where the predicate IS TRUE;
         # rows where it evaluates NULL are KEPT (a bare ~pred would drop
         # them — three-valued logic)
         remaining = self.table(name).filter(
             ~F.coalesce(F.expr(predicate), F.lit(False))
         )
-        path = self._table_path(name)
         if versioning.is_versioned(path, self.fs):
             versioning.commit_version(
                 remaining, path, mode="overwrite", fs=self.fs

@@ -238,13 +238,28 @@ def commit_version(
                 # the streaming exactly-once watermark rides every commit
                 # so a manual commit between batches never drops it
                 inherited["batch_id_max"] = pm["batch_id_max"]
+        # sequence-number bookkeeping (Iceberg v2 analog): every data file
+        # remembers the version that ADDED it, so a merge-on-read delete
+        # (commit_delete) can scope itself to rows that existed when it
+        # committed.  Appends inherit the parent's pending deletes;
+        # overwrite replaces the file set wholesale, so deletes reset.
+        v = parent + 1
+        file_seq: dict[str, int] = {}
+        deletes: list = []
+        if parent and mode == "append":
+            file_seq = dict(pm.get("file_seq", {}))
+            deletes = list(pm.get("deletes", []))
+        for f in files:
+            file_seq[f] = v
         manifest = {
-            "version": parent + 1,
+            "version": v,
             "parent": parent or None,
             "mode": mode,
             "stage": stage,
             "partition_by": list(partition_by or []),
             "files": sorted(base_files + files),
+            "file_seq": file_seq,
+            "deletes": deletes,
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
             **inherited,
@@ -257,6 +272,57 @@ def commit_version(
             if mode != "append" or attempt > max_retries:
                 # surface the conflict; the staged files are orphans that
                 # expire_versions() will reap
+                raise
+
+
+def commit_delete(
+    table_path: str,
+    predicate: str,
+    fs: WarehouseFS | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Merge-on-read DELETE: commit a new version whose manifest carries
+    the predicate as a pending delete — O(1) metadata, NO data rewrite
+    (the Iceberg v2 delete-file tier, here as a replayable SQL predicate
+    since Spark is the only reader).  Readers apply it as a read-time
+    filter scoped by sequence number: only rows in files that existed at
+    commit time are affected; files appended later are untouched even if
+    their rows match.  ``compact_version`` materializes pending deletes
+    and clears them.
+
+    The right tier for high-frequency small deletes where copy-on-write
+    (Engine.delete_from's default) would rewrite the table per statement;
+    reads pay one extra filter per pending delete until compaction.
+    Retries through append conflicts (a delete observes whatever state it
+    lands on)."""
+    fs = _fs(fs)
+    attempt = 0
+    while True:
+        vs = list_versions(table_path, fs)
+        if not vs:
+            raise TableNotFoundError("no committed versions", table_path)
+        parent = vs[-1]
+        pm = read_manifest(table_path, parent, fs)
+        v = parent + 1
+        manifest = {
+            "version": v,
+            "parent": parent,
+            "mode": "delete",
+            "partition_by": pm.get("partition_by", []),
+            "files": pm["files"],
+            "file_seq": pm.get("file_seq", {}),
+            "deletes": list(pm.get("deletes", []))
+            + [{"seq": v, "pred": predicate}],
+            "ts_ms": int(time.time() * 1000),
+            "schema": pm.get("schema"),
+        }
+        if "batch_id_max" in pm:
+            manifest["batch_id_max"] = pm["batch_id_max"]
+        try:
+            return _commit_manifest(table_path, manifest, v, fs)
+        except VersionConflictError:
+            attempt += 1
+            if attempt > max_retries:
                 raise
 
 
@@ -354,7 +420,36 @@ def read_version(
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
-    return _read_files(spark, table_path, m["files"], fs, merge_schema)
+    deletes = m.get("deletes", [])
+    if not deletes:
+        return _read_files(spark, table_path, m["files"], fs, merge_schema)
+    # merge-on-read: apply pending delete predicates scoped by sequence
+    # number — a delete at seq d affects only files added at seq <= d
+    # (legacy manifests without file_seq read as seq 0: every delete
+    # applies).  Files group by their applicable-delete set, each group
+    # reads + filters independently, union by name; group count is
+    # bounded by the pending-delete count, which compaction resets.
+    from pyspark.sql import functions as F
+
+    fseq = m.get("file_seq", {})
+    by_preds: dict[tuple[str, ...], list[str]] = {}
+    for f in m["files"]:
+        add_seq = int(fseq.get(f, 0))
+        preds = tuple(
+            d["pred"] for d in deletes if add_seq <= int(d["seq"])
+        )
+        by_preds.setdefault(preds, []).append(f)
+    parts = []
+    for preds, files in sorted(by_preds.items()):
+        part = _read_files(spark, table_path, files, fs, merge_schema)
+        for pred in preds:
+            # DELETE removes rows where pred IS TRUE; NULL-pred rows stay
+            part = part.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def read_changes(
@@ -377,7 +472,8 @@ def read_changes(
     incremental results."""
     fs = _fs(fs)
     to_v = current_version(table_path, fs) if to_version is None else to_version
-    base = set(read_manifest(table_path, from_version, fs)["files"])
+    base_m = read_manifest(table_path, from_version, fs)
+    base = set(base_m["files"])
     target_m = read_manifest(table_path, to_v, fs)
     target = set(target_m["files"])
     removed = base - target
@@ -385,6 +481,15 @@ def read_changes(
         raise EngineIOError(
             f"non-additive commit in ({from_version}, {to_v}]: "
             f"{len(removed)} file(s) removed; incremental read is only "
+            "defined over append-only ranges",
+            table_path,
+        )
+    if base_m.get("deletes", []) != target_m.get("deletes", []):
+        # a merge-on-read delete removes ROWS without removing files —
+        # the file-set diff would misreport the change set
+        raise EngineIOError(
+            f"non-additive commit in ({from_version}, {to_v}]: pending "
+            "merge-on-read deletes changed; incremental read is only "
             "defined over append-only ranges",
             table_path,
         )
@@ -416,6 +521,11 @@ def rollback(
         "mode": "rollback",
         "rollback_of": to_version,
         "files": m["files"],
+        # restore the TARGET's delete/sequence state too: rolling back
+        # past a merge-on-read delete must resurrect its rows
+        "file_seq": m.get("file_seq", {}),
+        "deletes": m.get("deletes", []),
+        "partition_by": m.get("partition_by", []),
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
     }
@@ -446,18 +556,24 @@ def compact_version(
     est = sum(sizes.get(f, 0) for f in pm["files"])
     n = max(1, math.ceil(est / target_file_bytes))
     stage, files = _stage_write(df.repartition(n), table_path, None, fs)
+    v = parent + 1
     manifest = {
-        "version": parent + 1,
+        "version": v,
         "parent": parent,
         "mode": "compact",
         "stage": stage,
         "files": files,
+        # the rewrite read applied pending MoR deletes, so they are now
+        # MATERIALIZED: fresh sequence numbers, empty delete list
+        "file_seq": {f: v for f in files},
+        "deletes": [],
+        "partition_by": [],
         "ts_ms": int(time.time() * 1000),
         "schema": df.schema.jsonValue(),
     }
     if "batch_id_max" in pm:
         manifest["batch_id_max"] = pm["batch_id_max"]
-    return _commit_manifest(table_path, manifest, parent + 1, fs)
+    return _commit_manifest(table_path, manifest, v, fs)
 
 
 def expire_versions(

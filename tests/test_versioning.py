@@ -512,3 +512,83 @@ def test_adopt_partitioned_plain_table_keeps_partition_columns(eng, spark):
     r = eng.read_version("t", 1)
     assert sorted(r.columns) == ["id", "p"]
     assert r.count() == 8 and r.filter(F.col("p") == 0).count() == 4
+
+
+# -- merge-on-read delete tier (round 5) ------------------------------------
+
+
+def test_mor_delete_is_metadata_only_and_scoped(eng, spark):
+    """commit_delete hides matching rows with NO data rewrite; rows
+    appended AFTER the delete are untouched even when they match
+    (sequence-number scoping, the Iceberg v2 semantics)."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    path = eng._table_path("t")
+    files_before = set(versioning.read_manifest(path, 1)["files"])
+
+    eng.delete_from("t", "id < 3", strategy="mor")
+    assert eng.table("t").count() == 7
+    m2 = versioning.read_manifest(path, 2)
+    assert set(m2["files"]) == files_before  # no rewrite, no new files
+    assert m2["mode"] == "delete" and len(m2["deletes"]) == 1
+
+    # post-delete append: ids 0..4 APPENDED now must all be visible —
+    # the pending delete predicates only files older than itself
+    eng.write_table_version(_df(spark, 0, 5), "t", mode="append")
+    ids = sorted(r.id for r in eng.table("t").collect())
+    assert ids == [0, 1, 2, 3, 3, 4, 4, 5, 6, 7, 8, 9]
+
+    # time travel: the pre-delete snapshot still shows every row
+    assert eng.read_version("t", 1).count() == 10
+    # NULL-predicate rows are kept (three-valued logic)
+    eng.delete_from("t", "CASE WHEN id = 5 THEN NULL ELSE id = 9 END",
+                    strategy="mor")
+    ids2 = sorted(r.id for r in eng.table("t").collect())
+    assert 5 in ids2 and 9 not in ids2
+
+
+def test_mor_delete_compaction_materializes(eng, spark):
+    """compact_table applies pending MoR deletes physically and clears
+    them; content identical before/after compaction."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.delete_from("t", "id % 2 = 0", strategy="mor")
+    before = sorted(r.id for r in eng.table("t").collect())
+    assert before == [1, 3, 5, 7, 9]
+
+    eng.compact_table("t")
+    path = eng._table_path("t")
+    m = versioning.read_manifest(path, versioning.current_version(path))
+    assert m["mode"] == "compact" and m["deletes"] == []
+    assert sorted(r.id for r in eng.table("t").collect()) == before
+    # post-compaction files physically lack the deleted rows
+    raw = versioning._read_files(
+        spark, path, m["files"], versioning._LOCAL
+    )
+    assert sorted(r.id for r in raw.collect()) == before
+
+
+def test_mor_delete_rollback_resurrects_rows(eng, spark):
+    """Rolling back to a pre-delete version restores its rows (the
+    rollback manifest carries the target's delete state)."""
+    eng.write_table_version(_df(spark, 0, 6), "t")
+    eng.delete_from("t", "id >= 4", strategy="mor")
+    assert eng.table("t").count() == 4
+    eng.rollback_table("t", 1)
+    assert eng.table("t").count() == 6
+
+
+def test_mor_delete_refuses_unversioned_and_breaks_incremental(eng, spark):
+    """MoR needs manifests; and read_table_changes refuses ranges whose
+    pending deletes changed (rows vanished without file-set diffs)."""
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    eng.write_table(_df(spark, 0, 4), "t")  # plain table
+    with pytest.raises(EngineIOError):
+        eng.delete_from("t", "id = 0", strategy="mor")
+
+    eng.write_table_version(_df(spark, 0, 6), "v")
+    eng.write_table_version(_df(spark, 6, 8), "v", mode="append")
+    eng.delete_from("v", "id = 0", strategy="mor")
+    with pytest.raises(EngineIOError):
+        eng.read_table_changes("v", from_version=1)
+    # ranges not crossing the delete still work
+    assert eng.read_table_changes("v", 1, 2).count() == 2
