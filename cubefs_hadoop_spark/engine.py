@@ -773,20 +773,27 @@ class Engine:
         self.write_table(df, name, mode="append")
 
     def merge_table(
-        self, df: DataFrame, name: str, on: str | list[str]
+        self, df: DataFrame, name: str, on: str | list[str],
+        strategy: str = "cow",
     ) -> None:
         """Upsert — the MERGE INTO capability the reference's host engines
         get from Iceberg (reference README.md:79-83): rows of ``df``
         replace the table's rows with matching ``on`` keys; unmatched
         table rows are kept; new keys are inserted.
 
-        Implementation is one anti-join + union committed atomically:
-        versioned tables get a new snapshot (old versions stay readable);
-        plain tables stage to a temp dir and swap via the N10 rename
-        primitive so readers never see a half-merged table.  Scale note:
-        the anti-join shuffles on the merge key only; at 100 TB partition
-        the table by the merge key's bucket to make this co-located.
-        """
+        ``strategy="cow"`` (default): one anti-join + union committed
+        atomically — versioned tables get a new snapshot (old versions
+        stay readable); plain tables stage to a temp dir and swap via the
+        N10 rename primitive so readers never see a half-merged table.
+        Scale note: the anti-join shuffles on the merge key only; at
+        100 TB partition the table by the merge key's bucket to make this
+        co-located.
+
+        ``strategy="mor"``: merge-on-read — commit the batch plus an
+        equality-delete key file; NO rewrite of existing data (commit
+        cost independent of table size), readers anti-join old files
+        against the keys until ``compact_table`` materializes.  Requires
+        a versioned table; right for high-frequency small upserts."""
         from cubefs_hadoop_spark import versioning
 
         keys = [on] if isinstance(on, str) else list(on)
@@ -799,9 +806,21 @@ class Engine:
                 f"MERGE {name}: column mismatch "
                 f"{sorted(df.columns)} vs {sorted(current.columns)}"
             )
+        path = self._table_path(name)
+        if strategy == "mor":
+            if not versioning.is_versioned(path, self.fs):
+                raise EngineIOError(
+                    "merge-on-read upsert requires a versioned table "
+                    "(write_table_version first, or use strategy='cow')",
+                    name,
+                )
+            versioning.commit_merge(df, path, keys, fs=self.fs)
+            self._mark_dirty(name)
+            return
+        if strategy != "cow":
+            raise EngineIOError(f"invalid merge strategy {strategy!r}")
         kept = current.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(df)
-        path = self._table_path(name)
         if versioning.is_versioned(path, self.fs):
             versioning.commit_version(merged, path, mode="overwrite", fs=self.fs)
         else:

@@ -326,6 +326,68 @@ def commit_delete(
                 raise
 
 
+def commit_merge(
+    df: DataFrame,
+    table_path: str,
+    on: str | list[str],
+    fs: WarehouseFS | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Merge-on-read UPSERT: append ``df``'s rows AND record an
+    EQUALITY-DELETE entry (a staged parquet of ``df``'s key tuples, the
+    Iceberg v2 equality-delete-file analog) in one commit.  Readers
+    anti-join pre-existing files against the key file — matched old rows
+    vanish, the appended batch provides their replacements — scoped by
+    sequence number so the batch does not delete itself and later
+    appends are untouched.  No data rewrite: commit cost is the new rows
+    plus one key file, independent of table size.
+
+    Refused onto a Hive-partitioned layout (the appended rows would lack
+    the dir-encoded partition column); ``compact_version`` first."""
+    fs = _fs(fs)
+    keys = [on] if isinstance(on, str) else list(on)
+    stage, files = _stage_write(df, table_path, None, fs)
+    _kstage, kfiles = _stage_write(
+        df.select(*keys).distinct(), table_path, None, fs
+    )
+    attempt = 0
+    while True:
+        vs = list_versions(table_path, fs)
+        if not vs:
+            raise TableNotFoundError("no committed versions", table_path)
+        parent = vs[-1]
+        pm = read_manifest(table_path, parent, fs)
+        if _layout_partitioned(pm["files"]):
+            raise EngineIOError(
+                "merge-on-read upsert onto a Hive-partitioned layout is "
+                "not supported (appended rows would lack the dir-encoded "
+                "partition column); compact_version first",
+                table_path,
+            )
+        v = parent + 1
+        manifest = {
+            "version": v,
+            "parent": parent,
+            "mode": "merge",
+            "stage": stage,
+            "partition_by": [],
+            "files": sorted(pm["files"] + files),
+            "file_seq": {**pm.get("file_seq", {}), **{f: v for f in files}},
+            "deletes": list(pm.get("deletes", []))
+            + [{"seq": v, "eq_cols": keys, "eq_files": kfiles}],
+            "ts_ms": int(time.time() * 1000),
+            "schema": df.schema.jsonValue(),
+        }
+        if "batch_id_max" in pm:
+            manifest["batch_id_max"] = pm["batch_id_max"]
+        try:
+            return _commit_manifest(table_path, manifest, v, fs)
+        except VersionConflictError:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+
+
 def adopt_plain_table(table_path: str, fs: WarehouseFS | None = None) -> int:
     """Commit the PRE-EXISTING plain-parquet contents of ``table_path`` as
     version 1, referencing the files in place — no rewrite, O(1) metadata.
@@ -423,28 +485,37 @@ def read_version(
     deletes = m.get("deletes", [])
     if not deletes:
         return _read_files(spark, table_path, m["files"], fs, merge_schema)
-    # merge-on-read: apply pending delete predicates scoped by sequence
-    # number — a delete at seq d affects only files added at seq <= d
-    # (legacy manifests without file_seq read as seq 0: every delete
-    # applies).  Files group by their applicable-delete set, each group
-    # reads + filters independently, union by name; group count is
-    # bounded by the pending-delete count, which compaction resets.
+    # merge-on-read: apply pending deletes scoped by sequence number — a
+    # delete at seq d affects only files added STRICTLY BEFORE d (an
+    # upsert batch must not delete its own rows; legacy manifests without
+    # file_seq read as seq 0: every delete applies).  Files group by
+    # their applicable-delete set, each group reads + filters/anti-joins
+    # independently, union by name; group count is bounded by the
+    # pending-delete count, which compaction resets.
     from pyspark.sql import functions as F
 
     fseq = m.get("file_seq", {})
-    by_preds: dict[tuple[str, ...], list[str]] = {}
+    by_dels: dict[tuple[int, ...], list[str]] = {}
     for f in m["files"]:
         add_seq = int(fseq.get(f, 0))
-        preds = tuple(
-            d["pred"] for d in deletes if add_seq <= int(d["seq"])
+        dd = tuple(
+            i for i, d in enumerate(deletes) if add_seq < int(d["seq"])
         )
-        by_preds.setdefault(preds, []).append(f)
+        by_dels.setdefault(dd, []).append(f)
     parts = []
-    for preds, files in sorted(by_preds.items()):
+    for dd, files in sorted(by_dels.items()):
         part = _read_files(spark, table_path, files, fs, merge_schema)
-        for pred in preds:
-            # DELETE removes rows where pred IS TRUE; NULL-pred rows stay
-            part = part.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+        for i in dd:
+            d = deletes[i]
+            if "pred" in d:
+                # DELETE removes rows where pred IS TRUE; NULL-pred rows
+                # stay (three-valued logic)
+                part = part.filter(
+                    ~F.coalesce(F.expr(d["pred"]), F.lit(False))
+                )
+            else:
+                keys = _read_files(spark, table_path, d["eq_files"], fs)
+                part = part.join(keys, d["eq_cols"], "left_anti")
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -607,8 +678,13 @@ def expire_versions(
     referenced: set[str] = set()
     expired_refs: set[str] = set()
     for v in vs:
-        files = read_manifest(table_path, v, fs)["files"]
-        (referenced if v in keep else expired_refs).update(files)
+        m = read_manifest(table_path, v, fs)
+        refs = set(m["files"])
+        for d in m.get("deletes", []):
+            # equality-delete key files are live data too: reaping them
+            # would break every read of a version holding the entry
+            refs.update(d.get("eq_files", []))
+        (referenced if v in keep else expired_refs).update(refs)
     expired_refs -= referenced
     removed_versions = 0
     md = _manifest_dir(table_path, fs)

@@ -592,3 +592,66 @@ def test_mor_delete_refuses_unversioned_and_breaks_incremental(eng, spark):
         eng.read_table_changes("v", from_version=1)
     # ranges not crossing the delete still work
     assert eng.read_table_changes("v", 1, 2).count() == 2
+
+
+def test_mor_merge_upserts_without_rewrite(eng, spark):
+    """merge_table(strategy='mor'): matched old rows vanish via the
+    equality-delete key file, the batch's rows replace them, unmatched
+    rows persist — all WITHOUT rewriting existing data files, and
+    byte-identical in effect to the copy-on-write merge."""
+    eng.write_table_version(_df(spark, 0, 6), "t")  # v=2*id
+    path = eng._table_path("t")
+    v1_files = set(versioning.read_manifest(path, 1)["files"])
+
+    batch = spark.createDataFrame(
+        [(2, 999), (3, 888), (10, 777)], "id long, v long"
+    )
+    eng.merge_table(batch, "t", on="id", strategy="mor")
+
+    got = {r.id: r.v for r in eng.table("t").collect()}
+    assert got == {0: 0, 1: 2, 2: 999, 3: 888, 4: 8, 5: 10, 10: 777}
+    m2 = versioning.read_manifest(path, 2)
+    assert v1_files <= set(m2["files"])  # old files still there, unrewritten
+    assert m2["mode"] == "merge"
+    d = m2["deletes"][0]
+    assert d["eq_cols"] == ["id"] and d["eq_files"]
+
+    # CoW twin on a copy produces the same table state
+    eng.write_table_version(_df(spark, 0, 6), "u")
+    eng.merge_table(batch, "u", on="id", strategy="cow")
+    got_cow = {r.id: r.v for r in eng.table("u").collect()}
+    assert got_cow == got
+
+    # time travel unaffected; a second mor merge stacks correctly
+    assert eng.read_version("t", 1).count() == 6
+    eng.merge_table(
+        spark.createDataFrame([(2, 111)], "id long, v long"),
+        "t", on="id", strategy="mor",
+    )
+    got2 = {r.id: r.v for r in eng.table("t").collect()}
+    assert got2[2] == 111 and got2[3] == 888 and len(got2) == 7
+
+
+def test_mor_merge_key_files_survive_gc_until_compaction(eng, spark):
+    """expire_versions must treat equality-delete key files as live
+    (reaping them would break reads); after compact_table materializes,
+    they become unreferenced and ARE reclaimed."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.merge_table(
+        spark.createDataFrame([(1, 42)], "id long, v long"),
+        "t", on="id", strategy="mor",
+    )
+    path = eng._table_path("t")
+    kf = versioning.read_manifest(path, 2)["deletes"][0]["eq_files"]
+
+    eng.expire_table_versions("t", keep_last=1, orphan_grace_ms=0)
+    for f in kf:
+        assert FS.exists(FS.join(path, f)), f  # key file still live
+    got = {r.id: r.v for r in eng.table("t").collect()}
+    assert got[1] == 42 and len(got) == 5
+
+    eng.compact_table("t")
+    eng.expire_table_versions("t", keep_last=1, orphan_grace_ms=0)
+    for f in kf:
+        assert not FS.exists(FS.join(path, f)), f  # now reclaimed
+    assert {r.id: r.v for r in eng.table("t").collect()} == got
