@@ -501,6 +501,7 @@ def sink_merge(
     on: str | list[str],
     checkpoint_dir: str,
     order_by: str | None = None,
+    strategy: str = "cow",
 ) -> None:
     """S15: CDC-style streaming UPSERT sink — each micro-batch is merged
     into ``table`` by key (matched rows replaced, new keys inserted), the
@@ -518,7 +519,16 @@ def sink_merge(
     Effectively exactly-once without a ledger: merge is IDEMPOTENT (re-
     applying a batch replaces keys with identical rows), so foreachBatch's
     at-least-once replay around checkpoint boundaries converges to the
-    same table state.  First batch creates the table."""
+    same table state.  First batch creates the table.
+
+    ``strategy="mor"`` routes each batch through the merge-on-read tier
+    (equality-delete commit, versioning.commit_merge): per-batch cost is
+    O(batch) instead of O(table) — the difference between a CDC sink
+    that keeps up at 100 TB and one that rewrites the table every
+    trigger.  First batch creates a VERSIONED table; replays still
+    converge (a replayed batch's equality delete removes the earlier
+    copy's rows, so content is identical, with the extra stacked
+    version reclaimed by compaction + expire)."""
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -537,9 +547,12 @@ def sink_merge(
             .drop("__rn")
         )
         if not engine.table_exists(table):
-            engine.write_table(latest, table)
+            if strategy == "mor":
+                engine.write_table_version(latest, table)
+            else:
+                engine.write_table(latest, table)
         else:
-            engine.merge_table(latest, table, on=keys)
+            engine.merge_table(latest, table, on=keys, strategy=strategy)
 
     q = (
         sdf.writeStream.foreachBatch(_merge)

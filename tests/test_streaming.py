@@ -589,3 +589,64 @@ def test_s14_committer_vs_gc_threads(spark, tmp_path):
     # a fresh batch still commits after the churn
     commit(spark.range(2).selectExpr("id"), 100)
     assert eng.table("ev").count() == 42
+
+
+def test_s15_merge_sink_mor_strategy(spark, tmp_path):
+    """S15 over the merge-on-read tier: same converged state as the CoW
+    sink (incl. under full-source replay), but batches commit without
+    rewriting the table."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    stage = str(tmp_path / "cdc")
+    data = os.path.join(stage, "data")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    base = 1_700_000_000_000_000_000
+    spark.createDataFrame(
+        [(i, base + i, i, "init", 1.0, "{}") for i in (1, 2, 3)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(data)
+    time.sleep(1.1)
+    spark.createDataFrame(
+        [
+            (10, base + 10, 2, "upd", 2.0, "{}"),
+            (11, base + 11, 2, "upd", 3.0, "{}"),
+            (12, base + 12, 4, "init", 1.0, "{}"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(data)
+
+    sdf = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
+    ops.sink_merge(
+        sdf, eng, "state", on="user_id",
+        checkpoint_dir=_ckpt(tmp_path, "s15m"), order_by="value",
+        strategy="mor",
+    )
+    want = {
+        (1, "init", 1.0), (2, "upd", 3.0), (3, "init", 1.0), (4, "init", 1.0),
+    }
+    got = {(r.user_id, r.event_type, r.value) for r in eng.table("state").collect()}
+    assert got == want
+    path = eng._table_path("state")
+    assert versioning.is_versioned(path, eng.fs)
+    m = versioning.read_manifest(path, versioning.current_version(path))
+    assert m["mode"] == "merge" and m["deletes"]  # MoR commits, no rewrite
+
+    # full-source replay with a FRESH checkpoint converges to the same
+    # content (the replayed batches' equality deletes supersede)
+    sdf2 = ops.read_stream(spark, stage).select("user_id", "event_type", "value")
+    ops.sink_merge(
+        sdf2, eng, "state", on="user_id",
+        checkpoint_dir=_ckpt(tmp_path, "s15m2"), order_by="value",
+        strategy="mor",
+    )
+    got2 = {(r.user_id, r.event_type, r.value) for r in eng.table("state").collect()}
+    assert got2 == want
+    # compaction + expire collapse the stacked MoR state
+    eng.compact_table("state")
+    eng.expire_table_versions("state", keep_last=1, orphan_grace_ms=0)
+    got3 = {(r.user_id, r.event_type, r.value) for r in eng.table("state").collect()}
+    assert got3 == want
