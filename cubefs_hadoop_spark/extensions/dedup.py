@@ -223,6 +223,65 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_build_index(docs: DataFrame, index_path: str) -> None:
+    """Persist the LSH band table (doc_id, band, key) for INCREMENTAL
+    dedup: a growing corpus signs each new batch once and probes this
+    index, instead of re-signing the whole corpus per batch.  At 100 TB
+    the index is ~n_bands small rows per doc — a fraction of corpus
+    bytes — and the probe join shuffles only on (band, key)."""
+    lsh_bands(minhash_signature(docs)).write.mode("overwrite").parquet(
+        index_path
+    )
+
+
+def lsh_index_append(new_docs: DataFrame, index_path: str) -> None:
+    """Fold a new batch's bands into the persisted index (after its
+    candidates were emitted) — completes the incremental-ingest loop."""
+    lsh_bands(minhash_signature(new_docs)).write.mode("append").parquet(
+        index_path
+    )
+
+
+def lsh_incremental_candidates(
+    new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING the new batch: (corpus, new)
+    pairs from probing the persisted index plus (new, new) pairs within
+    the batch.  Output (da, db) with da < db, distinct — exactly the
+    delta that full-corpus ``lsh_candidate_pairs`` would add for these
+    docs, at the cost of signing only the batch.  The corpus-side work
+    is one scan of the (small) band index, not the corpus."""
+    spark = new_docs.sparkSession
+    new_bands = barrier(
+        lsh_bands(minhash_signature(new_docs)), eager=False
+    )
+    idx = spark.read.parquet(index_path)
+    cross = (
+        idx.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("da"),
+            F.greatest("a.doc_id", "b.doc_id").alias("db"),
+        )
+    )
+    within = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    return cross.unionByName(within).distinct()
+
+
 @register("x02_minhash_lsh", _X02_ORACLE)
 def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X02 MinHash-LSH near-dup candidates: 9 min-hashes over char

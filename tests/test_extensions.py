@@ -583,3 +583,41 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
         len(v) for v in exact.values()
     )
     assert total >= 0.8, f"indexed IVF recall: {total}"
+
+
+def test_lsh_incremental_index_matches_full_run(spark, tmp_path):
+    """Incremental dedup: probing the persisted band index with a new
+    batch yields EXACTLY the candidate pairs the full-corpus run would
+    add for those docs — at the cost of signing only the batch."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        lsh_build_index,
+        lsh_candidate_pairs,
+        lsh_incremental_candidates,
+        lsh_index_append,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "lsh_index")
+    lsh_build_index(corpus, idx)
+
+    inc = {
+        (r.da, r.db)
+        for r in lsh_incremental_candidates(batch, idx).collect()
+    }
+    full = {(r.da, r.db) for r in lsh_candidate_pairs(docs).collect()}
+    old_only = {(r.da, r.db) for r in lsh_candidate_pairs(corpus).collect()}
+    want = {p for p in full if p[0] >= 400 or p[1] >= 400}
+    assert inc == want
+    assert old_only | inc == full  # incremental delta completes the set
+    assert inc, "fixture should produce cross-batch candidates"
+    assert any(p[0] < 400 for p in inc)  # genuine corpus-vs-batch pairs
+
+    # fold the batch in: a SECOND identical batch now collides with it
+    lsh_index_append(batch, idx)
+    again = {
+        (r.da, r.db)
+        for r in lsh_incremental_candidates(batch, idx).collect()
+    }
+    assert want <= again  # prior pairs still found through the index
