@@ -90,3 +90,58 @@ def test_full_training_data_pipeline(spark, tmp_path):
     assert n_raw - n_gated >= 0
     assert n_gated - n_exact >= 0
     assert n_exact - n_final >= 0
+
+
+def test_incremental_ingest_pipeline(spark, tmp_path):
+    """Round-5 composition — the steady-state ingest loop of a GROWING
+    corpus: versioned table + persisted LSH index; each arriving batch
+    signs only itself, drops docs that near-dup the corpus or each
+    other, upserts merge-on-read (O(batch) commit), and folds its bands
+    into the index.  A replayed batch adds nothing."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "lsh_idx")
+
+    eng.write_table_version(corpus, "corpus")
+    dd.lsh_build_index(corpus, idx)
+    n0 = eng.table("corpus").count()
+
+    def ingest(new_docs):
+        # exact tier first: docs already in the corpus (same id — e.g. a
+        # replayed batch) never reach the near-dup stage
+        new_docs = new_docs.join(
+            eng.table("corpus").select("doc_id"), "doc_id", "left_anti"
+        )
+        if new_docs.isEmpty():
+            return 0
+        pairs = dd.lsh_incremental_candidates(new_docs, idx)
+        # keep-first policy: in every candidate pair the LARGER doc_id is
+        # the newer one (corpus ids < batch ids; within-batch da < db) —
+        # drop it
+        fresh = new_docs.join(
+            pairs.select(F.col("db").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        n_new = fresh.count()
+        if n_new:
+            eng.merge_table(fresh, "corpus", on="doc_id", strategy="mor")
+            dd.lsh_index_append(fresh, idx)
+        return n_new
+
+    added = ingest(batch)
+    assert 0 < added < batch.count()  # fixture has cross-batch near-dups
+    assert eng.table("corpus").count() == n0 + added
+    from cubefs_hadoop_spark import versioning
+
+    m = versioning.read_manifest(
+        eng._table_path("corpus"),
+        versioning.current_version(eng._table_path("corpus")),
+    )
+    assert m["mode"] == "merge"  # O(batch) commit, no corpus rewrite
+
+    # replay the SAME batch: every doc now collides with its folded copy
+    assert ingest(batch) == 0
+    assert eng.table("corpus").count() == n0 + added
