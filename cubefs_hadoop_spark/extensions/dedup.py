@@ -291,6 +291,32 @@ def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(docs).orderBy("da", "db")
 
 
+# Incremental probe oracle: the delta = every full-corpus candidate pair
+# whose NEWER side (db, since da < db and corpus ids precede batch ids)
+# is in the batch.
+_X02E_ORACLE = _X02_ORACLE.replace(
+    "AND a.doc_id < b.doc_id\nORDER BY da, db",
+    "AND a.doc_id < b.doc_id\nWHERE b.doc_id >= 400\nORDER BY da, db",
+)
+
+
+@register("x02e_incremental_lsh", _X02E_ORACLE)
+def x02e_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X02e incremental dedup probe: corpus (doc_id < 400) bands persist
+    as an index; the batch (doc_id >= 400) signs only itself and probes —
+    the candidate delta must equal the full-corpus run restricted to
+    pairs involving the batch (the steady-state ingest loop's dedup
+    stage)."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx = tempfile.mkdtemp(prefix="lsh_idx_") + "/bands"
+    lsh_build_index(corpus, idx)
+    return lsh_incremental_candidates(batch, idx).orderBy("da", "db")
+
+
 @register(
     "x02b_ngram_jaccard",
     """WITH g AS (
