@@ -4,3 +4,4 @@ queries."""
 
 from cubefs_hadoop_spark.extensions import dedup, similarity, text  # noqa: F401
 from cubefs_hadoop_spark.extensions import multimodal  # noqa: F401
+from cubefs_hadoop_spark.extensions import semantic  # noqa: F401

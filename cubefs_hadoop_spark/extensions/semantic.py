@@ -1,0 +1,264 @@
+"""Semantic (embedding-space) dedup operators (SURVEY §2C X03/X02 family).
+
+Two scale paths a 100 TB training-data pipeline runs over an embedding
+column, complementing the text-space tiers in ``dedup.py`` and the exact
+verify/topk tiers in ``similarity.py``:
+
+- **x12 semantic dedup** — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  cluster the corpus (k-means-style assignment to C centroids), then prune
+  within clusters only: a document is dropped when a lower-id document in
+  the SAME cluster has cosine >= tau.  The clustering bounds the pair
+  space to sum(|cluster|^2) instead of N^2 — the entire point of the
+  method at scale.  Declared with deterministic training-free centroid
+  seeding (first C vectors) so the full pipeline — assignment included —
+  is hash-checkable against a DuckDB oracle; production swaps the seeding
+  for ``similarity.kmeans_refine`` (orthogonal to the plan shape, exactly
+  as with IVF, see similarity.py:177).
+
+- **x13 SRP-LSH near-dup pairs** — signed-random-projection LSH (Charikar
+  STOC'02): per-vector bit signature b_h = sign(dot(v, r_h)), banded into
+  (band, key) buckets; only same-bucket pairs are cosine-verified.  This
+  is the *bucketed scale path* for x03b's bounded-candidate exact verify:
+  P(bit match) = 1 - theta/pi, so at a production near-dup operating point
+  (cos >= 0.9) an 8-band x 4-bit table catches ~99.8% of true pairs while
+  random pairs collide in a vanishing fraction of buckets.  The fixture
+  embeddings are near-uniform (true pairs sit at cos ~0.4 where SRP is
+  weakest); the engine-side recall gate in tests reflects that operating
+  point.  Hyperplanes are deterministic (the first H corpus vectors), so
+  candidates and output are exactly replicated by the oracle.
+
+Reference parity note: the reference connector computes nothing itself —
+it delegates the query surface to the host engine (README.md:61-88);
+these operators are part of the driver-mandated LLM-pipeline extension
+surface (SURVEY §2C), designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.similarity import (
+    _cosine_duck,
+    _cosine_expr,
+    _cosine_with_norms,
+    _DOT,
+    _DOT_DUCK,
+    _norm_expr,
+)
+from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
+from cubefs_hadoop_spark.registry import register
+from cubefs_hadoop_spark.oracle_compat import r2d
+
+# ---------------------------------------------------------------------------
+# x12 — SemDeDup: cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+_X12_TAU = 0.4
+_X12_C = 8
+
+_X12_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings WHERE vec_id < {_X12_C}
+), asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cosine_duck('e.embedding', 'c.cent')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cosine_duck('a.embedding', 'b.embedding')} >= {_X12_TAU}
+)
+SELECT g.vec_id, g.cid, (d.vec_id IS NULL) AS kept
+FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+ORDER BY g.vec_id, g.cid, kept"""
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = _X12_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over ``emb`` given a (cid, cent) centroid set: returns
+    (id, cid, kept) where kept=false iff a lower-id vector in the same
+    cluster has cosine >= tau.
+
+    Plan shape at 100 TB: centroids broadcast (C rows, driver-sized by
+    definition); assignment is ONE corpus pass; the prune self-join is
+    keyed on cid, so the shuffle co-locates clusters and the quadratic
+    term is per-cluster, never global.  A production run persists the
+    assignment partitioned by cid first (exactly ivf_build_index's
+    layout, similarity.py:336) so the self-join reads co-located buckets;
+    here the declared form keeps it inline."""
+    w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), "cid")
+    asg = (
+        widen_for_cpu(emb, id_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", _cosine_expr(vec_col, "cent"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid", _norm_expr(vec_col).alias("nrm"))
+    )
+    a = asg.select(
+        F.col(id_col).alias("da"), F.col(vec_col).alias("ea"),
+        "cid", F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col(id_col).alias("db"), F.col(vec_col).alias("eb"),
+        "cid", F.col("nrm").alias("nb"),
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("da") < F.col("db"))
+        .filter(_cosine_with_norms("ea", "eb", "na", "nb") >= tau)
+        .select(F.col("db").alias(id_col))
+        .distinct()
+    )
+    return (
+        asg.join(dups.withColumn("dup", F.lit(True)), id_col, "left")
+        .select(id_col, "cid", F.col("dup").isNull().alias("kept"))
+    )
+
+
+@register("x12_semantic_dedup", _X12_ORACLE)
+def x12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12 SemDeDup: assign every embedding to its nearest of C=8 seeded
+    centroids (deterministic: the first C vectors), then mark kept=false
+    for any vector whose cluster holds a lower-id vector with cosine >=
+    0.4.  The whole pipeline — assignment tie-breaks included — is
+    bit-replicated by the DuckDB oracle (same dot/sqrt op sequence as
+    x03, see the FP contract at similarity.py:40)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _X12_C).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    return semantic_dedup(emb, cents).orderBy("vec_id", "cid", "kept")
+
+
+# ---------------------------------------------------------------------------
+# x13 — SRP-LSH: signed-random-projection bucketed near-dup pairs
+# ---------------------------------------------------------------------------
+
+_X13_TAU = 0.4
+_X13_BANDS = 8
+_X13_BITS = 4
+_X13_H = _X13_BANDS * _X13_BITS  # 32 hyperplanes
+
+_X13_ORACLE = f"""
+WITH hp AS (
+  SELECT vec_id AS h, embedding AS hv FROM embeddings WHERE vec_id < {_X13_H}
+), bits AS (
+  SELECT e.vec_id, h.h // {_X13_BITS} AS band,
+         SUM(CASE WHEN {_DOT_DUCK.format(a='e.embedding', b='h.hv')} >= 0
+                  THEN 1 << (h.h % {_X13_BITS}) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN hp h GROUP BY e.vec_id, h.h // {_X13_BITS}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bits a JOIN bits b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+), ver AS (
+  SELECT da, db, {_cosine_duck('x.embedding', 'y.embedding')} AS c
+  FROM cand JOIN embeddings x ON x.vec_id = da
+            JOIN embeddings y ON y.vec_id = db)
+SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos"""
+
+# Per-row banded SRP signature, computed entirely with JVM higher-order
+# functions against a broadcast 1-row hyperplane array: key[band] =
+# sum_i 2^i * [dot(v, hp[band*BITS+i]) >= 0].  Outer lambda vars are
+# named band/bacc/bi so they cannot collide with _DOT's inner (acc, v).
+_SRP_KEYS = (
+    f"transform(sequence(0, {_X13_BANDS - 1}), band -> "
+    f"aggregate(sequence(0, {_X13_BITS - 1}), 0, (bacc, bi) -> "
+    "bacc + IF("
+    + _DOT.format(a="embedding", b=f"element_at(hps, band * {_X13_BITS} + bi + 1).hv")
+    + " >= 0, shiftleft(1, bi), 0)))"
+)
+
+
+def srp_signatures(
+    emb: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, key) SRP bucket rows for every vector.
+
+    ``hyperplanes`` is (h, hv) with h in [0, H).  It is aggregated to a
+    single array row and broadcast, so signing is one map-side corpus
+    pass — no shuffle touches the embedding column; the posexplode emits
+    only the skinny (id, band, key) rows that feed the bucket join."""
+    hp = hyperplanes.select(
+        F.struct(F.col("h"), F.col("hv")).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("hps"))
+    sig = (
+        widen_for_cpu(emb, id_col)
+        .crossJoin(F.broadcast(hp))
+        .select(id_col, F.expr(_SRP_KEYS).alias("keys"))
+    )
+    return sig.select(id_col, F.posexplode("keys").alias("band", "key"))
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    hyperplanes: DataFrame,
+    tau: float = _X13_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH near-dup pairs: bucket on (band, key), then exact-cosine
+    verify only same-bucket pairs.  Returns (da, db, c) with c >= tau.
+
+    Scale: the bucket self-join is an equi-join on (band, key) — the pair
+    space is per-bucket, never N^2; candidate ids dedupe BEFORE the
+    embeddings are re-attached (two keyed joins on the id), so the wide
+    vectors are never carried through the distinct's shuffle — the same
+    shuffle-width discipline as ivf_topk_indexed (similarity.py:406)."""
+    sig = srp_signatures(emb, hyperplanes, id_col=id_col, vec_col=vec_col)
+    a = sig.select(F.col(id_col).alias("da"), "band", "key")
+    b = sig.select(F.col(id_col).alias("db"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    embn = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_e"),
+        _norm_expr(vec_col).alias("_n"),
+    )
+    return (
+        cand.join(embn.withColumnRenamed("_id", "da"), "da")
+        .withColumnRenamed("_e", "ea").withColumnRenamed("_n", "na")
+        .join(embn.withColumnRenamed("_id", "db"), "db")
+        .withColumnRenamed("_e", "eb").withColumnRenamed("_n", "nb")
+        .withColumn("c", _cosine_with_norms("ea", "eb", "na", "nb"))
+        .filter(F.col("c") >= tau)
+        .select("da", "db", "c")
+    )
+
+
+@register("x13_srp_lsh", _X13_ORACLE)
+def x13_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13 SRP-LSH near-dup pairs over the embeddings table: 32
+    deterministic hyperplanes (the first 32 corpus vectors), 8 bands x 4
+    bits, exact verify at cos >= 0.4.  Deterministic end-to-end, so the
+    banding + verify pipeline is hash-checked by the oracle; the recall
+    gate vs the exact all-pairs ground truth lives engine-side
+    (tests/test_extensions.py::test_srp_lsh_recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    return (
+        srp_neardup_pairs(emb, hp)
+        .select("da", "db", r2d(F.col("c")).alias("cos"))
+        .orderBy("da", "db", "cos")
+    )

@@ -621,3 +621,63 @@ def test_lsh_incremental_index_matches_full_run(spark, tmp_path):
         for r in lsh_incremental_candidates(batch, idx).collect()
     }
     assert want <= again  # prior pairs still found through the index
+
+
+def test_semantic_dedup_prunes_only_within_clusters(spark):
+    """x12 SemDeDup semantics: every dropped vector has a LOWER-id
+    vector in the SAME cluster with cosine >= tau, and every kept
+    vector has none — i.e. the pair space really is cluster-bounded."""
+    from cubefs_hadoop_spark.extensions.semantic import x12_semantic_dedup
+    from cubefs_hadoop_spark.extensions.similarity import _cosine_expr
+
+    out = x12_semantic_dedup(spark, SF_SMOKE)
+    dropped = {r.vec_id for r in out.filter(~F.col("kept")).collect()}
+    assert dropped, "fixture should produce semantic duplicates"
+    kept = {r.vec_id for r in out.filter(F.col("kept")).collect()}
+    assert dropped.isdisjoint(kept) and len(dropped | kept) == out.count()
+
+    # ground truth: exact within-cluster lower-id witness
+    cid = {r.vec_id: r.cid for r in out.collect()}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("c", _cosine_expr("a.embedding", "b.embedding"))
+        .filter(F.col("c") >= 0.4)
+        .select(F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db"))
+        .collect()
+    )
+    witnessed = {r.db for r in pairs if cid[r.da] == cid[r.db]}
+    assert witnessed == dropped
+
+
+def test_srp_lsh_recall_and_precision(spark):
+    """x13 SRP-LSH vs the exact all-pairs ground truth at tau=0.4: the
+    verify stage makes precision exact (every emitted pair truly has
+    cos >= tau); recall is probabilistic in the banding, floored here at
+    the fixture's near-uniform operating point (cos ~0.4 is SRP's WORST
+    case — at a production near-dup threshold of cos >= 0.9 the same
+    8x4 table catches ~99.8% of pairs)."""
+    from cubefs_hadoop_spark.extensions.semantic import x13_srp_lsh
+    from cubefs_hadoop_spark.extensions.similarity import _cosine_expr
+
+    got = {(r.da, r.db) for r in x13_srp_lsh(spark, SF_SMOKE).collect()}
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    truth = {
+        (r.da, r.db)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("c", _cosine_expr("a.embedding", "b.embedding"))
+            .filter(F.col("c") >= 0.4)
+            .select(
+                F.col("a.vec_id").alias("da"), F.col("b.vec_id").alias("db")
+            )
+            .collect()
+        )
+    }
+    assert got <= truth  # exact-verify stage: no false positives
+    assert truth, "fixture should contain true near-dup pairs"
+    assert len(got) / len(truth) >= 0.7, (len(got), len(truth))
