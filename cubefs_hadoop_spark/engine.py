@@ -48,6 +48,27 @@ from cubefs_hadoop_spark.fs import warehouse_fs
 
 _VALID_MODES = ("errorifexists", "overwrite", "append", "ignore")
 
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a SQL list on commas that sit at paren depth 0 outside string
+    literals — `SET a = f(x, y), b = 'p,q'` is two assignments, not four."""
+    parts, depth, quote, start = [], 0, None, 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in parts if p.strip()]
+
 # SparkSession -> names of temp views Engines registered on it (weak so a
 # stopped session's entry does not outlive it)
 _SESSION_TEMP_VIEWS: "weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
@@ -605,6 +626,9 @@ class Engine:
           CREATE TABLE [IF NOT EXISTS] t AS <select>   -> write_table
           CREATE [OR REPLACE] VIEW v AS <select>       -> create_view
           INSERT INTO t <select>                       -> append
+          INSERT OVERWRITE [TABLE] t <select>          -> atomic replace
+          UPDATE t SET c = e[, ...] [WHERE <pred>]     -> update_table
+          TRUNCATE [TABLE] t                           -> truncate_table
           DELETE FROM t WHERE <pred>                   -> delete_from
           MERGE INTO t USING (<select>) ON c1[, c2...] -> merge_table
           DROP TABLE [IF EXISTS] t                     -> drop_table
@@ -638,6 +662,24 @@ class Engine:
         )
         if m:
             self.delete_from(m.group(1), m.group(2))
+            return None
+        m = re.match(
+            r"UPDATE\s+(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            assigns = {}
+            for part in _split_top_level(m.group(2)):
+                am = re.match(r"(\w+)\s*=\s*(.+)$", part.strip(), re.DOTALL)
+                if not am:
+                    raise EngineIOError(f"cannot parse SET clause: {part!r}")
+                assigns[am.group(1)] = am.group(2)
+            self.update_table(m.group(1), assigns, m.group(3))
+            return None
+        m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(\w+)$", s, re.IGNORECASE)
+        if m:
+            self.truncate_table(m.group(1))
             return None
         m = re.match(
             r"MERGE\s+INTO\s+(\w+)\s+USING\s+\((.+)\)\s+ON\s+([\w\s,]+)$",
@@ -674,18 +716,35 @@ class Engine:
             self.write_table(self.sql(select), name)
             return None
         m = re.match(
-            r"INSERT\s+INTO\s+(\w+)\s+(.+)", s, re.IGNORECASE | re.DOTALL
+            r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?(\w+)\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
         )
         if m:
-            name, select = m.group(1), m.group(2)
+            verb, name, select = m.group(1).upper(), m.group(2), m.group(3)
             df = self.sql(select)
             target = set(self.table(name).columns)
             if set(df.columns) != target:
                 raise EngineIOError(
-                    f"INSERT INTO {name}: column mismatch "
+                    f"INSERT {verb} {name}: column mismatch "
                     f"{sorted(df.columns)} vs {sorted(target)}"
                 )
-            self.append(df, name)
+            if verb == "INTO":
+                self.append(df, name)
+            else:
+                # INSERT OVERWRITE may SELECT from the target itself, and
+                # Spark refuses to overwrite a path it is lazily reading
+                # from — plain tables stage-and-swap; versioned tables'
+                # manifest commit writes new files first, so direct
+                # overwrite is already self-read-safe.
+                from cubefs_hadoop_spark import versioning
+
+                path = self._table_path(name)
+                if versioning.is_versioned(path, self.fs):
+                    self.write_table(df, name, mode="overwrite")
+                else:
+                    self._swap_rewrite(name, df)
+                    self._mark_dirty(name)
             return None
         m = re.match(r"OPTIMIZE\s+(\w+)$", s, re.IGNORECASE)
         if m:
@@ -870,6 +929,71 @@ class Engine:
             )
         else:
             self._swap_rewrite(name, remaining)
+        self._mark_dirty(name)
+
+    def update_table(
+        self,
+        name: str,
+        set_exprs: dict[str, str],
+        predicate: str | None = None,
+    ) -> None:
+        """Row-level UPDATE (copy-on-write): rows where ``predicate`` IS
+        TRUE get each target column replaced by its SET expression; NULL
+        predicate rows are untouched (same three-valued rule as
+        delete_from).  All RHS expressions evaluate against the PRE-update
+        row (ANSI UPDATE: ``SET a = b, b = a`` swaps), which the single
+        projection below guarantees — chained withColumn would leak
+        earlier assignments into later RHSs.
+
+        One filtered-rewrite scan committed atomically (versioned
+        snapshot or staged rename swap) — the same 100 TB shape as
+        delete_from: no shuffle at all unless the table is versioned-
+        partitioned.  A merge-on-read tier for UPDATE would need
+        positional deletes (out of scope; use merge_table(strategy='mor')
+        with full replacement rows for that cadence)."""
+        from cubefs_hadoop_spark import versioning
+        from pyspark.sql import functions as F
+
+        current = self.table(name)
+        missing = [c for c in set_exprs if c not in current.columns]
+        if missing:
+            raise EngineIOError(f"UPDATE {name}: unknown columns {missing}")
+        cond = (
+            F.coalesce(F.expr(predicate), F.lit(False))
+            if predicate is not None
+            else F.lit(True)
+        )
+        updated = current.select(
+            *[
+                F.when(cond, F.expr(set_exprs[c])).otherwise(F.col(c))
+                .cast(current.schema[c].dataType)
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in current.columns
+            ]
+        )
+        path = self._table_path(name)
+        if versioning.is_versioned(path, self.fs):
+            versioning.commit_version(updated, path, mode="overwrite", fs=self.fs)
+        else:
+            self._swap_rewrite(name, updated)
+        self._mark_dirty(name)
+
+    def truncate_table(self, name: str) -> None:
+        """TRUNCATE TABLE: drop every row, keep the table and its schema
+        (an empty parquet part preserves the footer schema).  Versioned
+        tables get an empty snapshot — history and time travel to the
+        pre-truncate versions stay intact, exactly the Iceberg behavior
+        the reference's Trino/Spark users rely on."""
+        from cubefs_hadoop_spark import versioning
+
+        empty = self.table(name).limit(0)
+        path = self._table_path(name)
+        if versioning.is_versioned(path, self.fs):
+            versioning.commit_version(empty, path, mode="overwrite", fs=self.fs)
+        else:
+            self._swap_rewrite(name, empty)
         self._mark_dirty(name)
 
     def _swap_rewrite(self, name: str, df: DataFrame) -> None:

@@ -197,3 +197,52 @@ def test_dml_sequence_agrees_with_model(spark, tmp_path_factory, ops, versioned)
     if versioned:
         # every DML commit added a version; history intact
         assert len(eng.table_versions("t")) == 1 + len(ops)
+
+
+def test_update_table_plain_and_versioned(eng, spark):
+    # plain: predicate IS TRUE rows updated, NULL-predicate rows kept
+    eng.write_table(_df(spark, [(1, "a"), (2, "b"), (3, None)]), "u")
+    eng.update_table("u", {"v": "upper(v)"}, "v = 'b' OR v IS NULL AND false")
+    got = {(r.id, r.v) for r in eng.table("u").collect()}
+    assert got == {(1, "a"), (2, "B"), (3, None)}
+    # versioned: history intact, pre-update snapshot readable
+    eng.write_table_version(_df(spark, [(1, "x"), (2, "y")]), "uv")
+    eng.update_table("uv", {"v": "concat(v, '!')"}, "id = 2")
+    assert {(r.id, r.v) for r in eng.table("uv").collect()} == {
+        (1, "x"), (2, "y!"),
+    }
+    assert {(r.id, r.v) for r in eng.read_version("uv", 1).collect()} == {
+        (1, "x"), (2, "y"),
+    }
+
+
+def test_update_rhs_sees_pre_update_row(eng, spark):
+    """ANSI UPDATE: SET a = b, b = a swaps — RHSs evaluate the OLD row."""
+    df = spark.createDataFrame([(1, 10, 20)], "id bigint, a bigint, b bigint")
+    eng.write_table(df, "sw")
+    eng.update_table("sw", {"a": "b", "b": "a"})
+    r = eng.table("sw").collect()[0]
+    assert (r.a, r.b) == (20, 10)
+
+
+def test_execute_update_truncate_insert_overwrite(eng, spark):
+    eng.write_table(_df(spark, [(1, "a"), (2, "b")]), "t1")
+    # UPDATE with function-call commas and string literal in SET list
+    eng.execute("UPDATE t1 SET v = concat(v, ',x') WHERE id = 1")
+    assert {(r.id, r.v) for r in eng.table("t1").collect()} == {
+        (1, "a,x"), (2, "b"),
+    }
+    # self-referential INSERT OVERWRITE (read-from-target)
+    eng.execute("INSERT OVERWRITE t1 SELECT id + 10 AS id, v FROM t1")
+    assert {r.id for r in eng.table("t1").collect()} == {11, 12}
+    # unknown SET column is a typed error
+    with pytest.raises(EngineIOError):
+        eng.update_table("t1", {"nope": "1"})
+    # TRUNCATE keeps schema, drops rows; versioned keeps history
+    eng.execute("TRUNCATE TABLE t1")
+    assert eng.table("t1").count() == 0
+    assert eng.table("t1").columns == ["id", "v"]
+    eng.write_table_version(_df(spark, [(5, "e")]), "t2")
+    eng.execute("TRUNCATE t2")
+    assert eng.table("t2").count() == 0
+    assert eng.read_version("t2", 1).count() == 1
