@@ -48,6 +48,7 @@ from cubefs_hadoop_spark.extensions.similarity import (
     _DOT_DUCK,
     _norm_expr,
 )
+from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.oracle_compat import r2d
@@ -78,6 +79,26 @@ FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
 ORDER BY g.vec_id, g.cid, kept"""
 
 
+def assign_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties -> lowest cid) plus a
+    precomputed norm column: one broadcast map-side corpus pass — the
+    embedding column never shuffles to get its cluster id."""
+    w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), "cid")
+    return (
+        widen_for_cpu(emb, id_col)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d", _cosine_expr(vec_col, "cent"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "cid", _norm_expr(vec_col).alias("nrm"))
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     centroids: DataFrame,
@@ -90,21 +111,17 @@ def semantic_dedup(
     cluster has cosine >= tau.
 
     Plan shape at 100 TB: centroids broadcast (C rows, driver-sized by
-    definition); assignment is ONE corpus pass; the prune self-join is
-    keyed on cid, so the shuffle co-locates clusters and the quadratic
-    term is per-cluster, never global.  A production run persists the
-    assignment partitioned by cid first (exactly ivf_build_index's
-    layout, similarity.py:336) so the self-join reads co-located buckets;
-    here the declared form keeps it inline."""
-    w = Window.partitionBy(id_col).orderBy(F.col("d").desc(), "cid")
-    asg = (
-        widen_for_cpu(emb, id_col)
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d", _cosine_expr(vec_col, "cent"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cid", _norm_expr(vec_col).alias("nrm"))
-    )
+    definition); assignment is ONE corpus pass materialized behind a
+    ``barrier`` (the assignment frame is referenced three times — prune
+    sides a/b and the kept-flag join — and without the barrier Spark
+    recomputes the corpus pass per reference; ``cfspark.reliable.barriers``
+    flips it to a durable checkpoint on a real cluster).  The prune
+    self-join is keyed on cid, so the shuffle co-locates clusters and the
+    quadratic term is per-cluster, never global.  A production run
+    persists the assignment partitioned by cid instead (exactly
+    ivf_build_index's layout, similarity.py:336) so the self-join reads
+    co-located buckets."""
+    asg = barrier(assign_clusters(emb, centroids, id_col=id_col, vec_col=vec_col))
     a = asg.select(
         F.col(id_col).alias("da"), F.col(vec_col).alias("ea"),
         "cid", F.col("nrm").alias("na"),
@@ -219,8 +236,12 @@ def srp_neardup_pairs(
     space is per-bucket, never N^2; candidate ids dedupe BEFORE the
     embeddings are re-attached (two keyed joins on the id), so the wide
     vectors are never carried through the distinct's shuffle — the same
-    shuffle-width discipline as ivf_topk_indexed (similarity.py:406)."""
-    sig = srp_signatures(emb, hyperplanes, id_col=id_col, vec_col=vec_col)
+    shuffle-width discipline as ivf_topk_indexed (similarity.py:406).
+    Signatures are referenced by both self-join sides, so they
+    materialize behind a ``barrier`` — one signing pass, not two."""
+    sig = barrier(
+        srp_signatures(emb, hyperplanes, id_col=id_col, vec_col=vec_col)
+    )
     a = sig.select(F.col(id_col).alias("da"), "band", "key")
     b = sig.select(F.col(id_col).alias("db"), "band", "key")
     cand = (

@@ -67,6 +67,14 @@ def audit_plan(df: DataFrame, executed: bool = False) -> PlanAudit:
             if (h := re.match(r"\((\d+)\)\s", b)) and h.group(1) in final_ids
         ]
         text = "\n".join(details)
+    else:
+        # Unexecuted formatted plan: one tree, then one "(N) Operator"
+        # detail block per node — splitting at the first detail block
+        # keeps operator COUNTS equal to operators in the plan, not
+        # (tree + detail) print artifacts.
+        d = re.search(r"\n\(\d+\)\s", tree)
+        if d:
+            tree = tree[: d.start()]
 
     for line in text.splitlines():
         s = line.strip()

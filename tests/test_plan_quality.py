@@ -244,3 +244,57 @@ def test_x03e_int8_ann_plan_is_jvm_and_broadcast(spark):
     assert "BroadcastNestedLoopJoin Cross BuildLeft" in a.text
     assert a.sort_merge_joins == 0
     assert "SinglePartition" not in a.text
+
+
+def test_x12_semdedup_broadcasts_centroids_and_keys_prune_join(spark):
+    """SemDeDup plans, both stages: (1) centroid assignment is a single
+    broadcast map-side pass — the only nested loop is the C-row centroid
+    broadcast; (2) downstream of the assignment barrier, the prune
+    self-join is a cid-keyed EQUI-join — zero nested loops over the
+    corpus — and no Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import assign_clusters
+
+    spark.catalog.clearCache()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    stage1 = audit_plan(assign_clusters(emb, cents))
+    assert "BatchEvalPython" not in stage1.text
+    assert stage1.nested_loop_joins == 1  # the centroid broadcast, only
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in stage1.text
+
+    full = _audit(spark, "x12_semantic_dedup")
+    assert "BatchEvalPython" not in full.text and "ArrowEvalPython" not in full.text
+    assert full.nested_loop_joins == 0  # post-barrier: equi-joins only
+    assert full.broadcast_joins + full.sort_merge_joins == 2  # cid prune + kept flag
+
+
+def test_x13_srp_signing_is_map_side_and_bucket_join_is_equi(spark):
+    """SRP-LSH plans, both stages: (1) signing is one map-side pass
+    against the broadcast 1-row hyperplane array — no shuffle carries the
+    embedding column to build signatures; (2) downstream of the signature
+    barrier, the (band, key) bucket join and both embedding re-attach
+    joins are equi-joins, zero nested loops."""
+    from pyspark.sql import functions as F
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import srp_signatures
+
+    spark.catalog.clearCache()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hp = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    stage1 = audit_plan(srp_signatures(emb, hp))
+    assert "BatchEvalPython" not in stage1.text
+    assert stage1.nested_loop_joins == 1  # the 1-row hyperplane broadcast
+    assert stage1.sort_merge_joins == 0
+
+    full = _audit(spark, "x13_srp_lsh")
+    assert "BatchEvalPython" not in full.text and "ArrowEvalPython" not in full.text
+    assert full.nested_loop_joins == 0  # post-barrier: equi-joins only
+    assert full.broadcast_joins + full.sort_merge_joins == 3  # bucket + 2 re-attach
