@@ -153,6 +153,9 @@ _dml_op = st.one_of(
         ),
     ),
     st.tuples(st.just("delete_ge"), st.integers(0, 99)),
+    st.tuples(
+        st.just("update_add"), st.integers(0, 99), st.integers(1, 9)
+    ),
 )
 
 
@@ -188,9 +191,14 @@ def test_dml_sequence_agrees_with_model(spark, tmp_path_factory, ops, versioned)
             )
             eng.merge_table(df, "t", on="id")
             model.update(batch)
-        else:
+        elif op[0] == "delete_ge":
             eng.delete_from("t", f"v >= {op[1]}")
             model = {k: v for k, v in model.items() if not v >= op[1]}
+        else:  # update_add: v += d where v >= threshold
+            eng.update_table("t", {"v": f"v + {op[2]}"}, f"v >= {op[1]}")
+            model = {
+                k: (v + op[2] if v >= op[1] else v) for k, v in model.items()
+            }
 
     got = {r.id: r.v for r in eng.table("t").collect()}
     assert got == model
