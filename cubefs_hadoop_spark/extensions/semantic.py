@@ -250,6 +250,19 @@ def srp_neardup_pairs(
         .select("da", "db")
         .distinct()
     )
+    return verify_pairs(cand, emb, tau, id_col=id_col, vec_col=vec_col)
+
+
+def verify_pairs(
+    cand: DataFrame,
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verify of (da, db) candidate pairs: re-attach the
+    embeddings through two keyed equi-joins (the wide vectors never ride
+    the candidate shuffle) and keep pairs with cosine >= tau."""
     embn = emb.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_e"),
@@ -280,6 +293,128 @@ def x13_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         srp_neardup_pairs(emb, hp)
+        .select("da", "db", r2d(F.col("c")).alias("cos"))
+        .orderBy("da", "db", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x13b — incremental SRP index: sign once, probe per batch
+# ---------------------------------------------------------------------------
+#
+# The vector-side steady-state ingest loop (the embedding analog of the
+# x02e text-side incremental LSH index, dedup.py:225): the corpus's SRP
+# bucket rows (vec_id, band, key) persist as a parquet index — a few
+# skinny rows per vector, a fraction of corpus bytes — and each arriving
+# batch signs ONLY itself, probes the index for (corpus, new) bucket
+# collisions, self-joins for (new, new), and exact-verifies the union.
+# Unlike x12's corpus-derived centroids, the hyperplanes are FIXED at
+# index build time, so incremental signatures stay comparable forever —
+# no re-clustering, no index rebuild, O(batch) signing per ingest.
+
+_X13B_ORACLE = _X13_ORACLE.replace(
+    f"FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos",
+    f"FROM ver WHERE c >= {_X13_TAU} AND db >= 400 ORDER BY da, db, cos",
+)
+
+
+def srp_build_index(
+    emb: DataFrame,
+    hyperplanes: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the SRP bucket table (id, band, key) for incremental
+    probing.  The hyperplane set must be kept with the index (it defines
+    the signature space — probe batches MUST sign with the same planes)."""
+    srp_signatures(emb, hyperplanes, id_col=id_col, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).parquet(index_path)
+
+
+def srp_index_append(
+    new_emb: DataFrame,
+    hyperplanes: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a probed batch's bucket rows into the index — completes the
+    ingest loop; the next batch collides against this one through the
+    index alone."""
+    srp_signatures(new_emb, hyperplanes, id_col=id_col, vec_col=vec_col).write.mode(
+        "append"
+    ).parquet(index_path)
+
+
+def srp_incremental_candidates(
+    new_emb: DataFrame,
+    hyperplanes: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs INVOLVING the new batch: (corpus, new) bucket
+    collisions against the persisted index plus (new, new) within the
+    batch; (da, db) with da < db, distinct.  Exactly the delta a
+    full-corpus srp run would add for these vectors, at the cost of
+    signing only the batch; the corpus-side work is one scan of the
+    skinny index, never of the corpus embeddings."""
+    spark = new_emb.sparkSession
+    new_sig = barrier(
+        srp_signatures(new_emb, hyperplanes, id_col=id_col, vec_col=vec_col),
+        eager=False,
+    )
+    idx = spark.read.parquet(index_path)
+    cross = (
+        idx.alias("a")
+        .join(
+            new_sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(f"a.{id_col}", f"b.{id_col}").alias("da"),
+            F.greatest(f"a.{id_col}", f"b.{id_col}").alias("db"),
+        )
+    )
+    within = (
+        new_sig.alias("a")
+        .join(
+            new_sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("da"), F.col(f"b.{id_col}").alias("db")
+        )
+    )
+    return cross.unionByName(within).distinct()
+
+
+@register("x13b_incremental_srp", _X13B_ORACLE)
+def x13b_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13b incremental SRP probe: corpus (vec_id < 400) bucket rows
+    persist as an index; the batch (vec_id >= 400) signs only itself,
+    probes, and exact-verifies — the delta must equal the full x13 run
+    restricted to pairs whose newer side is in the batch (oracle-hashed
+    against exactly that restriction)."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    idx = tempfile.mkdtemp(prefix="srp_idx_") + "/buckets"
+    srp_build_index(corpus, hp, idx)
+    cand = srp_incremental_candidates(batch, hp, idx)
+    return (
+        verify_pairs(cand, emb, _X13_TAU)
         .select("da", "db", r2d(F.col("c")).alias("cos"))
         .orderBy("da", "db", "cos")
     )

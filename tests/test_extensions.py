@@ -681,3 +681,51 @@ def test_srp_lsh_recall_and_precision(spark):
     assert got <= truth  # exact-verify stage: no false positives
     assert truth, "fixture should contain true near-dup pairs"
     assert len(got) / len(truth) >= 0.7, (len(got), len(truth))
+
+
+def test_srp_incremental_index_loop(spark, tmp_path):
+    """x13b steady-state vector ingest: probing the persisted index must
+    yield exactly the batch-involving delta of the full run; folding the
+    batch in makes it discoverable by later batches."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        srp_build_index,
+        srp_incremental_candidates,
+        srp_index_append,
+        srp_neardup_pairs,
+        x13_srp_lsh,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hp = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    idx = str(tmp_path / "srp_index")
+    srp_build_index(corpus, hp, idx)
+
+    inc = {
+        (r.da, r.db)
+        for r in srp_incremental_candidates(batch, hp, idx).collect()
+    }
+    # delta == full-run candidates restricted to batch-involving pairs
+    full_pairs = {
+        (r.da, r.db) for r in x13_srp_lsh(spark, SF_SMOKE).collect()
+    }
+    inc_verified = {
+        (r.da, r.db)
+        for r in srp_neardup_pairs(emb, hp).collect()
+        if r.db >= 400
+    }
+    assert {p for p in full_pairs if p[1] >= 400} == inc_verified
+    assert inc, "fixture should produce cross-batch candidates"
+    assert any(p[0] < 400 for p in inc)  # genuine corpus-vs-batch pairs
+
+    # fold the batch in: a second identical probe still finds its pairs
+    # through the index alone (corpus+batch now both indexed)
+    srp_index_append(batch, hp, idx)
+    again = {
+        (r.da, r.db)
+        for r in srp_incremental_candidates(batch, hp, idx).collect()
+    }
+    assert inc <= again
