@@ -145,3 +145,67 @@ def test_incremental_ingest_pipeline(spark, tmp_path):
     # replay the SAME batch: every doc now collides with its folded copy
     assert ingest(batch) == 0
     assert eng.table("corpus").count() == n0 + added
+
+
+def test_vector_curation_pipeline(spark, tmp_path):
+    """Round-5 composition, embedding side: SemDeDup prunes the initial
+    corpus; the curated table + a persisted SRP index then ingest a new
+    batch incrementally — batch vectors that near-dup the curated corpus
+    (exact-verified cosine) or each other are dropped, survivors append
+    and fold into the index."""
+    from cubefs_hadoop_spark.extensions import semantic as sem
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    emb = load(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+
+    # 1. SemDeDup the initial corpus (centroids seeded from it)
+    cents = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    flags = sem.semantic_dedup(corpus, cents)
+    curated = corpus.join(
+        flags.filter(F.col("kept")).select("vec_id"), "vec_id"
+    )
+    n0 = curated.count()
+    assert 0 < n0 < corpus.count()  # fixture has semantic dups
+    eng.write_table_version(curated, "vectors")
+
+    # 2. persisted SRP index over the CURATED corpus
+    hp = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    idx = str(tmp_path / "srp_idx")
+    sem.srp_build_index(curated, hp, idx)
+
+    # 3. incremental ingest: probe, exact-verify, drop the newer side
+    cand = sem.srp_incremental_candidates(batch, hp, idx)
+    dup_new = (
+        sem.verify_pairs(cand, curated.unionByName(batch), tau=0.4)
+        .select(F.col("db").alias("vec_id"))
+        .distinct()
+    )
+    fresh = batch.join(dup_new, "vec_id", "left_anti")
+    added = fresh.count()
+    assert 0 < added <= batch.count()
+    eng.merge_table(fresh, "vectors", on="vec_id", strategy="mor")
+    sem.srp_index_append(fresh, hp, idx)
+    assert eng.table("vectors").count() == n0 + added
+
+    # 4. replaying the batch adds nothing: survivors are caught by the
+    #    exact-id tier (same contract as the text-side ingest loop —
+    #    the SRP probe's `a.vec_id != b.vec_id` guard deliberately skips
+    #    same-id self-collisions), dropped vectors re-collide as before
+    replay = batch.join(
+        eng.table("vectors").select("vec_id"), "vec_id", "left_anti"
+    )
+    cand2 = sem.srp_incremental_candidates(replay, hp, idx)
+    dup2 = (
+        sem.verify_pairs(
+            cand2, eng.table("vectors").unionByName(replay), tau=0.4
+        )
+        .select(F.col("db").alias("vec_id"))
+        .distinct()
+    )
+    assert replay.join(dup2, "vec_id", "left_anti").isEmpty()
