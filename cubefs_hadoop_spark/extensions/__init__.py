@@ -5,3 +5,4 @@ queries."""
 from cubefs_hadoop_spark.extensions import dedup, similarity, text  # noqa: F401
 from cubefs_hadoop_spark.extensions import multimodal  # noqa: F401
 from cubefs_hadoop_spark.extensions import semantic  # noqa: F401
+from cubefs_hadoop_spark.extensions import packing  # noqa: F401

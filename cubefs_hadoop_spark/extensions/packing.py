@@ -1,0 +1,134 @@
+"""Sequence packing (SURVEY §2C extension surface): lay a document corpus
+out as fixed-size training sequences.
+
+The GPT-style concat-and-chunk layout: all documents' tokens concatenated
+in doc_id order, then cut into chunks of exactly S tokens; a document that
+straddles a cut contributes a span to each side.  The operator emits the
+(chunk_id, doc_id, tok_in_chunk) assignment map a training loader needs.
+
+Scale design — the whole problem is a PREFIX SUM, and a naive
+``sum() over (order by doc_id)`` window funnels 100 TB through ONE task
+(the SinglePartition anti-pattern the plan gates hunt).  This
+implementation is the classic two-level distributed scan instead:
+
+1. bucket documents by a deterministic key range (pid = doc_id // B);
+2. per-bucket token totals (one tiny row per bucket);
+3. bucket prefix offsets via a window over the TOTALS frame only — P =
+   N/B rows, driver-scale by construction (the same size argument as the
+   IVF centroid set, similarity.py:177): at 100 TB pick B so P stays in
+   the thousands, and that window costs nothing;
+4. within-bucket cumulative sums under ``partitionBy(pid)`` — fully
+   parallel — plus the broadcast bucket offset give every document its
+   exact global token offset;
+5. chunk spans are then row-local integer arithmetic + one explode.
+
+Everything is integer math: bit-identical across engines, so the full
+pipeline — bucketing, both scan levels, span arithmetic — is
+hash-checked against a DuckDB oracle that computes the SAME layout with
+a single global window (the semantics, not the plan, must agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.registry import register
+
+_X14_S = 64   # tokens per packed sequence (declared fixture form)
+_X14_B = 128  # docs per prefix bucket
+
+
+_X14_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM t
+)
+SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+       least((c + 1) * {_X14_S}, off + tokens) - greatest(c * {_X14_S}, off)
+           AS tok_in_chunk
+FROM o, UNNEST(generate_series(off // {_X14_S},
+                               (off + tokens - 1) // {_X14_S})) AS u(c)
+ORDER BY chunk_id, doc_id, tok_in_chunk"""
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = _X14_S,
+    bucket_docs: int = _X14_B,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """(chunk_id, id, tok_in_chunk) concat-and-chunk packing map.
+
+    ``tokens_col`` names a precomputed per-doc token count; None derives
+    whitespace word counts from ``text`` (the x04 convention).  At scale,
+    size ``bucket_docs`` so N/bucket_docs (the prefix-level row count)
+    stays in the low thousands."""
+    if tokens_col is None:
+        t = docs.select(
+            id_col,
+            F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        )
+    else:
+        t = docs.select(id_col, F.col(tokens_col).cast("long").alias("tokens"))
+    t = t.withColumn("pid", F.floor(F.col(id_col) / bucket_docs))
+    # level 1: within-bucket exclusive cumsum — parallel across buckets
+    win = (
+        Window.partitionBy("pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("off_in", F.coalesce(F.sum("tokens").over(win), F.lit(0)))
+    # level 2: bucket prefix offsets over the P-row totals frame (P = N/B,
+    # driver-scale by construction — the only unpartitioned window, and it
+    # never sees corpus-sized data)
+    wp = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = (
+        t.groupBy("pid")
+        .agg(F.sum("tokens").alias("ptot"))
+        .select(
+            "pid", F.coalesce(F.sum("ptot").over(wp), F.lit(0)).alias("poff")
+        )
+    )
+    s = F.lit(seq_len)
+    packed = (
+        t.join(F.broadcast(prefix), "pid")
+        .withColumn("off", (F.col("poff") + F.col("off_in")).cast("long"))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("off") / s),
+                    F.floor((F.col("off") + F.col("tokens") - 1) / s),
+                )
+            ),
+        )
+        .select(
+            F.col("chunk_id").cast("long"),
+            F.col(id_col),
+            (
+                F.least((F.col("chunk_id") + 1) * s, F.col("off") + F.col("tokens"))
+                - F.greatest(F.col("chunk_id") * s, F.col("off"))
+            ).cast("long").alias("tok_in_chunk"),
+        )
+    )
+    return packed
+
+
+@register("x14_sequence_pack", _X14_ORACLE)
+def x14_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 sequence packing over the documents table: whitespace-token
+    concat-and-chunk into 64-token sequences, doc_id order.  The
+    distributed two-level prefix sum must reproduce the oracle's global
+    single-window layout exactly (integer arithmetic end to end)."""
+    docs = load(spark, sf_dir, "documents")
+    return sequence_pack(docs).orderBy("chunk_id", "doc_id", "tok_in_chunk")

@@ -729,3 +729,35 @@ def test_srp_incremental_index_loop(spark, tmp_path):
         for r in srp_incremental_candidates(batch, hp, idx).collect()
     }
     assert inc <= again
+
+
+def test_sequence_pack_conservation_and_bucket_invariance(spark):
+    """x14: every chunk except the last holds exactly S tokens, the map
+    conserves every document's tokens, and the layout is INVARIANT to the
+    prefix bucket size — the two-level distributed scan is a pure plan
+    choice, not a semantics choice."""
+    from cubefs_hadoop_spark.extensions.packing import sequence_pack
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = sequence_pack(docs, seq_len=64, bucket_docs=128)
+    rows = out.collect()
+    per_chunk = {}
+    for r in rows:
+        per_chunk[r.chunk_id] = per_chunk.get(r.chunk_id, 0) + r.tok_in_chunk
+    last = max(per_chunk)
+    assert all(v == 64 for c, v in per_chunk.items() if c != last)
+    assert 0 < per_chunk[last] <= 64
+    # conservation: per-doc spans sum to the doc's token count
+    toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    per_doc = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tok_in_chunk
+    assert per_doc == toks
+    # bucket-size invariance (7 is coprime to everything in sight)
+    alt = sequence_pack(docs, seq_len=64, bucket_docs=7).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, alt))

@@ -298,3 +298,15 @@ def test_x13_srp_signing_is_map_side_and_bucket_join_is_equi(spark):
     assert "BatchEvalPython" not in full.text and "ArrowEvalPython" not in full.text
     assert full.nested_loop_joins == 0  # post-barrier: equi-joins only
     assert full.broadcast_joins + full.sort_merge_joins == 3  # bucket + 2 re-attach
+
+
+def test_x14_prefix_sum_is_two_level(spark):
+    """Sequence packing must never funnel the corpus through one task:
+    the corpus-side cumulative sum runs under hashpartitioning(pid) and
+    the only unpartitioned (SinglePartition) window is the bucket-totals
+    frame — N/B rows, driver-scale by construction."""
+    a = _audit(spark, "x14_sequence_pack")
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert re.search(r"hashpartitioning\(pid", a.text)
+    # exactly one SinglePartition exchange: the tiny totals frame
+    assert a.text.count("SinglePartition") == 1
