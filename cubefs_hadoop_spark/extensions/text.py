@@ -358,3 +358,54 @@ def x11_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rep_ratio")
     )
+
+
+@register(
+    "x15_source_mixture",
+    """WITH w AS (
+         SELECT doc_id, source,
+           (CASE WHEN source = 'src1' THEN 2
+                 WHEN source = 'src0' THEN 0 ELSE 1 END)
+           + (CASE WHEN substr(md5(text), 1, 1) <
+                (CASE WHEN source IN ('src0', 'src1') THEN '8' ELSE '0' END)
+              THEN 1 ELSE 0 END) AS n
+         FROM documents)
+       SELECT doc_id, source, CAST(c AS BIGINT) AS rep
+       FROM w, UNNEST(generate_series(1, n)) AS u(c)
+       WHERE n >= 1
+       ORDER BY doc_id, source, rep""",
+)
+def x15_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 source-mixture resampling (the Pile/Dolma mixing step): each
+    source gets a target epoch weight — here src0: 0.5 (downsample),
+    src1: 2.5 (upsample with a fractional epoch), others: 1.0 — and every
+    document materializes floor(w) copies plus one more with probability
+    frac(w), decided by its CONTENT HASH (md5 hex digit < threshold), not
+    an RNG: the realized mixture is identical under repartitioning,
+    re-runs, and incremental ingest — the same determinism argument as
+    x07's hash split.  Map-shaped: one projection + one explode, no
+    shuffle; at 100 TB the upsample factor multiplies output bytes, never
+    input reads."""
+    docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    floor_w = (
+        F.when(F.col("source") == "src1", F.lit(2))
+        .when(F.col("source") == "src0", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    frac_thr = F.when(
+        F.col("source").isin("src0", "src1"), F.lit("8")
+    ).otherwise(F.lit("0"))
+    extra = F.when(
+        F.substring(F.md5("text"), 1, 1) < frac_thr, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.withColumn("n", floor_w + extra)
+        .filter(F.col("n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("rep"),
+        )
+        .withColumn("rep", F.col("rep").cast("long"))
+        .orderBy("doc_id", "source", "rep")
+    )

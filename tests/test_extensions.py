@@ -761,3 +761,33 @@ def test_sequence_pack_conservation_and_bucket_invariance(spark):
     # bucket-size invariance (7 is coprime to everything in sight)
     alt = sequence_pack(docs, seq_len=64, bucket_docs=7).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, alt))
+
+
+def test_source_mixture_weights_and_determinism(spark):
+    """x15: realized per-source multiplicity matches the declared weights
+    (src0 ~0.5x, src1 ~2.5x, others exactly 1x) and the mixture is
+    re-run-identical (content-hash, not RNG)."""
+    from cubefs_hadoop_spark.extensions.text import x15_source_mixture
+
+    out = x15_source_mixture(spark, SF_SMOKE)
+    rows = out.collect()
+    per_src: dict = {}
+    for r in rows:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    n_in = {
+        r.source: r.n
+        for r in load(spark, SF_SMOKE, "documents")
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # unweighted sources: exactly one copy each
+    for s, n in n_in.items():
+        if s not in ("src0", "src1"):
+            assert per_src[s] == n, s
+    # src0 downsampled to ~half (hash grain 1/16 -> loose band)
+    assert 0.2 * n_in["src0"] <= per_src["src0"] <= 0.8 * n_in["src0"]
+    # src1 upsampled to ~2.5x: every doc twice, some thrice
+    assert 2 * n_in["src1"] < per_src["src1"] < 3 * n_in["src1"]
+    # determinism
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, x15_source_mixture(spark, SF_SMOKE).collect())
+    )
