@@ -6,3 +6,4 @@ from cubefs_hadoop_spark.extensions import dedup, similarity, text  # noqa: F401
 from cubefs_hadoop_spark.extensions import multimodal  # noqa: F401
 from cubefs_hadoop_spark.extensions import semantic  # noqa: F401
 from cubefs_hadoop_spark.extensions import packing  # noqa: F401
+from cubefs_hadoop_spark.extensions import curation  # noqa: F401

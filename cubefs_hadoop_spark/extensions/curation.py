@@ -1,0 +1,316 @@
+"""Corpus-curation operators (SURVEY §2C extension surface): segment-level
+exact dedup with document reassembly, per-source token-budget selection,
+global curriculum ordering, and stratified per-group sampling.
+
+These are the corpus-shaping steps between raw filtering (X04-X11) and
+layout (X14/X15) in a training-data pipeline: RefinedWeb/Falcon-style
+repeated-span removal, Pile/Dolma-style per-source token budgeting,
+quality-curriculum ordering, and per-stratum eval-set carving.
+
+Scale notes (100 TB):
+
+* x16 segment dedup shuffles once on the segment value (keep-first is a
+  ``row_number() = 1`` filter, which Spark rewrites to WindowGroupLimit —
+  hot segments are top-1-reduced map-side before the shuffle) and once on
+  doc_id to reassemble.  Never pairwise, never driver-side.
+* x17 token budgeting is a PREFIX SUM, and like x14 it must never funnel
+  a source's documents through one task: documents are range-bucketed by
+  the leading byte of their md5 order key, cumulative sums run per
+  (source, bucket), and only the 256-row-per-source bucket-totals frame
+  sees an ordered window.
+* x18 global ordering is distributed rank: band on the score's integer
+  range, rank within bands in parallel, offset bands by a window over the
+  band-counts frame (driver-scale).  The classic zipWithIndex shape with
+  no global sort-into-one-partition.
+* x19 stratified sampling is one window per stratum with a rank filter —
+  WindowGroupLimit again: each mapper keeps at most n rows per stratum
+  before the shuffle, so shuffled bytes are O(strata * n), not O(corpus).
+
+All four are RNG-free (md5 order keys, integer arithmetic), so they are
+repartition/replay-stable and hash-checkable against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.registry import register
+
+# -- x16: segment-level exact dedup + reassembly ---------------------------
+
+_X16_K = 8  # words per segment
+
+_X16_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[(i*{_X16_K}+1):(i*{_X16_K}+{_X16_K})], ' ') AS seg
+  FROM w, UNNEST(range(CAST(ceil(len(w) / {_X16_K}.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, pos, seg FROM (
+    SELECT doc_id, pos, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+    FROM segs) t WHERE rn = 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       string_agg(seg, ' ' ORDER BY pos) AS text_dedup
+FROM kept GROUP BY doc_id ORDER BY doc_id, n_kept, text_dedup"""
+
+
+def segment_dedup(docs: DataFrame, k: int = _X16_K) -> DataFrame:
+    """Exact segment-level dedup with reassembly: split each document
+    into k-word segments, keep only the FIRST occurrence (by doc_id,
+    position) of each distinct segment corpus-wide, and stitch each
+    document back together from its surviving segments in order.
+
+    The line/span-level exact dedup a RefinedWeb-style pipeline runs to
+    strip boilerplate repeated across pages.  A document whose segments
+    are all seen earlier disappears entirely (it contributed nothing
+    new).  Returns (doc_id, n_kept, text_dedup)."""
+    segs = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("w") / F.lit(float(k))).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("w", i * k + 1, F.lit(k)), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    # keep-first: row_number()=1 under partitionBy(seg) — Spark rewrites
+    # the filter to WindowGroupLimit, so duplicate-heavy segments are
+    # reduced to one candidate per mapper before the shuffle
+    first = Window.partitionBy("seg").orderBy("doc_id", "pos")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
+@register("x16_segment_dedup", _X16_ORACLE)
+def x16_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 corpus-wide segment (8-word span) exact dedup with document
+    reassembly.  One shuffle on the segment value (WindowGroupLimit
+    keep-first), one on doc_id to reassemble — never pairwise."""
+    return segment_dedup(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "n_kept", "text_dedup"
+    )
+
+
+# -- x17: per-source token-budget selection --------------------------------
+
+_X17_BUDGET = 400  # tokens per source (binding at every fixture SF)
+
+_X17_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, md5(text) AS h,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           FROM documents),
+o AS (SELECT doc_id, source, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (
+                  PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM t)
+SELECT doc_id, source, tokens, cum_before
+FROM o WHERE cum_before < {_X17_BUDGET}
+ORDER BY source, cum_before, doc_id, tokens"""
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = _X17_BUDGET
+) -> DataFrame:
+    """Select documents per source up to a token budget, in a
+    deterministic content-hash order (md5(text), doc_id) — the Dolma-style
+    "take N tokens from each source" mixing step, RNG-free so the pick is
+    repartition/replay-stable.
+
+    A document is kept iff the tokens BEFORE it in its source's hash
+    order total < budget (the document that straddles the budget line is
+    kept, matching concat-and-chunk consumption).  The running total is a
+    two-level distributed prefix sum: the md5 key's leading byte is a
+    RANGE bucket (hex is ordered, so (bucket, h) order == h order),
+    cumulative sums run per (source, bucket) in parallel, and only the
+    <=256-rows-per-source bucket-totals frame sees an ordered window."""
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+    ).withColumn("bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("long"))
+    within = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "off_in", F.coalesce(F.sum("tokens").over(within), F.lit(0))
+    )
+    over_buckets = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        t.groupBy("source", "bkt")
+        .agg(F.sum("tokens").alias("btot"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("btot").over(over_buckets), F.lit(0)).alias(
+                "boff"
+            ),
+        )
+    )
+    return (
+        t.join(F.broadcast(prefix), ["source", "bkt"])
+        .withColumn(
+            "cum_before", (F.col("boff") + F.col("off_in")).cast("long")
+        )
+        .filter(F.col("cum_before") < budget)
+        .select("doc_id", "source", "tokens", "cum_before")
+    )
+
+
+@register("x17_token_budget", _X17_ORACLE)
+def x17_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 per-source token-budget selection (400 tokens/source) via a
+    two-level distributed prefix sum over a deterministic md5 order."""
+    return token_budget_sample(load(spark, sf_dir, "documents")).orderBy(
+        "source", "cum_before", "doc_id", "tokens"
+    )
+
+
+# -- x18: global curriculum ordering ---------------------------------------
+
+_X18_BAND = 32  # score units per rank band
+
+_X18_ORACLE = """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, CAST(n_chars AS BIGINT) AS score
+FROM documents ORDER BY rank, doc_id, score"""
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    band_width: int = _X18_BAND,
+) -> DataFrame:
+    """Assign every document a global contiguous rank 1..N ordered by
+    (score DESC, doc_id ASC) — curriculum ordering for a training loader —
+    WITHOUT a global single-partition sort.
+
+    Distributed rank: band = floor(score / band_width) partitions the key
+    space into disjoint score ranges (every row in a higher band outranks
+    every row in a lower band), so within-band ranks are computed fully in
+    parallel and offset by a window over the band-counts frame — at most
+    (max_score/band_width + 1) rows, driver-scale.  The same two-level
+    shape as x14's prefix sum, applied to ranking (the DataFrame-native
+    zipWithIndex)."""
+    t = docs.select(
+        "doc_id", F.col(score_col).cast("long").alias("score")
+    ).withColumn("band", F.floor(F.col("score") / band_width))
+    inner = Window.partitionBy("band").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    t = t.withColumn("rn_in", F.row_number().over(inner).cast("long"))
+    higher = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bands = (
+        t.groupBy("band")
+        .agg(F.count("*").alias("bcnt"))
+        .select(
+            "band",
+            F.coalesce(F.sum("bcnt").over(higher), F.lit(0)).alias("boff"),
+        )
+    )
+    return (
+        t.join(F.broadcast(bands), "band")
+        .select(
+            (F.col("boff") + F.col("rn_in")).cast("long").alias("rank"),
+            "doc_id",
+            "score",
+        )
+    )
+
+
+@register("x18_curriculum_order", _X18_ORACLE)
+def x18_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 global curriculum rank (n_chars DESC) via banded distributed
+    ranking — no corpus-sized SinglePartition window."""
+    return curriculum_order(load(spark, sf_dir, "documents")).orderBy(
+        "rank", "doc_id", "score"
+    )
+
+
+# -- x19: stratified per-group sampling ------------------------------------
+
+_X19_N = 50  # rows per stratum
+
+_X19_ORACLE = f"""
+SELECT lang, doc_id, tokens FROM (
+  SELECT lang, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id)
+             AS rn
+  FROM documents) t WHERE rn <= {_X19_N}
+ORDER BY lang, doc_id, tokens"""
+
+
+def stratified_sample(
+    docs: DataFrame, strata_col: str = "lang", n: int = _X19_N
+) -> DataFrame:
+    """Exactly min(n, stratum size) documents per stratum, picked by
+    deterministic content-hash order — the held-out/eval-set carve that
+    needs EXACT per-stratum counts (sampleBy gives only expected
+    fractions) and replay-stability (no RNG).
+
+    The rank filter compiles to WindowGroupLimit: every mapper keeps at
+    most n rows per stratum before the shuffle, so shuffled bytes are
+    O(strata * n) regardless of corpus size."""
+    pick = Window.partitionBy(strata_col).orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.select(
+            strata_col,
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("tokens"),
+            "text",
+        )
+        .withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= n)
+        .select(strata_col, "doc_id", "tokens")
+    )
+
+
+@register("x19_stratified_sample", _X19_ORACLE)
+def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 stratified exact-count sample (50 docs per lang) in
+    deterministic md5 order; WindowGroupLimit bounds shuffle at
+    O(strata * n)."""
+    return stratified_sample(load(spark, sf_dir, "documents")).orderBy(
+        "lang", "doc_id", "tokens"
+    )

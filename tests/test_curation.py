@@ -1,0 +1,147 @@
+"""Behavioral tests for the corpus-curation operators (curation.py,
+x16-x19) beyond their DuckDB hash oracles: exact witness sets, budget
+invariants, permutation/band-invariance properties, and the plan shapes
+the 100 TB story depends on (WindowGroupLimit, no corpus-sized
+SinglePartition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.curation import (
+    curriculum_order,
+    segment_dedup,
+    stratified_sample,
+    token_budget_sample,
+)
+from cubefs_hadoop_spark.plans.audit import audit_plan
+from tests.conftest import SF_SMOKE
+
+
+def test_segment_dedup_witness(spark):
+    """x16 on a hand-built corpus: the duplicated 2-word segment survives
+    only in its first (doc_id, pos) home; a document made entirely of
+    already-seen segments vanishes."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # segs (k=2): "a b", "c d"
+            (2, "c d e f"),      # "c d" duplicates doc 1 -> keeps "e f"
+            (3, "a b c d"),      # nothing new -> vanishes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_kept, r.text_dedup)
+        for r in segment_dedup(docs, k=2).collect()
+    }
+    assert out == {1: (2, "a b c d"), 2: (1, "e f")}
+
+
+def test_segment_dedup_segments_globally_unique(spark):
+    """Every distinct segment value in the corpus survives in exactly
+    one (doc, position) home — no segment lost, none kept twice."""
+    docs = load(spark, SF_SMOKE, "documents")
+    out = segment_dedup(docs).collect()
+    # keep-first keeps exactly one home per distinct segment value, so
+    # the kept-segment count must equal the corpus's distinct-segment count
+    segs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(F.split("text", " ")) / F.lit(8.0)).cast(
+                        "int"
+                    )
+                    - 1,
+                ),
+                lambda i: F.array_join(
+                    F.slice(F.split("text", " "), i * 8 + 1, F.lit(8)), " "
+                ),
+            )
+        ).alias("seg")
+    )
+    n_distinct = segs.select("seg").distinct().count()
+    assert sum(r.n_kept for r in out) == n_distinct
+
+
+def test_token_budget_properties(spark):
+    """x17: every kept doc starts under budget, the kept set is a PREFIX
+    of each source's md5 order (no gaps), and the result is stable under
+    repartitioning (RNG-free)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    out = token_budget_sample(docs, budget=400).collect()
+    assert all(r.cum_before < 400 for r in out)
+    # prefix property: within a source, kept docs in hash order have
+    # cum_before == running sum of the previous kept docs' tokens
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.cum_before)
+        running = 0
+        for r in rows:
+            assert r.cum_before == running
+            running += r.tokens
+    alt = token_budget_sample(docs.repartition(13), budget=400).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, alt))
+
+
+def test_curriculum_order_is_permutation_and_band_invariant(spark):
+    """x18: ranks are a contiguous permutation 1..N consistent with
+    (score DESC, doc_id ASC), and the banded plan is a pure plan choice —
+    band width cannot change the assignment."""
+    docs = load(spark, SF_SMOKE, "documents")
+    out = curriculum_order(docs, band_width=32).collect()
+    n = docs.count()
+    assert sorted(r.rank for r in out) == list(range(1, n + 1))
+    ordered = sorted(out, key=lambda r: r.rank)
+    assert ordered == sorted(ordered, key=lambda r: (-r.score, r.doc_id))
+    alt = curriculum_order(docs, band_width=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, alt))
+
+
+def test_stratified_sample_exact_counts(spark):
+    """x19: exactly min(n, stratum size) per stratum; deterministic
+    across repartitioning."""
+    docs = load(spark, SF_SMOKE, "documents")
+    out = stratified_sample(docs, n=7).collect()
+    sizes = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    got: dict[str, int] = {}
+    for r in out:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    assert got == {lang: min(7, c) for lang, c in sizes.items()}
+    alt = stratified_sample(docs.repartition(11), n=7).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, alt))
+
+
+def test_curation_plan_shapes(spark):
+    """The scale claims in curation.py's docstrings, asserted on real
+    plans: keep-first/top-n filters compile to WindowGroupLimit (map-side
+    per-key reduction before the shuffle); the x17 prefix sum has NO
+    SinglePartition exchange at all (both window levels are partitioned);
+    x18's only SinglePartition window is the driver-scale band-counts
+    frame; nothing drops to Python."""
+    spark.catalog.clearCache()
+    docs = load(spark, SF_SMOKE, "documents")
+
+    a16 = audit_plan(segment_dedup(docs))
+    assert a16.has_window_group_limit
+    assert "SinglePartition" not in a16.text
+    assert "BatchEvalPython" not in a16.text
+
+    a17 = audit_plan(token_budget_sample(docs))
+    assert "SinglePartition" not in a17.text
+    assert "BatchEvalPython" not in a17.text
+
+    a18 = audit_plan(curriculum_order(docs))
+    assert a18.text.count("SinglePartition") == 1  # band-counts frame only
+    assert "BatchEvalPython" not in a18.text
+
+    a19 = audit_plan(stratified_sample(docs))
+    assert a19.has_window_group_limit
+    assert "SinglePartition" not in a19.text
+    assert "BatchEvalPython" not in a19.text
