@@ -7,3 +7,4 @@ from cubefs_hadoop_spark.extensions import multimodal  # noqa: F401
 from cubefs_hadoop_spark.extensions import semantic  # noqa: F401
 from cubefs_hadoop_spark.extensions import packing  # noqa: F401
 from cubefs_hadoop_spark.extensions import curation  # noqa: F401
+from cubefs_hadoop_spark.extensions import search  # noqa: F401

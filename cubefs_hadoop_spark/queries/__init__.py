@@ -20,7 +20,8 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 # by design, also never checked), then the stalest of the r03-era entries.
 # Displaced to r06: ten r03 entries that bench.py executes every round
 # (q06/q11/q12/q20/q22/q25, t05/t13/t18/t21 — a break there fails the
-# bench run loudly) plus the six deferred last round (q01_scan_count,
+# bench run loudly), t19/t20 (filter-agg shapes twinned by the retained
+# t14/t17), plus the six deferred last round (q01_scan_count,
 # q03_filter_conjunctive, q05_case_projection, q06b/q06c/q06d); every
 # displaced entry still hash-checks against DuckDB in pytest
 # (test_oracle.py) each run.  Rotated-out entries keep their r03/r04 greens.
@@ -31,6 +32,7 @@ _R5_WINDOW = [
     "x14_sequence_pack", "x15_source_mixture",
     "x16_segment_dedup", "x17_token_budget",
     "x18_curriculum_order", "x19_stratified_sample",
+    "x20_unigram_logprob", "x21_bm25_search",
     # last driver-checked in r02
     "x04b_lang_stats", "x05_quality_filter", "x06_fingerprint",
     "x08_redact", "x09_stopword_ratio", "x11_repetition_ratio",
@@ -46,7 +48,6 @@ _R5_WINDOW = [
     "t09_product_profit", "t14_promo_revenue",
     "t15_top_supplier", "t16_supplier_relationship",
     "t17_small_quantity_revenue",
-    "t19_discounted_revenue", "t20_part_promotion",
     "t22_sales_opportunity",
     "u01_scalar_pandas_udf", "u06_asof_merge_pandas",
     "x01_exact_dedup", "x02_minhash_lsh", "x02b_ngram_jaccard",
