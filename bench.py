@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "x02d_edit_distance_dedup",
     "x03e_int8_ann",
     "s13_dedup_watermark_twin",
+    "x16_segment_dedup",
+    "x21_bm25_search",
 ]
 
 RUNS = 4

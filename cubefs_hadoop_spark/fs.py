@@ -212,13 +212,27 @@ class LocalFS(WarehouseFS):
         import time as _time
 
         cutoff = _time.time() * 1000 - min_age_ms
+        # Capture PRE-sweep mtimes: rmdir'ing a child updates the parent's
+        # mtime, so reading mtimes during the bottom-up pass makes every
+        # parent of a pruned dir look freshly touched and immune — one
+        # sweep then peels only the deepest level.  A dir that existed
+        # before the sweep and only lost children TO the sweep is provably
+        # not a live writer's staging dir.
+        pre: dict[str, float] = {}
+        for cur, dirs, _files in os.walk(root):
+            for d in dirs:
+                fp = os.path.join(cur, d)
+                try:
+                    pre[fp] = os.stat(fp).st_mtime * 1000
+                except OSError:
+                    pass
         for cur, _dirs, _files in os.walk(root, topdown=False):
             # re-list: children removed earlier in this bottom-up pass
             # don't show in the walk's captured (stale) listings
             if cur != root and not os.listdir(cur):
                 try:
-                    if os.stat(cur).st_mtime * 1000 > cutoff:
-                        continue  # freshly touched: maybe a live stage
+                    if pre.get(cur, float("inf")) > cutoff:
+                        continue  # freshly created: maybe a live stage
                     os.rmdir(cur)
                 except OSError:
                     pass
@@ -408,24 +422,29 @@ class HadoopFS(WarehouseFS):
             return
         cutoff = _time.time() * 1000 - min_age_ms
 
-        def _prune(dp) -> bool:
-            """Depth-first: returns True when dp ends up empty and removed."""
+        def _prune(dp, pre_mtime: float) -> bool:
+            """Depth-first: returns True when dp ends up empty and removed.
+            ``pre_mtime`` is the dir's mtime captured BEFORE this sweep
+            touched its children — deleting a child updates the parent's
+            mtime, which must not make the parent look freshly created."""
             children = list(self._fs.listStatus(dp))
             remaining = 0
             for st in children:
-                if st.isDirectory() and _prune(st.getPath()):
+                if st.isDirectory() and _prune(
+                    st.getPath(), st.getModificationTime()
+                ):
                     continue
                 remaining += 1
             if remaining == 0 and dp.toString() != self._fs.makeQualified(
                 p
             ).toString():
-                if self._fs.getFileStatus(dp).getModificationTime() > cutoff:
-                    return False  # freshly touched: maybe a live stage
+                if pre_mtime > cutoff:
+                    return False  # freshly created: maybe a live stage
                 self._fs.delete(dp, False)
                 return True
             return False
 
-        _prune(self._fs.makeQualified(p))
+        _prune(self._fs.makeQualified(p), float("inf"))
 
 
 def warehouse_fs(spark, root: str) -> WarehouseFS:
