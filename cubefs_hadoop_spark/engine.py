@@ -1093,6 +1093,7 @@ class Engine:
         name: str,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot version of ``name`` (atomic
         multi-file commit; old versions stay readable).  Returns the
@@ -1107,18 +1108,64 @@ class Engine:
             mode=mode,
             partition_by=partition_by,
             fs=self.fs,
+            stats_cols=stats_cols,
         )
         self._mark_dirty(name)
         return v
 
-    def read_version(self, name: str, version: int | None = None) -> DataFrame:
+    def read_version(
+        self,
+        name: str,
+        version: int | None = None,
+        predicates: list[tuple] | None = None,
+    ) -> DataFrame:
         """Time-travel read: the exact file set version ``version`` (default
-        latest) committed — concurrent commits can never tear the read."""
+        latest) committed — concurrent commits can never tear the read.
+        ``predicates`` ([(col, op, value)]) prunes data files against the
+        manifest's per-file [min, max] stats before the scan is planned
+        (commit with ``stats_cols`` / ``optimize_table`` to record them),
+        then applies the exact residual filter."""
         from cubefs_hadoop_spark import versioning
 
         return versioning.read_version(
-            self.spark, self._table_path(name), version, fs=self.fs
+            self.spark,
+            self._table_path(name),
+            version,
+            fs=self.fs,
+            predicates=predicates,
         )
+
+    def optimize_table(
+        self,
+        name: str,
+        zorder_by: list[str] | None = None,
+        stats_cols: list[str] | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """OPTIMIZE [ZORDER BY]: rewrite the versioned table's current
+        file set into ~target-sized files laid out along a Morton curve
+        over ``zorder_by`` (plans/zorder.py) and record per-file [min,
+        max] stats for ``stats_cols`` (defaults to ``zorder_by``) — the
+        Delta/Iceberg table-maintenance verb that turns selective scans
+        into a handful of file reads via ``read_version(predicates=...)``.
+        Returns the committed version number."""
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not versioning.is_versioned(path, self.fs):
+            raise TableNotFoundError(
+                "optimize_table requires a versioned table", name
+            )
+        v = versioning.compact_version(
+            self.spark,
+            path,
+            target_file_bytes,
+            fs=self.fs,
+            zorder_by=zorder_by,
+            stats_cols=stats_cols or zorder_by,
+        )
+        self._mark_dirty(name)
+        return v
 
     def table_versions(self, name: str) -> list[int]:
         from cubefs_hadoop_spark import versioning

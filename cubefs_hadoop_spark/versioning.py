@@ -45,6 +45,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.errors import (
     EngineIOError,
@@ -187,6 +188,127 @@ def _layout_partitioned(files: list[str]) -> bool:
     return any("=" in seg for f in files for seg in f.split("/")[:-1])
 
 
+def _stat_json(v):
+    """A min/max value in JSON-manifest form: numbers/strings/bools pass
+    through, datetimes/dates become ISO strings (ISO order == time order,
+    so string comparison prunes correctly), Decimals become floats."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _collect_file_stats(
+    spark: SparkSession,
+    table_path: str,
+    stage: str,
+    files: list[str],
+    stats_cols: list[str],
+    fs: WarehouseFS,
+) -> dict:
+    """Per-file [min, max] of ``stats_cols`` over the staged files — the
+    Iceberg column-stats analog that makes scan-time file skipping
+    possible.  ONE distributed scan of the stage (grouped by
+    input_file_name), and the result is file-count-sized: manifest-scale
+    data (100k files x a few columns is megabytes), never corpus-scale.
+    Stats cols must be physical data columns (dir-encoded partition
+    columns are already prunable by path)."""
+    if not stats_cols or not files:
+        return {}
+    sdf = spark.read.parquet(*(fs.join(table_path, f) for f in files))
+    aggs = []
+    for i, c in enumerate(stats_cols):
+        aggs += [
+            F.min(c).alias(f"_mn{i}"),
+            F.max(c).alias(f"_mx{i}"),
+        ]
+    rows = (
+        sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    )
+    marker = f"/{_DATA_DIR}/{stage}/"
+    out: dict = {}
+    for r in rows:
+        i = r["_f"].find(marker)
+        if i < 0:
+            continue
+        rel = r["_f"][i + 1 :]
+        out[rel] = {
+            c: [_stat_json(r[f"_mn{j}"]), _stat_json(r[f"_mx{j}"])]
+            for j, c in enumerate(stats_cols)
+        }
+    return out
+
+
+_PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==")
+
+
+def prune_files(
+    manifest: dict, predicates: list[tuple] | None
+) -> list[str]:
+    """The file subset of ``manifest`` that can contain rows matching ALL
+    ``predicates`` (list of (col, op, value)), judged by per-file
+    [min, max] stats.  Conservative: a file with no stats entry, no entry
+    for the column, or a null bound is always kept.  Pruning is a plan
+    optimization, not a truth source — the caller still applies the exact
+    predicate to the surviving rows."""
+    files = manifest["files"]
+    stats = manifest.get("stats")
+    if not stats or not predicates:
+        return files
+    for _c, op, _v in predicates:
+        if op not in _PRUNE_OPS:
+            raise EngineIOError(f"unsupported prune op {op!r}")
+    keep = []
+    for f in files:
+        st = stats.get(f)
+        ok = True
+        if st:
+            for col, op, val in predicates:
+                bounds = st.get(col)
+                if not bounds or bounds[0] is None or bounds[1] is None:
+                    continue
+                mn, mx = bounds
+                if op in ("=", "=="):
+                    ok = mn <= val <= mx
+                elif op == "<":
+                    ok = mn < val
+                elif op == "<=":
+                    ok = mn <= val
+                elif op == ">":
+                    ok = mx > val
+                else:
+                    ok = mx >= val
+                if not ok:
+                    break
+        if ok:
+            keep.append(f)
+    return keep
+
+
+def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
+    """The exact residual filter for ``predicates`` (pruning only cut the
+    file list; row-level truth happens here)."""
+    for col, op, val in predicates:
+        c = F.col(col)
+        if op in ("=", "=="):
+            df = df.filter(c == F.lit(val))
+        elif op == "<":
+            df = df.filter(c < F.lit(val))
+        elif op == "<=":
+            df = df.filter(c <= F.lit(val))
+        elif op == ">":
+            df = df.filter(c > F.lit(val))
+        else:
+            df = df.filter(c >= F.lit(val))
+    return df
+
+
 def commit_version(
     df: DataFrame,
     table_path: str,
@@ -195,6 +317,7 @@ def commit_version(
     max_retries: int = 3,
     fs: WarehouseFS | None = None,
     extra: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of the table.
 
@@ -214,6 +337,9 @@ def commit_version(
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
     stage, files = _stage_write(df, table_path, partition_by, fs)
+    new_stats = _collect_file_stats(
+        df.sparkSession, table_path, stage, files, stats_cols or [], fs
+    )
     attempt = 0
     while True:
         vs = list_versions(table_path, fs)
@@ -251,6 +377,12 @@ def commit_version(
             deletes = list(pm.get("deletes", []))
         for f in files:
             file_seq[f] = v
+        # appended files keep the parent's per-file stats (stats ride the
+        # FILE, not the version); overwrite starts a fresh stats map
+        stats_all: dict = {}
+        if parent and mode == "append":
+            stats_all = dict(pm.get("stats", {}))
+        stats_all.update(new_stats)
         manifest = {
             "version": v,
             "parent": parent or None,
@@ -262,6 +394,7 @@ def commit_version(
             "deletes": deletes,
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
+            **({"stats": stats_all} if stats_all else {}),
             **inherited,
             **(extra or {}),
         }
@@ -315,6 +448,9 @@ def commit_delete(
             + [{"seq": v, "pred": predicate}],
             "ts_ms": int(time.time() * 1000),
             "schema": pm.get("schema"),
+            **(
+                {"stats": pm["stats"]} if pm.get("stats") else {}
+            ),
         }
         if "batch_id_max" in pm:
             manifest["batch_id_max"] = pm["batch_id_max"]
@@ -377,6 +513,11 @@ def commit_merge(
             + [{"seq": v, "eq_cols": keys, "eq_files": kfiles}],
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
+            # parent files keep their prune stats; the merge batch's new
+            # files simply have no entries (conservative: never pruned)
+            **(
+                {"stats": pm["stats"]} if pm.get("stats") else {}
+            ),
         }
         if "batch_id_max" in pm:
             manifest["batch_id_max"] = pm["batch_id_max"]
@@ -470,21 +611,38 @@ def read_version(
     version: int | None = None,
     fs: WarehouseFS | None = None,
     merge_schema: bool = False,
+    predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a committed version (default: latest) — exactly the files its
     manifest lists, so concurrent commits never tear a read.
     ``merge_schema`` reconciles parts committed with evolved schemas
-    across appends (same contract as Engine.table)."""
+    across appends (same contract as Engine.table).
+
+    ``predicates`` — [(col, op, value)], op in <,<=,>,>=,= — prunes the
+    DATA file list against the manifest's per-file [min, max] stats
+    (``stats_cols`` at commit time) before any scan is planned, then
+    applies the exact filter to the surviving rows.  At 100 TB this is
+    the decisive mechanism: a selective predicate over a stats/Z-ordered
+    column turns a full-table scan into a handful of file reads without
+    touching a footer.  Equality-delete key files are never pruned (they
+    are row-level tombstones, not data)."""
     fs = _fs(fs)
     v = current_version(table_path, fs) if version is None else version
     m = read_manifest(table_path, v, fs)
-    if not m["files"]:
+    data_files = prune_files(m, predicates)
+
+    def _post(df: DataFrame) -> DataFrame:
+        return _apply_predicates(df, predicates) if predicates else df
+
+    if not data_files:
         from pyspark.sql import types as T
 
         return spark.createDataFrame([], T.StructType.fromJson(m["schema"]))
     deletes = m.get("deletes", [])
     if not deletes:
-        return _read_files(spark, table_path, m["files"], fs, merge_schema)
+        return _post(
+            _read_files(spark, table_path, data_files, fs, merge_schema)
+        )
     # merge-on-read: apply pending deletes scoped by sequence number — a
     # delete at seq d affects only files added STRICTLY BEFORE d (an
     # upsert batch must not delete its own rows; legacy manifests without
@@ -496,7 +654,7 @@ def read_version(
 
     fseq = m.get("file_seq", {})
     by_dels: dict[tuple[int, ...], list[str]] = {}
-    for f in m["files"]:
+    for f in data_files:
         add_seq = int(fseq.get(f, 0))
         dd = tuple(
             i for i, d in enumerate(deletes) if add_seq < int(d["seq"])
@@ -520,7 +678,7 @@ def read_version(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
-    return out
+    return _post(out)
 
 
 def read_changes(
@@ -599,6 +757,7 @@ def rollback(
         "partition_by": m.get("partition_by", []),
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
+        **({"stats": m["stats"]} if m.get("stats") else {}),
     }
     if "batch_id_max" in pm:
         manifest["batch_id_max"] = pm["batch_id_max"]
@@ -610,12 +769,21 @@ def compact_version(
     table_path: str,
     target_file_bytes: int = 128 << 20,
     fs: WarehouseFS | None = None,
+    zorder_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Compact the CURRENT version's file set into ~target-sized files and
     commit the result as a new version (mode ``compact``) — content
     identical, history intact (Iceberg rewrite-data-files semantics).  The
     superseded small files stay reachable through older manifests until
-    ``expire_versions`` reclaims them."""
+    ``expire_versions`` reclaims them.
+
+    ``zorder_by``: lay the rewrite out along a Morton curve over the given
+    integer columns (plans/zorder.py) instead of hash-repartitioning —
+    every output file then covers a tight [min, max] range in EVERY
+    Z column, which is what makes ``stats_cols`` + read-time
+    ``predicates`` pruning effective on all of them (the Delta/Iceberg
+    OPTIMIZE ... ZORDER BY maintenance verb)."""
     import math
 
     fs = _fs(fs)
@@ -626,7 +794,16 @@ def compact_version(
     sizes = {rel: size for rel, size, _m in fs.walk_files(table_path)}
     est = sum(sizes.get(f, 0) for f in pm["files"])
     n = max(1, math.ceil(est / target_file_bytes))
-    stage, files = _stage_write(df.repartition(n), table_path, None, fs)
+    if zorder_by:
+        from cubefs_hadoop_spark.plans.zorder import zorder_layout
+
+        out_df = zorder_layout(df, zorder_by, n)
+    else:
+        out_df = df.repartition(n)
+    stage, files = _stage_write(out_df, table_path, None, fs)
+    stats = _collect_file_stats(
+        spark, table_path, stage, files, stats_cols or [], fs
+    )
     v = parent + 1
     manifest = {
         "version": v,
@@ -641,6 +818,7 @@ def compact_version(
         "partition_by": [],
         "ts_ms": int(time.time() * 1000),
         "schema": df.schema.jsonValue(),
+        **({"stats": stats} if stats else {}),
     }
     if "batch_id_max" in pm:
         manifest["batch_id_max"] = pm["batch_id_max"]

@@ -1,0 +1,160 @@
+"""Z-order layout (plans/zorder.py) + manifest file-skipping stats
+(versioning.py stats_cols/predicates/optimize_table): the 100 TB
+scan-pruning mechanism, end to end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.plans.zorder import with_zorder_key, zorder_layout
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "wh"))
+
+
+def test_zorder_key_locality(spark):
+    """Chunking the Z-sorted order into 8 runs must give tighter
+    per-chunk n_chars ranges than chunking a doc_id sort — the
+    NON-leading dimension is where a linear sort gives pruning nothing
+    (every chunk spans the full range) and the curve must beat it."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+
+    def chars_span(rows, k=8):
+        n = len(rows)
+        total = 0
+        for i in range(k):
+            part = rows[i * n // k : (i + 1) * n // k]
+            chars = [r.n_chars for r in part]
+            total += max(chars) - min(chars)
+        return total
+
+    z = with_zorder_key(docs, ["doc_id", "n_chars"]).orderBy("zkey").collect()
+    linear = docs.orderBy("doc_id").collect()
+    assert chars_span(z) < 0.8 * chars_span(linear)
+
+
+def test_stats_recorded_and_pruned_scan_exact(spark, tmp_path):
+    """Commit with stats_cols -> per-file [min, max] in the manifest;
+    a predicate scan prunes files AND returns exactly the full-filter
+    rows.  Range layout makes per-file doc_id ranges disjoint, so a
+    narrow doc_id predicate must drop most files."""
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = str(tmp_path / "t")
+    versioning.commit_version(
+        docs.repartitionByRange(8, "doc_id"),
+        path,
+        stats_cols=["doc_id", "n_chars"],
+    )
+    m = versioning.read_manifest(path, 1)
+    assert len(m["files"]) == 8
+    assert set(m["stats"]) == set(m["files"])
+    for st in m["stats"].values():
+        assert set(st) == {"doc_id", "n_chars"}
+        assert st["doc_id"][0] <= st["doc_id"][1]
+
+    preds = [("doc_id", ">=", 100), ("doc_id", "<", 150)]
+    assert len(versioning.prune_files(m, preds)) < len(m["files"])
+    got = versioning.read_version(spark, path, predicates=preds).collect()
+    want = (
+        versioning.read_version(spark, path)
+        .filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 150))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_unstatted_files_never_pruned(spark, tmp_path):
+    """Appends without stats stay conservative: their files survive every
+    prune, and predicate reads stay exact across the mixed set."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    path = str(tmp_path / "t")
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250)
+    versioning.commit_version(
+        lo.repartitionByRange(4, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    versioning.commit_version(hi.coalesce(2), path, mode="append")  # no stats
+    m = versioning.read_manifest(path, 2)
+    statted = set(m["stats"])
+    pruned = versioning.prune_files(m, [("doc_id", "<", 10)])
+    # every un-statted file kept; at least one statted file dropped
+    assert set(m["files"]) - statted <= set(pruned)
+    assert len(pruned) < len(m["files"])
+    got = versioning.read_version(
+        spark, path, predicates=[("doc_id", "<", 10)]
+    ).collect()
+    assert sorted(r.doc_id for r in got) == list(range(10))
+
+
+def test_optimize_zorder_prunes_both_dims(eng, spark):
+    """The OPTIMIZE ZORDER story end to end: after optimize_table, a
+    selective predicate on EITHER clustered column prunes files; a
+    doc_id-linear layout prunes only the leading column.  Content is
+    byte-identical across the rewrite."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    eng.write_table_version(
+        docs.repartitionByRange(8, "doc_id"), "t", stats_cols=["n_chars"]
+    )
+    m1 = versioning.read_manifest(eng._table_path("t"), 1, eng.fs)
+    # doc_id-sorted layout: n_chars ranges per file are wide -> a narrow
+    # n_chars predicate prunes nothing
+    chars_pred = [("n_chars", ">=", 100), ("n_chars", "<", 120)]
+    kept_linear = versioning.prune_files(m1, chars_pred)
+    assert len(kept_linear) == len(m1["files"])
+
+    v = eng.optimize_table(
+        "t", zorder_by=["doc_id", "n_chars"], target_file_bytes=1 << 10
+    )
+    m2 = versioning.read_manifest(eng._table_path("t"), v, eng.fs)
+    assert m2["mode"] == "compact"
+    kept_z_chars = versioning.prune_files(m2, chars_pred)
+    kept_z_ids = versioning.prune_files(
+        m2, [("doc_id", ">=", 100), ("doc_id", "<", 150)]
+    )
+    assert len(kept_z_chars) < len(m2["files"])
+    assert len(kept_z_ids) < len(m2["files"])
+    # rewrite preserved content exactly
+    a = sorted(map(tuple, eng.read_version("t", 1).collect()))
+    b = sorted(map(tuple, eng.read_version("t", v).collect()))
+    assert a == b
+    # engine-surface pruned read matches the exact filter
+    got = eng.read_version("t", predicates=chars_pred).collect()
+    want = [
+        r
+        for r in docs.collect()
+        if 100 <= r.n_chars < 120
+    ]
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stats_survive_mor_delete_and_rollback(spark, tmp_path):
+    """Stats ride through merge-on-read deletes and rollback commits, and
+    predicate reads stay exact with pending deletes applied."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    path = str(tmp_path / "t")
+    versioning.commit_version(
+        docs.repartitionByRange(6, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    versioning.commit_delete(path, "doc_id % 2 = 0")
+    m = versioning.read_manifest(path, 2)
+    assert "stats" in m
+    got = versioning.read_version(
+        spark, path, predicates=[("doc_id", "<", 20)]
+    ).collect()
+    assert sorted(r.doc_id for r in got) == [i for i in range(20) if i % 2]
+    versioning.rollback(path, 1)
+    m3 = versioning.read_manifest(path, 3)
+    assert "stats" in m3
+    got = versioning.read_version(
+        spark, path, predicates=[("doc_id", "<", 5)]
+    ).collect()
+    assert sorted(r.doc_id for r in got) == [0, 1, 2, 3, 4]
