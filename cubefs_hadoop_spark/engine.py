@@ -636,6 +636,7 @@ class Engine:
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
           OPTIMIZE t                                   -> compact_table
+          OPTIMIZE t ZORDER BY (c1, c2)                -> optimize_table
           VACUUM                                       -> vacuum
           ANALYZE TABLE t [FOR COLUMNS c1, c2]         -> analyze_table
           ... FROM t VERSION AS OF n ...               -> time-travel read
@@ -745,6 +746,15 @@ class Engine:
                 else:
                     self._swap_rewrite(name, df)
                     self._mark_dirty(name)
+            return None
+        m = re.match(
+            r"OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            cols = [c.strip() for c in m.group(2).split(",")]
+            self.optimize_table(m.group(1), zorder_by=cols)
             return None
         m = re.match(r"OPTIMIZE\s+(\w+)$", s, re.IGNORECASE)
         if m:

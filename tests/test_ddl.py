@@ -177,3 +177,27 @@ def test_execute_maintenance_verbs(spark, tmp_warehouse):
     finally:
         eng.unsync_catalog()
         spark.sql("DROP DATABASE IF EXISTS maint_db CASCADE")
+
+
+def test_execute_optimize_zorder(spark, tmp_warehouse):
+    """OPTIMIZE t ZORDER BY (a, b) routes to optimize_table: new compact
+    version, per-file stats on the Z columns, prunable on both dims."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.engine import Engine
+    from tests.conftest import SF_SMOKE
+
+    eng = Engine(spark, tmp_warehouse, database="zopt_db")
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    eng.write_table_version(docs.repartitionByRange(8, "doc_id"), "d")
+    eng.execute("OPTIMIZE d ZORDER BY (doc_id, n_chars)")
+    m = versioning.read_manifest(eng._table_path("d"), 2, eng.fs)
+    assert m["mode"] == "compact"
+    assert set(m["stats"]) == set(m["files"])
+    got = eng.read_version(
+        "d", predicates=[("n_chars", ">=", 100), ("n_chars", "<", 120)]
+    ).collect()
+    assert all(100 <= r.n_chars < 120 for r in got)
+    assert len(got) == docs.filter(
+        "n_chars >= 100 and n_chars < 120"
+    ).count()
