@@ -47,23 +47,21 @@ def compact(
 
 
 def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
-    """Bit-interleave two non-negative int columns into one z-order key.
-    Clamp each input to ``bits`` bits, then weave a0 b0 a1 b1 ...  The key
-    is a plain BIGINT expression — sortable, codegen'd, shuffle-free to
-    compute."""
+    """Bit-interleave two non-negative int columns into one z-order key
+    (a0 b0 a1 b1 ... weave), clamping each input to ``bits`` bits.  The
+    interleave itself is plans/zorder.zorder_key — ONE implementation of
+    the Morton weave serves both the quantized parquet-footer layout here
+    and the exact manifest-stats layout there."""
+    from cubefs_hadoop_spark.plans.zorder import zorder_key as _interleave
+
     max_v = (1 << bits) - 1
-    a = F.least(col_a.cast("long"), F.lit(max_v))
-    b = F.least(col_b.cast("long"), F.lit(max_v))
-    parts = []
-    for i in range(bits):
-        parts.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i))
-        parts.append(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i + 1)
-        )
-    key = parts[0]
-    for p in parts[1:]:
-        key = key.bitwiseOR(p)
-    return key
+    return _interleave(
+        [
+            F.least(col_a.cast("long"), F.lit(max_v)),
+            F.least(col_b.cast("long"), F.lit(max_v)),
+        ],
+        bits,
+    )
 
 
 def cluster_by(
@@ -92,22 +90,19 @@ def quantize(col: Column, lo, hi, bits: int) -> Column:
 
 def zorder_key_n(cols: list[Column], bits: int = 8) -> Column:
     """N-column z-order key: round-robin bit-interleave over every column
-    (column j contributes bit i at position i*N + j).  Reduces to
-    zorder_key's layout for N=2.  Still one plain BIGINT expression —
-    sortable, codegen'd, shuffle-free.  N*bits must fit in 63 bits."""
+    (column j contributes bit i at position i*N + j; the shared
+    plans/zorder.zorder_key weave).  Reduces to zorder_key's layout for
+    N=2.  Still one plain BIGINT expression — sortable, codegen'd,
+    shuffle-free.  N*bits must fit in 63 bits."""
+    from cubefs_hadoop_spark.plans.zorder import zorder_key as _interleave
+
     n = len(cols)
     if n * bits > 63:
         raise ValueError(f"{n} cols x {bits} bits exceeds a signed long")
     max_v = (1 << bits) - 1
-    clamped = [F.least(c.cast("long"), F.lit(max_v)) for c in cols]
-    key = None
-    for i in range(bits):
-        for j, c in enumerate(clamped):
-            part = F.shiftleft(
-                F.shiftright(c, i).bitwiseAND(1), i * n + j
-            )
-            key = part if key is None else key.bitwiseOR(part)
-    return key
+    return _interleave(
+        [F.least(c.cast("long"), F.lit(max_v)) for c in cols], bits
+    )
 
 
 def cluster_by_zorder(

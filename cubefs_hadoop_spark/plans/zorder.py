@@ -16,6 +16,11 @@ The key is exact integer math end to end (rank each column to a
 ``bits``-wide integer over its global [min, max], interleave the bits),
 so the layout is engine-independent and the x22 entry hash-checks
 against a DuckDB oracle computing the same interleave.
+
+``zorder_key`` here is THE Morton weave for the whole repo:
+plans/layout.py's quantized variants (parquet row-group footer skipping,
+test_layout) delegate to it with clamped inputs, while this module pairs
+it with exact rank normalization and the versioned-manifest stats tier.
 """
 
 from __future__ import annotations
