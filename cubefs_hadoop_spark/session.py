@@ -35,6 +35,8 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(DEFAULT_MAX_PARTITION_BYTES),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Python DataSource pushFilters (cfstable manifest file skipping)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # zstd over the snappy default: ~30% smaller files at comparable CPU —
     # at 100 TB that is tens of TB of storage and scan IO saved.  Level 3
     # (Spark default) keeps the write path cheap.

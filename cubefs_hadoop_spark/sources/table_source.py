@@ -1,0 +1,179 @@
+"""`cfstable` — versioned tables as a first-class Spark source with
+FILTER PUSHDOWN into manifest file skipping.
+
+``Engine.read_version(predicates=...)`` prunes files when the caller
+hands predicates over explicitly; this source closes the loop for plain
+SQL: a ``WHERE`` on a ``cfstable`` scan reaches ``pushFilters`` during
+planning, the reader prunes the manifest file list against the per-file
+[min, max] stats (versioning.prune_files) BEFORE partitions are planned,
+and Spark sees only the surviving files as input partitions.
+
+    spark.dataSource.register(CfsTableDataSource)
+    df = (spark.read.format("cfstable")
+          .option("path", "/warehouse/db/t")
+          .option("version", 3)              # optional time travel
+          .load())
+    df.filter("doc_id < 10")                  # -> file-skipped scan
+
+Pushdown contract: every filter is RETURNED to Spark (stats pruning is
+file-level, not row-level truth), so correctness never depends on the
+stats; supported comparisons additionally become a pyarrow dataset
+filter executor-side, which prunes row groups via parquet footer stats
+and drops non-matching rows before the Arrow batches cross into the JVM.
+
+At 100 TB the partitions() listing is manifest-metadata work (file count,
+not data), each surviving file is one InputPartition, and the read path
+is pyarrow's C++ parquet reader yielding Arrow batches — no Python
+row-at-a-time loop anywhere.
+
+Scope: local/posix table paths (the LocalFS warehouse tier); tables with
+pending merge-on-read deletes are refused (``compact_table`` first —
+applying sequence-scoped anti-joins is the Engine read path's job);
+Hive-partitioned layouts are refused (dir-encoded columns need the
+Engine reader's basePath recovery).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+
+def _translate(f) -> tuple | None:
+    """A pushed Filter -> (col, op, value) prune predicate, or None if
+    the shape is unsupported (multi-part column path, unknown class)."""
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    op = ops.get(type(f))
+    if op is None or len(f.attribute) != 1:
+        return None
+    from cubefs_hadoop_spark.versioning import _stat_json
+
+    return (f.attribute[0], op, _stat_json(f.value))
+
+
+class _TableFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class CfsTableReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cfstable: option 'path' is required")
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.cols = [f.name for f in schema.fields]
+        self.predicates: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            t = _translate(f)
+            if t is not None:
+                self.predicates.append(t)
+            # stats pruning is file-level only: Spark must still apply
+            # EVERY filter row-level, so all of them are handed back
+            yield f
+
+    # -- driver: manifest -> pruned file list -> one partition per file --
+    def partitions(self) -> list[_TableFile]:
+        from cubefs_hadoop_spark import versioning
+
+        v = (
+            versioning.current_version(self.path)
+            if self.version is None
+            else self.version
+        )
+        m = versioning.read_manifest(self.path, v)
+        if m.get("deletes"):
+            raise ValueError(
+                "cfstable: table has pending merge-on-read deletes; "
+                "compact_table first or read through Engine.read_version"
+            )
+        if any("=" in seg for f in m["files"] for seg in f.split("/")[:-1]):
+            raise ValueError(
+                "cfstable: Hive-partitioned layout; read through "
+                "Engine.read_version (dir-encoded column recovery)"
+            )
+        import os
+
+        files = versioning.prune_files(m, self.predicates)
+        return [_TableFile(os.path.join(self.path, f)) for f in files]
+
+    # -- executor: pyarrow dataset scan with row-group + row filtering --
+    def read(self, partition: _TableFile) -> Iterator:
+        import pyarrow.dataset as pads
+
+        expr = None
+        for col, op, val in self.predicates:
+            field = pads.field(col)
+            term = {
+                "=": field == val,
+                ">": field > val,
+                ">=": field >= val,
+                "<": field < val,
+                "<=": field <= val,
+            }[op]
+            expr = term if expr is None else expr & term
+        ds = pads.dataset(partition.path, format="parquet")
+        for batch in ds.to_batches(columns=self.cols, filter=expr):
+            yield batch
+
+
+class CfsTableDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cfstable"
+
+    def schema(self):
+        from cubefs_hadoop_spark import versioning
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("cfstable: option 'path' is required")
+        v = self.options.get("version")
+        ver = (
+            int(v)
+            if v is not None
+            else versioning.current_version(path)
+        )
+        m = versioning.read_manifest(path, ver)
+        if not m.get("schema"):
+            raise ValueError("cfstable: manifest records no schema")
+        return StructType.fromJson(m["schema"])
+
+    def reader(self, schema: StructType) -> CfsTableReader:
+        return CfsTableReader(self.options, schema)
+
+
+def register(spark) -> None:
+    # pushFilters is refused outright when this conf is off (the driver
+    # may run a vanilla session without session.py's defaults)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(CfsTableDataSource)
+
+
+def read_table(spark, path: str, version: int | None = None):
+    """Convenience: register + load in one call."""
+    register(spark)
+    r = spark.read.format("cfstable").option("path", path)
+    if version is not None:
+        r = r.option("version", version)
+    return r.load()

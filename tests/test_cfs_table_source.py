@@ -1,0 +1,84 @@
+"""cfstable Python DataSource: versioned-table scans with pushFilters ->
+manifest file skipping (sources/table_source.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.sources.table_source import (
+    CfsTableReader,
+    read_table,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    """A versioned documents table with range layout + doc_id stats."""
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = str(tmp_path / "t")
+    versioning.commit_version(
+        docs.repartitionByRange(8, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    return path, docs
+
+
+def test_full_scan_matches_engine_read(spark, vt):
+    path, docs = vt
+    got = read_table(spark, path).collect()
+    want = docs.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_where_prunes_files_and_stays_exact(spark, vt):
+    path, docs = vt
+    df = read_table(spark, path).filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+    )
+    got = sorted(r.doc_id for r in df.collect())
+    assert got == list(range(100, 150))
+    # pruning observed at the reader level: the same pushed filters must
+    # shrink partitions() below the 8-file full set
+    m = versioning.read_manifest(path, 1)
+    schema = read_table(spark, path).schema
+    r = CfsTableReader({"path": path}, schema)
+    leftover = list(
+        r.pushFilters(
+            [GreaterThanOrEqual(("doc_id",), 100), LessThan(("doc_id",), 150)]
+        )
+    )
+    assert len(leftover) == 2  # every filter handed back to Spark
+    assert 0 < len(r.partitions()) < len(m["files"])
+
+
+def test_unsupported_filters_pass_through(spark, vt):
+    path, docs = vt
+    # predicate on an un-statted column: no pruning, still exact
+    got = read_table(spark, path).filter("lang = 'en'").count()
+    assert got == docs.filter("lang = 'en'").count()
+    schema = read_table(spark, path).schema
+    r = CfsTableReader({"path": path}, schema)
+    list(r.pushFilters([EqualTo(("lang",), "en")]))
+    assert len(r.partitions()) == 8  # conservative: nothing pruned
+
+
+def test_version_time_travel(spark, vt):
+    path, docs = vt
+    versioning.commit_version(
+        docs.filter("doc_id < 10"), path, mode="overwrite"
+    )
+    assert read_table(spark, path).count() == 10
+    assert read_table(spark, path, version=1).count() == docs.count()
+
+
+def test_pending_mor_deletes_refused(spark, vt):
+    path, _docs = vt
+    versioning.commit_delete(path, "doc_id % 2 = 0")
+    with pytest.raises(Exception, match="merge-on-read"):
+        read_table(spark, path).collect()
