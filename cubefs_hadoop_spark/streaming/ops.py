@@ -431,9 +431,17 @@ def running_max_stateful(sdf: DataFrame) -> DataFrame:
     )
 
 
-def versioned_batch_committer(engine, table: str):
+def versioned_batch_committer(
+    engine, table: str, stats_cols: list | None = None
+):
     """The foreachBatch function behind sink_versioned, exposed so tests
     (and custom writeStream wiring) can drive it directly.
+
+    ``stats_cols``: record per-file [min, max] prune stats on every batch
+    commit (versioning stats tier), so a stream-ingested table is
+    file-skippable by ``read_version(predicates=...)``/``cfstable`` from
+    the first micro-batch on — no OPTIMIZE pass needed before selective
+    reads work.
 
     Exactly-once: each micro-batch commits as a versioned APPEND carrying
     the batch-id WATERMARK (Structured Streaming batch ids are
@@ -468,6 +476,7 @@ def versioned_batch_committer(engine, table: str):
             path,
             mode="append",
             fs=engine.fs,
+            stats_cols=stats_cols,
             extra={
                 "batch_id": int(batch_id),
                 "batch_id_max": max(
@@ -480,13 +489,19 @@ def versioned_batch_committer(engine, table: str):
 
 
 def sink_versioned(
-    sdf: DataFrame, engine, table: str, checkpoint_dir: str
+    sdf: DataFrame,
+    engine,
+    table: str,
+    checkpoint_dir: str,
+    stats_cols: list | None = None,
 ) -> None:
     """S14: stream into a snapshot-versioned table with exactly-once batch
     commits (the Iceberg-sink capability the reference's host engines get
     from Flink+Iceberg, reference README.md:79-88)."""
     q = (
-        sdf.writeStream.foreachBatch(versioned_batch_committer(engine, table))
+        sdf.writeStream.foreachBatch(
+            versioned_batch_committer(engine, table, stats_cols)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

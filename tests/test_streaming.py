@@ -650,3 +650,29 @@ def test_s15_merge_sink_mor_strategy(spark, tmp_path):
     eng.expire_table_versions("state", keep_last=1, orphan_grace_ms=0)
     got3 = {(r.user_id, r.event_type, r.value) for r in eng.table("state").collect()}
     assert got3 == want
+
+
+def test_s14_versioned_sink_with_stats_is_prunable(spark, staged, tmp_path):
+    """stats_cols on the streaming committer: every batch commit records
+    per-file [min, max], so the stream-fed table is file-skippable from
+    the first micro-batch (no OPTIMIZE pass needed)."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    sdf = ops.read_stream(spark, staged).select("event_id", "user_id")
+    ops.sink_versioned(
+        sdf, eng, "ev", _ckpt(tmp_path, "s14b"), stats_cols=["event_id"]
+    )
+    path = eng._table_path("ev")
+    m = versioning.read_manifest(
+        path, versioning.current_version(path, eng.fs), eng.fs
+    )
+    assert set(m["stats"]) == set(m["files"])
+    lo = min(st["event_id"][0] for st in m["stats"].values())
+    pruned = versioning.prune_files(m, [("event_id", "<", lo)])
+    assert pruned == []  # nothing can match below the global min
+    got = eng.read_version(
+        "ev", predicates=[("event_id", "<", lo + 5)]
+    ).collect()
+    assert sorted(r.event_id for r in got) == list(range(lo, lo + 5))
