@@ -222,6 +222,15 @@ def _collect_file_stats(
     if not stats_cols or not files:
         return {}
     sdf = spark.read.parquet(*(fs.join(table_path, f) for f in files))
+    missing = [c for c in stats_cols if c not in sdf.columns]
+    if missing:
+        # dir-encoded partition columns are not in the data files — they
+        # are already prunable by path, so stats on them are meaningless
+        raise EngineIOError(
+            f"stats_cols {missing} not present in the staged data files "
+            "(partition columns are path-prunable, not stats-prunable)",
+            table_path,
+        )
     aggs = []
     for i, c in enumerate(stats_cols):
         aggs += [
@@ -265,25 +274,29 @@ def prune_files(
         if op not in _PRUNE_OPS:
             raise EngineIOError(f"unsupported prune op {op!r}")
     keep = []
+    norm = [(c, op, _stat_json(v)) for c, op, v in predicates]
     for f in files:
         st = stats.get(f)
         ok = True
         if st:
-            for col, op, val in predicates:
+            for col, op, val in norm:
                 bounds = st.get(col)
                 if not bounds or bounds[0] is None or bounds[1] is None:
                     continue
                 mn, mx = bounds
-                if op in ("=", "=="):
-                    ok = mn <= val <= mx
-                elif op == "<":
-                    ok = mn < val
-                elif op == "<=":
-                    ok = mn <= val
-                elif op == ">":
-                    ok = mx > val
-                else:
-                    ok = mx >= val
+                try:
+                    if op in ("=", "=="):
+                        ok = mn <= val <= mx
+                    elif op == "<":
+                        ok = mn < val
+                    elif op == "<=":
+                        ok = mn <= val
+                    elif op == ">":
+                        ok = mx > val
+                    else:
+                        ok = mx >= val
+                except TypeError:
+                    ok = True  # incomparable types: conservative keep
                 if not ok:
                     break
         if ok:

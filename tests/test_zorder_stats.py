@@ -158,3 +158,54 @@ def test_stats_survive_mor_delete_and_rollback(spark, tmp_path):
         spark, path, predicates=[("doc_id", "<", 5)]
     ).collect()
     assert sorted(r.doc_id for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_stats_cols_on_partition_column_refused(spark, tmp_path):
+    """stats_cols naming a dir-encoded partition column fails loudly at
+    commit (partition columns are path-prunable, not stats-prunable)."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    with _pytest.raises(EngineIOError, match="path-prunable"):
+        versioning.commit_version(
+            docs,
+            str(tmp_path / "t"),
+            partition_by=["lang"],
+            stats_cols=["lang"],
+        )
+
+
+def test_prune_type_mismatch_is_conservative(spark, tmp_path):
+    """A predicate whose value cannot compare against the stored bounds
+    (str vs int) keeps every file and the exact filter still runs."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    path = str(tmp_path / "t")
+    versioning.commit_version(
+        docs.repartitionByRange(4, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    m = versioning.read_manifest(path, 1)
+    kept = versioning.prune_files(m, [("doc_id", "<", "not-a-number")])
+    assert kept == m["files"]
+
+
+def test_prune_timestamp_predicates(spark, tmp_path):
+    """Timestamp stats serialize as ISO strings (ISO order == time
+    order); datetime predicate values normalize the same way, so pruning
+    and the exact filter agree."""
+    import datetime
+
+    ev = load(spark, SF_SMOKE, "events").select("event_id", "ts")
+    path = str(tmp_path / "t")
+    versioning.commit_version(
+        ev.repartitionByRange(6, "ts"), path, stats_cols=["ts"]
+    )
+    m = versioning.read_manifest(path, 1)
+    cut = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    kept = versioning.prune_files(m, [("ts", "<", cut)])
+    assert 0 < len(kept) < len(m["files"])
+    got = versioning.read_version(
+        spark, path, predicates=[("ts", "<", cut)]
+    ).count()
+    assert got == ev.filter(F.col("ts") < F.lit(cut)).count()
