@@ -209,3 +209,87 @@ def test_vector_curation_pipeline(spark, tmp_path):
         .distinct()
     )
     assert replay.join(dup2, "vec_id", "left_anti").isEmpty()
+
+
+def test_curation_to_training_layout_pipeline(spark, tmp_path):
+    """Late-round-5 composition — from raw corpus to a training-ready,
+    scan-skippable layout using the curation + layout tiers end to end:
+
+      segment dedup (x16) -> per-source token budget (x17) ->
+      curriculum rank (x18) -> sequence packing (x14) over the
+      curriculum order -> versioned write -> OPTIMIZE ZORDER ->
+      predicate-pruned read serving a rank range (the "give me the
+      easiest N chunks" training-loader query).
+    """
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.extensions.curation import (
+        curriculum_order,
+        segment_dedup,
+        token_budget_sample,
+    )
+    from cubefs_hadoop_spark.extensions.packing import sequence_pack
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = load(spark, SF_SMOKE, "documents")
+
+    # 1. strip corpus-wide repeated spans; keep docs that still have text
+    deduped = segment_dedup(docs).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    survivors = deduped.join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+
+    # 2. per-source token budget over the deduped text
+    picked = token_budget_sample(survivors, budget=800).select("doc_id")
+    corpus = survivors.join(picked, "doc_id")
+
+    # 3. curriculum rank (longest documents first) drives the pack order
+    ranked = curriculum_order(
+        corpus.withColumn("n_chars", F.length("text")), "n_chars"
+    )
+    ordered = corpus.join(ranked, "doc_id").select(
+        F.col("rank").alias("doc_id_packed"), "text"
+    )
+
+    # 4. concat-and-chunk packing over the curriculum order: rank is the
+    # packing id, so chunk 0 holds the easiest (longest) documents
+    packed = sequence_pack(ordered, seq_len=64, id_col="doc_id_packed")
+    n_tokens = ordered.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first().t
+    per_chunk = {
+        r.chunk_id: r.t
+        for r in packed.groupBy("chunk_id")
+        .agg(F.sum("tok_in_chunk").alias("t"))
+        .collect()
+    }
+    last = max(per_chunk)
+    assert all(v == 64 for c, v in per_chunk.items() if c != last)
+    assert sum(per_chunk.values()) == n_tokens  # conservation
+
+    # 5. land the pack map as a versioned, Z-ordered, stats-carrying table
+    eng.write_table_version(
+        packed.repartitionByRange(4, "chunk_id"),
+        "packmap",
+        stats_cols=["chunk_id"],
+    )
+    eng.optimize_table(
+        "packmap",
+        zorder_by=["chunk_id", "doc_id_packed"],
+        target_file_bytes=1 << 10,  # fixture-sized files; 128 MiB at scale
+    )
+
+    # 6. training-loader query: first chunks only, served off a pruned scan
+    m = versioning.read_manifest(
+        eng._table_path("packmap"),
+        versioning.current_version(eng._table_path("packmap"), eng.fs),
+        eng.fs,
+    )
+    preds = [("chunk_id", "<", 2)]
+    assert len(versioning.prune_files(m, preds)) < len(m["files"])
+    first_chunks = eng.read_version("packmap", predicates=preds).collect()
+    assert {r.chunk_id for r in first_chunks} <= {0, 1}
+    assert sum(r.tok_in_chunk for r in first_chunks) == min(
+        128, n_tokens
+    )
