@@ -149,18 +149,24 @@ class CfsTableDataSource(DataSource):
         if not path:
             raise ValueError("cfstable: option 'path' is required")
         v = self.options.get("version")
-        ver = (
-            int(v)
-            if v is not None
-            else versioning.current_version(path)
+        # Resolve "latest" ONCE and pin it: the reader must plan its file
+        # list from the SAME manifest this schema came from, or a commit
+        # landing between schema resolution and partition planning tears
+        # the scan (v2 schema over v3 files).
+        self._pinned_version = (
+            int(v) if v is not None else versioning.current_version(path)
         )
-        m = versioning.read_manifest(path, ver)
+        m = versioning.read_manifest(path, self._pinned_version)
         if not m.get("schema"):
             raise ValueError("cfstable: manifest records no schema")
         return StructType.fromJson(m["schema"])
 
     def reader(self, schema: StructType) -> CfsTableReader:
-        return CfsTableReader(self.options, schema)
+        opts = dict(self.options)
+        pinned = getattr(self, "_pinned_version", None)
+        if opts.get("version") is None and pinned is not None:
+            opts["version"] = pinned
+        return CfsTableReader(opts, schema)
 
 
 def register(spark) -> None:
