@@ -218,7 +218,15 @@ def _collect_file_stats(
     input_file_name), and the result is file-count-sized: manifest-scale
     data (100k files x a few columns is megabytes), never corpus-scale.
     Stats cols must be physical data columns (dir-encoded partition
-    columns are already prunable by path)."""
+    columns are already prunable by path).
+
+    Commit-time cost: the agg column-prunes, so the extra read is the
+    stat COLUMNS of the new files only (a few % of the bytes just
+    written), not a second full scan.  The cheaper-still alternative —
+    harvesting parquet footer statistics, metadata-only IO — is the
+    Iceberg production path and the noted swap point here; it trades this
+    function's exact values for reliance on writer-side bound
+    maintenance (parquet-mr truncates+increments long binary stats)."""
     if not stats_cols or not files:
         return {}
     sdf = spark.read.parquet(*(fs.join(table_path, f) for f in files))

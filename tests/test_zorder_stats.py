@@ -209,3 +209,45 @@ def test_prune_timestamp_predicates(spark, tmp_path):
         spark, path, predicates=[("ts", "<", cut)]
     ).count()
     assert got == ev.filter(F.col("ts") < F.lit(cut)).count()
+
+
+def test_stats_union_across_compact_then_append(spark, tmp_path):
+    """Mixed manifests: appends landing AFTER an OPTIMIZE carry their own
+    stats and union with the compact files' stats — pruning stays exact
+    across both generations of files."""
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    path = str(tmp_path / "t")
+    lo = docs.filter("doc_id < 400")
+    late = docs.filter("doc_id >= 400")
+    versioning.commit_version(
+        lo.repartitionByRange(4, "doc_id"), path, stats_cols=["doc_id"]
+    )
+    versioning.compact_version(
+        spark,
+        path,
+        target_file_bytes=1 << 10,
+        zorder_by=["doc_id", "n_chars"],
+        stats_cols=["doc_id"],
+    )
+    versioning.commit_version(
+        late.repartitionByRange(2, "doc_id"),
+        path,
+        mode="append",
+        stats_cols=["doc_id"],
+    )
+    m = versioning.read_manifest(path, 3)
+    assert set(m["stats"]) == set(m["files"])  # both generations statted
+    # a predicate inside the compact generation prunes the late appends
+    kept = versioning.prune_files(m, [("doc_id", "<", 100)])
+    assert len(kept) < len(m["files"])
+    got = versioning.read_version(
+        spark, path, predicates=[("doc_id", "<", 100)]
+    ).count()
+    assert got == 100
+    # and one inside the append generation prunes the compact files
+    kept_hi = versioning.prune_files(m, [("doc_id", ">=", 450)])
+    assert len(kept_hi) < len(m["files"])
+    got_hi = versioning.read_version(
+        spark, path, predicates=[("doc_id", ">=", 450)]
+    ).count()
+    assert got_hi == 50
