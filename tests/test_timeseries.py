@@ -1,0 +1,75 @@
+"""Behavioral tests for the gap-fill resample operator (timeseries.py,
+x23) beyond its DuckDB hash oracle."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.timeseries import gapfill_daily
+from cubefs_hadoop_spark.plans.audit import audit_plan
+from tests.conftest import SF_SMOKE
+
+
+def test_gapfill_witness(spark):
+    """Hand-built series: missing days carry the last observation, days
+    before a series' first observation stay NULL, multi-event days mean
+    correctly."""
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 9), 10.0),
+        (1, datetime.datetime(2024, 1, 1, 15), 20.0),  # day1 mean 15
+        (1, datetime.datetime(2024, 1, 4, 9), 40.0),   # days 2-3 gap
+        (2, datetime.datetime(2024, 1, 3, 9), 7.0),    # starts day 3
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (r.user_id, r.day.isoformat()): (
+            None if r.val_filled is None else float(r.val_filled),
+            r.observed,
+        )
+        for r in gapfill_daily(ev).collect()
+    }
+    assert out == {
+        (1, "2024-01-01"): (15.0, 1),
+        (1, "2024-01-02"): (15.0, 0),
+        (1, "2024-01-03"): (15.0, 0),
+        (1, "2024-01-04"): (40.0, 1),
+        (2, "2024-01-01"): (None, 0),  # before first observation
+        (2, "2024-01-02"): (None, 0),
+        (2, "2024-01-03"): (7.0, 1),
+        (2, "2024-01-04"): (7.0, 0),
+    }
+
+
+def test_gapfill_grid_is_complete_and_filled(spark):
+    """Fixture events: every (series, day-in-range) bucket exists, every
+    post-first-observation bucket is non-null, and the frame is stable
+    under repartitioning."""
+    ev = load(spark, SF_SMOKE, "events")
+    out = gapfill_daily(ev).collect()
+    days = {r.day for r in out}
+    users = {r.user_id for r in out}
+    assert len(out) == len(days) * len(users)  # full grid
+    by_user: dict = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.day)):
+        seen = by_user.setdefault(r.user_id, [])
+        if seen and seen[-1] is not None:
+            assert r.val_filled is not None  # locf never un-fills
+        seen.append(r.val_filled)
+    alt = gapfill_daily(ev.repartition(13)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, alt))
+
+
+def test_gapfill_plan_shape(spark):
+    """The grid explode rides a broadcast 1-row bounds frame (one
+    nested-loop broadcast is the scalar-aggregate pattern), the fill is a
+    per-series window (no corpus SinglePartition), nothing in Python."""
+    spark.catalog.clearCache()
+    a = audit_plan(gapfill_daily(load(spark, SF_SMOKE, "events")))
+    assert "BatchEvalPython" not in a.text
+    # exactly one SinglePartition exchange: the 1-row [min,max] bounds
+    # aggregate — the fill window itself is partitioned per series
+    assert a.text.count("SinglePartition") == 1
+    assert a.nested_loop_joins == 1  # the broadcast bounds frame
