@@ -8,7 +8,10 @@ import datetime
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.extensions.timeseries import gapfill_daily
+from cubefs_hadoop_spark.extensions.timeseries import (
+    gapfill_daily,
+    range_join_near_count,
+)
 from cubefs_hadoop_spark.plans.audit import audit_plan
 from tests.conftest import SF_SMOKE
 
@@ -73,3 +76,30 @@ def test_gapfill_plan_shape(spark):
     # aggregate — the fill window itself is partitioned per series
     assert a.text.count("SinglePartition") == 1
     assert a.nested_loop_joins == 1  # the broadcast bounds frame
+
+
+def test_range_join_witness_and_plan(spark):
+    """x24: hand-built timeline — pairs straddling a bucket boundary are
+    found (the +/-1 bucket probe), far pairs are not, self never counts;
+    and the plan has ZERO nested loops (the whole point of the bucketed
+    rewrite)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),                                   # near 2 only
+        (2, base + dt.timedelta(seconds=29)),        # near 1 and 3
+        (3, base + dt.timedelta(seconds=31)),        # near 2 (cross-bucket)
+        (4, base + dt.timedelta(seconds=300)),       # isolated
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {
+        r.event_id: r.n_near
+        for r in range_join_near_count(ev).collect()
+    }
+    assert out == {1: 1, 2: 2, 3: 1, 4: 0}
+
+    spark.catalog.clearCache()
+    a = audit_plan(range_join_near_count(load(spark, SF_SMOKE, "events")))
+    assert a.nested_loop_joins == 0
+    assert "BatchEvalPython" not in a.text
