@@ -655,3 +655,102 @@ def test_mor_merge_key_files_survive_gc_until_compaction(eng, spark):
     for f in kf:
         assert not FS.exists(FS.join(path, f)), f  # now reclaimed
     assert {r.id: r.v for r in eng.table("t").collect()} == got
+
+
+def test_threaded_append_optimize_gc_stress(spark, tmp_path_factory):
+    """Late-round-5 torture: stats-carrying appends, a looping OPTIMIZE
+    ZORDER (compact commits racing the appends via optimistic
+    concurrency), and a GC thread — all interleaved.  Invariants at the
+    end: every successful append's rows present exactly once, every
+    retained manifest's stats keys are a subset of its files, and a
+    predicate-pruned read equals the exact filter."""
+    import time as _time
+
+    wh = str(tmp_path_factory.mktemp("zstress_wh"))
+    eng = Engine(spark, wh)
+    versioning.commit_version(
+        _df(spark, 0, 2), eng._table_path("t"), stats_cols=["id"]
+    )
+    path = eng._table_path("t")
+    stop = threading.Event()
+    committed: list[tuple[int, int]] = []
+    errors: list[str] = []
+
+    def writer(tid: int) -> None:
+        for k in range(3):
+            lo = 1000 * tid + 10 * k
+            df = _df(spark, lo, lo + 3)
+            for _attempt in range(10):
+                try:
+                    versioning.commit_version(
+                        df,
+                        path,
+                        mode="append",
+                        max_retries=10,
+                        stats_cols=["id"],
+                    )
+                    committed.append((lo, lo + 3))
+                    break
+                except TableNotFoundError:
+                    _time.sleep(0.05)
+                except Exception as ex:  # pragma: no cover - diagnostic
+                    errors.append(f"writer {tid}@{lo}: {ex!r}")
+                    break
+            else:
+                errors.append(f"writer {tid} gave up at {lo}")
+
+    def optimizer() -> None:
+        while not stop.is_set():
+            try:
+                versioning.compact_version(
+                    spark,
+                    path,
+                    target_file_bytes=1 << 12,
+                    zorder_by=["id", "v"],
+                    stats_cols=["id"],
+                )
+            except VersionConflictError:
+                pass  # an append won the version: rewrite next lap
+            except (FileNotFoundError, TableNotFoundError):
+                pass
+            _time.sleep(0.01)
+
+    def gc() -> None:
+        while not stop.is_set():
+            try:
+                versioning.expire_versions(path, keep_last=4)
+            except (FileNotFoundError, TableNotFoundError):
+                pass
+            _time.sleep(0.03)
+
+    writers = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    opt = threading.Thread(target=optimizer)
+    g = threading.Thread(target=gc)
+    opt.start()
+    g.start()
+    for t in writers:
+        t.start()
+    for t in writers:
+        t.join()
+    stop.set()
+    opt.join()
+    g.join()
+
+    assert not errors, errors
+    assert len(committed) == 6
+    ids = sorted(
+        r.id for r in versioning.read_version(spark, path).collect()
+    )
+    want = sorted(
+        [0, 1] + [i for lo, hi in committed for i in range(lo, hi)]
+    )
+    assert ids == want
+    m = versioning.read_manifest(path, versioning.current_version(path))
+    assert set(m.get("stats", {})) <= set(m["files"])
+    got = sorted(
+        r.id
+        for r in versioning.read_version(
+            spark, path, predicates=[("id", "<", 100)]
+        ).collect()
+    )
+    assert got == [i for i in want if i < 100]
