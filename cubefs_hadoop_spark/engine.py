@@ -635,6 +635,9 @@ class Engine:
           DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
+          ALTER TABLE t ADD COLUMN c type              -> alter_table
+          ALTER TABLE t RENAME COLUMN a TO b           -> alter_table
+          ALTER TABLE t DROP COLUMN c                  -> alter_table
           OPTIMIZE t                                   -> compact_table
           OPTIMIZE t ZORDER BY (c1, c2)                -> optimize_table
           VACUUM                                       -> vacuum
@@ -746,6 +749,40 @@ class Engine:
                 else:
                     self._swap_rewrite(name, df)
                     self._mark_dirty(name)
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+\(?(\w+)\s+"
+            r"([\w(),\s]+?)\)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.alter_table(
+                m.group(1),
+                [{"op": "add", "name": m.group(2),
+                  "type": m.group(3).strip()}],
+            )
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.alter_table(
+                m.group(1),
+                [{"op": "rename", "from": m.group(2), "to": m.group(3)}],
+            )
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMNS?\s+\(?(\w+)\)?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.alter_table(
+                m.group(1), [{"op": "drop", "name": m.group(2)}]
+            )
             return None
         m = re.match(
             r"OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?$",
@@ -1144,6 +1181,25 @@ class Engine:
             fs=self.fs,
             predicates=predicates,
         )
+
+    def alter_table(self, name: str, ops: list[dict]) -> None:
+        """ALTER TABLE schema evolution.  Versioned tables evolve
+        METADATA-ONLY (versioning.alter_schema: same files, new schema +
+        op chain, zero bytes rewritten at any size — the Iceberg path);
+        plain tables rewrite through the atomic stage-and-swap (the
+        copy-on-write fallback).  ops: {"op": "add", "name", "type"} /
+        {"op": "rename", "from", "to"} / {"op": "drop", "name"}."""
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not self.fs.is_dir(path):
+            raise TableNotFoundError("table not found", name)
+        if versioning.is_versioned(path, self.fs):
+            versioning.alter_schema(path, ops, fs=self.fs)
+        else:
+            df = versioning.apply_schema_ops(self.table(name), ops)
+            self._swap_rewrite(name, df)
+        self._mark_dirty(name)
 
     def optimize_table(
         self,

@@ -385,6 +385,11 @@ def commit_version(
                 # the streaming exactly-once watermark rides every commit
                 # so a manual commit between batches never drops it
                 inherited["batch_id_max"] = pm["batch_id_max"]
+            if mode == "append" and pm.get("schema_ops"):
+                # the op chain must keep conforming the parent's files;
+                # the appended files (new schema) pass through it
+                # untouched because apply_schema_ops is idempotent
+                inherited["schema_ops"] = pm["schema_ops"]
         # sequence-number bookkeeping (Iceberg v2 analog): every data file
         # remembers the version that ADDED it, so a merge-on-read delete
         # (commit_delete) can scope itself to rows that existed when it
@@ -470,6 +475,11 @@ def commit_delete(
             "ts_ms": int(time.time() * 1000),
             "schema": pm.get("schema"),
             **(
+                {"schema_ops": pm["schema_ops"]}
+                if pm.get("schema_ops")
+                else {}
+            ),
+            **(
                 {"stats": pm["stats"]} if pm.get("stats") else {}
             ),
         }
@@ -534,6 +544,11 @@ def commit_merge(
             + [{"seq": v, "eq_cols": keys, "eq_files": kfiles}],
             "ts_ms": int(time.time() * 1000),
             "schema": df.schema.jsonValue(),
+            **(
+                {"schema_ops": pm["schema_ops"]}
+                if pm.get("schema_ops")
+                else {}
+            ),
             # parent files keep their prune stats; the merge batch's new
             # files simply have no entries (conservative: never pruned)
             **(
@@ -651,8 +666,13 @@ def read_version(
     v = current_version(table_path, fs) if version is None else version
     m = read_manifest(table_path, v, fs)
     data_files = prune_files(m, predicates)
+    # post-alter reads mix file generations with different physical
+    # schemas; merge-read + op-chain conformance reconcile them
+    if m.get("schema_ops"):
+        merge_schema = True
 
     def _post(df: DataFrame) -> DataFrame:
+        df = _conform_schema(df, m)
         return _apply_predicates(df, predicates) if predicates else df
 
     if not data_files:
@@ -684,6 +704,11 @@ def read_version(
     parts = []
     for dd, files in sorted(by_dels.items()):
         part = _read_files(spark, table_path, files, fs, merge_schema)
+        # conform BEFORE delete application: deletes recorded after an
+        # alter reference post-alter names, which pre-alter files only
+        # acquire through the op chain (alter refuses pending deletes,
+        # so no delete can predate the ops that precede it)
+        part = _conform_schema(part, m)
         for i in dd:
             d = deletes[i]
             if "pred" in d:
@@ -700,6 +725,153 @@ def read_version(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return _post(out)
+
+
+# DDL type name -> Spark schema-JSON type name (simple types; decimal
+# strings pass through verbatim — both forms are valid schema JSON)
+_DDL_TO_JSON = {
+    "bigint": "long", "long": "long", "int": "integer",
+    "integer": "integer", "smallint": "short", "tinyint": "byte",
+    "string": "string", "double": "double", "float": "float",
+    "boolean": "boolean", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz", "binary": "binary",
+}
+
+
+def apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
+    """Conform a frame to a chain of schema-evolution ops, idempotently:
+    ``add`` only when the column is absent (files written after the
+    alter already carry it), ``rename`` only while the old name is
+    present, ``drop`` whenever the column exists.  Idempotence is what
+    lets ONE op chain serve every file generation in a mixed read."""
+    for op in ops:
+        if op["op"] == "add" and op["name"] not in df.columns:
+            df = df.withColumn(
+                op["name"], F.lit(None).cast(op["type"])
+            )
+        elif (
+            op["op"] == "rename"
+            and op["from"] in df.columns
+            and op["to"] not in df.columns
+        ):
+            df = df.withColumnRenamed(op["from"], op["to"])
+        elif op["op"] == "drop" and op["name"] in df.columns:
+            df = df.drop(op["name"])
+    return df
+
+
+def _conform_schema(df: DataFrame, m: dict) -> DataFrame:
+    ops = m.get("schema_ops") or []
+    if not ops:
+        return df
+    df = apply_schema_ops(df, ops)
+    return df.select(*[f["name"] for f in m["schema"]["fields"]])
+
+
+def alter_schema(
+    table_path: str, ops: list[dict], fs: WarehouseFS | None = None
+) -> int:
+    """METADATA-ONLY schema evolution (the Iceberg alter path): commit a
+    new version with the SAME file set and an updated schema + op chain;
+    zero data rewritten at any table size.  Reads conform every file
+    generation through the op chain (apply_schema_ops), so time travel
+    to pre-alter versions still serves the old shape.
+
+    ops: ``{"op": "add", "name", "type"}`` (nullable, DDL type string),
+    ``{"op": "rename", "from", "to"}``, ``{"op": "drop", "name"}``.
+
+    Refused while merge-on-read deletes are pending: delete predicates
+    are recorded against commit-time column names, and without field IDs
+    a rename underneath them would silently mis-apply — ``compact_version``
+    first (exactly Iceberg's name-mapping caveat).  Renames/drops remap
+    the per-file prune stats so file skipping keeps working."""
+    fs = _fs(fs)
+    vs = list_versions(table_path, fs)
+    if not vs:
+        raise TableNotFoundError("no committed versions", table_path)
+    parent = vs[-1]
+    pm = read_manifest(table_path, parent, fs)
+    if pm.get("deletes"):
+        raise EngineIOError(
+            "schema alter with pending merge-on-read deletes is not "
+            "supported (predicates reference commit-time names); "
+            "compact_version first",
+            table_path,
+        )
+    if not pm.get("schema"):
+        raise EngineIOError("manifest records no schema", table_path)
+    fields = [dict(f) for f in pm["schema"]["fields"]]
+    stats = {f: dict(st) for f, st in pm.get("stats", {}).items()}
+    for op in ops:
+        names = [f["name"] for f in fields]
+        if op["op"] == "add":
+            if op["name"] in names:
+                raise EngineIOError(
+                    f"column {op['name']!r} already exists", table_path
+                )
+            t = op["type"].strip().lower()
+            jt = _DDL_TO_JSON.get(t)
+            if jt is None and not t.startswith("decimal"):
+                raise EngineIOError(
+                    f"unsupported ADD COLUMN type {op['type']!r}",
+                    table_path,
+                )
+            fields.append(
+                {
+                    "name": op["name"],
+                    "type": jt or t,
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        elif op["op"] == "rename":
+            if op["from"] not in names:
+                raise EngineIOError(
+                    f"column {op['from']!r} not found", table_path
+                )
+            if op["to"] in names:
+                raise EngineIOError(
+                    f"column {op['to']!r} already exists", table_path
+                )
+            for f in fields:
+                if f["name"] == op["from"]:
+                    f["name"] = op["to"]
+            for st in stats.values():
+                if op["from"] in st:
+                    st[op["to"]] = st.pop(op["from"])
+        elif op["op"] == "drop":
+            if op["name"] not in names:
+                raise EngineIOError(
+                    f"column {op['name']!r} not found", table_path
+                )
+            if len(fields) == 1:
+                raise EngineIOError(
+                    "cannot drop the last column", table_path
+                )
+            fields = [f for f in fields if f["name"] != op["name"]]
+            for st in stats.values():
+                st.pop(op["name"], None)
+        else:
+            raise EngineIOError(
+                f"unknown schema op {op.get('op')!r}", table_path
+            )
+    v = parent + 1
+    manifest = {
+        "version": v,
+        "parent": parent,
+        "mode": "alter",
+        "files": pm["files"],
+        "file_seq": pm.get("file_seq", {}),
+        "deletes": [],
+        "partition_by": pm.get("partition_by", []),
+        "ts_ms": int(time.time() * 1000),
+        "schema": {"type": "struct", "fields": fields},
+        "schema_ops": list(pm.get("schema_ops", [])) + list(ops),
+        **({"stats": stats} if stats else {}),
+    }
+    if "batch_id_max" in pm:
+        manifest["batch_id_max"] = pm["batch_id_max"]
+    return _commit_manifest(table_path, manifest, v, fs)
 
 
 def read_changes(
@@ -779,6 +951,11 @@ def rollback(
         "ts_ms": int(time.time() * 1000),
         "schema": m.get("schema"),
         **({"stats": m["stats"]} if m.get("stats") else {}),
+        **(
+            {"schema_ops": m["schema_ops"]}
+            if m.get("schema_ops")
+            else {}
+        ),
     }
     if "batch_id_max" in pm:
         manifest["batch_id_max"] = pm["batch_id_max"]

@@ -1,0 +1,132 @@
+"""ALTER TABLE schema evolution: metadata-only on versioned tables
+(versioning.alter_schema), copy-on-write on plain tables, router verbs."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.errors import EngineIOError
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    return Engine(spark, tmp_warehouse)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_add_column_is_metadata_only(eng, spark):
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    path = eng._table_path("t")
+    files_before = versioning.read_manifest(path, 1, eng.fs)["files"]
+    eng.execute("ALTER TABLE t ADD COLUMN note string")
+    m = versioning.read_manifest(path, 2, eng.fs)
+    assert m["mode"] == "alter"
+    assert m["files"] == files_before  # zero data rewritten
+    got = eng.read_version("t")
+    assert got.columns == ["id", "v", "note"]
+    assert all(r.note is None for r in got.collect())
+    # time travel: v1 still serves the old shape
+    assert eng.read_version("t", 1).columns == ["id", "v"]
+
+
+def test_append_after_add_merges_generations(eng, spark):
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.alter_table("t", [{"op": "add", "name": "note", "type": "string"}])
+    new = spark.range(3, 5).selectExpr(
+        "id", "id * 2 AS v", "concat('n', id) AS note"
+    )
+    eng.write_table_version(new, "t", mode="append")
+    rows = {r.id: r.note for r in eng.read_version("t").collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "n3", 4: "n4"}
+
+
+def test_rename_and_drop_remap_stats_and_prune(eng, spark):
+    eng.write_table_version(
+        _df(spark, 0, 100).repartitionByRange(4, "id"),
+        "t",
+        stats_cols=["id", "v"],
+    )
+    eng.execute("ALTER TABLE t RENAME COLUMN id TO doc")
+    eng.execute("ALTER TABLE t DROP COLUMN v")
+    path = eng._table_path("t")
+    m = versioning.read_manifest(path, 3, eng.fs)
+    for st in m["stats"].values():
+        assert set(st) == {"doc"}  # renamed key kept, dropped key gone
+    kept = versioning.prune_files(m, [("doc", "<", 10)])
+    assert 0 < len(kept) < len(m["files"])
+    got = eng.read_version("t", predicates=[("doc", "<", 10)])
+    assert got.columns == ["doc"]
+    assert sorted(r.doc for r in got.collect()) == list(range(10))
+
+
+def test_mor_delete_after_alter_uses_new_names(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.alter_table("t", [{"op": "rename", "from": "id", "to": "doc"}])
+    versioning.commit_delete(
+        eng._table_path("t"), "doc % 2 = 0", fs=eng.fs
+    )
+    got = sorted(r.doc for r in eng.read_version("t").collect())
+    assert got == [1, 3, 5, 7, 9]
+
+
+def test_alter_refused_with_pending_deletes(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    versioning.commit_delete(eng._table_path("t"), "id > 5", fs=eng.fs)
+    with pytest.raises(EngineIOError, match="compact_version first"):
+        eng.alter_table(
+            "t", [{"op": "rename", "from": "id", "to": "doc"}]
+        )
+
+
+def test_alter_validation_errors(eng, spark):
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    with pytest.raises(EngineIOError, match="already exists"):
+        eng.alter_table("t", [{"op": "add", "name": "v", "type": "int"}])
+    with pytest.raises(EngineIOError, match="not found"):
+        eng.alter_table("t", [{"op": "drop", "name": "nope"}])
+    with pytest.raises(EngineIOError, match="unsupported"):
+        eng.alter_table(
+            "t", [{"op": "add", "name": "x", "type": "map<int,int>"}]
+        )
+
+
+def test_compact_materializes_evolution(eng, spark):
+    """After OPTIMIZE, the evolved schema is physical: the op chain is
+    gone and the files carry the final shape."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.alter_table("t", [{"op": "add", "name": "note", "type": "string"}])
+    eng.compact_table("t")
+    path = eng._table_path("t")
+    m = versioning.read_manifest(
+        path, versioning.current_version(path, eng.fs), eng.fs
+    )
+    assert m["mode"] == "compact"
+    assert not m.get("schema_ops")
+    got = eng.read_version("t")
+    assert got.columns == ["id", "v", "note"]
+    assert got.count() == 10
+
+
+def test_rollback_restores_op_chain(eng, spark):
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.alter_table("t", [{"op": "rename", "from": "v", "to": "val"}])
+    assert eng.read_version("t").columns == ["id", "val"]
+    eng.rollback_table("t", 1)
+    assert eng.read_version("t").columns == ["id", "v"]
+    eng.rollback_table("t", 2)
+    assert eng.read_version("t").columns == ["id", "val"]
+
+
+def test_plain_table_alter_rewrites(eng, spark):
+    eng.write_table(_df(spark, 0, 4), "p")
+    eng.execute("ALTER TABLE p ADD COLUMN note string")
+    eng.execute("ALTER TABLE p RENAME COLUMN v TO val")
+    eng.execute("ALTER TABLE p DROP COLUMN note")
+    got = eng.table("p")
+    assert got.columns == ["id", "val"]
+    assert sorted(r.val for r in got.collect()) == [0, 2, 4, 6]
