@@ -14,6 +14,10 @@ and Spark sees only the surviving files as input partitions.
           .option("version", 3)              # optional time travel
           .load())
     df.filter("doc_id < 10")                  # -> file-skipped scan
+    df.write.format("cfstable").option("path", p).mode("append").save()
+    # ^ exactly-once write: tasks stage parquet via pyarrow, the driver
+    #   publishes only successful tasks' files through the optimistic
+    #   manifest commit (versioning.commit_staged_files)
 
 Pushdown contract: every filter is RETURNED to Spark (stats pruning is
 file-level, not row-level truth), so correctness never depends on the
@@ -37,8 +41,11 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -46,6 +53,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -137,6 +145,75 @@ class CfsTableReader(DataSourceReader):
             yield batch
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    rel: str | None  # table-relative path, None for an empty partition
+
+
+class CfsTableWriter(DataSourceArrowWriter):
+    """Exactly-once writer onto the versioned-manifest protocol: each
+    task stages one parquet file under ``data/<stage>/`` via pyarrow's
+    C++ writer (Arrow batches in, never a Python row loop); the driver
+    commit publishes ONLY the files of the tasks Spark reports as
+    successful, through the same optimistic manifest commit every other
+    writer uses.  Retried/speculative task attempts leave unreferenced
+    files that ``expire_versions`` reaps after the orphan grace — the
+    exact failure story of the Spark+Iceberg committer."""
+
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cfstable: option 'path' is required")
+        self.overwrite = overwrite
+        self.schema_json = schema.jsonValue()
+        import uuid
+
+        self.stage = uuid.uuid4().hex[:8]
+
+    # -- executor: stage one parquet file per partition ------------------
+    def write(self, iterator) -> _StagedFile:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        stage_dir = os.path.join(self.path, "data", self.stage)
+        writer = None
+        for batch in iterator:
+            if writer is None:
+                os.makedirs(stage_dir, exist_ok=True)
+                writer = pq.ParquetWriter(
+                    os.path.join(stage_dir, name), batch.schema
+                )
+            writer.write_batch(batch)
+        if writer is None:
+            return _StagedFile(None)
+        writer.close()
+        return _StagedFile(f"data/{self.stage}/{name}")
+
+    # -- driver: manifest publish ---------------------------------------
+    def commit(self, messages):
+        from cubefs_hadoop_spark import versioning
+
+        files = sorted(m.rel for m in messages if m and m.rel)
+        versioning.commit_staged_files(
+            self.path,
+            files,
+            self.schema_json,
+            mode="overwrite" if self.overwrite else "append",
+            stage=self.stage,
+        )
+
+    def abort(self, messages):
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path, "data", self.stage), ignore_errors=True
+        )
+
+
 class CfsTableDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -167,6 +244,9 @@ class CfsTableDataSource(DataSource):
         if opts.get("version") is None and pinned is not None:
             opts["version"] = pinned
         return CfsTableReader(opts, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> CfsTableWriter:
+        return CfsTableWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

@@ -361,6 +361,42 @@ def commit_version(
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs
     )
+    return commit_staged_files(
+        table_path,
+        files,
+        df.schema.jsonValue(),
+        mode=mode,
+        partition_by=partition_by,
+        new_stats=new_stats,
+        stage=stage,
+        extra=extra,
+        max_retries=max_retries,
+        fs=fs,
+    )
+
+
+def commit_staged_files(
+    table_path: str,
+    files: list[str],
+    schema_json: dict,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    new_stats: dict | None = None,
+    stage: str | None = None,
+    extra: dict | None = None,
+    max_retries: int = 3,
+    fs: WarehouseFS | None = None,
+) -> int:
+    """Publish ALREADY-STAGED data files as a new committed version — the
+    manifest-assembly half of ``commit_version``, exposed for writers
+    that stage bytes themselves (the ``cfstable`` DataSource writer
+    stages parquet via pyarrow on the executors, then commits here).
+    Same optimistic-concurrency semantics: appends retry (they commute),
+    overwrite conflicts raise."""
+    fs = _fs(fs)
+    if mode not in ("overwrite", "append"):
+        raise EngineIOError(f"invalid version commit mode {mode!r}")
+    new_stats = new_stats or {}
     attempt = 0
     while True:
         vs = list_versions(table_path, fs)
@@ -413,13 +449,13 @@ def commit_version(
             "version": v,
             "parent": parent or None,
             "mode": mode,
-            "stage": stage,
+            **({"stage": stage} if stage else {}),
             "partition_by": list(partition_by or []),
             "files": sorted(base_files + files),
             "file_seq": file_seq,
             "deletes": deletes,
             "ts_ms": int(time.time() * 1000),
-            "schema": df.schema.jsonValue(),
+            "schema": schema_json,
             **({"stats": stats_all} if stats_all else {}),
             **inherited,
             **(extra or {}),

@@ -82,3 +82,36 @@ def test_pending_mor_deletes_refused(spark, vt):
     versioning.commit_delete(path, "doc_id % 2 = 0")
     with pytest.raises(Exception, match="merge-on-read"):
         read_table(spark, path).collect()
+
+
+def test_write_path_round_trip(spark, tmp_path):
+    """df.write.format('cfstable'): executor-staged parquet + manifest
+    commit; append mode stacks versions; read paths (engine + source)
+    agree."""
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    path = str(tmp_path / "wt")
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    df.write.format("cfstable").option("path", path).mode(
+        "append"
+    ).save()
+    assert versioning.current_version(path) == 1
+    df2 = spark.range(100, 120).selectExpr("id", "id * 2 AS v")
+    df2.write.format("cfstable").option("path", path).mode(
+        "append"
+    ).save()
+    m = versioning.read_manifest(path, 2)
+    assert m["mode"] == "append"
+    got = sorted(r.id for r in read_table(spark, path).collect())
+    assert got == list(range(120))
+    eng_read = sorted(
+        r.id for r in versioning.read_version(spark, path).collect()
+    )
+    assert eng_read == got
+    # overwrite replaces the file set, v2 stays time-travelable
+    df.limit(5).write.format("cfstable").option("path", path).mode(
+        "overwrite"
+    ).save()
+    assert read_table(spark, path).count() == 5
+    assert read_table(spark, path, version=2).count() == 120
