@@ -32,9 +32,10 @@ row-at-a-time loop anywhere.
 
 Scope: local/posix table paths (the LocalFS warehouse tier); tables with
 pending merge-on-read deletes are refused (``compact_table`` first —
-applying sequence-scoped anti-joins is the Engine read path's job);
-Hive-partitioned layouts are refused (dir-encoded columns need the
-Engine reader's basePath recovery).
+applying sequence-scoped anti-joins is the Engine read path's job).
+Hive-partitioned layouts are supported: dir-encoded columns are parsed
+from the path, attached as constant Arrow arrays, and predicates on them
+prune files straight from the path encoding (no stats needed).
 """
 
 from __future__ import annotations
@@ -77,8 +78,45 @@ def _translate(f) -> tuple | None:
 
 
 class _TableFile(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, parts: dict | None = None):
         self.path = path
+        self.parts = parts or {}  # dir-encoded partition column values
+
+
+def _path_partitions(rel: str) -> dict:
+    """Hive-style ``key=value`` dir segments of a table-relative path ->
+    {col: raw string value} (un-escaped; __HIVE_DEFAULT_PARTITION__ ->
+    None)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            v = unquote(v)
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return out
+
+
+def _parse_part_value(raw: str | None, spark_type):
+    """A dir-encoded partition value string -> a Python value of the
+    column's declared type."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    if raw is None:
+        return None
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType)):
+        return int(raw)
+    if isinstance(spark_type, (T.FloatType, T.DoubleType)):
+        return float(raw)
+    if isinstance(spark_type, T.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(spark_type, T.DateType):
+        return datetime.date.fromisoformat(raw)
+    return raw
 
 
 class CfsTableReader(DataSourceReader):
@@ -88,6 +126,7 @@ class CfsTableReader(DataSourceReader):
             raise ValueError("cfstable: option 'path' is required")
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.schema = schema
         self.cols = [f.name for f in schema.fields]
         self.predicates: list[tuple] = []
 
@@ -115,22 +154,48 @@ class CfsTableReader(DataSourceReader):
                 "cfstable: table has pending merge-on-read deletes; "
                 "compact_table first or read through Engine.read_version"
             )
-        if any("=" in seg for f in m["files"] for seg in f.split("/")[:-1]):
-            raise ValueError(
-                "cfstable: Hive-partitioned layout; read through "
-                "Engine.read_version (dir-encoded column recovery)"
-            )
         import os
 
         files = versioning.prune_files(m, self.predicates)
-        return [_TableFile(os.path.join(self.path, f)) for f in files]
+        out = []
+        types = {f.name: f.dataType for f in self.schema.fields}
+        for f in files:
+            parts = {
+                k: _parse_part_value(v, types[k])
+                for k, v in _path_partitions(f).items()
+                if k in types
+            }
+            # partition columns are PATH-prunable: a predicate on one is
+            # decided per file from its dir encoding, no stats needed
+            if parts and self.predicates:
+                probe = {
+                    f: {
+                        k: [
+                            versioning._stat_json(v),
+                            versioning._stat_json(v),
+                        ]
+                        for k, v in parts.items()
+                        if v is not None
+                    }
+                }
+                if not versioning.prune_files(
+                    {"files": [f], "stats": probe}, self.predicates
+                ):
+                    continue
+            out.append(_TableFile(os.path.join(self.path, f), parts))
+        return out
 
     # -- executor: pyarrow dataset scan with row-group + row filtering --
     def read(self, partition: _TableFile) -> Iterator:
+        import pyarrow as pa
         import pyarrow.dataset as pads
+
+        from pyspark.sql.pandas.types import to_arrow_type
 
         expr = None
         for col, op, val in self.predicates:
+            if col in partition.parts:
+                continue  # decided from the dir encoding in partitions()
             field = pads.field(col)
             term = {
                 "=": field == val,
@@ -140,8 +205,20 @@ class CfsTableReader(DataSourceReader):
                 "<=": field <= val,
             }[op]
             expr = term if expr is None else expr & term
+        file_cols = [c for c in self.cols if c not in partition.parts]
+        types = {f.name: f.dataType for f in self.schema.fields}
         ds = pads.dataset(partition.path, format="parquet")
-        for batch in ds.to_batches(columns=self.cols, filter=expr):
+        for batch in ds.to_batches(columns=file_cols, filter=expr):
+            if partition.parts:
+                arrays = {c: batch.column(c) for c in file_cols}
+                for k, v in partition.parts.items():
+                    at = to_arrow_type(types[k])
+                    arrays[k] = pa.array(
+                        [v] * batch.num_rows, type=at
+                    )
+                batch = pa.RecordBatch.from_arrays(
+                    [arrays[c] for c in self.cols], names=self.cols
+                )
             yield batch
 
 

@@ -115,3 +115,31 @@ def test_write_path_round_trip(spark, tmp_path):
     ).save()
     assert read_table(spark, path).count() == 5
     assert read_table(spark, path, version=2).count() == 120
+
+
+def test_partitioned_layout_reads_and_path_prunes(spark, tmp_path):
+    """Hive-partitioned versioned commits: the dir-encoded column comes
+    back typed, and a predicate on it prunes files from the PATH
+    encoding alone."""
+    from cubefs_hadoop_spark.sources.table_source import CfsTableReader
+
+    docs = load(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "pt")
+    versioning.commit_version(docs, path, partition_by=["lang"])
+    got = read_table(spark, path)
+    assert set(got.columns) == {"doc_id", "lang", "n_chars"}
+    assert got.count() == docs.count()
+    want = {(r.doc_id, r.lang) for r in docs.collect()}
+    assert {(r.doc_id, r.lang) for r in got.collect()} == want
+    # path pruning: lang = 'en' keeps only the en files
+    n_en = read_table(spark, path).filter("lang = 'en'").count()
+    assert n_en == docs.filter("lang = 'en'").count()
+    schema = read_table(spark, path).schema
+    r = CfsTableReader({"path": path}, schema)
+    from pyspark.sql.datasource import EqualTo as _Eq
+
+    list(r.pushFilters([_Eq(("lang",), "en")]))
+    m = versioning.read_manifest(path, 1)
+    assert 0 < len(r.partitions()) < len(m["files"])
