@@ -1134,6 +1134,23 @@ class Engine:
 
     # -- versioned tables (Iceberg-capability analog, versioning.py) -------
 
+    def expect(self, df: DataFrame, checks: list[str]) -> dict[str, int]:
+        """Data-quality expectations (the Delta-Live-Tables/Great-
+        Expectations shape): per-check VIOLATION counts, computed in ONE
+        distributed pass (each check is a conditional count over the
+        same scan — no per-check jobs).  A NULL predicate counts as a
+        violation (the row failed to prove the expectation)."""
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.count(
+                F.when(~F.coalesce(F.expr(c), F.lit(False)), 1)
+            ).alias(f"_c{i}")
+            for i, c in enumerate(checks)
+        ]
+        row = df.agg(*aggs).first()
+        return {c: int(row[f"_c{i}"]) for i, c in enumerate(checks)}
+
     def write_table_version(
         self,
         df: DataFrame,
@@ -1141,14 +1158,29 @@ class Engine:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        checks: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot version of ``name`` (atomic
         multi-file commit; old versions stay readable).  Returns the
         committed version number.  See versioning.py for the protocol —
         the reference's Iceberg path (README.md:79-83) re-expressed on the
-        N10 rename/create-if-absent primitive."""
+        N10 rename/create-if-absent primitive.
+
+        ``checks``: SQL boolean expressions every row must satisfy
+        (write-time expectations).  Violations abort the commit BEFORE
+        any data stages — the table never holds a version that failed
+        its contract."""
         from cubefs_hadoop_spark import versioning
 
+        if checks:
+            violations = {
+                c: n for c, n in self.expect(df, checks).items() if n
+            }
+            if violations:
+                raise EngineIOError(
+                    f"expectation violations, commit refused: {violations}",
+                    name,
+                )
         v = versioning.commit_version(
             df,
             self._table_path(name),
@@ -1160,10 +1192,32 @@ class Engine:
         self._mark_dirty(name)
         return v
 
+    def tag_table(
+        self, name: str, tag: str, version: int | None = None
+    ) -> int:
+        """Pin an immutable named tag to a version (default latest).
+        Tagged versions survive expire_table_versions GC; read them with
+        ``read_version(name, "tagname")``."""
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.tag_version(
+            self._table_path(name), tag, version, fs=self.fs
+        )
+
+    def table_tags(self, name: str) -> dict:
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.list_tags(self._table_path(name), self.fs)
+
+    def delete_table_tag(self, name: str, tag: str) -> bool:
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.delete_tag(self._table_path(name), tag, self.fs)
+
     def read_version(
         self,
         name: str,
-        version: int | None = None,
+        version: int | str | None = None,
         predicates: list[tuple] | None = None,
     ) -> DataFrame:
         """Time-travel read: the exact file set version ``version`` (default

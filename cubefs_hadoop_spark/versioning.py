@@ -182,6 +182,68 @@ def last_committed_batch(
     return max(seen) if seen else None
 
 
+def tag_version(
+    table_path: str,
+    tag: str,
+    version: int | None = None,
+    fs: WarehouseFS | None = None,
+) -> int:
+    """Pin a named, IMMUTABLE tag to a version (Iceberg tag semantics:
+    a tag is a permanent name for a snapshot — re-tagging is refused,
+    delete_tag first).  Tagged versions are exempt from expire_versions
+    GC.  Published with the same atomic no-overwrite primitive as
+    manifests."""
+    if not tag.replace("_", "").replace("-", "").isalnum():
+        raise EngineIOError(f"invalid tag name {tag!r}", table_path)
+    fs = _fs(fs)
+    v = current_version(table_path, fs) if version is None else version
+    if v not in list_versions(table_path, fs):
+        raise TableNotFoundError(f"version {v} not found", table_path)
+    p = fs.join(_manifest_dir(table_path, fs), f"tag-{tag}.json")
+    if not fs.create_if_absent(p, json.dumps({"version": v})):
+        raise EngineIOError(
+            f"tag {tag!r} already exists (tags are immutable; "
+            "delete_tag first)",
+            table_path,
+        )
+    return v
+
+
+def list_tags(table_path: str, fs: WarehouseFS | None = None) -> dict:
+    fs = _fs(fs)
+    out = {}
+    for name, is_dir in fs.list_dir(_manifest_dir(table_path, fs)):
+        if not is_dir and name.startswith("tag-") and name.endswith(".json"):
+            t = name[4:-5]
+            out[t] = int(
+                json.loads(
+                    fs.read_text(
+                        fs.join(_manifest_dir(table_path, fs), name)
+                    )
+                )["version"]
+            )
+    return out
+
+
+def resolve_tag(
+    table_path: str, tag: str, fs: WarehouseFS | None = None
+) -> int:
+    tags = list_tags(table_path, fs)
+    if tag not in tags:
+        raise TableNotFoundError(f"tag {tag!r} not found", table_path)
+    return tags[tag]
+
+
+def delete_tag(
+    table_path: str, tag: str, fs: WarehouseFS | None = None
+) -> bool:
+    fs = _fs(fs)
+    return fs.delete(
+        fs.join(_manifest_dir(table_path, fs), f"tag-{tag}.json"),
+        recursive=False,
+    )
+
+
 def _layout_partitioned(files: list[str]) -> bool:
     """True when any file path carries a Hive-style ``key=value`` dir
     segment (partitioned write layout)."""
@@ -680,7 +742,7 @@ def _read_files(
 def read_version(
     spark: SparkSession,
     table_path: str,
-    version: int | None = None,
+    version: int | str | None = None,
     fs: WarehouseFS | None = None,
     merge_schema: bool = False,
     predicates: list[tuple] | None = None,
@@ -699,6 +761,8 @@ def read_version(
     touching a footer.  Equality-delete key files are never pruned (they
     are row-level tombstones, not data)."""
     fs = _fs(fs)
+    if isinstance(version, str):
+        version = resolve_tag(table_path, version, fs)
     v = current_version(table_path, fs) if version is None else version
     m = read_manifest(table_path, v, fs)
     data_files = prune_files(m, predicates)
@@ -1087,6 +1151,9 @@ def expire_versions(
     if not vs:
         return {"versions_removed": 0, "files_removed": 0}
     keep = set(vs[-max(keep_last, 1):])
+    # tagged versions are pinned: a tag is a promise the snapshot stays
+    # readable (Iceberg tag-retention semantics)
+    keep |= {v for v in list_tags(table_path, fs).values() if v in vs}
     referenced: set[str] = set()
     expired_refs: set[str] = set()
     for v in vs:

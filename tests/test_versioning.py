@@ -754,3 +754,46 @@ def test_threaded_append_optimize_gc_stress(spark, tmp_path_factory):
         ).collect()
     )
     assert got == [i for i in want if i < 100]
+
+
+def test_tags_pin_versions_and_survive_gc(eng, spark):
+    """Tags: immutable named snapshots, readable by name, exempt from
+    expire GC; delete_tag releases the pin."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.write_table_version(_df(spark, 0, 8), "t")
+    eng.tag_table("t", "baseline", version=1)
+    assert eng.table_tags("t") == {"baseline": 1}
+    assert eng.read_version("t", "baseline").count() == 5
+    with pytest.raises(Exception, match="immutable"):
+        eng.tag_table("t", "baseline", version=2)
+    path = eng._table_path("t")
+    versioning.expire_versions(path, keep_last=1, fs=eng.fs)
+    # tagged v1 survives alongside the latest; untagged v2 expired
+    assert versioning.list_versions(path, eng.fs) == [1, 3]
+    assert eng.read_version("t", "baseline").count() == 5
+    assert eng.delete_table_tag("t", "baseline") is True
+    versioning.expire_versions(path, keep_last=1, fs=eng.fs)
+    assert versioning.list_versions(path, eng.fs) == [3]
+    with pytest.raises(TableNotFoundError, match="tag"):
+        eng.read_version("t", "baseline")
+
+
+def test_write_time_expectations(eng, spark):
+    """checks= refuses commits whose rows violate the contract, and a
+    clean frame commits; Engine.expect reports per-check counts in one
+    pass."""
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    bad = spark.range(0, 10).selectExpr(
+        "id", "CASE WHEN id < 8 THEN id * 2 END AS v"
+    )
+    counts = eng.expect(bad, ["v IS NOT NULL", "id >= 0", "v < 10"])
+    # violations: 2 NULL v rows; v in {10,12,14} plus the 2 NULLs fail v<10
+    assert counts == {"v IS NOT NULL": 2, "id >= 0": 0, "v < 10": 5}
+    with pytest.raises(EngineIOError, match="expectation violations"):
+        eng.write_table_version(bad, "t", checks=["v IS NOT NULL"])
+    assert not eng.table_exists("t")  # nothing staged into a version
+    good = bad.filter("v IS NOT NULL")
+    v = eng.write_table_version(good, "t", checks=["v IS NOT NULL"])
+    assert v == 1 and eng.read_version("t").count() == 8
