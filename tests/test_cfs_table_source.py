@@ -143,3 +143,54 @@ def test_partitioned_layout_reads_and_path_prunes(spark, tmp_path):
     list(r.pushFilters([_Eq(("lang",), "en")]))
     m = versioning.read_manifest(path, 1)
     assert 0 < len(r.partitions()) < len(m["files"])
+
+
+def test_stream_tails_version_commits(spark, tmp_path):
+    """readStream on cfstable: version-number offsets; each commit lands
+    as one micro-batch; startingversion=0 replays the whole history."""
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    path = str(tmp_path / "st")
+    for lo in (0, 10, 20):
+        versioning.commit_version(
+            spark.range(lo, lo + 10).selectExpr("id", "id * 2 AS v"),
+            path,
+            mode="append",
+        )
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("cfstable")
+        .option("path", path)
+        .option("startingversion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(30))
+    # new commit -> incremental batch only
+    versioning.commit_version(
+        spark.range(30, 35).selectExpr("id", "id * 2 AS v"),
+        path,
+        mode="append",
+    )
+    q = (
+        spark.readStream.format("cfstable")
+        .option("path", path)
+        .option("startingversion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(35))  # no duplicates from the replayed range
