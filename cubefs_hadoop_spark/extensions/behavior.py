@@ -1,0 +1,125 @@
+"""Behavioral/event analytics (SURVEY §2C extension surface): sequential
+funnel analysis and user-lifecycle summaries over the events stream —
+the clickstream-analytics family (the host-engine workload the reference
+serves when the store holds product event logs).
+
+Scale notes (100 TB):
+
+* The funnel is K user-keyed aggregations + K-1 user-keyed equi-joins;
+  each step's input is type-filtered AT THE SCAN (pushed predicate) and
+  each step frame only shrinks (step k+1 is a subset of step k's users),
+  so the join sides decrease monotonically.  No window over the whole
+  event stream, no per-user event collection.
+* The lifecycle summary is one groupBy(user) with distinct-day counting
+  — partial aggregation does the heavy lifting map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.registry import register
+
+_X25_STEPS = ("view", "click", "purchase")
+_X25_WINDOW = "interval 1 hour"
+
+_X25_ORACLE = """
+WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT e.user_id, MIN(e.ts) AS tb FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.ta
+        AND e.ts <= a.ta + INTERVAL 1 HOUR GROUP BY e.user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb
+        AND e.ts <= b.tb + INTERVAL 1 HOUR GROUP BY e.user_id)
+SELECT a.user_id, a.ta, b.tb, c.tc
+FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+ORDER BY user_id, ta, tb, tc"""
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = _X25_STEPS,
+    window: str = _X25_WINDOW,
+) -> DataFrame:
+    """Sequential conversion funnel: per user, the first time of step 1,
+    then the first step-2 event WITHIN ``window`` AFTER it, then step 3
+    after that, ... — NULL from the first step a user never completes.
+
+    Each step is min-aggregated AFTER an equi-join against the previous
+    step's (user, time) frame with the window as a residual predicate;
+    event-type filters push to the scan, and the step frames shrink
+    monotonically (step k+1's users ⊆ step k's)."""
+    ev = events.select("user_id", "event_type", "ts")
+    prev = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    out = prev
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (
+            ev.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", f"t{i-1}"), "user_id")
+            .filter(
+                (F.col("ts") > F.col(f"t{i-1}"))
+                & (F.col("ts") <= F.col(f"t{i-1}") + F.expr(window))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(cur, "user_id", "left")
+        prev = cur
+    return out
+
+
+@register("x25_funnel", _X25_ORACLE)
+def x25_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 view -> click -> purchase funnel, 1-hour step windows, per-user
+    step timestamps (NULL where the funnel broke)."""
+    return (
+        funnel(load(spark, sf_dir, "events"))
+        .select(
+            "user_id",
+            F.col("t0").alias("ta"),
+            F.col("t1").alias("tb"),
+            F.col("t2").alias("tc"),
+        )
+        .orderBy("user_id", "ta", "tb", "tc")
+    )
+
+
+_X26_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       MIN(CAST(ts AS DATE)) AS first_day,
+       MAX(CAST(ts AS DATE)) AS last_day,
+       CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT) + 1
+           AS span_days
+FROM events GROUP BY user_id
+ORDER BY user_id, active_days, first_day, last_day, span_days"""
+
+
+def lifecycle_summary(events: DataFrame) -> DataFrame:
+    """Per-user activity lifecycle: distinct active days, first/last day,
+    and calendar span — the retention-analysis base table.  One
+    groupBy(user); distinct-day counting partial-aggregates map-side."""
+    day = F.col("ts").cast("date")
+    return events.groupBy("user_id").agg(
+        F.count_distinct(day).cast("long").alias("active_days"),
+        F.min(day).alias("first_day"),
+        F.max(day).alias("last_day"),
+        (F.datediff(F.max(day), F.min(day)) + 1)
+        .cast("long")
+        .alias("span_days"),
+    )
+
+
+@register("x26_lifecycle", _X26_ORACLE)
+def x26_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 user lifecycle summary over events."""
+    return lifecycle_summary(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "active_days", "first_day", "last_day", "span_days"
+    )

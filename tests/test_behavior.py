@@ -1,0 +1,74 @@
+"""Behavioral tests for the event-analytics operators (behavior.py,
+x25/x26) beyond their DuckDB hash oracles."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.behavior import funnel, lifecycle_summary
+from cubefs_hadoop_spark.plans.audit import audit_plan
+from tests.conftest import SF_SMOKE
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "event_type", "ts"]
+    ).select("user_id", "event_type", "ts")
+
+
+def test_funnel_witness(spark):
+    """Hand-built journeys: in-window conversions count, out-of-window
+    and out-of-ORDER events do not, the first qualifying event wins."""
+    base = dt.datetime(2024, 1, 1, 12)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: full in-window funnel; a later click must not shift tb
+        (1, 1, "view", base),
+        (2, 1, "click", base + 10 * m),
+        (3, 1, "click", base + 20 * m),
+        (4, 1, "purchase", base + 30 * m),
+        # user 2: click comes 2h after view -> funnel breaks at step 2
+        (5, 2, "view", base),
+        (6, 2, "click", base + 120 * m),
+        # user 3: purchase BEFORE click -> step 3 unsatisfied
+        (7, 3, "view", base),
+        (8, 3, "purchase", base + 5 * m),
+        (9, 3, "click", base + 10 * m),
+        # user 4: never viewed -> not in the funnel at all
+        (10, 4, "click", base),
+    ]
+    out = {
+        r.user_id: (r.t0, r.t1, r.t2)
+        for r in funnel(_ev(spark, rows)).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (base, base + 10 * m, base + 30 * m)
+    assert out[2] == (base, None, None)
+    assert out[3] == (base, base + 10 * m, None)
+
+
+def test_lifecycle_witness(spark):
+    rows = [
+        (1, 1, "view", dt.datetime(2024, 1, 1, 9)),
+        (2, 1, "view", dt.datetime(2024, 1, 1, 18)),
+        (3, 1, "click", dt.datetime(2024, 1, 5, 9)),
+    ]
+    r = lifecycle_summary(_ev(spark, rows)).collect()[0]
+    assert (r.active_days, r.span_days) == (2, 5)
+    assert (r.first_day, r.last_day) == (
+        dt.date(2024, 1, 1),
+        dt.date(2024, 1, 5),
+    )
+
+
+def test_behavior_plan_shapes(spark):
+    """Funnel: equi-joins only (user-keyed), event-type filters pushed to
+    the scan, no Python, no corpus-wide window."""
+    spark.catalog.clearCache()
+    ev = load(spark, SF_SMOKE, "events")
+    a = audit_plan(funnel(ev))
+    assert a.nested_loop_joins == 0
+    assert "BatchEvalPython" not in a.text
+    assert "Window" not in a.text
+    assert any("view" in f or "click" in f for f in a.pushed_filters)
