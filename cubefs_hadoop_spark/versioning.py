@@ -206,6 +206,15 @@ def tag_version(
             "delete_tag first)",
             table_path,
         )
+    # close the tag-vs-GC race: an expire sweep that snapshotted the
+    # version list BEFORE this tag published may have deleted v in the
+    # window between our existence check and the publish.  Re-verify and
+    # withdraw the tag rather than leave a dangling pin.
+    if not fs.exists(_manifest_path(table_path, v, fs)):
+        fs.delete(p, recursive=False)
+        raise TableNotFoundError(
+            f"version {v} expired while tagging", table_path
+        )
     return v
 
 
