@@ -194,3 +194,119 @@ def x24_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_near_count(load(spark, sf_dir, "events")).orderBy(
         "event_id", "n_near"
     )
+
+
+# -- x27: time-series similarity search ------------------------------------
+
+_X27_PROBES = 5  # query series (broadcast side)
+_X27_TOPK = 4
+
+_X27_ORACLE = f"""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+obs AS (SELECT user_id, day,
+               CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 2)
+                    AS DECIMAL(18,2)) AS val
+        FROM e GROUP BY user_id, day),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+u AS (SELECT DISTINCT user_id FROM e),
+grid AS (SELECT user_id, CAST(dd AS DATE) AS day
+         FROM u, b, UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+              CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS g(dd)),
+filled AS (SELECT user_id, day,
+       LAST_VALUE(val IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val
+       FROM grid LEFT JOIN obs USING (user_id, day)),
+vec AS (SELECT user_id,
+               list(COALESCE(CAST(val * 100 AS BIGINT), 0) ORDER BY day) AS v
+        FROM filled GROUP BY user_id),
+pairs AS (
+  SELECT q.user_id AS q_user, c.user_id AS user_id,
+         CAST(ROUND(sqrt(list_sum(list_transform(
+              list_zip(q.v, c.v),
+              z -> (z[1] - z[2]) * (z[1] - z[2])))) / 100.0, 2)
+              AS DECIMAL(18,2)) AS dist
+  FROM vec q JOIN vec c
+    ON q.user_id < {_X27_PROBES} AND c.user_id <> q.user_id)
+SELECT q_user, user_id, dist FROM (
+  SELECT q_user, user_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY q_user ORDER BY dist, user_id)
+             AS rn
+  FROM pairs) t WHERE rn <= {_X27_TOPK}
+ORDER BY q_user, user_id, dist"""
+
+
+def series_vectors(events: DataFrame) -> DataFrame:
+    """(series, integer-cent daily vector) from the LOCF-filled daily
+    grid — the alignment step of data-series similarity search.  Values
+    are EXACT integer cents, so downstream distance sums are order-free
+    and engine-independent (the same integer-first trick as x22's Morton
+    ranks and x20's milli-logs); pre-first-observation days are 0."""
+    filled = gapfill_daily(events)
+    return filled.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "day",
+                        F.coalesce(
+                            (F.col("val_filled") * 100).cast("long"),
+                            F.lit(0),
+                        ).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("v")
+    )
+
+
+def series_topk_similar(
+    events: DataFrame,
+    n_probes: int = _X27_PROBES,
+    topk: int = _X27_TOPK,
+) -> DataFrame:
+    """Top-k most-similar series per probe series, exact Euclidean
+    distance over aligned daily vectors (the REPOSE/Odyssey distributed
+    data-series search shape, exact baseline form).
+
+    Scale shape = x03's: the probe set broadcasts (bounded, like query
+    trajectories), the corpus side streams once, the distance is a JVM
+    zip_with/aggregate over EXACT integer cents (order-free sum; sqrt
+    and the final /100 are IEEE-exact), and the rank filter compiles to
+    WindowGroupLimit — top-k per probe reduced map-side.  The bucketed
+    scale path for probe sets that outgrow a broadcast is SRP-LSH over
+    these vectors (semantic.py), exactly as x03c is to x03."""
+    vec = series_vectors(events)
+    probes = vec.filter(F.col("user_id") < n_probes).select(
+        F.col("user_id").alias("q_user"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    pairs = (
+        vec.crossJoin(F.broadcast(probes))
+        .filter(F.col("user_id") != F.col("q_user"))
+        .select(
+            "q_user",
+            "user_id",
+            r2d(F.sqrt(d2.cast("double")) / 100.0).alias("dist"),
+        )
+    )
+    pick = Window.partitionBy("q_user").orderBy("dist", "user_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") <= topk)
+        .select("q_user", "user_id", "dist")
+    )
+
+
+@register("x27_series_similarity", _X27_ORACLE)
+def x27_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 exact data-series similarity search: 5 broadcast probe series
+    vs the corpus, integer-cent Euclidean, WindowGroupLimit top-4."""
+    return series_topk_similar(load(spark, sf_dir, "events")).orderBy(
+        "q_user", "user_id", "dist"
+    )

@@ -23,7 +23,7 @@ from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 # (q06/q11/q12/q20/q22/q25, t05/t13/t18/t21 — a break there fails the
 # bench run loudly), t14/t15/t16/t17/t19/t20 (agg/filter shapes whose
 # join and anti-join mechanics the retained t04/t22 still cover),
-# q37b_unpivot (q37's melt inverse, pytest-oracled), plus the
+# q37/q37b pivot+unpivot (pytest-oracled inverses), plus the
 # six deferred last round (q01_scan_count,
 # q03_filter_conjunctive, q05_case_projection, q06b/q06c/q06d); every
 # displaced entry still hash-checks against DuckDB in pytest
@@ -37,7 +37,7 @@ _R5_WINDOW = [
     "x18_curriculum_order", "x19_stratified_sample",
     "x20_unigram_logprob", "x21_bm25_search", "x22_zorder_key",
     "x23_gapfill_locf", "x24_range_join",
-    "x25_funnel", "x26_lifecycle",
+    "x25_funnel", "x26_lifecycle", "x27_series_similarity",
     # last driver-checked in r02
     "x04b_lang_stats", "x05_quality_filter", "x06_fingerprint",
     "x08_redact", "x09_stopword_ratio", "x11_repetition_ratio",
@@ -46,7 +46,7 @@ _R5_WINDOW = [
     # last driver-checked in r03
     "q19_correlated_subquery", "q19b_correlated_sql", "q29b_bitwise_funcs",
     "q30b_array_funcs2", "q30c_collect_sorted", "q30d_higher_order_funcs",
-    "q36_sample_twin", "q37_pivot",
+    "q36_sample_twin",
     "s02_tumbling_window", "s04_sessionization",
     "t04_order_priority",
     "t06_forecast_revenue", "t07_volume_shipping", "t08_market_share",

@@ -103,3 +103,38 @@ def test_range_join_witness_and_plan(spark):
     a = audit_plan(range_join_near_count(load(spark, SF_SMOKE, "events")))
     assert a.nested_loop_joins == 0
     assert "BatchEvalPython" not in a.text
+
+
+def test_series_similarity_witness_and_plan(spark):
+    """x27: identical series have distance 0 and rank first; the plan is
+    a broadcast probe join with WindowGroupLimit top-k and no Python."""
+    import datetime as dt
+
+    from cubefs_hadoop_spark.extensions.timeseries import (
+        series_topk_similar,
+    )
+
+    base = dt.datetime(2024, 1, 1, 9)
+    day = dt.timedelta(days=1)
+    rows = []
+    eid = 0
+    # users 0 and 7: identical series; user 8: far away
+    for u, vals in [(0, [1.0, 2.0]), (7, [1.0, 2.0]), (8, [90.0, 95.0])]:
+        for i, v in enumerate(vals):
+            rows.append((eid, base + i * day, u, "view", v, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = series_topk_similar(ev, n_probes=1, topk=2).collect()
+    assert [(r.user_id, float(r.dist)) for r in out] == [
+        (7, 0.0),
+        (8, 128.72),  # sqrt(8900^2+9300^2)/100 rounded
+    ]
+
+    spark.catalog.clearCache()
+    a = audit_plan(
+        series_topk_similar(load(spark, SF_SMOKE, "events"))
+    )
+    assert a.has_window_group_limit
+    assert "BatchEvalPython" not in a.text
