@@ -394,6 +394,167 @@ class Engine:
         except FileNotFoundError:
             return {}
 
+    def _mviews_path(self) -> str:
+        return self.fs.join(self._db_path(), "_mviews.json")
+
+    def _mviews(self) -> dict[str, dict]:
+        import json
+
+        try:
+            return json.loads(self.fs.read_text(self._mviews_path()))
+        except FileNotFoundError:
+            return {}
+
+    def _save_mviews(self, mviews: dict) -> None:
+        import json
+
+        self.fs.mkdirs(self._db_path())
+        self.fs.write_text(self._mviews_path(), json.dumps(mviews))
+
+    @staticmethod
+    def _is_row_local(df: DataFrame) -> bool:
+        """True when every output row is a function of ONE input row —
+        the class of views maintainable by applying the view query to
+        just the base's delta and appending.  Judged from the ANALYZED
+        logical plan: any cross-row operator (aggregate, join, window,
+        distinct, sort/limit, set ops) disqualifies; Filter / Project /
+        Generate(explode) are row-local."""
+        plan = df._jdf.queryExecution().analyzed().toString()
+        barriers = (
+            "Aggregate", "Join", "Window", "Distinct", "Deduplicate",
+            "Sort", "GlobalLimit", "LocalLimit", "Union", "Intersect",
+            "Except",
+        )
+        return not any(b in plan for b in barriers)
+
+    def create_materialized_view(
+        self, name: str, select: str, base: str, replace: bool = False
+    ) -> None:
+        """MATERIALIZED view: the query result stored as a versioned
+        table plus refresh metadata (_mviews.json).  ``base`` names the
+        single source table the view reads.
+
+        Refresh strategy is decided at creation from the analyzed plan:
+        a ROW-LOCAL view (filter/projection/explode) over a VERSIONED
+        base refreshes INCREMENTALLY — the view query runs over only the
+        rows appended since the last refresh (versioning.read_changes)
+        and the result appends to the store, O(delta) instead of
+        O(base).  Anything cross-row (aggregate/join/window/distinct)
+        or a plain-table base refreshes by full recompute."""
+        mviews = self._mviews()
+        if name in mviews and not replace:
+            raise TableAlreadyExistsError(
+                "materialized view already exists", name
+            )
+        if name in self._views() or (
+            name not in mviews and self.table_exists(name)
+        ):
+            raise TableAlreadyExistsError(
+                "view or table with this name exists", name
+            )
+        from cubefs_hadoop_spark import versioning
+
+        df = self.sql(select)
+        base_versioned = versioning.is_versioned(
+            self._table_path(base), self.fs
+        )
+        self.write_table_version(df, name, mode="overwrite")
+        mviews[name] = {
+            "sql": select,
+            "base": base,
+            "base_version": (
+                versioning.current_version(self._table_path(base), self.fs)
+                if base_versioned
+                else None
+            ),
+            "incremental": base_versioned and self._is_row_local(df),
+        }
+        self._save_mviews(mviews)
+        self._mark_dirty(name)
+
+    def refresh_materialized_view(self, name: str) -> dict:
+        """Bring a materialized view up to date with its base.  Returns
+        {"mode": "noop" | "incremental" | "full", "base_version": n}.
+        Incremental maintenance falls back to a full recompute when the
+        base history is non-additive since the last refresh (overwrite/
+        compact — read_changes refuses the diff)."""
+        from cubefs_hadoop_spark import versioning
+
+        mviews = self._mviews()
+        if name not in mviews:
+            raise TableNotFoundError("materialized view not found", name)
+        meta = mviews[name]
+        base_path = self._table_path(meta["base"])
+        base_versioned = versioning.is_versioned(base_path, self.fs)
+        base_cur = (
+            versioning.current_version(base_path, self.fs)
+            if base_versioned
+            else None
+        )
+        if base_versioned and base_cur == meta["base_version"]:
+            return {"mode": "noop", "base_version": base_cur}
+        mode = "full"
+        if (
+            meta["incremental"]
+            and base_versioned
+            and meta["base_version"] is not None
+        ):
+            try:
+                delta = versioning.read_changes(
+                    self.spark, base_path, meta["base_version"], base_cur,
+                    fs=self.fs,
+                )
+                # evaluate the view text over ONLY the delta: a temp view
+                # named like the base shadows the engine table for this
+                # one statement (row-local SQL reads nothing else)
+                self._register_temp_view(delta, meta["base"])
+                try:
+                    out = self.spark.sql(meta["sql"])
+                    versioning.commit_version(
+                        out,
+                        self._table_path(name),
+                        mode="append",
+                        fs=self.fs,
+                    )
+                finally:
+                    self._drop_engine_temp_view(meta["base"])
+                mode = "incremental"
+            except EngineIOError:
+                mode = "full"  # non-additive base history: recompute
+        if mode == "full":
+            self.write_table_version(
+                self.sql(meta["sql"]), name, mode="overwrite"
+            )
+        meta["base_version"] = base_cur
+        self._save_mviews(mviews)
+        self._mark_dirty(name)
+        return {"mode": mode, "base_version": base_cur}
+
+    def mview_staleness(self, name: str) -> int | None:
+        """Versions committed to the base since the last refresh (None
+        for a plain-table base — no change tracking)."""
+        from cubefs_hadoop_spark import versioning
+
+        meta = self._mviews().get(name)
+        if meta is None:
+            raise TableNotFoundError("materialized view not found", name)
+        if meta["base_version"] is None:
+            return None
+        return (
+            versioning.current_version(
+                self._table_path(meta["base"]), self.fs
+            )
+            - meta["base_version"]
+        )
+
+    def drop_materialized_view(self, name: str) -> None:
+        mviews = self._mviews()
+        if name not in mviews:
+            raise TableNotFoundError("materialized view not found", name)
+        del mviews[name]
+        self._save_mviews(mviews)
+        self.drop_table(name, ignore_missing=True)
+
     def create_view(self, name: str, select: str, replace: bool = False) -> None:
         """Persist a named view definition in the database ( _views.json —
         metadata-only, like a metastore entry; expanded lazily at sql()
@@ -635,6 +796,9 @@ class Engine:
           DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
+          CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
+          REFRESH MATERIALIZED VIEW m                  -> incremental/full
+          DROP MATERIALIZED VIEW m                     -> drop_materialized_view
           ALTER TABLE t ADD COLUMN c type              -> alter_table
           ALTER TABLE t RENAME COLUMN a TO b           -> alter_table
           ALTER TABLE t DROP COLUMN c                  -> alter_table
@@ -749,6 +913,36 @@ class Engine:
                 else:
                     self._swap_rewrite(name, df)
                     self._mark_dirty(name)
+            return None
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(\w+)\s+"
+            r"AS\s+(.+)",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            select = m.group(3)
+            fm = re.search(r"\bFROM\s+(\w+)", select, re.IGNORECASE)
+            if not fm:
+                raise EngineIOError(
+                    "cannot infer the base table from the view query; "
+                    "use create_materialized_view(name, sql, base=...)"
+                )
+            self.create_materialized_view(
+                m.group(2), select, fm.group(1), replace=bool(m.group(1))
+            )
+            return None
+        m = re.match(
+            r"REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            self.refresh_materialized_view(m.group(1))
+            return None
+        m = re.match(
+            r"DROP\s+MATERIALIZED\s+VIEW\s+(\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            self.drop_materialized_view(m.group(1))
             return None
         m = re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS?\s+\(?(\w+)\s+"
