@@ -277,7 +277,11 @@ def series_topk_similar(
     WindowGroupLimit — top-k per probe reduced map-side.  The bucketed
     scale path for probe sets that outgrow a broadcast is SRP-LSH over
     these vectors (semantic.py), exactly as x03c is to x03."""
-    vec = series_vectors(events)
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    # both join sides read the vector frame: barrier it so the
+    # gapfill + vector-build pipeline runs ONCE, not once per side
+    vec = barrier(series_vectors(events))
     probes = vec.filter(F.col("user_id") < n_probes).select(
         F.col("user_id").alias("q_user"), F.col("v").alias("qv")
     )
