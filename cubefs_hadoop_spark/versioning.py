@@ -858,12 +858,19 @@ def apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
             df = df.withColumn(
                 op["name"], F.lit(None).cast(op["type"])
             )
-        elif (
-            op["op"] == "rename"
-            and op["from"] in df.columns
-            and op["to"] not in df.columns
-        ):
-            df = df.withColumnRenamed(op["from"], op["to"])
+        elif op["op"] == "rename" and op["from"] in df.columns:
+            if op["to"] in df.columns:
+                # a merged read holds BOTH physical columns (file
+                # generations on each side of the rename); every row has
+                # its value in exactly one of them — coalesce into the
+                # new name rather than skipping (which would NULL the
+                # pre-alter generation's values)
+                df = df.withColumn(
+                    op["to"],
+                    F.coalesce(F.col(op["to"]), F.col(op["from"])),
+                ).drop(op["from"])
+            else:
+                df = df.withColumnRenamed(op["from"], op["to"])
         elif op["op"] == "drop" and op["name"] in df.columns:
             df = df.drop(op["name"])
     return df
@@ -1031,8 +1038,12 @@ def read_changes(
         return spark.createDataFrame(
             [], T.StructType.fromJson(target_m["schema"])
         )
-    # partition-root-grouped read: keeps dir-encoded partition columns
-    return _read_files(spark, table_path, added, fs)
+    # partition-root-grouped read: keeps dir-encoded partition columns;
+    # merge-read + op-chain conformance when the range crosses a schema
+    # alter (files added pre-alter carry pre-alter physical names)
+    evolved = bool(target_m.get("schema_ops"))
+    out = _read_files(spark, table_path, added, fs, merge_schema=evolved)
+    return _conform_schema(out, target_m) if evolved else out
 
 
 def rollback(

@@ -130,3 +130,34 @@ def test_plain_table_alter_rewrites(eng, spark):
     got = eng.table("p")
     assert got.columns == ["id", "val"]
     assert sorted(r.val for r in got.collect()) == [0, 2, 4, 6]
+
+
+def test_read_changes_conforms_across_alter(eng, spark):
+    """CDC reads spanning a rename serve the TARGET schema: files added
+    before the alter (old physical names) conform through the op chain."""
+    eng.write_table_version(_df(spark, 0, 3), "t")          # v1
+    eng.write_table_version(_df(spark, 3, 6), "t", mode="append")  # v2
+    eng.alter_table("t", [{"op": "rename", "from": "v", "to": "val"}])  # v3
+    new = spark.range(6, 8).selectExpr("id", "id * 2 AS val")
+    eng.write_table_version(new, "t", mode="append")        # v4
+    delta = versioning.read_changes(
+        spark, eng._table_path("t"), 1, 4, fs=eng.fs
+    )
+    assert delta.columns == ["id", "val"]
+    got = sorted((r.id, r.val) for r in delta.collect())
+    assert got == [(i, i * 2) for i in range(3, 8)]
+
+
+def test_read_version_merges_generations_across_rename(eng, spark):
+    """The bug class the coalesce-rename guards: append AFTER a rename,
+    then one read spanning both file generations — pre-alter values must
+    survive (not NULL out) in the new column."""
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.alter_table("t", [{"op": "rename", "from": "v", "to": "val"}])
+    eng.write_table_version(
+        spark.range(3, 6).selectExpr("id", "id * 2 AS val"),
+        "t",
+        mode="append",
+    )
+    got = sorted((r.id, r.val) for r in eng.read_version("t").collect())
+    assert got == [(i, i * 2) for i in range(6)]
