@@ -194,3 +194,23 @@ def test_stream_tails_version_commits(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
     assert got == list(range(35))  # no duplicates from the replayed range
+
+
+def test_writer_abort_leaves_no_visible_state(spark, tmp_path):
+    """A writer abort removes its stage; the table's committed state is
+    untouched (and a fresh write still works)."""
+    from cubefs_hadoop_spark.sources.table_source import CfsTableWriter
+
+    path = str(tmp_path / "ab")
+    df = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    versioning.commit_version(df, path)
+    w = CfsTableWriter({"path": path}, df.schema, overwrite=False)
+    import os
+
+    os.makedirs(os.path.join(path, "data", w.stage), exist_ok=True)
+    open(os.path.join(path, "data", w.stage, "junk.parquet"), "wb").write(
+        b"broken"
+    )
+    w.abort([])
+    assert not os.path.exists(os.path.join(path, "data", w.stage))
+    assert versioning.read_version(spark, path).count() == 10

@@ -87,3 +87,25 @@ def test_mv_queryable_through_sql(eng, spark):
     )
     n = eng.sql("SELECT COUNT(*) AS n FROM mv").first().n
     assert n == 3
+
+
+def test_explode_view_is_incremental(eng, spark):
+    """Generate (explode) is row-local: one base row -> many view rows,
+    still maintainable from the delta alone."""
+    df = spark.range(0, 3).selectExpr("id", "array(id, id + 100) AS arr")
+    eng.write_table_version(df, "b")
+    eng.create_materialized_view(
+        "ex", "SELECT id, explode(arr) AS e FROM b", base="b"
+    )
+    assert eng._mviews()["ex"]["incremental"] is True
+    eng.write_table_version(
+        spark.range(3, 5).selectExpr("id", "array(id, id + 100) AS arr"),
+        "b",
+        mode="append",
+    )
+    assert eng.refresh_materialized_view("ex")["mode"] == "incremental"
+    got = sorted((r.id, r.e) for r in eng.table("ex").collect())
+    want = sorted(
+        [(i, i) for i in range(5)] + [(i, i + 100) for i in range(5)]
+    )
+    assert got == want
