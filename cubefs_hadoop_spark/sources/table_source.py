@@ -303,7 +303,14 @@ class CfsTableStreamReader(SimpleDataSourceStreamReader):
     Non-additive commits (overwrite/compact/rollback dropped files) fail
     the batch loudly rather than silently emitting nothing — at 100 TB a
     CDC consumer must renegotiate a new baseline after a rewrite, not
-    miss one."""
+    miss one.
+
+    Scale note: Spark's SIMPLE stream-reader tier materializes each
+    batch driver-side by API design (prefetch/replay caching), which fits
+    metadata-rate CDC (commit deltas), not bulk backfill.  For a
+    corpus-sized catch-up, read the range as a BATCH instead —
+    versioning.read_changes is fully distributed — then start the tail
+    from that version."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
