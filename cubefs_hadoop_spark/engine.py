@@ -807,6 +807,7 @@ class Engine:
           VACUUM                                       -> vacuum
           ANALYZE TABLE t [FOR COLUMNS c1, c2]         -> analyze_table
           ... FROM t VERSION AS OF n ...               -> time-travel read
+          ... FROM t VERSION AS OF 'tag' ...           -> tagged-snapshot read
 
         MERGE uses a restricted ANSI form (upsert-by-key: matched rows
         replaced, unmatched inserted — the same semantics merge_table
@@ -821,6 +822,19 @@ class Engine:
             self._register_temp_view(self.read_version(tname, int(ver)), view)
             s = re.sub(
                 rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+{ver}\b",
+                view,
+                s,
+                flags=re.IGNORECASE,
+            )
+        # tag form: `t VERSION AS OF 'baseline'` (immutable named snapshot)
+        tt = re.findall(
+            r"(\w+)\s+VERSION\s+AS\s+OF\s+'([\w-]+)'", s, re.IGNORECASE
+        )
+        for tname, tag in tt:
+            view = f"__timetravel_{tname}_t{tag}"
+            self._register_temp_view(self.read_version(tname, tag), view)
+            s = re.sub(
+                rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+'{tag}'",
                 view,
                 s,
                 flags=re.IGNORECASE,

@@ -797,3 +797,15 @@ def test_write_time_expectations(eng, spark):
     good = bad.filter("v IS NOT NULL")
     v = eng.write_table_version(good, "t", checks=["v IS NOT NULL"])
     assert v == 1 and eng.read_version("t").count() == 8
+
+
+def test_sql_time_travel_by_tag(eng, spark):
+    """Router: `t VERSION AS OF 'tag'` reads the tagged snapshot."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table_version(_df(spark, 0, 2), "t")
+    eng.tag_table("t", "baseline", version=1)
+    n = eng.execute(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'baseline'"
+    ).first().n
+    assert n == 5
+    assert eng.execute("SELECT COUNT(*) AS n FROM t").first().n == 2
