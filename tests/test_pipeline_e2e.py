@@ -293,3 +293,69 @@ def test_curation_to_training_layout_pipeline(spark, tmp_path):
     assert sum(r.tok_in_chunk for r in first_chunks) == min(
         128, n_tokens
     )
+
+
+def test_governed_lakehouse_loop(spark, tmp_path):
+    """Late-round-5 composition of the lakehouse tier on ONE base table:
+    expectation-gated versioned appends with prune stats, an immutable
+    baseline tag, an incrementally-maintained materialized view, and a
+    CDC stream tail — all observing the same manifest chain."""
+    from cubefs_hadoop_spark import versioning
+    from cubefs_hadoop_spark.errors import EngineIOError
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    register(spark)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+    # v1 lands gated + statted; tag it as the audited baseline
+    eng.write_table_version(
+        batch(0, 50), "b", checks=["v IS NOT NULL"], stats_cols=["id"]
+    )
+    eng.tag_table("b", "audited")
+
+    # a violating batch is refused and leaves NO new version
+    bad = spark.range(50, 60).selectExpr(
+        "id", "CASE WHEN id < 55 THEN id * 2 END AS v"
+    )
+    try:
+        eng.write_table_version(bad, "b", mode="append", checks=["v IS NOT NULL"])
+        raise AssertionError("expected refusal")
+    except EngineIOError:
+        pass
+    assert eng.table_versions("b") == [1]
+
+    # a clean second batch lands; MV follows incrementally
+    eng.create_materialized_view(
+        "evens", "SELECT id, v FROM b WHERE id % 2 = 0", base="b"
+    )
+    eng.write_table_version(
+        batch(50, 80), "b", mode="append", stats_cols=["id"]
+    )
+    assert eng.refresh_materialized_view("evens")["mode"] == "incremental"
+    assert eng.table("evens").count() == 40
+
+    # CDC stream from the tagged baseline replays exactly the post-tag rows
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        spark.readStream.format("cfstable")
+        .option("path", eng._table_path("b"))
+        .option("startingversion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == list(range(50, 80))
+
+    # GC keeps the tagged baseline; pruned reads stay exact afterwards
+    versioning.expire_versions(eng._table_path("b"), keep_last=1, fs=eng.fs)
+    assert eng.read_version("b", "audited").count() == 50
+    sel = eng.read_version("b", predicates=[("id", ">=", 70)])
+    assert sorted(r.id for r in sel.collect()) == list(range(70, 80))
