@@ -519,8 +519,12 @@ class Engine:
                 finally:
                     self._drop_engine_temp_view(meta["base"])
                 mode = "incremental"
-            except EngineIOError:
-                mode = "full"  # non-additive base history: recompute
+            except (EngineIOError, TableNotFoundError):
+                # non-additive base history OR the recorded base_version
+                # expired under GC (expire_versions -> manifest gone,
+                # raised as TableNotFoundError): recompute from scratch
+                # rather than leaving the MV permanently unrefreshable
+                mode = "full"
         if mode == "full":
             self.write_table_version(
                 self.sql(meta["sql"]), name, mode="overwrite"
@@ -831,7 +835,15 @@ class Engine:
             r"(\w+)\s+VERSION\s+AS\s+OF\s+'([\w-]+)'", s, re.IGNORECASE
         )
         for tname, tag in tt:
-            view = f"__timetravel_{tname}_t{tag}"
+            # tag names allow hyphens (tag_version's [\w-]); a raw tag in
+            # the view name would be an invalid SQL identifier, so
+            # sanitize and length-disambiguate (md5 keeps 'a-b' and 'a_b'
+            # from colliding on the same view name)
+            import hashlib
+
+            safe = tag.replace("-", "_")
+            uniq = hashlib.md5(tag.encode()).hexdigest()[:6]
+            view = f"__timetravel_{tname}_t{safe}_{uniq}"
             self._register_temp_view(self.read_version(tname, tag), view)
             s = re.sub(
                 rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+'{tag}'",

@@ -33,6 +33,11 @@ row-at-a-time loop anywhere.
 Scope: local/posix table paths (the LocalFS warehouse tier); tables with
 pending merge-on-read deletes are refused (``compact_table`` first —
 applying sequence-scoped anti-joins is the Engine read path's job).
+Schema-EVOLVED tables (ALTER add/rename/drop) are fully supported: each
+file generation is conformed through the manifest's op chain
+(versioning.file_column_map) executor-side — renamed columns are read
+under their old physical names, post-alter additions materialize as
+typed nulls, drops are column-pruned at the scan.
 Hive-partitioned layouts are supported: dir-encoded columns are parsed
 from the path, attached as constant Arrow arrays, and predicates on them
 prune files straight from the path encoding (no stats needed).
@@ -130,6 +135,21 @@ class CfsTableReader(DataSourceReader):
         self.schema = schema
         self.cols = [f.name for f in schema.fields]
         self.predicates: list[tuple] = []
+        # resolve the schema-op chain HERE: __init__ runs at planning and
+        # the instance is pickled to executors as-is, whereas mutations
+        # made inside partitions() are NOT visible to read() (the reader
+        # is serialized independently of the partition-planning call)
+        from cubefs_hadoop_spark import versioning
+
+        pinned = (
+            versioning.current_version(self.path)
+            if self.version is None
+            else self.version
+        )
+        self.ops = (
+            versioning.read_manifest(self.path, pinned).get("schema_ops")
+            or []
+        )
 
     def pushFilters(self, filters):
         for f in filters:
@@ -155,16 +175,30 @@ class CfsTableReader(DataSourceReader):
                 "cfstable: table has pending merge-on-read deletes; "
                 "compact_table first or read through Engine.read_version"
             )
+        # schema-evolved tables mix file generations with different
+        # physical column names; read() conforms each file through the
+        # op chain (versioning.file_column_map, resolved in __init__).
+        # Manifest prune stats already carry post-alter names
+        # (alter_schema remaps them), so stats pruning stays
+        # generation-correct as-is.
         import os
 
         files = versioning.prune_files(m, self.predicates)
         out = []
         types = {f.name: f.dataType for f in self.schema.fields}
         for f in files:
+            raw = _path_partitions(f)
+            # dir-encoded keys are the WRITING generation's physical
+            # names; resolve them to target names before probing
+            pmap = (
+                versioning.file_column_map(list(raw), self.ops)
+                if self.ops
+                else {k: k for k in raw}
+            )
             parts = {
-                k: _parse_part_value(v, types[k])
-                for k, v in _path_partitions(f).items()
-                if k in types
+                t: _parse_part_value(raw[src], types[t])
+                for t, src in pmap.items()
+                if src is not None and t in types
             }
             # partition columns are PATH-prunable: a predicate on one is
             # decided per file from its dir encoding, no stats needed
@@ -193,11 +227,31 @@ class CfsTableReader(DataSourceReader):
 
         from pyspark.sql.pandas.types import to_arrow_type
 
+        types = {f.name: f.dataType for f in self.schema.fields}
+        need = [c for c in self.cols if c not in partition.parts]
+        ds = pads.dataset(partition.path, format="parquet")
+        ops = getattr(self, "ops", None) or []
+        if ops:
+            # per-file conformance: THIS file's physical names -> target
+            from cubefs_hadoop_spark.versioning import file_column_map
+
+            src = file_column_map(list(ds.schema.names), ops)
+            # a predicate on a column this generation lacks (added after
+            # the file was written) is null for every row -> no row of
+            # this file can match; skip the scan entirely
+            if any(
+                src.get(c, c) is None
+                for c, _op, _v in self.predicates
+                if c not in partition.parts
+            ):
+                return
+        else:
+            src = {c: c for c in need}
         expr = None
         for col, op, val in self.predicates:
             if col in partition.parts:
                 continue  # decided from the dir encoding in partitions()
-            field = pads.field(col)
+            field = pads.field(src.get(col, col))
             term = {
                 "=": field == val,
                 ">": field > val,
@@ -206,12 +260,18 @@ class CfsTableReader(DataSourceReader):
                 "<=": field <= val,
             }[op]
             expr = term if expr is None else expr & term
-        file_cols = [c for c in self.cols if c not in partition.parts]
-        types = {f.name: f.dataType for f in self.schema.fields}
-        ds = pads.dataset(partition.path, format="parquet")
+        file_cols = [src[c] for c in need if src.get(c) is not None]
         for batch in ds.to_batches(columns=file_cols, filter=expr):
-            if partition.parts:
-                arrays = {c: batch.column(c) for c in file_cols}
+            if ops or partition.parts:
+                arrays = {}
+                for c in need:
+                    s = src.get(c)
+                    at = to_arrow_type(types[c])
+                    if s is None:
+                        arrays[c] = pa.nulls(batch.num_rows, type=at)
+                    else:
+                        a = batch.column(batch.schema.get_field_index(s))
+                        arrays[c] = a if a.type == at else a.cast(at)
                 for k, v in partition.parts.items():
                     at = to_arrow_type(types[k])
                     arrays[k] = pa.array(
@@ -334,11 +394,12 @@ class CfsTableStreamReader(SimpleDataSourceStreamReader):
 
         if v_to <= v_from:
             return []
-        base = (
-            set(versioning.read_manifest(self.path, v_from)["files"])
+        base_m = (
+            versioning.read_manifest(self.path, v_from)
             if v_from > 0
-            else set()
+            else {"files": [], "deletes": []}
         )
+        base = set(base_m["files"])
         m = versioning.read_manifest(self.path, v_to)
         if not set(m["files"]) >= base:
             raise ValueError(
@@ -346,15 +407,41 @@ class CfsTableStreamReader(SimpleDataSourceStreamReader):
                 f"{v_to}] (overwrite/compact dropped files); restart the "
                 "stream from a new baseline"
             )
+        if base_m.get("deletes", []) != m.get("deletes", []):
+            # a merge-on-read delete removes ROWS without removing files;
+            # the file-set diff would silently misreport the change set
+            # (mirrors versioning.read_changes' refusal)
+            raise ValueError(
+                f"cfstable stream: pending merge-on-read deletes changed "
+                f"in ({v_from}, {v_to}]; the added-files diff is not the "
+                "row-level change set — restart from a new baseline"
+            )
         import os
 
         import pyarrow.parquet as pq
 
         rows: list[tuple] = []
         names = [f["name"] for f in m["schema"]["fields"]]
+        ops = m.get("schema_ops") or []
         for f in sorted(set(m["files"]) - base):
             t = pq.read_table(os.path.join(self.path, f))
-            cols = [t.column(n).to_pylist() for n in names]
+            # a range crossing a schema alter adds files of BOTH
+            # generations; conform each file through the op chain
+            # (renamed columns read their old physical name, added
+            # columns read as null) exactly like versioning.read_changes
+            src = (
+                versioning.file_column_map(t.column_names, ops)
+                if ops
+                else {n: n for n in t.column_names}
+            )
+            cols = []
+            for n in names:
+                s = src.get(n)
+                cols.append(
+                    t.column(s).to_pylist()
+                    if s is not None
+                    else [None] * t.num_rows
+                )
             rows.extend(zip(*cols) if cols else [])
         return rows
 

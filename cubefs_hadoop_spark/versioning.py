@@ -495,7 +495,27 @@ def commit_staged_files(
             if mode == "append" and pm.get("schema_ops"):
                 # the op chain must keep conforming the parent's files;
                 # the appended files (new schema) pass through it
-                # untouched because apply_schema_ops is idempotent
+                # untouched because apply_schema_ops is idempotent —
+                # EXCEPT a dropped name physically reintroduced by this
+                # append: the inherited drop op would silently null the
+                # new rows' values (idempotence holds for add/rename,
+                # not drop-then-readd), so refuse instead
+                readded = sorted(
+                    {f["name"] for f in schema_json.get("fields", [])}
+                    & {
+                        c["name"]
+                        for c in pm["schema_ops"]
+                        if c["op"] == "drop"
+                    }
+                )
+                if readded:
+                    raise EngineIOError(
+                        f"append reintroduces dropped column(s) "
+                        f"{readded}; compact_version first (the pending "
+                        "drop op would silently null the appended "
+                        "values)",
+                        table_path,
+                    )
                 inherited["schema_ops"] = pm["schema_ops"]
         # sequence-number bookkeeping (Iceberg v2 analog): every data file
         # remembers the version that ADDED it, so a merge-on-read delete
@@ -876,6 +896,41 @@ def apply_schema_ops(df: DataFrame, ops: list[dict]) -> DataFrame:
     return df
 
 
+def file_column_map(
+    phys_names: list[str], ops: list[dict]
+) -> dict[str, str | None]:
+    """Per-FILE schema conformance plan: one file generation's physical
+    column names -> ``{target_name: physical_source_name | None}``
+    through the schema-op chain (None = the column was added after this
+    file was written; its value reads as null).
+
+    The file-level analog of ``apply_schema_ops`` for readers that scan
+    files individually (the ``cfstable`` DataSource, the CDC tail)
+    instead of through one merged DataFrame: the same idempotence rules
+    replayed over a NAME SET instead of a frame, so a pre-alter file
+    resolves renamed columns to their old physical names, post-alter
+    files resolve identically, and dropped columns simply vanish from
+    the request list (column-pruned at the parquet scan)."""
+    mapping: dict[str, str | None] = {n: n for n in phys_names}
+    for op in ops:
+        if op["op"] == "add":
+            if op["name"] not in mapping:
+                mapping[op["name"]] = None
+        elif op["op"] == "rename":
+            if op["from"] in mapping:
+                if op["to"] in mapping:
+                    # a single parquet file never carries both sides of
+                    # a metadata-only rename; if a hand-built file does,
+                    # the post-alter name wins (matches apply_schema_ops'
+                    # coalesce preferring the new column)
+                    mapping.pop(op["from"])
+                else:
+                    mapping[op["to"]] = mapping.pop(op["from"])
+        elif op["op"] == "drop":
+            mapping.pop(op["name"], None)
+    return mapping
+
+
 def _conform_schema(df: DataFrame, m: dict) -> DataFrame:
     ops = m.get("schema_ops") or []
     if not ops:
@@ -918,12 +973,29 @@ def alter_schema(
         raise EngineIOError("manifest records no schema", table_path)
     fields = [dict(f) for f in pm["schema"]["fields"]]
     stats = {f: dict(st) for f, st in pm.get("stats", {}).items()}
+    chain = list(pm.get("schema_ops", []))
     for op in ops:
         names = [f["name"] for f in fields]
         if op["op"] == "add":
             if op["name"] in names:
                 raise EngineIOError(
                     f"column {op['name']!r} already exists", table_path
+                )
+            if any(
+                c["op"] == "drop" and c["name"] == op["name"]
+                for c in chain
+            ):
+                # drop-then-readd breaks op-chain idempotence: files
+                # written AFTER the re-add physically carry the name, and
+                # the inherited drop op would silently null their values
+                # (the drop can't tell generations apart without field
+                # IDs).  Materialize the drop first.
+                raise EngineIOError(
+                    f"column {op['name']!r} was previously dropped; "
+                    "re-adding it requires compact_version first (the "
+                    "pending drop op cannot distinguish pre-drop files "
+                    "from re-added data)",
+                    table_path,
                 )
             t = op["type"].strip().lower()
             jt = _DDL_TO_JSON.get(t)
@@ -971,6 +1043,7 @@ def alter_schema(
             raise EngineIOError(
                 f"unknown schema op {op.get('op')!r}", table_path
             )
+        chain.append(op)
     v = parent + 1
     manifest = {
         "version": v,

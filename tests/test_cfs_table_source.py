@@ -214,3 +214,124 @@ def test_writer_abort_leaves_no_visible_state(spark, tmp_path):
     w.abort([])
     assert not os.path.exists(os.path.join(path, "data", w.stage))
     assert versioning.read_version(spark, path).count() == 10
+
+
+@pytest.fixture()
+def evolved(spark, tmp_path):
+    """v1 (id, name, extra) -> rename name->label, add score, drop
+    extra -> append one post-alter row.  Two file generations with
+    different physical schemas under one op chain."""
+    path = str(tmp_path / "ev")
+    versioning.commit_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id long, name string, extra long"
+        ),
+        path,
+        stats_cols=["id"],
+    )
+    versioning.alter_schema(
+        path,
+        [
+            {"op": "rename", "from": "name", "to": "label"},
+            {"op": "add", "name": "score", "type": "bigint"},
+            {"op": "drop", "name": "extra"},
+        ],
+    )
+    versioning.commit_version(
+        spark.createDataFrame(
+            [(3, "c", 99)], "id long, label string, score long"
+        ),
+        path,
+        mode="append",
+    )
+    return path
+
+
+def test_schema_evolved_read_matches_engine(spark, evolved):
+    """The r5 repro: cfstable over an ALTERed table must serve exactly
+    the Engine read path's rows (renamed cols under old physical names,
+    added col as null for the pre-alter generation, dropped col gone)."""
+    got = read_table(spark, evolved).orderBy("id")
+    want = versioning.read_version(spark, evolved).orderBy("id")
+    assert got.columns == ["id", "label", "score"]
+    assert got.collect() == want.collect()
+    rows = {r.id: (r.label, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 99)}
+
+
+def test_schema_evolved_pushdown_on_renamed_and_added(spark, evolved):
+    # predicate on the renamed column: target name resolves to the old
+    # physical name file-side
+    got = read_table(spark, evolved).filter(F.col("label") == "b").collect()
+    assert [(r.id, r.label) for r in got] == [(2, "b")]
+    # predicate on the post-alter ADDED column: pre-alter files hold only
+    # nulls for it, so they are skipped wholesale yet the result is exact
+    got = read_table(spark, evolved).filter(F.col("score") > 0).collect()
+    assert [(r.id, r.score) for r in got] == [(3, 99)]
+
+
+def test_schema_evolved_partitioned_rename_of_partition_col(
+    spark, tmp_path
+):
+    """Dir-encoded partition keys are the WRITING generation's physical
+    names; a renamed partition column must resolve through the op chain
+    for both generations."""
+    path = str(tmp_path / "pev")
+    versioning.commit_version(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id long, p string"),
+        path,
+        partition_by=["p"],
+    )
+    versioning.alter_schema(path, [{"op": "rename", "from": "p", "to": "q"}])
+    versioning.commit_version(
+        spark.createDataFrame([(3, "z")], "id long, q string"),
+        path,
+        mode="append",
+        partition_by=["q"],
+    )
+    got = read_table(spark, path).orderBy("id").collect()
+    assert [(r.id, r.q) for r in got] == [(1, "x"), (2, "y"), (3, "z")]
+    want = versioning.read_version(spark, path).orderBy("id").collect()
+    assert got == want
+
+
+def test_stream_conforms_across_alter_boundary(spark, tmp_path):
+    """A CDC tail whose replayed range crosses an ALTER conforms each
+    file generation (the r5 verdict's second crash family)."""
+    from cubefs_hadoop_spark.sources.table_source import (
+        CfsTableStreamReader,
+    )
+
+    path = str(tmp_path / "sev")
+    versioning.commit_version(
+        spark.createDataFrame([(1, "a")], "id long, name string"), path
+    )
+    versioning.alter_schema(
+        path, [{"op": "rename", "from": "name", "to": "label"}]
+    )
+    versioning.commit_version(
+        spark.createDataFrame([(2, "b")], "id long, label string"),
+        path,
+        mode="append",
+    )
+    r = CfsTableStreamReader({"path": path})
+    rows = r._added_rows(0, versioning.current_version(path))
+    assert sorted(rows) == [(1, "a"), (2, "b")]
+
+
+def test_stream_refuses_mor_delete_change(spark, tmp_path):
+    """A merge-on-read delete changes rows without changing files; the
+    file-set diff would silently emit nothing — must refuse (ADVICE r5)."""
+    from cubefs_hadoop_spark.sources.table_source import (
+        CfsTableStreamReader,
+    )
+
+    path = str(tmp_path / "dev")
+    versioning.commit_version(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), path
+    )
+    v1 = versioning.current_version(path)
+    versioning.commit_delete(path, "id < 3")
+    r = CfsTableStreamReader({"path": path})
+    with pytest.raises(ValueError, match="deletes changed"):
+        r._added_rows(v1, versioning.current_version(path))

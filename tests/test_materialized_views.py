@@ -109,3 +109,28 @@ def test_explode_view_is_incremental(eng, spark):
         [(i, i) for i in range(5)] + [(i, i + 100) for i in range(5)]
     )
     assert got == want
+
+
+def test_refresh_survives_gc_of_base_history(eng, spark):
+    """GC (expire_versions) on the base can expire the manifest the MV's
+    recorded base_version points at; read_changes then raises
+    TableNotFoundError (not EngineIOError).  The refresh must fall back
+    to full recompute instead of being permanently stuck (ADVICE r5)."""
+    _base(spark, eng, 0, 10)
+    eng.create_materialized_view(
+        "mv", "SELECT id, v * 10 AS w FROM b WHERE id % 2 = 0", base="b"
+    )
+    _base(spark, eng, 10, 14, mode="append")
+    _base(spark, eng, 14, 16, mode="append")
+    # routine GC drops all but the newest base manifest — the MV's
+    # recorded base_version (1) is gone
+    versioning.expire_versions(
+        eng._table_path("b"), keep_last=1, fs=eng.fs, orphan_grace_ms=0
+    )
+    res = eng.refresh_materialized_view("mv")
+    assert res["mode"] == "full"
+    got = sorted((r.id, r.w) for r in eng.table("mv").collect())
+    assert got == [(i, i * 20) for i in range(0, 16, 2)]
+    # and the MV keeps refreshing normally afterwards
+    _base(spark, eng, 16, 18, mode="append")
+    assert eng.refresh_materialized_view("mv")["mode"] == "incremental"

@@ -161,3 +161,57 @@ def test_read_version_merges_generations_across_rename(eng, spark):
     )
     got = sorted((r.id, r.val) for r in eng.read_version("t").collect())
     assert got == [(i, i * 2) for i in range(6)]
+
+
+def test_drop_then_readd_refused_until_compaction(eng, spark):
+    """Re-adding a dropped name would let the inherited drop op silently
+    null post-readd data (idempotence holds for add/rename, not
+    drop-then-readd) — refused until compaction clears the chain."""
+    eng.write_table_version(
+        spark.createDataFrame(
+            [(1, "a", "k")], "id long, junk string, keep string"
+        ),
+        "t",
+    )
+    p = eng._table_path("t")
+    versioning.alter_schema(p, [{"op": "drop", "name": "junk"}])
+    # ALTER ADD of the dropped name: refused
+    with pytest.raises(EngineIOError, match="previously dropped"):
+        versioning.alter_schema(
+            p, [{"op": "add", "name": "junk", "type": "string"}]
+        )
+    # same refusal within ONE multi-op call
+    with pytest.raises(EngineIOError, match="previously dropped"):
+        versioning.alter_schema(
+            p,
+            [
+                {"op": "drop", "name": "keep"},
+                {"op": "add", "name": "keep", "type": "string"},
+            ],
+        )
+    # an append physically reintroducing the dropped name: refused
+    with pytest.raises(EngineIOError, match="reintroduces dropped"):
+        versioning.commit_version(
+            spark.createDataFrame(
+                [(2, "b", "k")], "id long, junk string, keep string"
+            ),
+            p,
+            mode="append",
+        )
+    # compaction materializes the drop and clears the chain; then the
+    # re-add is an ordinary new column
+    versioning.compact_version(spark, p)
+    versioning.alter_schema(
+        p, [{"op": "add", "name": "junk", "type": "string"}]
+    )
+    versioning.commit_version(
+        spark.createDataFrame(
+            [(2, "k", "b")], "id long, keep string, junk string"
+        ),
+        p,
+        mode="append",
+    )
+    rows = {
+        r.id: r.junk for r in versioning.read_version(spark, p).collect()
+    }
+    assert rows == {1: None, 2: "b"}

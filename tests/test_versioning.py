@@ -809,3 +809,21 @@ def test_sql_time_travel_by_tag(eng, spark):
     ).first().n
     assert n == 5
     assert eng.execute("SELECT COUNT(*) AS n FROM t").first().n == 2
+
+
+def test_sql_time_travel_by_hyphenated_tag(eng, spark):
+    """Tag names allow hyphens ([\\w-]); the rewritten temp-view name
+    must still be a valid SQL identifier (ADVICE r5)."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table_version(_df(spark, 0, 2), "t")
+    eng.tag_table("t", "base-line", version=1)
+    n = eng.execute(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'base-line'"
+    ).first().n
+    assert n == 5
+    # 'base_line' and 'base-line' are distinct tags -> distinct views
+    eng.tag_table("t", "base_line", version=2)
+    n2 = eng.execute(
+        "SELECT COUNT(*) AS n FROM t VERSION AS OF 'base_line'"
+    ).first().n
+    assert n2 == 2
