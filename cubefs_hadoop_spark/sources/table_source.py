@@ -285,18 +285,32 @@ class CfsTableReader(DataSourceReader):
 
 @dataclass
 class _StagedFile(WriterCommitMessage):
-    rel: str | None  # table-relative path, None for an empty partition
+    rels: list  # table-relative paths staged by this task (may be empty)
 
 
 class CfsTableWriter(DataSourceArrowWriter):
     """Exactly-once writer onto the versioned-manifest protocol: each
-    task stages one parquet file under ``data/<stage>/`` via pyarrow's
-    C++ writer (Arrow batches in, never a Python row loop); the driver
-    commit publishes ONLY the files of the tasks Spark reports as
-    successful, through the same optimistic manifest commit every other
-    writer uses.  Retried/speculative task attempts leave unreferenced
-    files that ``expire_versions`` reaps after the orphan grace — the
-    exact failure story of the Spark+Iceberg committer."""
+    task stages parquet under ``data/<stage>/`` via pyarrow's C++ writer
+    (Arrow batches in, never a Python row loop); the driver commit
+    publishes ONLY the files of the tasks Spark reports as successful,
+    through the same optimistic manifest commit every other writer uses.
+    Retried/speculative task attempts leave unreferenced files that
+    ``expire_versions`` reaps after the orphan grace — the exact failure
+    story of the Spark+Iceberg committer.
+
+    Hive-partitioned layout: Spark's Python DataSource API refuses
+    ``df.write.partitionBy`` outright (the source reports no table
+    partitioning), so partition columns ride an OPTION instead::
+
+        df.write.format("cfstable").option("path", p)
+          .option("partitionBy", "region,day").mode("append").save()
+
+    Each task dir-encodes the partition columns (``region=EU/day=.../``)
+    under its stage via pyarrow's Hive partitioning — partition columns
+    leave the data files exactly like ``commit_version(partition_by=...)``
+    — and the manifest commit records ``partition_by``, so reads recover
+    the columns from the path and appends onto a mismatched layout are
+    refused by the same commit-time check as every other writer."""
 
     def __init__(self, options: dict, schema: StructType, overwrite: bool):
         self.path = options.get("path")
@@ -304,42 +318,95 @@ class CfsTableWriter(DataSourceArrowWriter):
             raise ValueError("cfstable: option 'path' is required")
         self.overwrite = overwrite
         self.schema_json = schema.jsonValue()
+        pb = options.get("partitionby")
+        self.partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+        )
+        names = [f.name for f in schema.fields]
+        missing = [c for c in self.partition_by if c not in names]
+        if missing:
+            raise ValueError(
+                f"cfstable: partitionBy column(s) {missing} not in the "
+                f"written schema {names}"
+            )
+        if self.partition_by and len(self.partition_by) == len(names):
+            raise ValueError(
+                "cfstable: partitionBy cannot cover every column (data "
+                "files would be empty)"
+            )
         import uuid
 
         self.stage = uuid.uuid4().hex[:8]
 
-    # -- executor: stage one parquet file per partition ------------------
+    # -- executor: stage parquet under data/<stage>[/k=v...] -------------
     def write(self, iterator) -> _StagedFile:
         import os
         import uuid
 
         import pyarrow.parquet as pq
 
-        name = f"part-{uuid.uuid4().hex}.parquet"
+        task = uuid.uuid4().hex
         stage_dir = os.path.join(self.path, "data", self.stage)
-        writer = None
-        for batch in iterator:
+        if not self.partition_by:
+            name = f"part-{task}.parquet"
+            writer = None
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(stage_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(stage_dir, name), batch.schema
+                    )
+                writer.write_batch(batch)
             if writer is None:
-                os.makedirs(stage_dir, exist_ok=True)
-                writer = pq.ParquetWriter(
-                    os.path.join(stage_dir, name), batch.schema
-                )
-            writer.write_batch(batch)
-        if writer is None:
-            return _StagedFile(None)
-        writer.close()
-        return _StagedFile(f"data/{self.stage}/{name}")
+                return _StagedFile([])
+            writer.close()
+            return _StagedFile([f"data/{self.stage}/{name}"])
+        # Hive-partitioned: pyarrow splits each batch by partition value,
+        # dir-encodes the keys, and DROPS the partition columns from the
+        # data files (the committed layout contract).  One pass, C++-side.
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        batches = iter(iterator)
+        try:
+            first = next(batches)
+        except StopIteration:
+            return _StagedFile([])
+        part_schema = pa.schema(
+            [first.schema.field(c) for c in self.partition_by]
+        )
+        written: list[str] = []
+
+        def visit(f):
+            written.append(os.path.relpath(f.path, self.path))
+
+        import itertools
+
+        pads.write_dataset(
+            itertools.chain([first], batches),
+            stage_dir,
+            schema=first.schema,
+            format="parquet",
+            partitioning=pads.HivePartitioning(
+                part_schema, null_fallback="__HIVE_DEFAULT_PARTITION__"
+            ),
+            basename_template=f"part-{task}-{{i}}.parquet",
+            existing_data_behavior="overwrite_or_ignore",
+            file_visitor=visit,
+        )
+        return _StagedFile(sorted(written))
 
     # -- driver: manifest publish ---------------------------------------
     def commit(self, messages):
         from cubefs_hadoop_spark import versioning
 
-        files = sorted(m.rel for m in messages if m and m.rel)
+        files = sorted(r for m in messages if m for r in m.rels)
         versioning.commit_staged_files(
             self.path,
             files,
             self.schema_json,
             mode="overwrite" if self.overwrite else "append",
+            partition_by=self.partition_by or None,
             stage=self.stage,
         )
 

@@ -335,3 +335,60 @@ def test_stream_refuses_mor_delete_change(spark, tmp_path):
     r = CfsTableStreamReader({"path": path})
     with pytest.raises(ValueError, match="deletes changed"):
         r._added_rows(v1, versioning.current_version(path))
+
+
+def test_partitioned_write_via_option_round_trips(spark, tmp_path):
+    """df.write.format('cfstable').option('partitionBy', ...) dir-encodes
+    partition columns Hive-style (Spark's Python DataSource API refuses
+    .partitionBy() itself), commits partition_by into the manifest, and
+    the reader recovers + path-prunes the columns.  A layout-mismatched
+    append is refused by the manifest commit."""
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    path = str(tmp_path / "pw")
+    df = spark.range(0, 12).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS p"
+    )
+    (
+        df.write.format("cfstable")
+        .option("path", path)
+        .option("partitionBy", "p")
+        .mode("append")
+        .save()
+    )
+    m = versioning.read_manifest(path, 1)
+    assert m["partition_by"] == ["p"]
+    assert all("p=" in f for f in m["files"])  # dir-encoded layout
+    back = read_table(spark, path)
+    assert sorted(back.columns) == ["id", "p"]
+    got = sorted((r.id, r.p) for r in back.collect())
+    assert got == [(i, str(i % 3)) for i in range(12)]
+    assert versioning.read_version(spark, path).count() == 12
+    # predicate on the partition column prunes files straight from the
+    # path encoding at the reader level
+    schema = back.schema
+    r = CfsTableReader({"path": path}, schema)
+    list(r.pushFilters([EqualTo(("p",), "1")]))
+    pruned = r.partitions()
+    assert 0 < len(pruned) < len(m["files"])
+    assert back.filter("p = '1'").count() == 4
+    # unpartitioned append onto the partitioned layout: refused
+    with pytest.raises(Exception, match="layout mismatch"):
+        (
+            spark.range(5)
+            .selectExpr("id", "'x' AS p")
+            .write.format("cfstable")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    # partitionBy of a column not in the schema: refused at plan time
+    with pytest.raises(Exception, match="not in the written schema"):
+        (
+            df.write.format("cfstable")
+            .option("path", str(tmp_path / "bad"))
+            .option("partitionBy", "nope")
+            .mode("append")
+            .save()
+        )
