@@ -418,12 +418,190 @@ def ivf_topk_indexed(
     )
 
 
-@register("x03c_ivf_ann")
+def _micro(c: F.Column) -> F.Column:
+    """round(c * 1e6, 0) as BIGINT, half away from zero (the search.py
+    _milli recipe at micro scale) — integer quantization makes the Lloyd
+    SUM order-free, so Spark's shuffled partial sums and DuckDB's
+    sequential scan produce the IDENTICAL centroid, bit for bit."""
+    scaled = c * F.lit(1000000.0)
+    sign = F.when(scaled < 0, F.lit(-1)).otherwise(F.lit(1))
+    return (sign * F.floor(F.abs(scaled) + F.lit(0.5))).cast("long")
+
+
+def ivf_topk_pinned(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    replication: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k whose ENTIRE pipeline — seed selection, one Lloyd
+    sweep, multi-assignment, probe, per-bucket exact scoring — is
+    bit-deterministic and SQL-replicable, so the approximate (nprobe < C)
+    result itself hash-checks against a DuckDB oracle (VERDICT r05 #4;
+    x03d's full probe only proved the degenerate exact case).
+
+    Three determinism substitutions vs ivf_topk, none changing the plan
+    shape or the 100 TB story:
+    - seeds: first C vectors by md5(vec_id-as-string) hex order (DuckDB
+      has md5; xxhash64 it does not) — still TakeOrderedAndProject;
+    - Lloyd mean: per-(cid, dim) SUM of micro-quantized BIGINTs, then
+      one double division — integer addition commutes, so partial-agg
+      shuffle order cannot wobble the centroid, and the oracle's
+      sequential sum lands on the same bits;
+    - every ranking window carries a total-order tiebreak.
+    Cosine itself already bit-matches (the _DOT FP-contract above)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    seed_rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("cent", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+    seeds = spark.createDataFrame(
+        [(i + 1, r["embedding"]) for i, r in enumerate(seed_rows)],
+        cent_schema,
+    )
+    # one Lloyd sweep, order-free integer arithmetic
+    assigned0 = ivf_assign(emb, seeds, replication=1)
+    means = (
+        assigned0.select(
+            "cid", F.posexplode("embedding").alias("pos", "v")
+        )
+        .withColumn("u", _micro(F.col("v")))
+        .groupBy("cid", "pos")
+        .agg(F.sum("u").alias("s"), F.count("*").alias("n"))
+        .withColumn(
+            "m",
+            F.col("s").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.expr("transform(pm, x -> x.m)").alias("mean"))
+    )
+    cent_rows = (
+        seeds.withColumnRenamed("cent", "seed")
+        .join(means, "cid", "left")
+        .select("cid", F.coalesce("mean", "seed").alias("cent"))
+        .collect()
+    )
+    cents = spark.createDataFrame(
+        [(r["cid"], r["cent"]) for r in cent_rows], cent_schema
+    )
+    assigned = ivf_assign(emb, cents, replication=replication)
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "cid")
+    probes = (
+        F.broadcast(queries)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _cosine_expr("q_emb", "cent"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("c").desc(), "vec_id")
+    cand = (
+        probes.join(assigned, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "embedding")
+        .distinct()
+        .join(F.broadcast(queries), "q_id")
+    )
+    return (
+        cand.withColumn("c", _cosine_expr("q_emb", "embedding"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            r2d(F.col("c")).alias("cos"),
+        )
+    )
+
+
+# The micro-quantized term both engines sum: half away from zero.
+_MICRO_DUCK = (
+    "CAST(CASE WHEN v < 0 THEN -FLOOR(ABS(v * 1000000.0) + 0.5)"
+    " ELSE FLOOR(ABS(v * 1000000.0) + 0.5) END AS BIGINT)"
+)
+
+_X03C_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) AS cid, emb AS cent
+          FROM (SELECT vec_id, emb, md5(CAST(vec_id AS VARCHAR)) AS h
+                FROM e ORDER BY h, vec_id LIMIT 8)),
+a0 AS (SELECT vec_id, emb, cid FROM (
+         SELECT e.vec_id, e.emb, s.cid,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY {_cosine_duck('e.emb', 's.cent')} DESC,
+                             s.cid) AS rn
+         FROM e CROSS JOIN seeds s) WHERE rn = 1),
+el AS (SELECT cid, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+       FROM a0),
+m AS (SELECT cid, pos, SUM({_MICRO_DUCK}) AS s, COUNT(*) AS n
+      FROM el GROUP BY cid, pos),
+cent1 AS (SELECT cid, list(CAST(s AS DOUBLE) / n / 1000000.0
+                           ORDER BY pos) AS mean
+          FROM m GROUP BY cid),
+cents AS (SELECT s.cid, COALESCE(c.mean, s.cent) AS cent
+          FROM seeds s LEFT JOIN cent1 c USING (cid)),
+asg AS (SELECT vec_id, emb, cid FROM (
+          SELECT e.vec_id, e.emb, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cosine_duck('e.emb', 'c.cent')} DESC,
+                              c.cid) AS rn
+          FROM e CROSS JOIN cents c) WHERE rn <= 2),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+probes AS (SELECT q_id, cid FROM (
+             SELECT q.q_id, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.q_id
+                        ORDER BY {_cosine_duck('q.q_emb', 'c.cent')} DESC,
+                                 c.cid) AS rn
+             FROM q CROSS JOIN cents c) WHERE rn <= 4),
+cand AS (SELECT DISTINCT p.q_id, a.vec_id FROM probes p
+         JOIN asg a USING (cid) WHERE a.vec_id <> p.q_id),
+scored AS (SELECT cand.q_id, cand.vec_id AS n_id,
+                  {_cosine_duck('q.q_emb', 'e.emb')} AS c
+           FROM cand JOIN q ON q.q_id = cand.q_id
+           JOIN e ON e.vec_id = cand.vec_id)
+SELECT q_id, n_id, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos FROM (
+  SELECT q_id, n_id, c,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY c DESC, n_id) AS rk
+  FROM scored)
+WHERE rk <= 5 ORDER BY q_id, n_id, cos"""
+
+
+@register("x03c_ivf_ann", _X03C_ORACLE)
 def x03c_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X03c IVF ANN (rows-only driver check; recall-vs-exact >= 0.8
-    asserted at tests/test_extensions.py::test_ivf_recall_vs_bruteforce —
-    approximate results are not SQL-declarable)."""
-    return ivf_topk(spark, sf_dir).orderBy("q_id", "n_id", "cos")
+    """X03c IVF ANN, nprobe=4 of 8 buckets — genuinely approximate, yet
+    hash-checked: ivf_topk_pinned's determinism substitutions make the
+    probed candidate set and scores bit-reproducible in DuckDB SQL, so
+    the driver verifies the APPROXIMATE answer itself (VERDICT r05 #4).
+    The recall-vs-exact floor stays engine-side
+    (tests/test_extensions.py::test_ivf_recall_vs_bruteforce and
+    ::test_pinned_ivf_recall)."""
+    return ivf_topk_pinned(spark, sf_dir).orderBy("q_id", "n_id", "cos")
 
 
 @register("x03d_ivf_full_probe", _X03_ORACLE)

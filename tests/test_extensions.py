@@ -791,3 +791,25 @@ def test_source_mixture_weights_and_determinism(spark):
     assert sorted(map(tuple, rows)) == sorted(
         map(tuple, x15_source_mixture(spark, SF_SMOKE).collect())
     )
+
+
+def test_pinned_ivf_recall(spark):
+    """The oracle-hashable IVF variant (x03c, ivf_topk_pinned) must stay
+    a GENUINE approximate tier: same recall floors as ivf_topk despite
+    the determinism substitutions (md5 seeds, integer-micro Lloyd)."""
+    from cubefs_hadoop_spark.extensions.similarity import ivf_topk_pinned
+
+    exact: dict[int, set] = {}
+    for r in x03_topk_cosine(spark, SF_SMOKE).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set] = {}
+    for r in ivf_topk_pinned(spark, SF_SMOKE).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    per_q = {
+        q: len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    }
+    total = sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert total >= 0.8, f"pinned IVF aggregate recall: {total} {per_q}"
+    assert min(per_q.values()) >= 0.6, f"per-query floor: {per_q}"
