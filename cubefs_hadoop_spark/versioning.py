@@ -275,6 +275,93 @@ def _stat_json(v):
     return str(v)
 
 
+def _footer_stats(
+    table_path: str,
+    files: list[str],
+    stats_cols: list[str],
+    fs: WarehouseFS,
+) -> tuple[dict, list[str]]:
+    """Harvest per-file [min, max] from the parquet FOOTERS — metadata-only
+    IO, O(files) footer reads, zero data pages touched (the Iceberg
+    production path for commit-time column stats).
+
+    Returns (stats, fallback_cols).  A column lands in ``fallback_cols``
+    — to be resolved by the exact distributed scan instead — whenever its
+    footer bounds cannot be trusted as EXACT values:
+
+    * string/binary/decimal physical types: writers (parquet-mr, and
+      pyarrow beyond its truncate length) truncate long bounds; the
+      truncated values are still valid BOUNDS, but the repo's stats tests
+      and z-order manifest contract record exact values, so the scan wins
+      the tie for those types;
+    * a chunk with no usable statistics (INT96 timestamps, stats
+      disabled, nulls-only chunks report None);
+    * a column absent from the file's top-level physical schema (nested
+      or mis-declared -> the scan raises the proper typed error);
+    * a non-local FS backend where footers aren't directly openable.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    safe = (
+        pa.types.is_integer,
+        pa.types.is_floating,
+        pa.types.is_boolean,
+        pa.types.is_date,
+        pa.types.is_timestamp,
+    )
+    out: dict = {f: {} for f in files}
+    fallback: set[str] = set()
+    acc: dict[tuple[str, str], list] = {}  # (file, col) -> [mn, mx]
+    for f in files:
+        try:
+            pf = pq.ParquetFile(fs.join(table_path, f))
+        except Exception:
+            return {}, list(stats_cols)  # non-local/unreadable: full scan
+        md = pf.metadata
+        schema = pf.schema_arrow
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        } if md.num_row_groups else {}
+        for c in stats_cols:
+            if c in fallback:
+                continue
+            if c not in idx or c not in schema.names or not any(
+                t(schema.field(c).type) for t in safe
+            ):
+                fallback.add(c)
+                continue
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(idx[c])
+                st = col.statistics
+                if md.row_group(g).num_rows == 0:
+                    continue
+                if st is None or not st.has_min_max:
+                    fallback.add(c)
+                    break
+                cur = acc.setdefault((f, c), [st.min, st.max])
+                if st.min < cur[0]:
+                    cur[0] = st.min
+                if st.max > cur[1]:
+                    cur[1] = st.max
+    import datetime
+
+    def _norm(v):
+        # footer timestamps surface tz-aware (isAdjustedToUTC); the scan
+        # path records naive UTC (session tz is pinned UTC) — normalize,
+        # or the ISO strings gain a "+00:00" suffix that breaks the
+        # lexical bound comparison in prune_files
+        if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+            return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v
+
+    for (f, c), (mn, mx) in acc.items():
+        if c not in fallback:
+            out[f][c] = [_stat_json(_norm(mn)), _stat_json(_norm(mx))]
+    return out, sorted(fallback)
+
+
 def _collect_file_stats(
     spark: SparkSession,
     table_path: str,
@@ -285,23 +372,25 @@ def _collect_file_stats(
 ) -> dict:
     """Per-file [min, max] of ``stats_cols`` over the staged files — the
     Iceberg column-stats analog that makes scan-time file skipping
-    possible.  ONE distributed scan of the stage (grouped by
-    input_file_name), and the result is file-count-sized: manifest-scale
-    data (100k files x a few columns is megabytes), never corpus-scale.
-    Stats cols must be physical data columns (dir-encoded partition
-    columns are already prunable by path).
+    possible.  The result is file-count-sized: manifest-scale data (100k
+    files x a few columns is megabytes), never corpus-scale.  Stats cols
+    must be physical data columns (dir-encoded partition columns are
+    already prunable by path).
 
-    Commit-time cost: the agg column-prunes, so the extra read is the
-    stat COLUMNS of the new files only (a few % of the bytes just
-    written), not a second full scan.  The cheaper-still alternative —
-    harvesting parquet footer statistics, metadata-only IO — is the
-    Iceberg production path and the noted swap point here; it trades this
-    function's exact values for reliance on writer-side bound
-    maintenance (parquet-mr truncates+increments long binary stats)."""
+    Commit-time cost (VERDICT r05 #5): numeric/bool/date/timestamp
+    columns harvest straight from the parquet FOOTERS (_footer_stats) —
+    O(files) metadata reads, no data pages.  Only columns whose footer
+    bounds parquet writers may truncate (string/binary/decimal) or that
+    lack usable chunk statistics fall back to ONE distributed scan of
+    exactly those columns, grouped by input_file_name — a few % of the
+    bytes just written, and zero bytes when every stats col is numeric."""
     if not stats_cols or not files:
         return {}
+    footer, scan_cols = _footer_stats(table_path, files, stats_cols, fs)
+    if not scan_cols:
+        return {f: st for f, st in footer.items() if st}
     sdf = spark.read.parquet(*(fs.join(table_path, f) for f in files))
-    missing = [c for c in stats_cols if c not in sdf.columns]
+    missing = [c for c in scan_cols if c not in sdf.columns]
     if missing:
         # dir-encoded partition columns are not in the data files — they
         # are already prunable by path, so stats on them are meaningless
@@ -311,7 +400,7 @@ def _collect_file_stats(
             table_path,
         )
     aggs = []
-    for i, c in enumerate(stats_cols):
+    for i, c in enumerate(scan_cols):
         aggs += [
             F.min(c).alias(f"_mn{i}"),
             F.max(c).alias(f"_mx{i}"),
@@ -320,17 +409,19 @@ def _collect_file_stats(
         sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
     )
     marker = f"/{_DATA_DIR}/{stage}/"
-    out: dict = {}
+    out: dict = {f: dict(st) for f, st in footer.items()}
     for r in rows:
         i = r["_f"].find(marker)
         if i < 0:
             continue
         rel = r["_f"][i + 1 :]
-        out[rel] = {
-            c: [_stat_json(r[f"_mn{j}"]), _stat_json(r[f"_mx{j}"])]
-            for j, c in enumerate(stats_cols)
-        }
-    return out
+        out.setdefault(rel, {}).update(
+            {
+                c: [_stat_json(r[f"_mn{j}"]), _stat_json(r[f"_mx{j}"])]
+                for j, c in enumerate(scan_cols)
+            }
+        )
+    return {f: st for f, st in out.items() if st}
 
 
 _PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==")

@@ -251,3 +251,62 @@ def test_stats_union_across_compact_then_append(spark, tmp_path):
         spark, path, predicates=[("doc_id", ">=", 450)]
     ).count()
     assert got_hi == 50
+
+
+def test_footer_stats_match_scan_and_cover_types(spark, tmp_path):
+    """Commit-time stats for numeric/date/timestamp columns harvest from
+    parquet footers (metadata-only); string columns fall back to the
+    exact scan.  Both paths must record identical manifest values
+    (VERDICT r05 #5)."""
+    df = spark.sql(
+        """SELECT id,
+                  CAST(id * 1.5 AS DOUBLE) AS score,
+                  DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d,
+                  TIMESTAMP'2024-06-01 00:00:00' + MAKE_INTERVAL(0,0,0,0,0,0,id) AS ts,
+                  CONCAT('name-', LPAD(CAST(id AS STRING), 4, '0')) AS s
+           FROM RANGE(0, 200)"""
+    )
+    path = str(tmp_path / "t")
+    cols = ["id", "score", "d", "ts", "s"]
+    versioning.commit_version(
+        df.repartitionByRange(4, "id"), path, stats_cols=cols
+    )
+    m = versioning.read_manifest(path, 1)
+    stats = m["stats"]
+    assert len(stats) == 4
+    # footer split: numeric/date/timestamp are footer-harvestable; the
+    # string column must have come from the scan fallback
+    _, fb = versioning._footer_stats(
+        path, m["files"], cols, versioning._fs(None)
+    )
+    assert "s" in fb and "id" not in fb and "score" not in fb
+    # whatever the source, the recorded bounds are the exact per-file
+    # min/max (cross-checked by a fresh scan)
+    rows = (
+        spark.read.parquet(*(f"{path}/{f}" for f in m["files"]))
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("id"), F.max("id"), F.min("score"), F.max("score"),
+            F.min("d"), F.max("d"), F.min("ts"), F.max("ts"),
+            F.min("s"), F.max("s"),
+        )
+        .collect()
+    )
+    for r in rows:
+        rel = r["f"][r["f"].find("/data/") + 1 :]
+        st = stats[rel]
+        assert st["id"] == [r["min(id)"], r["max(id)"]]
+        assert st["score"] == [r["min(score)"], r["max(score)"]]
+        assert st["d"] == [
+            r["min(d)"].isoformat(), r["max(d)"].isoformat()
+        ]
+        assert st["ts"] == [
+            r["min(ts)"].isoformat(sep=" "),
+            r["max(ts)"].isoformat(sep=" "),
+        ]
+        assert st["s"] == [r["min(s)"], r["max(s)"]]
+    # and the stats actually prune
+    kept = versioning.prune_files(m, [("id", "<", 50)])
+    assert 0 < len(kept) < 4
+    kept = versioning.prune_files(m, [("ts", ">", "2024-06-01 00:02:30")])
+    assert 0 < len(kept) < 4
