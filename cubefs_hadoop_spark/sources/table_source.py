@@ -146,8 +146,11 @@ class CfsTableReader(DataSourceReader):
             if self.version is None
             else self.version
         )
+        # light read: the op chain lives in the root; no page assembly
         self.ops = (
-            versioning.read_manifest(self.path, pinned).get("schema_ops")
+            versioning.read_manifest(self.path, pinned, light=True).get(
+                "schema_ops"
+            )
             or []
         )
 
@@ -169,7 +172,11 @@ class CfsTableReader(DataSourceReader):
             if self.version is None
             else self.version
         )
-        m = versioning.read_manifest(self.path, v)
+        # paged manifests: pushed predicates skip whole pages before any
+        # page JSON loads; prune_files below sees only survivors
+        m = versioning.read_manifest(
+            self.path, v, predicates=self.predicates or None
+        )
         if m.get("deletes"):
             raise ValueError(
                 "cfstable: table has pending merge-on-read deletes; "
@@ -542,7 +549,9 @@ class CfsTableDataSource(DataSource):
         self._pinned_version = (
             int(v) if v is not None else versioning.current_version(path)
         )
-        m = versioning.read_manifest(path, self._pinned_version)
+        m = versioning.read_manifest(
+            path, self._pinned_version, light=True
+        )
         if not m.get("schema"):
             raise ValueError("cfstable: manifest records no schema")
         return StructType.fromJson(m["schema"])
