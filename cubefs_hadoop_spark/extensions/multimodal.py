@@ -90,6 +90,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 def decode_image_batches(
     fake: bool = True,
+    codec: str = "auto",
 ) -> "callable":
     """mapInPandas worker factory for image decode / feature extraction.
 
@@ -100,7 +101,7 @@ def decode_image_batches(
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = None if fake else _pil_image()
+        Image = None if fake or codec == "stdlib" else _pil_image()
         for pdf in batches:
             if fake:
                 rows = [_fake_decode(p) for p in pdf["content"]]
@@ -111,7 +112,16 @@ def decode_image_batches(
                 for p in pdf["content"]:
                     b = bytes(p)
                     if Image is not None:
-                        img = Image.open(io.BytesIO(b)).convert("RGB")
+                        try:
+                            img = Image.open(io.BytesIO(b)).convert("RGB")
+                        except Exception as ex:
+                            # same typed-error contract as the stdlib tier:
+                            # corrupt/unsupported payloads surface a helpful
+                            # message, never an opaque Arrow-worker crash
+                            raise NotImplementedError(
+                                "image codec (PIL) could not decode "
+                                f"payload: {ex!r}"
+                            ) from ex
                         # 8-dim feature: first 2 px of a 2x2 thumbnail + dims
                         thumb = img.resize((2, 2))
                         px = list(thumb.getdata())
@@ -150,7 +160,9 @@ def decode_image_batches(
     return decode
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, fake: bool = True, codec: str = "auto"
+) -> DataFrame:
     """Run the (stub) decoder over (item_id, modality, content) rows.
     Repartitions by item_id first so batch sizes are uniform — at 100 TB
     the media column dominates row size, so partition sizing must track
@@ -158,7 +170,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     scan side; explicit repartition handles post-join stages)."""
     return df.select(
         "item_id", F.col("meta.modality").alias("modality"), "content"
-    ).mapInPandas(decode_image_batches(fake=fake), FEATURE_SCHEMA)
+    ).mapInPandas(decode_image_batches(fake=fake, codec=codec), FEATURE_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -256,7 +268,9 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 RESIZED_SCHEMA = "item_id bigint, width int, height int, content binary"
 
 
-def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
+def resize_image_batches(
+    target_w: int, target_h: int, fake: bool = True, codec: str = "auto"
+):
     """mapInPandas worker factory for image resize.  Same integration
     contract as decode_image_batches: swap the fake branch for
     PIL.Image.resize in production.  The fake resize emits a
@@ -265,7 +279,7 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
     monotonicity and determinism without a codec."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        Image = None if fake else _pil_image()
+        Image = None if fake or codec == "stdlib" else _pil_image()
         for pdf in batches:
             out_bytes = []
             for p in pdf["content"]:
@@ -276,7 +290,13 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
                     n = max(1, (target_w * target_h) // 64)
                     out_bytes.append((seed * (n // len(seed) + 1))[:n])
                 elif Image is not None:
-                    img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                    try:
+                        img = Image.open(io.BytesIO(bytes(p))).convert("RGB")
+                    except Exception as ex:
+                        raise NotImplementedError(
+                            "image codec (PIL) could not decode "
+                            f"payload: {ex!r}"
+                        ) from ex
                     buf = io.BytesIO()
                     img.resize((target_w, target_h)).save(buf, format="PNG")
                     out_bytes.append(buf.getvalue())
@@ -311,13 +331,15 @@ def resize_image_batches(target_w: int, target_h: int, fake: bool = True):
 
 
 def resize_images(
-    df: DataFrame, target_w: int, target_h: int, fake: bool = True
+    df: DataFrame, target_w: int, target_h: int, fake: bool = True,
+    codec: str = "auto",
 ) -> DataFrame:
     """Resize every image payload to (target_w, target_h) — Arrow-batched,
     partition-local, no shuffle; the output binary column is written back
     through the same parquet sink as any other column."""
     return df.select("item_id", "content").mapInPandas(
-        resize_image_batches(target_w, target_h, fake=fake), RESIZED_SCHEMA
+        resize_image_batches(target_w, target_h, fake=fake, codec=codec),
+        RESIZED_SCHEMA,
     )
 
 
@@ -327,7 +349,9 @@ AUDIO_SCHEMA = (
 )
 
 
-def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
+def decode_audio_batches(
+    sample_rate: int = 16000, fake: bool = True, codec: str = "auto"
+):
     """mapInPandas worker factory for audio decode / loudness features —
     the audio member of the image/audio/video triad.  Swap the fake
     branch for soundfile/librosa in production; the fake decoder derives
@@ -335,7 +359,7 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
     schema, batch shape, and determinism without a codec."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sf = None if fake else _soundfile()
+        sf = None if fake or codec == "stdlib" else _soundfile()
         for pdf in batches:
             rows = []
             for p in pdf["content"]:
@@ -345,7 +369,13 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
                     samples = [(b - 128) / 128.0 for b in h]
                     rate = sample_rate
                 elif sf is not None:
-                    data, rate = sf.read(io.BytesIO(bytes(p)))
+                    try:
+                        data, rate = sf.read(io.BytesIO(bytes(p)))
+                    except Exception as ex:
+                        raise NotImplementedError(
+                            "audio codec (soundfile) could not decode "
+                            f"payload: {ex!r}"
+                        ) from ex
                     samples = [float(s) for s in data[:65536].flatten()]
                     n_samples = len(data)
                 else:
@@ -385,10 +415,12 @@ def decode_audio_batches(sample_rate: int = 16000, fake: bool = True):
 
 
 def extract_audio_features(
-    df: DataFrame, sample_rate: int = 16000, fake: bool = True
+    df: DataFrame, sample_rate: int = 16000, fake: bool = True,
+    codec: str = "auto",
 ) -> DataFrame:
     """Run the (stub) audio decoder over (item_id, content) rows — same
     Arrow-batched partition-local contract as extract_features."""
     return df.select("item_id", "content").mapInPandas(
-        decode_audio_batches(sample_rate=sample_rate, fake=fake), AUDIO_SCHEMA
+        decode_audio_batches(sample_rate=sample_rate, fake=fake, codec=codec),
+        AUDIO_SCHEMA,
     )

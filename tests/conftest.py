@@ -14,6 +14,32 @@ sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
 )
 
+# Optional-codec vendoring (VERDICT r5 item 7): if the real pillow/soundfile
+# installs are absent, expose the pure-python equivalents in tests/_vendor
+# (backed by the engine's stdlib PNG/WAV codecs) so the dependency-gated
+# real-codec branches run instead of skipping.  Appended, never prepended:
+# a genuine site-packages install always wins.  PYTHONPATH is extended too
+# so Spark's Arrow worker processes (where multimodal's decode actually
+# imports PIL/soundfile) resolve the same modules.
+_VENDOR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_vendor")
+
+
+def _expose_vendor_codecs() -> None:
+    need = False
+    for mod in ("PIL.Image", "soundfile"):
+        try:
+            __import__(mod)
+        except ImportError:
+            need = True
+    if need and _VENDOR not in sys.path:
+        sys.path.append(_VENDOR)
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            p for p in (os.environ.get("PYTHONPATH", ""), _VENDOR) if p
+        )
+
+
+_expose_vendor_codecs()
+
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 

@@ -348,7 +348,11 @@ def test_multimodal_real_audio_decode_when_soundfile_present(spark):
     row = mm.extract_audio_features(df, sample_rate=8000, fake=False).collect()[0]
     assert row.n_samples == 8000
     assert row.duration_s == pytest.approx(1.0)
-    assert 0.5 < row.rms < 1.2 and row.peak <= 1.0
+    # libsndfile normalization: int16 / 32768 -> amplitude 12000/32768,
+    # a full-period sine's rms is amplitude / sqrt(2)
+    amp = 12000 / 32768
+    assert row.peak == pytest.approx(amp, rel=1e-2)
+    assert row.rms == pytest.approx(amp / 2**0.5, rel=1e-2)
 
 
 # -- stdlib codecs: PNG/WAV real paths with zero optional deps (round 4) ----
@@ -384,8 +388,10 @@ def test_codec_wav_roundtrip():
 
 
 def test_multimodal_real_image_decode_stdlib(spark):
-    """X06 real image path WITHOUT PIL: the stdlib PNG codec decodes
-    actual PNG bytes inside the Arrow worker (no skip, no fake)."""
+    """X06 real image path on the stdlib tier (codec="stdlib" pins it so
+    the tier stays covered even when PIL — real or vendored — is
+    importable): the stdlib PNG codec decodes actual PNG bytes inside
+    the Arrow worker (no skip, no fake)."""
     from cubefs_hadoop_spark.extensions import codecs
 
     payloads = []
@@ -395,12 +401,18 @@ def test_multimodal_real_image_decode_stdlib(spark):
         payloads.append((i, bytearray(codecs.png_encode(w, h, rgb))))
     df = spark.createDataFrame(payloads, "item_id bigint, content binary")
     df = mm.attach_metadata(df, "image", "image/png")
-    rows = {r.item_id: r for r in mm.extract_features(df, fake=False).collect()}
+    rows = {
+        r.item_id: r
+        for r in mm.extract_features(df, fake=False, codec="stdlib").collect()
+    }
     assert rows[0].width == 40 and rows[0].height == 24
     assert rows[1].width == 48
     assert rows[0].feature[0] > 0.95 and rows[0].feature[1] < 0.05  # red
 
-    resized = {r.item_id: r for r in mm.resize_images(df, 16, 16, fake=False).collect()}
+    resized = {
+        r.item_id: r
+        for r in mm.resize_images(df, 16, 16, fake=False, codec="stdlib").collect()
+    }
     for i, color in enumerate([(255, 0, 0), (0, 128, 255)]):
         w2, h2, rgb2 = codecs.png_decode(bytes(resized[i].content))
         assert (w2, h2) == (16, 16)
@@ -412,7 +424,7 @@ def test_multimodal_real_image_decode_stdlib(spark):
     )
     bad = mm.attach_metadata(bad, "image", "image/jpeg")
     with pytest.raises(Exception, match="NotImplementedError|pillow"):
-        mm.extract_features(bad, fake=False).collect()
+        mm.extract_features(bad, fake=False, codec="stdlib").collect()
 
 
 def test_multimodal_real_audio_decode_stdlib(spark):
@@ -427,7 +439,9 @@ def test_multimodal_real_audio_decode_stdlib(spark):
         [(1, bytearray(codecs.wav_encode(samples, rate=8000)))],
         "item_id bigint, content binary",
     )
-    row = mm.extract_audio_features(df, sample_rate=8000, fake=False).collect()[0]
+    row = mm.extract_audio_features(
+        df, sample_rate=8000, fake=False, codec="stdlib"
+    ).collect()[0]
     assert row.sample_rate == 8000
     assert row.n_samples == 8000
     assert row.duration_s == pytest.approx(1.0)
