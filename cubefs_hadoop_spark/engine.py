@@ -800,6 +800,9 @@ class Engine:
           DROP VIEW [IF EXISTS] v                      -> drop_view
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
+          DESCRIBE HISTORY t                           -> table_history
+          DESCRIBE FILES t                             -> table_files
+          DESCRIBE PARTITIONS t                        -> table_partitions
           CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
           REFRESH MATERIALIZED VIEW m                  -> incremental/full
           DROP MATERIALIZED VIEW m                     -> drop_materialized_view
@@ -1043,6 +1046,16 @@ class Engine:
             return self.spark.createDataFrame(
                 [(t,) for t in self.list_tables()], "table string"
             )
+        m = re.match(
+            r"DESCRIBE\s+(HISTORY|FILES|PARTITIONS)\s+(\w+)$", s, re.IGNORECASE
+        )
+        if m:
+            verb, tname = m.group(1).upper(), m.group(2)
+            if verb == "HISTORY":
+                return self.table_history(tname)
+            if verb == "FILES":
+                return self.table_files(tname)
+            return self.table_partitions(tname)
         m = re.match(r"DESCRIBE\s+(\w+)$", s, re.IGNORECASE)
         if m:
             return self.describe(m.group(1))
@@ -1563,6 +1576,91 @@ class Engine:
             rows,
             "version int, parent int, mode string, ts_ms bigint, "
             "n_files int, batch_id bigint",
+        )
+
+    def table_files(self, name: str, version: int | str | None = None) -> DataFrame:
+        """Per-data-file metadata for a versioned table's snapshot —
+        Iceberg's ``files`` metadata-table analog.  One row per live file:
+        relative path, on-disk size, commit sequence number, Hive-partition
+        values parsed from the path, and the manifest's harvested
+        [min, max] column stats as a JSON string.  Metadata-only: the
+        manifest plus one directory walk; zero data bytes read.
+
+        Scale note: output is file-count-sized (manifest scale), which is
+        exactly what an operator debugging skew or small-file pressure on
+        a 100 TB table needs — never a data scan."""
+        import json as _json
+        from urllib.parse import unquote
+
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not versioning.is_versioned(path, self.fs):
+            raise EngineIOError(
+                "table_files requires a versioned table "
+                "(write_table_version / adopt_table first)",
+                name,
+            )
+        v = (
+            versioning.current_version(path, self.fs)
+            if version is None
+            else versioning.resolve_tag(path, version, self.fs)
+            if isinstance(version, str)
+            else version
+        )
+        m = versioning.read_manifest(path, v, self.fs)
+        sizes = {
+            rel: (size, mt) for rel, size, mt in self.fs.walk_files(path)
+        }
+        stats = m.get("stats") or {}
+        seqs = m.get("file_seq") or {}
+        rows = []
+        for f in m["files"]:
+            part = {
+                k: unquote(val)
+                for seg in f.split("/")[:-1]
+                if "=" in seg
+                for k, _, val in (seg.partition("="),)
+            }
+            size, mtime = sizes.get(f, (None, None))
+            st = stats.get(f)
+            rows.append(
+                (
+                    f,
+                    size,
+                    mtime,
+                    seqs.get(f),
+                    part,
+                    _json.dumps(st, sort_keys=True) if st else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "file string, size_bytes bigint, mtime_ms bigint, seq int, "
+            "partition map<string,string>, stats string",
+        )
+
+    def table_partitions(
+        self, name: str, version: int | str | None = None
+    ) -> DataFrame:
+        """Partition-level rollup of ``table_files`` — Iceberg's
+        ``partitions`` metadata table: one row per live Hive partition
+        with its file count and byte total.  Unpartitioned snapshots
+        return a single row with an empty partition map.  Metadata-only;
+        the natural input for 'which partition is skewed / full of small
+        files' maintenance decisions at 100 TB."""
+        from pyspark.sql import functions as F
+
+        files = self.table_files(name, version)
+        return (
+            files.groupBy("partition")
+            .agg(
+                F.count("*").cast("int").alias("n_files"),
+                F.sum("size_bytes").alias("total_bytes"),
+                F.min("size_bytes").alias("min_file_bytes"),
+                F.max("size_bytes").alias("max_file_bytes"),
+            )
+            .orderBy(F.sort_array(F.map_entries("partition")))
         )
 
     def expire_table_versions(
