@@ -810,6 +810,7 @@ class Engine:
           ALTER TABLE t RENAME COLUMN a TO b           -> alter_table
           ALTER TABLE t DROP COLUMN c                  -> alter_table
           OPTIMIZE t                                   -> compact_table
+          OPTIMIZE t BINPACK                           -> binpack_table
           OPTIMIZE t ZORDER BY (c1, c2)                -> optimize_table
           VACUUM                                       -> vacuum
           ANALYZE TABLE t [FOR COLUMNS c1, c2]         -> analyze_table
@@ -1015,6 +1016,10 @@ class Engine:
         if m:
             cols = [c.strip() for c in m.group(2).split(",")]
             self.optimize_table(m.group(1), zorder_by=cols)
+            return None
+        m = re.match(r"OPTIMIZE\s+(\w+)\s+BINPACK$", s, re.IGNORECASE)
+        if m:
+            self.binpack_table(m.group(1))
             return None
         m = re.match(r"OPTIMIZE\s+(\w+)$", s, re.IGNORECASE)
         if m:
@@ -1518,6 +1523,39 @@ class Engine:
             stats_cols=stats_cols or zorder_by,
         )
         self._mark_dirty(name)
+        return v
+
+    def binpack_table(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        min_file_bytes: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int | None:
+        """Incremental OPTIMIZE: rewrite only the current snapshot's
+        small files into ~target-sized ones, keeping well-sized files
+        (and their stats/sequence numbers) untouched — O(small files)
+        instead of ``optimize_table``'s O(table) full rewrite.  The
+        routine maintenance verb for streaming-ingest tables at scale.
+        Returns the committed version, or None when fewer than two files
+        qualify."""
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not versioning.is_versioned(path, self.fs):
+            raise TableNotFoundError(
+                "binpack_table requires a versioned table", name
+            )
+        v = versioning.binpack_version(
+            self.spark,
+            path,
+            target_file_bytes,
+            min_file_bytes=min_file_bytes,
+            stats_cols=stats_cols,
+            fs=self.fs,
+        )
+        if v is not None:
+            self._mark_dirty(name)
         return v
 
     def table_versions(self, name: str) -> list[int]:

@@ -1473,6 +1473,119 @@ def compact_version(
     return _commit_manifest(table_path, manifest, v, fs)
 
 
+def binpack_version(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    min_file_bytes: int | None = None,
+    stats_cols: list[str] | None = None,
+    fs: WarehouseFS | None = None,
+) -> int | None:
+    """Incremental small-file compaction (Iceberg rewrite-data-files
+    binpack / Delta OPTIMIZE semantics): rewrite ONLY the current
+    snapshot's files smaller than ``min_file_bytes`` (default 3/4 of
+    target, the Iceberg convention) into ~target-sized files, and commit
+    a new version that keeps every already-well-sized file untouched —
+    inheriting its sequence number and harvested column stats verbatim.
+
+    This is the 100 TB maintenance verb ``compact_version`` cannot be:
+    a streaming-ingest table accretes thousands of small commit files,
+    and a full rewrite is O(table) every time, while binpack is O(small
+    files) — the big files written by earlier binpacks never move again.
+
+    Returns the committed version, or ``None`` when nothing qualifies
+    (fewer than two small files — rewriting one file buys nothing).
+
+    Refused on pending merge-on-read deletes or schema evolution: a
+    partial rewrite would leave a manifest where rewritten files have the
+    deletes/ops applied and kept files do not; ``compact_version``
+    materializes both and is the documented route."""
+    import math
+
+    fs = _fs(fs)
+    parent = current_version(table_path, fs)
+    pm = read_manifest(table_path, parent, fs)
+    if pm.get("deletes"):
+        raise EngineIOError(
+            "binpack with pending merge-on-read deletes would apply them "
+            "to rewritten files only; run compact_version first",
+            table_path,
+        )
+    if pm.get("schema_ops"):
+        raise EngineIOError(
+            "binpack with pending schema evolution would conform rewritten "
+            "files only; run compact_version first",
+            table_path,
+        )
+    if min_file_bytes is None:
+        min_file_bytes = (target_file_bytes * 3) // 4
+    sizes = {rel: size for rel, size, _m in fs.walk_files(table_path)}
+    small = [f for f in pm["files"] if sizes.get(f, 0) < min_file_bytes]
+    if len(small) < 2:
+        return None
+    keep = [f for f in pm["files"] if f not in set(small)]
+    partition_by = pm.get("partition_by") or []
+    if partition_by:
+        # recover the Hive-encoded partition columns via basePath — per
+        # STAGE dir, because each commit staged under its own
+        # data/<stage>/ prefix and one table-wide basePath makes Spark's
+        # partition discovery see conflicting directory structures
+        groups: dict[str, list[str]] = {}
+        for f in small:
+            stage_root = "/".join(f.split("/")[:2])  # data/<stage>
+            groups.setdefault(stage_root, []).append(f)
+        parts = [
+            spark.read.option("basePath", fs.join(table_path, root)).parquet(
+                *(fs.join(table_path, f) for f in fl)
+            )
+            for root, fl in groups.items()
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+    else:
+        df = spark.read.parquet(*(fs.join(table_path, f) for f in small))
+    est = sum(sizes.get(f, 0) for f in small)
+    n = max(1, math.ceil(est / target_file_bytes))
+    out_df = df.repartition(n) if not partition_by else df.repartition(
+        n, *partition_by
+    )
+    stage, new_files = _stage_write(
+        out_df, table_path, partition_by or None, fs
+    )
+    old_stats = pm.get("stats") or {}
+    if stats_cols is None:
+        # re-harvest whatever the parent snapshot tracked
+        stats_cols = sorted({c for st in old_stats.values() for c in st})
+    new_stats = _collect_file_stats(
+        spark, table_path, stage, new_files, stats_cols, fs
+    )
+    v = parent + 1
+    files = keep + new_files
+    seqs = pm.get("file_seq") or {}
+    stats = {f: old_stats[f] for f in keep if f in old_stats}
+    stats.update(new_stats)
+    manifest = {
+        "version": v,
+        "parent": parent,
+        "mode": "binpack",
+        "stage": stage,
+        "files": files,
+        "file_seq": {
+            **{f: seqs.get(f, parent) for f in keep},
+            **{f: v for f in new_files},
+        },
+        "deletes": [],
+        "partition_by": partition_by,
+        "ts_ms": int(time.time() * 1000),
+        "schema": pm["schema"],
+        **({"stats": stats} if stats else {}),
+    }
+    if "batch_id_max" in pm:
+        manifest["batch_id_max"] = pm["batch_id_max"]
+    return _commit_manifest(table_path, manifest, v, fs)
+
+
 def expire_versions(
     table_path: str,
     keep_last: int = 1,
