@@ -54,6 +54,11 @@ KEYS: dict[str, tuple[str | None, str]] = {
     "cfspark.superuser.group": ("supergroup", "recorded; cluster-auth concern"),
     "cfspark.checkpoint.dir": (None, "reliable-barrier checkpoint root"),
     "cfspark.reliable.barriers": ("false", "durable iteration state"),
+    "cfspark.write.bloom.columns": (
+        None,
+        "comma list: write parquet bloom filters for these columns on "
+        "versioned commits (row-group skipping for point lookups)",
+    ),
 }
 
 

@@ -1397,6 +1397,7 @@ class Engine:
         partition_by: list[str] | None = None,
         stats_cols: list[str] | None = None,
         checks: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot version of ``name`` (atomic
         multi-file commit; old versions stay readable).  Returns the
@@ -1426,9 +1427,33 @@ class Engine:
             partition_by=partition_by,
             fs=self.fs,
             stats_cols=stats_cols,
+            write_opts=self._bloom_opts(bloom_cols, df.columns),
         )
         self._mark_dirty(name)
         return v
+
+    def _bloom_opts(
+        self, bloom_cols: list[str] | None, df_cols: list[str]
+    ) -> dict | None:
+        """Parquet bloom-filter writer options for ``bloom_cols``
+        (defaulting to the session conf ``cfspark.write.bloom.columns``).
+        Blooms are the skipping tier min/max stats cannot provide: a
+        point lookup on a high-cardinality column (doc_id, user_id) whose
+        values interleave across files passes every [min, max] check, but
+        the reader's row-group bloom probe skips the group without
+        touching a data page — parquet-native, works at any scale, and
+        costs ~1 byte/row at write time."""
+        if bloom_cols is None:
+            raw = self.spark.conf.get("cfspark.write.bloom.columns", None)
+            bloom_cols = [c.strip() for c in raw.split(",")] if raw else []
+        bad = [c for c in bloom_cols if c not in df_cols]
+        if bad:
+            raise EngineIOError(
+                f"bloom columns {bad} not in the written schema"
+            )
+        return {
+            f"parquet.bloom.filter.enabled#{c}": "true" for c in bloom_cols
+        } or None
 
     def tag_table(
         self, name: str, tag: str, version: int | None = None

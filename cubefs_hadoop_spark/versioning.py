@@ -298,13 +298,17 @@ def _stage_write(
     table_path: str,
     partition_by: list[str] | None,
     fs: WarehouseFS,
+    write_opts: dict | None = None,
 ) -> tuple[str, list[str]]:
     """Write df's data files under data/<stage-id>/ and return the
     (stage_id, table-relative file paths).  Invisible to readers until a
-    manifest references them."""
+    manifest references them.  ``write_opts`` pass straight to the
+    parquet writer (e.g. ``parquet.bloom.filter.enabled#col``)."""
     stage = uuid.uuid4().hex[:8]
     stage_dir = fs.join(table_path, _DATA_DIR, stage)
     writer = df.write.mode("errorifexists")
+    for k, val in (write_opts or {}).items():
+        writer = writer.option(k, val)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(stage_dir)
@@ -664,6 +668,7 @@ def commit_version(
     fs: WarehouseFS | None = None,
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
+    write_opts: dict | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of the table.
 
@@ -682,7 +687,7 @@ def commit_version(
     fs = _fs(fs)
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
-    stage, files = _stage_write(df, table_path, partition_by, fs)
+    stage, files = _stage_write(df, table_path, partition_by, fs, write_opts)
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs
     )
