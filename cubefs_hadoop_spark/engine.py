@@ -1398,6 +1398,7 @@ class Engine:
         stats_cols: list[str] | None = None,
         checks: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot version of ``name`` (atomic
         multi-file commit; old versions stay readable).  Returns the
@@ -1428,8 +1429,10 @@ class Engine:
             fs=self.fs,
             stats_cols=stats_cols,
             write_opts=self._bloom_opts(bloom_cols, df.columns),
+            branch=branch,
         )
-        self._mark_dirty(name)
+        if branch is None:
+            self._mark_dirty(name)
         return v
 
     def _bloom_opts(
@@ -1477,11 +1480,55 @@ class Engine:
 
         return versioning.delete_tag(self._table_path(name), tag, self.fs)
 
+    def create_table_branch(
+        self, name: str, branch: str, from_version: int | None = None
+    ) -> int:
+        """Fork a write-audit-publish branch at ``from_version`` (default
+        head): a second manifest chain sharing the table's data by
+        reference — zero bytes move at any table size.  Write to it with
+        ``write_table_version(..., branch=...)``, audit it with
+        ``read_version(branch=...)`` / ``expect``, then ``publish_branch``
+        lands the whole audited state on main as ONE atomic commit."""
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.create_branch(
+            self._table_path(name), branch, from_version, fs=self.fs
+        )
+
+    def table_branches(self, name: str) -> list[str]:
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.list_branches(self._table_path(name), self.fs)
+
+    def drop_table_branch(self, name: str, branch: str) -> bool:
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.drop_branch(
+            self._table_path(name), branch, self.fs
+        )
+
+    def publish_branch(
+        self, name: str, branch: str, force: bool = False, drop: bool = True
+    ) -> int:
+        """Fast-forward main to the branch head (mode ``publish``) — the
+        WAP publish step.  Refused when main advanced past the branch's
+        fork point unless ``force``; ``drop`` removes the branch chain
+        after publishing.  Returns the new main version."""
+        from cubefs_hadoop_spark import versioning
+
+        v = versioning.fast_forward(
+            self._table_path(name), branch, fs=self.fs, force=force,
+            drop=drop,
+        )
+        self._mark_dirty(name)
+        return v
+
     def read_version(
         self,
         name: str,
         version: int | str | None = None,
         predicates: list[tuple] | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Time-travel read: the exact file set version ``version`` (default
         latest) committed — concurrent commits can never tear the read.
@@ -1497,6 +1544,7 @@ class Engine:
             version,
             fs=self.fs,
             predicates=predicates,
+            branch=branch,
         )
 
     def alter_table(self, name: str, ops: list[dict]) -> None:

@@ -41,6 +41,7 @@ this repo's scale and is noted as the swap point.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 
@@ -56,6 +57,7 @@ from cubefs_hadoop_spark.fs import LocalFS, WarehouseFS
 
 _MANIFEST_DIR = "_manifests"
 _PAGES_DIR = "pages"
+_BRANCH_DIR = "branches"
 _DATA_DIR = "data"
 _LOCAL = LocalFS()
 
@@ -74,12 +76,20 @@ def _fs(fs: WarehouseFS | None) -> WarehouseFS:
     return _LOCAL if fs is None else fs
 
 
-def _manifest_dir(table_path: str, fs: WarehouseFS) -> str:
-    return fs.join(table_path, _MANIFEST_DIR)
+def _manifest_dir(
+    table_path: str, fs: WarehouseFS, branch: str | None = None
+) -> str:
+    if branch is None:
+        return fs.join(table_path, _MANIFEST_DIR)
+    return fs.join(table_path, _MANIFEST_DIR, _BRANCH_DIR, branch)
 
 
-def _manifest_path(table_path: str, version: int, fs: WarehouseFS) -> str:
-    return fs.join(_manifest_dir(table_path, fs), f"v{version:05d}.json")
+def _manifest_path(
+    table_path: str, version: int, fs: WarehouseFS, branch: str | None = None
+) -> str:
+    return fs.join(
+        _manifest_dir(table_path, fs, branch), f"v{version:05d}.json"
+    )
 
 
 def is_versioned(table_path: str, fs: WarehouseFS | None = None) -> bool:
@@ -93,10 +103,14 @@ def is_versioned(table_path: str, fs: WarehouseFS | None = None) -> bool:
     return bool(list_versions(table_path, fs))
 
 
-def list_versions(table_path: str, fs: WarehouseFS | None = None) -> list[int]:
+def list_versions(
+    table_path: str,
+    fs: WarehouseFS | None = None,
+    branch: str | None = None,
+) -> list[int]:
     fs = _fs(fs)
     out = []
-    for name, is_dir in fs.list_dir(_manifest_dir(table_path, fs)):
+    for name, is_dir in fs.list_dir(_manifest_dir(table_path, fs, branch)):
         if not is_dir and name.startswith("v") and name.endswith(".json"):
             try:
                 out.append(int(name[1:-5]))
@@ -105,10 +119,18 @@ def list_versions(table_path: str, fs: WarehouseFS | None = None) -> list[int]:
     return sorted(out)
 
 
-def current_version(table_path: str, fs: WarehouseFS | None = None) -> int:
-    vs = list_versions(table_path, fs)
+def current_version(
+    table_path: str,
+    fs: WarehouseFS | None = None,
+    branch: str | None = None,
+) -> int:
+    vs = list_versions(table_path, fs, branch)
     if not vs:
-        raise TableNotFoundError("no committed versions", table_path)
+        raise TableNotFoundError(
+            "no committed versions"
+            + (f" on branch {branch!r}" if branch else ""),
+            table_path,
+        )
     return vs[-1]
 
 
@@ -146,6 +168,7 @@ def read_manifest(
     fs: WarehouseFS | None = None,
     predicates: list[tuple] | None = None,
     light: bool = False,
+    branch: str | None = None,
 ) -> dict:
     """Load a committed manifest.  Format-1 manifests return verbatim.
     Format-2 (paged) roots are reassembled transparently — callers see
@@ -167,11 +190,13 @@ def read_manifest(
     fs = _fs(fs)
     try:
         m = json.loads(
-            fs.read_text(_manifest_path(table_path, version, fs))
+            fs.read_text(_manifest_path(table_path, version, fs, branch))
         )
     except FileNotFoundError:
         raise TableNotFoundError(
-            f"version {version} not found", table_path
+            f"version {version} not found"
+            + (f" on branch {branch!r}" if branch else ""),
+            table_path,
         ) from None
     pages = m.get("pages")
     if pages is None:
@@ -180,7 +205,7 @@ def read_manifest(
         m["files"] = []
         m["light"] = True
         return m
-    md = _manifest_dir(table_path, fs)
+    md = _manifest_dir(table_path, fs, branch)
     files: list[str] = []
     file_seq: dict = {}
     stats: dict = {}
@@ -211,7 +236,11 @@ def read_manifest(
 
 
 def _maybe_page(
-    table_path: str, manifest: dict, version: int, fs: WarehouseFS
+    table_path: str,
+    manifest: dict,
+    version: int,
+    fs: WarehouseFS,
+    branch: str | None = None,
 ) -> tuple[dict, list[str]]:
     """Split an oversized file list into page files (written immediately
     — they are invisible until the root publishes) and return the
@@ -222,7 +251,7 @@ def _maybe_page(
         return manifest, []
     file_seq = manifest.get("file_seq", {})
     stats = manifest.get("stats", {})
-    md = _manifest_dir(table_path, fs)
+    md = _manifest_dir(table_path, fs, branch)
     fs.mkdirs(fs.join(md, _PAGES_DIR))
     uniq = uuid.uuid4().hex[:8]  # concurrent committers of the same
     # version number must not collide on page names; the loser's pages
@@ -272,7 +301,11 @@ def _maybe_page(
 
 
 def _commit_manifest(
-    table_path: str, manifest: dict, version: int, fs: WarehouseFS
+    table_path: str,
+    manifest: dict,
+    version: int,
+    fs: WarehouseFS,
+    branch: str | None = None,
 ) -> int:
     """Atomically publish ``manifest`` as ``version`` (paged to format 2
     first when the file list exceeds MANIFEST_PAGE_ROWS).
@@ -280,11 +313,11 @@ def _commit_manifest(
     Raises VersionConflictError if that version was committed concurrently
     (the backend's no-overwrite publish — the N10 false-if-dst-exists
     analog — refused)."""
-    fs.mkdirs(_manifest_dir(table_path, fs))
-    manifest, pages = _maybe_page(table_path, manifest, version, fs)
-    final = _manifest_path(table_path, version, fs)
+    fs.mkdirs(_manifest_dir(table_path, fs, branch))
+    manifest, pages = _maybe_page(table_path, manifest, version, fs, branch)
+    final = _manifest_path(table_path, version, fs, branch)
     if not fs.create_if_absent(final, json.dumps(manifest, sort_keys=True)):
-        md = _manifest_dir(table_path, fs)
+        md = _manifest_dir(table_path, fs, branch)
         for rel in pages:  # loser's pages: reclaim eagerly
             fs.delete(fs.join(md, rel), recursive=False)
         raise VersionConflictError(
@@ -418,6 +451,165 @@ def delete_tag(
         fs.join(_manifest_dir(table_path, fs), f"tag-{tag}.json"),
         recursive=False,
     )
+
+
+# -- branches (write-audit-publish) --------------------------------------
+#
+# A branch is a SECOND manifest chain under _manifests/branches/<name>/
+# sharing the table's data/ dirs: branch commits stage bytes exactly like
+# main commits (invisible until a manifest references them), so creating
+# a branch moves zero data and a branch of a 100 TB table costs one JSON
+# write.  The Iceberg WAP workflow: write to the branch, audit it (run
+# expectations/queries against read_version(branch=...)), then
+# fast_forward publishes the branch head onto main as one atomic commit.
+# Branch manifests pin their files against GC until drop_branch.
+
+
+_BRANCH_NAME = re.compile(r"^[\w-]+$")
+
+
+def create_branch(
+    table_path: str,
+    branch: str,
+    from_version: int | None = None,
+    fs: WarehouseFS | None = None,
+) -> int:
+    """Fork a named branch at main's ``from_version`` (default: head).
+    The branch's v1 duplicates that snapshot's manifest — files by
+    REFERENCE, no data movement at any scale."""
+    fs = _fs(fs)
+    if not _BRANCH_NAME.match(branch):
+        raise EngineIOError(f"invalid branch name {branch!r}", table_path)
+    if list_versions(table_path, fs, branch):
+        raise EngineIOError(
+            f"branch {branch!r} already exists", table_path
+        )
+    base = (
+        current_version(table_path, fs)
+        if from_version is None
+        else from_version
+    )
+    bm = read_manifest(table_path, base, fs)
+    manifest = {
+        k: v
+        for k, v in bm.items()
+        if k
+        in (
+            "files",
+            "file_seq",
+            "stats",
+            "deletes",
+            "partition_by",
+            "schema",
+            "schema_ops",
+            "batch_id_max",
+        )
+    }
+    manifest.update(
+        {
+            "version": 1,
+            "parent": None,
+            "mode": "branch",
+            "base_version": base,
+            "ts_ms": int(time.time() * 1000),
+        }
+    )
+    return _commit_manifest(table_path, manifest, 1, fs, branch)
+
+
+def list_branches(
+    table_path: str, fs: WarehouseFS | None = None
+) -> list[str]:
+    fs = _fs(fs)
+    root = fs.join(_manifest_dir(table_path, fs), _BRANCH_DIR)
+    if not fs.is_dir(root):
+        return []
+    return sorted(
+        d
+        for d, is_dir in fs.list_dir(root)
+        if is_dir and list_versions(table_path, fs, d)
+    )
+
+
+def drop_branch(
+    table_path: str, branch: str, fs: WarehouseFS | None = None
+) -> bool:
+    """Delete the branch's manifest chain (metadata only).  Data files
+    the branch staged become unreferenced and are reclaimed by the next
+    ``expire_versions`` sweep after the orphan grace."""
+    fs = _fs(fs)
+    if not _BRANCH_NAME.match(branch):
+        raise EngineIOError(f"invalid branch name {branch!r}", table_path)
+    return fs.delete(
+        fs.join(_manifest_dir(table_path, fs), _BRANCH_DIR, branch),
+        recursive=True,
+    )
+
+
+def fast_forward(
+    table_path: str,
+    branch: str,
+    fs: WarehouseFS | None = None,
+    force: bool = False,
+    drop: bool = True,
+) -> int:
+    """Publish the branch head onto main as one atomic commit (mode
+    ``publish``) — the audit-passed WAP step.  Refused when main has
+    advanced past the branch's fork point (the audit no longer describes
+    what publishing would clobber) unless ``force``.  ``drop`` deletes
+    the branch chain after a successful publish."""
+    fs = _fs(fs)
+    bv = current_version(table_path, fs, branch)
+    bh = read_manifest(table_path, bv, fs, branch=branch)
+    b1 = read_manifest(table_path, 1, fs, branch=branch)
+    main_head = current_version(table_path, fs)
+    base = b1.get("base_version")
+    if not force and main_head != base:
+        raise VersionConflictError(
+            f"main advanced to v{main_head} past branch {branch!r}'s "
+            f"fork point v{base}; re-audit on a fresh branch or "
+            "fast_forward(force=True)",
+            table_path,
+        )
+    manifest = {
+        k: v
+        for k, v in bh.items()
+        if k
+        in (
+            "files",
+            "file_seq",
+            "stats",
+            "deletes",
+            "partition_by",
+            "schema",
+            "schema_ops",
+        )
+    }
+    watermarks = [
+        m["batch_id_max"]
+        for m in (
+            bh,
+            read_manifest(table_path, main_head, fs, light=True),
+        )
+        if "batch_id_max" in m
+    ]
+    if watermarks:
+        manifest["batch_id_max"] = max(watermarks)
+    v = main_head + 1
+    manifest.update(
+        {
+            "version": v,
+            "parent": main_head,
+            "mode": "publish",
+            "branch": branch,
+            "branch_version": bv,
+            "ts_ms": int(time.time() * 1000),
+        }
+    )
+    out = _commit_manifest(table_path, manifest, v, fs)
+    if drop:
+        drop_branch(table_path, branch, fs)
+    return out
 
 
 def _layout_partitioned(files: list[str]) -> bool:
@@ -669,6 +861,7 @@ def commit_version(
     extra: dict | None = None,
     stats_cols: list[str] | None = None,
     write_opts: dict | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as a new committed version of the table.
 
@@ -702,6 +895,7 @@ def commit_version(
         extra=extra,
         max_retries=max_retries,
         fs=fs,
+        branch=branch,
     )
 
 
@@ -716,6 +910,7 @@ def commit_staged_files(
     extra: dict | None = None,
     max_retries: int = 3,
     fs: WarehouseFS | None = None,
+    branch: str | None = None,
 ) -> int:
     """Publish ALREADY-STAGED data files as a new committed version — the
     manifest-assembly half of ``commit_version``, exposed for writers
@@ -726,15 +921,22 @@ def commit_staged_files(
     fs = _fs(fs)
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
+    if branch is not None and not list_versions(table_path, fs, branch):
+        # an implicit chain here would silently fork from EMPTY, not from
+        # main's head — make branch creation an explicit, audited step
+        raise TableNotFoundError(
+            f"branch {branch!r} does not exist; create_branch first",
+            table_path,
+        )
     new_stats = new_stats or {}
     attempt = 0
     while True:
-        vs = list_versions(table_path, fs)
+        vs = list_versions(table_path, fs, branch)
         parent = vs[-1] if vs else 0
         base_files: list[str] = []
         inherited: dict = {}
         if parent:
-            pm = read_manifest(table_path, parent, fs)
+            pm = read_manifest(table_path, parent, fs, branch=branch)
             if mode == "append":
                 base_files = pm["files"]
                 if base_files and _layout_partitioned(
@@ -811,7 +1013,9 @@ def commit_staged_files(
             **(extra or {}),
         }
         try:
-            return _commit_manifest(table_path, manifest, parent + 1, fs)
+            return _commit_manifest(
+                table_path, manifest, parent + 1, fs, branch
+            )
         except VersionConflictError:
             attempt += 1
             if mode != "append" or attempt > max_retries:
@@ -1034,6 +1238,7 @@ def read_version(
     fs: WarehouseFS | None = None,
     merge_schema: bool = False,
     predicates: list[tuple] | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Read a committed version (default: latest) — exactly the files its
     manifest lists, so concurrent commits never tear a read.
@@ -1050,12 +1255,24 @@ def read_version(
     are row-level tombstones, not data)."""
     fs = _fs(fs)
     if isinstance(version, str):
+        if branch is not None:
+            raise EngineIOError(
+                "tags name MAIN-chain snapshots; a branch read takes a "
+                "numeric branch version",
+                table_path,
+            )
         version = resolve_tag(table_path, version, fs)
-    v = current_version(table_path, fs) if version is None else version
+    v = (
+        current_version(table_path, fs, branch)
+        if version is None
+        else version
+    )
     # paged manifests skip whole pages on these predicates before any
     # page JSON is parsed; file-level pruning below then sees only the
     # surviving pages' entries (same final set, bounded driver work)
-    m = read_manifest(table_path, v, fs, predicates=predicates)
+    m = read_manifest(
+        table_path, v, fs, predicates=predicates, branch=branch
+    )
     data_files = prune_files(m, predicates)
     # post-alter reads mix file generations with different physical
     # schemas; merge-read + op-chain conformance reconcile them
@@ -1635,6 +1852,16 @@ def expire_versions(
         (referenced if v in keep else expired_refs).update(refs)
         if v in keep:
             live_pages.update(p["path"] for p in m.get("pages", []))
+    # live BRANCHES pin their file sets too: a WAP audit branch must stay
+    # readable until drop_branch, whatever main expires underneath it
+    # (branch page files live under the branch dir, outside this sweep's
+    # pages/ scan, so only the data-file census needs them)
+    for b in list_branches(table_path, fs):
+        for bv in list_versions(table_path, fs, b):
+            bm = read_manifest(table_path, bv, fs, branch=b)
+            referenced.update(bm["files"])
+            for d in bm.get("deletes", []):
+                referenced.update(d.get("eq_files", []))
     expired_refs -= referenced
     removed_versions = 0
     md = _manifest_dir(table_path, fs)

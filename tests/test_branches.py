@@ -1,0 +1,154 @@
+"""Write-audit-publish branches (Iceberg WAP workflow): a branch is a
+second manifest chain sharing the table's data dirs — forking moves zero
+bytes at any scale, branch commits stage like main commits, audits run
+against the branch read, and fast-forward publishes the audited head
+onto main as one atomic commit.  Branches pin their files against GC
+until dropped."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.errors import (
+    EngineIOError,
+    TableNotFoundError,
+    VersionConflictError,
+)
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    return Engine(spark, tmp_warehouse)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_branch_write_audit_publish_roundtrip(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "audit")
+    # branch starts at main's snapshot
+    assert eng.read_version("t", branch="audit").count() == 10
+    # write lands on the branch only
+    eng.write_table_version(
+        _df(spark, 10, 25), "t", mode="append", branch="audit"
+    )
+    assert eng.read_version("t", branch="audit").count() == 25
+    assert eng.read_version("t").count() == 10  # main untouched
+    # audit passes -> publish: main gets the branch state in ONE commit
+    v = eng.publish_branch("t", "audit")
+    assert eng.read_version("t").count() == 25
+    m = versioning.read_manifest(eng._table_path("t"), v)
+    assert m["mode"] == "publish" and m["branch"] == "audit"
+    # branch dropped after publish by default
+    assert eng.table_branches("t") == []
+    # pre-publish main history intact
+    assert eng.read_version("t", 1).count() == 10
+
+
+def test_branch_overwrite_then_publish(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "rewrite")
+    eng.write_table_version(
+        _df(spark, 100, 103), "t", mode="overwrite", branch="rewrite"
+    )
+    assert eng.read_version("t").count() == 10
+    eng.publish_branch("t", "rewrite")
+    assert sorted(r.id for r in eng.read_version("t").collect()) == [
+        100,
+        101,
+        102,
+    ]
+
+
+def test_publish_refuses_diverged_main_unless_forced(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "audit")
+    eng.write_table_version(
+        _df(spark, 10, 20), "t", mode="append", branch="audit"
+    )
+    # main moves on while the audit runs
+    eng.write_table_version(_df(spark, 50, 55), "t", mode="append")
+    with pytest.raises(VersionConflictError, match="fork point"):
+        eng.publish_branch("t", "audit")
+    assert eng.table_branches("t") == ["audit"]  # refusal keeps the branch
+    v = eng.publish_branch("t", "audit", force=True)
+    # forced publish = branch head wins wholesale (main's interim append
+    # is in history, not in the published state)
+    assert eng.read_version("t", v).count() == 20
+
+
+def test_branch_commit_requires_create(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    with pytest.raises(TableNotFoundError, match="create_branch"):
+        eng.write_table_version(
+            _df(spark, 10, 20), "t", mode="append", branch="ghost"
+        )
+
+
+def test_branch_names_validated_and_unique(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "a-b_1")
+    with pytest.raises(EngineIOError, match="already exists"):
+        eng.create_table_branch("t", "a-b_1")
+    with pytest.raises(EngineIOError, match="invalid branch"):
+        eng.create_table_branch("t", "../escape")
+
+
+def test_gc_spares_branch_files(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "keepme")
+    eng.write_table_version(
+        _df(spark, 10, 40), "t", mode="overwrite", branch="keepme"
+    )
+    # main overwrites twice then expires everything but its head
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.expire_table_versions("t", keep_last=1, orphan_grace_ms=0)
+    # the branch's 30 rows survive the sweep (its files were never
+    # referenced by ANY main manifest)
+    assert eng.read_version("t", branch="keepme").count() == 30
+    assert eng.read_version("t").count() == 3
+
+
+def test_drop_branch_releases_files_to_gc(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "tmp")
+    eng.write_table_version(
+        _df(spark, 10, 40), "t", mode="overwrite", branch="tmp"
+    )
+    eng.drop_table_branch("t", "tmp")
+    assert eng.table_branches("t") == []
+    stats = versioning.expire_versions(
+        eng._table_path("t"), keep_last=1, orphan_grace_ms=0
+    )
+    assert stats["files_removed"] > 0  # branch-staged files reclaimed
+    assert eng.read_version("t").count() == 10  # main intact
+
+
+def test_wap_with_expectations(eng, spark):
+    """The full WAP loop: stage on a branch, audit with expectations,
+    publish only when clean."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "wap")
+    eng.write_table_version(
+        _df(spark, 10, 30), "t", mode="append", branch="wap"
+    )
+    staged = eng.read_version("t", branch="wap")
+    violations = {
+        c: n for c, n in eng.expect(staged, ["v = id * 2", "id >= 0"]).items() if n
+    }
+    assert violations == {}
+    eng.publish_branch("t", "wap")
+    assert eng.read_version("t").count() == 30
+
+
+def test_branch_read_rejects_tag_names(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.tag_table("t", "pinned")
+    eng.create_table_branch("t", "b")
+    with pytest.raises(EngineIOError, match="numeric branch version"):
+        eng.read_version("t", "pinned", branch="b")

@@ -125,7 +125,7 @@ def test_append_retries_through_conflict(eng, spark):
     real_commit = versioning._commit_manifest
     raced = {"done": False}
 
-    def racing_commit(table_path, manifest, version, fs):
+    def racing_commit(table_path, manifest, version, fs, branch=None):
         # first attempt: sneak a competing commit in just before ours
         if not raced["done"]:
             raced["done"] = True
@@ -137,7 +137,7 @@ def test_append_retries_through_conflict(eng, spark):
                 version,
                 fs,
             )
-        return real_commit(table_path, manifest, version, fs)
+        return real_commit(table_path, manifest, version, fs, branch)
 
     versioning._commit_manifest = racing_commit
     try:
