@@ -806,6 +806,7 @@ class Engine:
           CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
           REFRESH MATERIALIZED VIEW m                  -> incremental/full
           DROP MATERIALIZED VIEW m                     -> drop_materialized_view
+          ALTER TABLE t CREATE/DROP/PUBLISH BRANCH b   -> WAP branches
           ALTER TABLE t ADD COLUMN c type              -> alter_table
           ALTER TABLE t RENAME COLUMN a TO b           -> alter_table
           ALTER TABLE t DROP COLUMN c                  -> alter_table
@@ -1007,6 +1008,21 @@ class Engine:
             self.alter_table(
                 m.group(1), [{"op": "drop", "name": m.group(2)}]
             )
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+(CREATE|DROP|PUBLISH)\s+BRANCH\s+"
+            r"([\w-]+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            tname, verb, b = m.group(1), m.group(2).upper(), m.group(3)
+            if verb == "CREATE":
+                self.create_table_branch(tname, b)
+            elif verb == "DROP":
+                self.drop_table_branch(tname, b)
+            else:
+                self.publish_branch(tname, b)
             return None
         m = re.match(
             r"OPTIMIZE\s+(\w+)\s+ZORDER\s+BY\s+\(?([\w\s,]+?)\)?$",

@@ -152,3 +152,34 @@ def test_branch_read_rejects_tag_names(eng, spark):
     eng.create_table_branch("t", "b")
     with pytest.raises(EngineIOError, match="numeric branch version"):
         eng.read_version("t", "pinned", branch="b")
+
+
+def test_sql_branch_verbs(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.execute("ALTER TABLE t CREATE BRANCH wap-1")
+    assert eng.table_branches("t") == ["wap-1"]
+    eng.write_table_version(
+        _df(spark, 10, 20), "t", mode="append", branch="wap-1"
+    )
+    eng.execute("ALTER TABLE t PUBLISH BRANCH wap-1")
+    assert eng.read_version("t").count() == 20
+    eng.execute("ALTER TABLE t CREATE BRANCH scratch")
+    eng.execute("ALTER TABLE t DROP BRANCH scratch")
+    assert eng.table_branches("t") == []
+
+
+def test_cdc_reads_across_clean_publish(eng, spark):
+    """A clean fast-forward of an append-only branch is file-additive, so
+    the incremental CDC read works THROUGH the publish commit: consumers
+    see exactly the audited rows, once."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    base = versioning.current_version(eng._table_path("t"))
+    eng.create_table_branch("t", "audit")
+    eng.write_table_version(
+        _df(spark, 10, 25), "t", mode="append", branch="audit"
+    )
+    eng.publish_branch("t", "audit")
+    delta = versioning.read_changes(
+        spark, eng._table_path("t"), from_version=base
+    )
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 25))
