@@ -132,6 +132,7 @@ class CfsTableReader(DataSourceReader):
             raise ValueError("cfstable: option 'path' is required")
         v = options.get("version")
         self.version = int(v) if v is not None else None
+        self.branch = options.get("branch")
         self.schema = schema
         self.cols = [f.name for f in schema.fields]
         self.predicates: list[tuple] = []
@@ -142,15 +143,15 @@ class CfsTableReader(DataSourceReader):
         from cubefs_hadoop_spark import versioning
 
         pinned = (
-            versioning.current_version(self.path)
+            versioning.current_version(self.path, branch=self.branch)
             if self.version is None
             else self.version
         )
         # light read: the op chain lives in the root; no page assembly
         self.ops = (
-            versioning.read_manifest(self.path, pinned, light=True).get(
-                "schema_ops"
-            )
+            versioning.read_manifest(
+                self.path, pinned, light=True, branch=self.branch
+            ).get("schema_ops")
             or []
         )
 
@@ -168,14 +169,17 @@ class CfsTableReader(DataSourceReader):
         from cubefs_hadoop_spark import versioning
 
         v = (
-            versioning.current_version(self.path)
+            versioning.current_version(self.path, branch=self.branch)
             if self.version is None
             else self.version
         )
         # paged manifests: pushed predicates skip whole pages before any
         # page JSON loads; prune_files below sees only survivors
         m = versioning.read_manifest(
-            self.path, v, predicates=self.predicates or None
+            self.path,
+            v,
+            predicates=self.predicates or None,
+            branch=self.branch,
         )
         if m.get("deletes"):
             raise ValueError(
@@ -324,6 +328,7 @@ class CfsTableWriter(DataSourceArrowWriter):
         if not self.path:
             raise ValueError("cfstable: option 'path' is required")
         self.overwrite = overwrite
+        self.branch = options.get("branch")
         self.schema_json = schema.jsonValue()
         pb = options.get("partitionby")
         self.partition_by = (
@@ -415,6 +420,7 @@ class CfsTableWriter(DataSourceArrowWriter):
             mode="overwrite" if self.overwrite else "append",
             partition_by=self.partition_by or None,
             stage=self.stage,
+            branch=self.branch,
         )
 
     def abort(self, messages):
@@ -450,6 +456,13 @@ class CfsTableStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cfstable: option 'path' is required")
+        if options.get("branch"):
+            # branches are audit staging, not a CDC source: their chains
+            # are short-lived and fast-forward rewrites offsets
+            raise ValueError(
+                "cfstable streaming reads main only; read the branch as "
+                "a batch (option 'branch') or publish it first"
+            )
         start = options.get("startingversion")
         self._start = int(start) if start is not None else None
 
@@ -542,15 +555,18 @@ class CfsTableDataSource(DataSource):
         if not path:
             raise ValueError("cfstable: option 'path' is required")
         v = self.options.get("version")
+        branch = self.options.get("branch")
         # Resolve "latest" ONCE and pin it: the reader must plan its file
         # list from the SAME manifest this schema came from, or a commit
         # landing between schema resolution and partition planning tears
         # the scan (v2 schema over v3 files).
         self._pinned_version = (
-            int(v) if v is not None else versioning.current_version(path)
+            int(v)
+            if v is not None
+            else versioning.current_version(path, branch=branch)
         )
         m = versioning.read_manifest(
-            path, self._pinned_version, light=True
+            path, self._pinned_version, light=True, branch=branch
         )
         if not m.get("schema"):
             raise ValueError("cfstable: manifest records no schema")

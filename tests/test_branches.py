@@ -183,3 +183,51 @@ def test_cdc_reads_across_clean_publish(eng, spark):
         spark, eng._table_path("t"), from_version=base
     )
     assert sorted(r.id for r in delta.collect()) == list(range(10, 25))
+
+
+def test_cfstable_branch_option_read_write(eng, spark):
+    """WAP from the pure Spark API: write to a branch and read it back
+    through the cfstable DataSource, main untouched until publish."""
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "wap")
+    p = eng._table_path("t")
+    (
+        _df(spark, 10, 30)
+        .write.format("cfstable")
+        .option("path", p)
+        .option("branch", "wap")
+        .mode("append")
+        .save()
+    )
+    branch_df = (
+        spark.read.format("cfstable")
+        .option("path", p)
+        .option("branch", "wap")
+        .load()
+    )
+    assert branch_df.count() == 30
+    main_df = spark.read.format("cfstable").option("path", p).load()
+    assert main_df.count() == 10
+    eng.publish_branch("t", "wap")
+    assert (
+        spark.read.format("cfstable").option("path", p).load().count() == 30
+    )
+
+
+def test_cfstable_branch_write_requires_create(eng, spark):
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    with pytest.raises(Exception, match="create_branch"):
+        (
+            _df(spark, 10, 20)
+            .write.format("cfstable")
+            .option("path", eng._table_path("t"))
+            .option("branch", "ghost")
+            .mode("append")
+            .save()
+        )
