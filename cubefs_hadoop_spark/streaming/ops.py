@@ -432,7 +432,10 @@ def running_max_stateful(sdf: DataFrame) -> DataFrame:
 
 
 def versioned_batch_committer(
-    engine, table: str, stats_cols: list | None = None
+    engine,
+    table: str,
+    stats_cols: list | None = None,
+    branch: str | None = None,
 ):
     """The foreachBatch function behind sink_versioned, exposed so tests
     (and custom writeStream wiring) can drive it directly.
@@ -455,6 +458,33 @@ def versioned_batch_committer(
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         path = engine._table_path(table)
         prev_max = None
+        if branch is not None:
+            # WAP streaming: stage the whole run on an audit branch (the
+            # branch must already exist — create_table_branch is the
+            # explicit fork step); the watermark ledger rides the BRANCH
+            # chain, so replayed batches skip there too, and publish
+            # carries the final watermark onto main
+            prev_max = versioning.last_committed_batch(
+                path, engine.fs, branch=branch
+            )
+            if prev_max is not None and int(batch_id) <= prev_max:
+                return
+            versioning.commit_version(
+                batch_df,
+                path,
+                mode="append",
+                fs=engine.fs,
+                stats_cols=stats_cols,
+                branch=branch,
+                extra={
+                    "batch_id": int(batch_id),
+                    "batch_id_max": max(
+                        int(batch_id),
+                        prev_max if prev_max is not None else -1,
+                    ),
+                },
+            )
+            return
         if engine.fs.exists(path):
             if not versioning.is_versioned(path, engine.fs):
                 # a PLAIN parquet table already lives here: once a manifest
@@ -494,13 +524,14 @@ def sink_versioned(
     table: str,
     checkpoint_dir: str,
     stats_cols: list | None = None,
+    branch: str | None = None,
 ) -> None:
     """S14: stream into a snapshot-versioned table with exactly-once batch
     commits (the Iceberg-sink capability the reference's host engines get
     from Flink+Iceberg, reference README.md:79-88)."""
     q = (
         sdf.writeStream.foreachBatch(
-            versioned_batch_committer(engine, table, stats_cols)
+            versioned_batch_committer(engine, table, stats_cols, branch)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -354,7 +354,9 @@ def _stage_write(
 
 
 def last_committed_batch(
-    table_path: str, fs: WarehouseFS | None = None
+    table_path: str,
+    fs: WarehouseFS | None = None,
+    branch: str | None = None,
 ) -> int | None:
     """The exactly-once streaming ledger as a WATERMARK: Structured
     Streaming batch ids are monotonically increasing per checkpoint, so
@@ -365,10 +367,10 @@ def last_committed_batch(
     retained).  Falls back to scanning per-commit ``batch_id`` fields for
     chains written before the watermark field existed."""
     fs = _fs(fs)
-    vs = list_versions(table_path, fs)
+    vs = list_versions(table_path, fs, branch)
     if not vs:
         return None
-    latest = read_manifest(table_path, vs[-1], fs)
+    latest = read_manifest(table_path, vs[-1], fs, branch=branch)
     if "batch_id_max" in latest:
         return int(latest["batch_id_max"])
     if latest.get("batch_ids"):
@@ -377,7 +379,8 @@ def last_committed_batch(
     seen = [
         int(b)
         for v in vs
-        if (b := read_manifest(table_path, v, fs).get("batch_id")) is not None
+        if (b := read_manifest(table_path, v, fs, branch=branch).get("batch_id"))
+        is not None
     ]
     return max(seen) if seen else None
 

@@ -676,3 +676,32 @@ def test_s14_versioned_sink_with_stats_is_prunable(spark, staged, tmp_path):
         "ev", predicates=[("event_id", "<", lo + 5)]
     ).collect()
     assert sorted(r.event_id for r in got) == list(range(lo, lo + 5))
+
+
+def test_s14_versioned_sink_into_branch_wap(spark, staged, tmp_path):
+    """WAP streaming: the whole run stages on an audit branch (own
+    exactly-once ledger), main stays untouched until publish lands the
+    audited state atomically."""
+    from cubefs_hadoop_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "whb"))
+    eng.write_table_version(
+        spark.range(0).selectExpr(
+            "id AS event_id", "id AS user_id"
+        ),
+        "ev",
+    )
+    eng.create_table_branch("ev", "ingest")
+    sdf = ops.read_stream(spark, staged).select("event_id", "user_id")
+    ops.sink_versioned(
+        sdf, eng, "ev", _ckpt(tmp_path, "s14b"), branch="ingest"
+    )
+    total = load(spark, SF_SMOKE, "events").count()
+    assert eng.read_version("ev").count() == 0  # main untouched
+    assert eng.read_version("ev", branch="ingest").count() == total
+    # replayed batch id is a no-op on the branch ledger too
+    commit = ops.versioned_batch_committer(eng, "ev", branch="ingest")
+    commit(spark.range(3).selectExpr("id AS event_id", "id AS user_id"), 0)
+    assert eng.read_version("ev", branch="ingest").count() == total
+    eng.publish_branch("ev", "ingest")
+    assert eng.read_version("ev").count() == total
