@@ -1647,6 +1647,66 @@ class Engine:
             self._mark_dirty(name)
         return v
 
+    def maintain_table(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        keep_last: int = 10,
+        orphan_grace_ms: int = 15 * 60 * 1000,
+    ) -> dict:
+        """One-call routine maintenance policy for a versioned table —
+        the nightly-cron verb that keeps a streaming-ingest table healthy
+        without an operator deciding which tool applies:
+
+        1. pending merge-on-read deletes or schema ops -> full
+           ``compact_version`` (materializes both; the only correct
+           rewrite in that state);
+        2. otherwise -> incremental BINPACK (O(small files), no-op when
+           fewer than two files are under threshold);
+        3. always -> version GC beyond ``keep_last`` (tagged snapshots
+           and live branches stay pinned).
+
+        Each step is itself atomic and crash-safe, so a failure between
+        steps leaves a consistent table — rerunning is always safe.
+        Returns ``{"compacted": v|None, "binpacked": v|None,
+        "gc": stats}``."""
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not versioning.is_versioned(path, self.fs):
+            raise TableNotFoundError(
+                "maintain_table requires a versioned table", name
+            )
+        out: dict = {"compacted": None, "binpacked": None}
+        m = versioning.read_manifest(
+            path, versioning.current_version(path, self.fs), self.fs
+        )
+        # whatever stats tier the table tracked must survive the rewrite;
+        # per-file stats carry PHYSICAL (pre-alter) names — map them
+        # through the op chain so the rewrite harvests current names
+        tracked = {c for st in (m.get("stats") or {}).values() for c in st}
+        for op in m.get("schema_ops") or []:
+            if op["op"] == "rename" and op["from"] in tracked:
+                tracked.discard(op["from"])
+                tracked.add(op["to"])
+            elif op["op"] == "drop":
+                tracked.discard(op["name"])
+        stats_cols = sorted(tracked)
+        if m.get("deletes") or m.get("schema_ops"):
+            out["compacted"] = versioning.compact_version(
+                self.spark, path, target_file_bytes, fs=self.fs,
+                stats_cols=stats_cols or None,
+            )
+        else:
+            out["binpacked"] = versioning.binpack_version(
+                self.spark, path, target_file_bytes, fs=self.fs
+            )
+        out["gc"] = versioning.expire_versions(
+            path, keep_last, fs=self.fs, orphan_grace_ms=orphan_grace_ms
+        )
+        self._mark_dirty(name)
+        return out
+
     def table_versions(self, name: str) -> list[int]:
         from cubefs_hadoop_spark import versioning
 

@@ -147,3 +147,43 @@ def test_optimize_binpack_sql_verb(eng, spark):
     m = versioning.read_manifest(path, versioning.current_version(path))
     assert m["mode"] == "binpack"
     assert eng.read_version("t").count() == 80
+
+
+def test_maintain_table_policy(eng, spark):
+    """The one-call maintenance verb picks the right tool per state:
+    binpack on a clean small-file table, full compact when MoR deletes or
+    schema ops are pending, GC always."""
+    _append_many_small(eng, spark)
+    r1 = eng.maintain_table("t", target_file_bytes=1 << 20, keep_last=2)
+    assert r1["binpacked"] is not None and r1["compacted"] is None
+    assert eng.read_version("t").count() == 80
+    # pending MoR delete flips the policy to full compact
+    eng.delete_from("t", "id < 10", strategy="mor")
+    r2 = eng.maintain_table("t", target_file_bytes=1 << 20, keep_last=2)
+    assert r2["compacted"] is not None and r2["binpacked"] is None
+    assert eng.read_version("t").count() == 70  # delete materialized
+    assert r2["gc"]["versions_removed"] > 0
+    # stats tier survives both rewrites
+    m = versioning.read_manifest(
+        eng._table_path("t"),
+        versioning.current_version(eng._table_path("t")),
+    )
+    assert all("id" in st for st in m["stats"].values())
+    # idempotent: rerunning is safe and a no-op on a healthy table
+    r3 = eng.maintain_table("t", target_file_bytes=1 << 20, keep_last=2)
+    assert r3["binpacked"] is None and r3["compacted"] is None
+
+
+def test_maintain_table_compacts_through_rename(eng, spark):
+    """Stats tracked under a pre-ALTER name are re-harvested under the
+    renamed column after the policy compact."""
+    _append_many_small(eng, spark)
+    eng.alter_table("t", [{"op": "rename", "from": "id", "to": "key"}])
+    r = eng.maintain_table("t", target_file_bytes=1 << 20, keep_last=2)
+    assert r["compacted"] is not None
+    m = versioning.read_manifest(
+        eng._table_path("t"),
+        versioning.current_version(eng._table_path("t")),
+    )
+    assert all("key" in st for st in m["stats"].values())
+    assert eng.read_version("t").columns == ["key", "v"]
