@@ -1264,7 +1264,15 @@ def read_version(
                 "numeric branch version",
                 table_path,
             )
-        version = resolve_tag(table_path, version, fs)
+        # a string names a TAG first (immutable wins any ambiguity),
+        # falling back to a BRANCH head — the Iceberg VERSION AS OF
+        # name-resolution order
+        try:
+            version = resolve_tag(table_path, version, fs)
+        except TableNotFoundError:
+            if not list_versions(table_path, fs, version):
+                raise
+            branch, version = version, None
     v = (
         current_version(table_path, fs, branch)
         if version is None

@@ -231,3 +231,26 @@ def test_cfstable_branch_write_requires_create(eng, spark):
             .mode("append")
             .save()
         )
+
+
+def test_version_as_of_resolves_branch_name(eng, spark):
+    """VERSION AS OF '<name>' resolves a tag first, then a branch head —
+    including through the SQL time-travel rewrite."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "audit")
+    eng.write_table_version(
+        _df(spark, 10, 40), "t", mode="append", branch="audit"
+    )
+    # python API: string resolves to the branch head
+    assert eng.read_version("t", "audit").count() == 40
+    # SQL rewrite path
+    n = eng.execute(
+        "SELECT COUNT(*) AS c FROM t VERSION AS OF 'audit'"
+    ).first().c
+    assert n == 40
+    # a TAG with the same name wins (immutable beats mutable)
+    eng.tag_table("t", "audit", version=1)
+    assert eng.read_version("t", "audit").count() == 10
+    # unknown names still raise
+    with pytest.raises(TableNotFoundError):
+        eng.read_version("t", "nope")
