@@ -1063,6 +1063,12 @@ class Engine:
         if m:
             self.drop_table(m.group(2), ignore_missing=bool(m.group(1)))
             return None
+        m = re.match(r"SHOW\s+BRANCHES\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                [(b,) for b in self.table_branches(m.group(1))],
+                "branch string",
+            )
         if re.match(r"SHOW\s+TABLES$", s, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(t,) for t in self.list_tables()], "table string"
@@ -1523,6 +1529,16 @@ class Engine:
             self._table_path(name), branch, self.fs
         )
 
+    def expire_table_branches(self, name: str, max_age_ms: int) -> list[str]:
+        """Drop branches whose head is older than ``max_age_ms`` — the
+        cleanup for audit branches abandoned after a failed check, which
+        otherwise pin their staged files against GC forever."""
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.expire_branches(
+            self._table_path(name), max_age_ms, fs=self.fs
+        )
+
     def publish_branch(
         self, name: str, branch: str, force: bool = False, drop: bool = True
     ) -> int:
@@ -1765,7 +1781,12 @@ class Engine:
             "n_files int, batch_id bigint",
         )
 
-    def table_files(self, name: str, version: int | str | None = None) -> DataFrame:
+    def table_files(
+        self,
+        name: str,
+        version: int | str | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
         """Per-data-file metadata for a versioned table's snapshot —
         Iceberg's ``files`` metadata-table analog.  One row per live file:
         relative path, on-disk size, commit sequence number, Hive-partition
@@ -1789,13 +1810,13 @@ class Engine:
                 name,
             )
         v = (
-            versioning.current_version(path, self.fs)
+            versioning.current_version(path, self.fs, branch)
             if version is None
             else versioning.resolve_tag(path, version, self.fs)
             if isinstance(version, str)
             else version
         )
-        m = versioning.read_manifest(path, v, self.fs)
+        m = versioning.read_manifest(path, v, self.fs, branch=branch)
         sizes = {
             rel: (size, mt) for rel, size, mt in self.fs.walk_files(path)
         }

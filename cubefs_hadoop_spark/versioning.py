@@ -549,6 +549,31 @@ def drop_branch(
     )
 
 
+def expire_branches(
+    table_path: str,
+    max_age_ms: int,
+    fs: WarehouseFS | None = None,
+) -> list[str]:
+    """Drop branches whose HEAD commit is older than ``max_age_ms`` —
+    the leak plug for forgotten audit branches, which otherwise pin
+    their staged files against GC forever.  Age is measured from the
+    branch's last commit, so an actively-written branch never expires.
+    Returns the dropped branch names; their files become unreferenced
+    and the next ``expire_versions`` sweep reclaims them."""
+    fs = _fs(fs)
+    now_ms = int(time.time() * 1000)
+    dropped = []
+    for b in list_branches(table_path, fs):
+        head = read_manifest(
+            table_path, current_version(table_path, fs, b), fs,
+            light=True, branch=b,
+        )
+        if now_ms - int(head.get("ts_ms", 0)) > max_age_ms:
+            drop_branch(table_path, b, fs)
+            dropped.append(b)
+    return dropped
+
+
 def fast_forward(
     table_path: str,
     branch: str,

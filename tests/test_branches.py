@@ -254,3 +254,32 @@ def test_version_as_of_resolves_branch_name(eng, spark):
     # unknown names still raise
     with pytest.raises(TableNotFoundError):
         eng.read_version("t", "nope")
+
+
+def test_show_branches_sql_and_table_files_branch(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "b1")
+    eng.create_table_branch("t", "b2")
+    assert [r.branch for r in eng.execute("SHOW BRANCHES t").collect()] == [
+        "b1",
+        "b2",
+    ]
+    eng.write_table_version(
+        _df(spark, 10, 30), "t", mode="append", branch="b1"
+    )
+    # the files metadata table scopes to the branch snapshot
+    main_files = eng.table_files("t").count()
+    branch_files = eng.table_files("t", branch="b1").count()
+    assert branch_files > main_files
+
+
+def test_expire_branches_by_age(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "stale")
+    eng.create_table_branch("t", "fresh")
+    # everything is younger than an hour: nothing expires
+    assert eng.expire_table_branches("t", max_age_ms=3_600_000) == []
+    # age 0 cutoff: both heads are "older" than 0ms
+    dropped = eng.expire_table_branches("t", max_age_ms=-1)
+    assert sorted(dropped) == ["fresh", "stale"]
+    assert eng.table_branches("t") == []
