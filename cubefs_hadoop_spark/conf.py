@@ -29,6 +29,8 @@ capability:
 | cfspark.checkpoint.dir                    | reliable-barrier checkpoint root        |
 |                                           | (plans/materialize.py)                  |
 | cfspark.reliable.barriers                 | durable iteration state for dedup/      |
+| cfspark.write.bloom.columns               | parquet bloom filters on versioned      |
+|                                           | commits (row-group point-lookup skip)   |
 |                                           | components pipelines                    |
 
 Keys absent from the session conf are left at their Spark defaults (the

@@ -283,3 +283,102 @@ def test_expire_branches_by_age(eng, spark):
     dropped = eng.expire_table_branches("t", max_age_ms=-1)
     assert sorted(dropped) == ["fresh", "stale"]
     assert eng.table_branches("t") == []
+
+
+# -- model-based + concurrency hardening ----------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+bop = st.one_of(
+    st.tuples(st.just("main_append"), st.integers(1, 4)),
+    st.tuples(st.just("branch_append"), st.integers(1, 4)),
+    st.tuples(st.just("branch_overwrite"), st.integers(1, 4)),
+    st.tuples(st.just("publish"), st.just(0)),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(bop, min_size=1, max_size=6))
+def test_branch_model_isolation_and_publish(spark, tmp_path_factory, ops):
+    """Random interleavings of main commits, branch commits, and
+    publishes: the branch count and main count must always match an
+    independent model — branch writes NEVER leak into main before a
+    publish, and a clean publish moves exactly the branch state."""
+    wh = str(tmp_path_factory.mktemp("br_wh"))
+    eng = Engine(spark, wh)
+    eng.write_table_version(_df(spark, 0, 2), "t")
+    main_n, branch_n = 2, None  # model state
+
+    def mk(n):
+        return spark.range(n).selectExpr("id", "id * 2 AS v")
+
+    for kind, n in ops:
+        if kind == "main_append":
+            eng.write_table_version(mk(n), "t", mode="append")
+            main_n += n
+            if branch_n is not None:
+                diverged = True
+        elif kind == "branch_append":
+            if branch_n is None:
+                eng.create_table_branch("t", "b")
+                branch_n, diverged = main_n, False
+            eng.write_table_version(mk(n), "t", mode="append", branch="b")
+            branch_n += n
+        elif kind == "branch_overwrite":
+            if branch_n is None:
+                eng.create_table_branch("t", "b")
+                branch_n, diverged = main_n, False
+            eng.write_table_version(
+                mk(n), "t", mode="overwrite", branch="b"
+            )
+            branch_n = n
+        elif kind == "publish":
+            if branch_n is None:
+                continue
+            if diverged:
+                with pytest.raises(VersionConflictError):
+                    eng.publish_branch("t", "b")
+                eng.drop_table_branch("t", "b")
+            else:
+                eng.publish_branch("t", "b")
+                main_n = branch_n
+            branch_n = None
+        assert eng.read_version("t").count() == main_n
+        if branch_n is not None:
+            assert (
+                eng.read_version("t", branch="b").count() == branch_n
+            )
+
+
+def test_concurrent_branch_appends_both_land(eng, spark):
+    """Two writers appending to the same branch: the optimistic commit
+    retry commutes them exactly like main appends."""
+    import threading
+
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.create_table_branch("t", "b")
+    path = eng._table_path("t")
+    errs = []
+
+    def commit(lo, hi):
+        try:
+            df = spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+            versioning.commit_version(
+                df, path, mode="append", branch="b"
+            )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=commit, args=(10, 20))
+    t2 = threading.Thread(target=commit, args=(20, 35))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert errs == []
+    got = sorted(
+        r.id for r in eng.read_version("t", branch="b").collect()
+    )
+    assert got == list(range(0, 5)) + list(range(10, 35))
