@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "s13_dedup_watermark_twin",
     "x16_segment_dedup",
     "x21_bm25_search",
+    "x28_canonical_dedup",
 ]
 
 RUNS = 4

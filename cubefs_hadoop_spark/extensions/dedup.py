@@ -541,3 +541,56 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.cast("long").alias("dist"))
         .orderBy("id_a", "id_b", "dist")
     )
+
+
+# -- x28: canonical-doc election over the near-dup graph -------------------
+#
+# The last stage of the production dedup pipeline: LSH candidate pairs
+# form a graph; a dedup GROUP is a connected component; every document
+# elects the component's minimum doc_id as its canonical representative
+# (isolated docs are their own canonical).  The Spark side runs the
+# diameter-independent large/small-star algorithm (components.py,
+# O(log^2 n) rounds of two shuffles each — the 100 TB path); the oracle
+# replays the same election as a recursive reachability closure, so the
+# full pipeline END TO END is hash-checked, not just the pair stage.
+
+_X28_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + """),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db AS a, da AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node AS doc_id, MIN(lbl) AS canonical
+FROM reach GROUP BY node ORDER BY doc_id"""
+)
+
+
+@register("x28_canonical_dedup", _X28_ORACLE)
+def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 canonical-doc election: every document -> min doc_id of its
+    near-dup connected component (LSH pairs -> large/small-star CC ->
+    left-join back over the corpus; isolated docs canonicalize to
+    themselves)."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_star,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comps = connected_components_star(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("canonical"),
+        )
+        .orderBy("doc_id")
+    )
