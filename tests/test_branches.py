@@ -382,3 +382,45 @@ def test_concurrent_branch_appends_both_land(eng, spark):
         r.id for r in eng.read_version("t", branch="b").collect()
     )
     assert got == list(range(0, 5)) + list(range(10, 35))
+
+
+def test_branch_commits_vs_gc_threads(eng, spark):
+    """Branch commits racing a main-chain GC loop: the sweep counts live
+    branches' files as referenced and the orphan grace protects in-flight
+    stages, so no branch data is ever reclaimed from under the audit."""
+    import threading
+    import time as _time
+
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.create_table_branch("t", "b")
+    # main churns so GC has versions to expire
+    stop = threading.Event()
+
+    def gc() -> None:
+        while not stop.is_set():
+            try:
+                eng.expire_table_versions("t", keep_last=2)
+            except Exception:
+                pass  # races with commits; next tick converges
+            _time.sleep(0.01)
+
+    g = threading.Thread(target=gc)
+    g.start()
+    try:
+        for i in range(1, 5):
+            eng.write_table_version(
+                _df(spark, i * 100, i * 100 + 5), "t", mode="append"
+            )
+            eng.write_table_version(
+                _df(spark, i * 1000, i * 1000 + 5),
+                "t",
+                mode="append",
+                branch="b",
+            )
+    finally:
+        stop.set()
+        g.join()
+    # every branch append survived the churn
+    assert eng.read_version("t", branch="b").count() == 5 + 4 * 5
+    # main head intact too
+    assert eng.read_version("t").count() == 5 + 4 * 5
