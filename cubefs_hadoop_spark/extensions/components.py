@@ -158,6 +158,14 @@ def connected_components_star(
     prev_sig = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges))
+        # width adapts to the EDGE set, which shrinks fast under star
+        # contraction and is duplicate-pairs-sized to begin with — far
+        # smaller than the corpus.  Once the previous round's signature
+        # shows a small frame, narrow it so each remaining round pays a
+        # handful of tasks instead of full shuffle width.  Kicks in only
+        # under the threshold: a billion-edge graph keeps cluster width.
+        if prev_sig is not None and prev_sig[0] < 100_000:
+            edges = edges.coalesce(8)
         edges = barrier(edges, eager=True, reliable=reliable)
         # bit_xor, not sum: order-insensitive, cannot overflow under ANSI
         # (edges are distinct, so xor-cancellation of duplicates is moot)
