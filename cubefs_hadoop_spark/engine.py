@@ -806,6 +806,9 @@ class Engine:
           CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
           REFRESH MATERIALIZED VIEW m                  -> incremental/full
           DROP MATERIALIZED VIEW m                     -> drop_materialized_view
+          ALTER TABLE t SET TBLPROPERTIES ('k'='v')    -> set_table_properties
+          ALTER TABLE t UNSET TBLPROPERTIES ('k')      -> unset keys
+          SHOW TBLPROPERTIES t                         -> table_properties
           ALTER TABLE t CREATE/DROP/PUBLISH BRANCH b   -> WAP branches
           ALTER TABLE t ADD COLUMN c type              -> alter_table
           ALTER TABLE t RENAME COLUMN a TO b           -> alter_table
@@ -1009,6 +1012,32 @@ class Engine:
                 m.group(1), [{"op": "drop", "name": m.group(2)}]
             )
             return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+(SET|UNSET)\s+TBLPROPERTIES\s*"
+            r"\((.+)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            tname, verb, body = m.group(1), m.group(2).upper(), m.group(3)
+            if verb == "SET":
+                kvs = re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body)
+                if not kvs:
+                    raise EngineIOError(
+                        "SET TBLPROPERTIES expects 'key'='value' pairs"
+                    )
+                self.set_table_properties(tname, dict(kvs))
+            else:
+                keys = re.findall(r"'([^']+)'", body)
+                self.set_table_properties(tname, {k: None for k in keys})
+            return None
+        m = re.match(r"SHOW\s+TBLPROPERTIES\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                sorted(self.table_properties(m.group(1)).items())
+                or [],
+                "key string, value string",
+            )
         m = re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+(CREATE|DROP|PUBLISH)\s+BRANCH\s+"
             r"([\w-]+)$",
@@ -1443,9 +1472,27 @@ class Engine:
                     f"expectation violations, commit refused: {violations}",
                     name,
                 )
+        path = self._table_path(name)
+        props = (
+            versioning.get_properties(path, self.fs)
+            if self.fs.is_dir(path)
+            else {}
+        )
+        if stats_cols is None and props.get("cfs.stats.cols"):
+            stats_cols = [
+                c.strip()
+                for c in props["cfs.stats.cols"].split(",")
+                if c.strip()
+            ]
+        if bloom_cols is None and props.get("cfs.bloom.cols"):
+            bloom_cols = [
+                c.strip()
+                for c in props["cfs.bloom.cols"].split(",")
+                if c.strip()
+            ]
         v = versioning.commit_version(
             df,
-            self._table_path(name),
+            path,
             mode=mode,
             partition_by=partition_by,
             fs=self.fs,
@@ -1663,10 +1710,28 @@ class Engine:
             self._mark_dirty(name)
         return v
 
+    def table_properties(self, name: str) -> dict:
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.get_properties(self._table_path(name), self.fs)
+
+    def set_table_properties(self, name: str, props: dict) -> dict:
+        """Durable TBLPROPERTIES (None value unsets a key).  The cfs.*
+        keys steer writers table-locally: ``cfs.stats.cols`` /
+        ``cfs.bloom.cols`` default every commit's stats/bloom columns,
+        ``cfs.target.file.bytes`` the maintenance target — set once at
+        table creation, every producer (batch, streaming, cfstable) on
+        any session inherits the layout contract."""
+        from cubefs_hadoop_spark import versioning
+
+        return versioning.set_properties(
+            self._table_path(name), props, self.fs
+        )
+
     def maintain_table(
         self,
         name: str,
-        target_file_bytes: int = 128 << 20,
+        target_file_bytes: int | None = None,
         keep_last: int = 10,
         orphan_grace_ms: int = 15 * 60 * 1000,
     ) -> dict:
@@ -1692,6 +1757,12 @@ class Engine:
         if not versioning.is_versioned(path, self.fs):
             raise TableNotFoundError(
                 "maintain_table requires a versioned table", name
+            )
+        if target_file_bytes is None:
+            target_file_bytes = int(
+                versioning.get_properties(path, self.fs).get(
+                    "cfs.target.file.bytes", 128 << 20
+                )
             )
         out: dict = {"compacted": None, "binpacked": None}
         m = versioning.read_manifest(

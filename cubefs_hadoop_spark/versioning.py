@@ -456,6 +456,61 @@ def delete_tag(
     )
 
 
+# -- table properties ------------------------------------------------------
+#
+# Durable key-value settings on a versioned table (the Iceberg/Delta
+# TBLPROPERTIES surface), stored as a sidecar like tags — NOT in the
+# manifest chain, so setting one is O(1) and touches no commit path.
+# The engine consults the cfs.* keys as writer defaults:
+#   cfs.stats.cols        comma list -> default stats_cols on commits
+#   cfs.bloom.cols        comma list -> default bloom_cols on commits
+#   cfs.target.file.bytes int        -> default maintenance target size
+# Properties are settings, not data: they are last-writer-wins and do
+# not time-travel (a snapshot's DATA is immutable; how future writers
+# behave is not part of any snapshot).
+
+_PROPS_FILE = "props.json"
+
+
+def set_properties(
+    table_path: str, props: dict, fs: WarehouseFS | None = None
+) -> dict:
+    """Merge ``props`` into the table's property sidecar; a None value
+    unsets the key.  Returns the resulting full property map."""
+    fs = _fs(fs)
+    if not is_versioned(table_path, fs):
+        raise TableNotFoundError(
+            "table properties require a versioned table", table_path
+        )
+    cur = get_properties(table_path, fs)
+    for k, v in props.items():
+        if not isinstance(k, str) or not k:
+            raise EngineIOError(f"invalid property key {k!r}", table_path)
+        if v is None:
+            cur.pop(k, None)
+        else:
+            cur[k] = str(v)
+    fs.write_text(
+        fs.join(_manifest_dir(table_path, fs), _PROPS_FILE),
+        json.dumps(cur, sort_keys=True),
+    )
+    return cur
+
+
+def get_properties(
+    table_path: str, fs: WarehouseFS | None = None
+) -> dict:
+    fs = _fs(fs)
+    try:
+        return json.loads(
+            fs.read_text(
+                fs.join(_manifest_dir(table_path, fs), _PROPS_FILE)
+            )
+        )
+    except FileNotFoundError:
+        return {}
+
+
 # -- branches (write-audit-publish) --------------------------------------
 #
 # A branch is a SECOND manifest chain under _manifests/branches/<name>/

@@ -1,0 +1,103 @@
+"""Table properties (TBLPROPERTIES): durable per-table settings in a
+sidecar (O(1) set, no commit path touched).  The cfs.* keys steer
+writers TABLE-locally — set the layout contract once and every producer
+on any session inherits it, instead of each caller re-passing
+stats/bloom columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from cubefs_hadoop_spark import versioning
+from cubefs_hadoop_spark.engine import Engine
+from cubefs_hadoop_spark.errors import EngineIOError, TableNotFoundError
+
+
+@pytest.fixture()
+def eng(spark, tmp_warehouse):
+    return Engine(spark, tmp_warehouse)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS doc_id"
+    )
+
+
+def test_properties_roundtrip_and_sql(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.execute(
+        "ALTER TABLE t SET TBLPROPERTIES ('owner'='curation', "
+        "'cfs.stats.cols'='id')"
+    )
+    assert eng.table_properties("t") == {
+        "owner": "curation",
+        "cfs.stats.cols": "id",
+    }
+    rows = eng.execute("SHOW TBLPROPERTIES t").collect()
+    assert {(r.key, r.value) for r in rows} == {
+        ("owner", "curation"),
+        ("cfs.stats.cols", "id"),
+    }
+    eng.execute("ALTER TABLE t UNSET TBLPROPERTIES ('owner')")
+    assert eng.table_properties("t") == {"cfs.stats.cols": "id"}
+
+
+def test_stats_cols_property_defaults_commits(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.set_table_properties("t", {"cfs.stats.cols": "id"})
+    # a later append with NO explicit stats_cols records stats anyway
+    eng.write_table_version(_df(spark, 10, 30), "t", mode="append")
+    path = eng._table_path("t")
+    m = versioning.read_manifest(path, versioning.current_version(path))
+    new_files = [f for f, seq in m["file_seq"].items() if seq == 2]
+    assert new_files and all(
+        "id" in m["stats"].get(f, {}) for f in new_files
+    )
+
+
+def test_bloom_cols_property_defaults_commits(eng, spark):
+    df = _df(spark, 0, 30000).coalesce(1)
+    eng.write_table_version(df, "plain_t")
+    eng.write_table_version(df, "bloom_t")
+    eng.set_table_properties("bloom_t", {"cfs.bloom.cols": "doc_id"})
+    eng.write_table_version(df, "plain_t", mode="append")
+    eng.write_table_version(df, "bloom_t", mode="append")
+
+    def latest_bytes(name):
+        path = eng._table_path(name)
+        m = versioning.read_manifest(
+            path, versioning.current_version(path)
+        )
+        sizes = {rel: sz for rel, sz, _m in eng.fs.walk_files(path)}
+        return sum(
+            sizes[f] for f, seq in m["file_seq"].items() if seq == 2
+        )
+
+    # the property-driven append carries bloom bytes the plain one lacks
+    assert latest_bytes("bloom_t") > latest_bytes("plain_t") + 10_000
+
+
+def test_target_file_bytes_property_drives_maintenance(eng, spark):
+    for i in range(4):
+        eng.write_table_version(
+            _df(spark, i * 10, (i + 1) * 10).coalesce(2),
+            "t",
+            mode="append" if i else "overwrite",
+        )
+    eng.set_table_properties("t", {"cfs.target.file.bytes": str(1 << 20)})
+    r = eng.maintain_table("t", keep_last=2)  # no explicit target
+    assert r["binpacked"] is not None
+    assert eng.read_version("t").count() == 40
+
+
+def test_properties_require_versioned_table(eng, spark):
+    eng.write_table(_df(spark, 0, 5), "plain")
+    with pytest.raises(TableNotFoundError):
+        eng.set_table_properties("plain", {"k": "v"})
+
+
+def test_bad_sql_properties_refused(eng, spark):
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    with pytest.raises(EngineIOError, match="key"):
+        eng.execute("ALTER TABLE t SET TBLPROPERTIES (k=v)")
