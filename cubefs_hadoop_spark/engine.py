@@ -1478,12 +1478,8 @@ class Engine:
             if self.fs.is_dir(path)
             else {}
         )
-        if stats_cols is None and props.get("cfs.stats.cols"):
-            stats_cols = [
-                c.strip()
-                for c in props["cfs.stats.cols"].split(",")
-                if c.strip()
-            ]
+        # cfs.stats.cols resolves inside commit_version (every producer
+        # inherits it); bloom is a writer option, resolved here
         if bloom_cols is None and props.get("cfs.bloom.cols"):
             bloom_cols = [
                 c.strip()

@@ -963,6 +963,12 @@ def commit_version(
     fs = _fs(fs)
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
+    if stats_cols is None and fs.is_dir(_manifest_dir(table_path, fs)):
+        # table-property default: EVERY producer (engine, streaming
+        # sink, direct callers) inherits the table's declared stats tier
+        raw = get_properties(table_path, fs).get("cfs.stats.cols")
+        if raw:
+            stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
     stage, files = _stage_write(df, table_path, partition_by, fs, write_opts)
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs
