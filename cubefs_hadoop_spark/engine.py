@@ -49,6 +49,19 @@ from cubefs_hadoop_spark.fs import warehouse_fs
 _VALID_MODES = ("errorifexists", "overwrite", "append", "ignore")
 
 
+def _ts_to_ms(ts: str | int) -> int:
+    """'YYYY-MM-DD[ HH:MM:SS[.fff]]' (UTC, matching the pinned session
+    timezone) or epoch millis -> epoch millis."""
+    if isinstance(ts, int):
+        return ts
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def _split_top_level(s: str) -> list[str]:
     """Split a SQL list on commas that sit at paren depth 0 outside string
     literals — `SET a = f(x, y), b = 'p,q'` is two assignments, not four."""
@@ -826,6 +839,16 @@ class Engine:
         implements); WHEN-clause grammars are out of scope.
         """
         s = stmt.strip().rstrip(";")
+        # RESTORE must match BEFORE the time-travel rewrites (its tail is
+        # literally `VERSION AS OF n`, which the rewrite would mangle)
+        m = re.match(
+            r"RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.rollback_table(m.group(1), int(m.group(2)))
+            return None
         # time travel: rewrite `t VERSION AS OF n` to a temp view over the
         # snapshot (Iceberg SQL parity for versioned tables)
         tt = re.findall(r"(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)", s, re.IGNORECASE)
@@ -834,6 +857,27 @@ class Engine:
             self._register_temp_view(self.read_version(tname, int(ver)), view)
             s = re.sub(
                 rf"\b{re.escape(tname)}\s+VERSION\s+AS\s+OF\s+{ver}\b",
+                view,
+                s,
+                flags=re.IGNORECASE,
+            )
+        # `t TIMESTAMP AS OF '2026-08-14 12:00:00'` — the table as it was
+        # at that moment (latest commit <= ts, Iceberg/Delta contract)
+        tt = re.findall(
+            r"(\w+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", s, re.IGNORECASE
+        )
+        for tname, ts in tt:
+            import hashlib
+
+            view = (
+                f"__timetravel_{tname}_ts_"
+                f"{hashlib.md5(ts.encode()).hexdigest()[:8]}"
+            )
+            self._register_temp_view(
+                self.read_version(tname, at_timestamp=ts), view
+            )
+            s = re.sub(
+                rf"\b{re.escape(tname)}\s+TIMESTAMP\s+AS\s+OF\s+'{re.escape(ts)}'",
                 view,
                 s,
                 flags=re.IGNORECASE,
@@ -1604,6 +1648,7 @@ class Engine:
         version: int | str | None = None,
         predicates: list[tuple] | None = None,
         branch: str | None = None,
+        at_timestamp: str | int | None = None,
     ) -> DataFrame:
         """Time-travel read: the exact file set version ``version`` (default
         latest) committed — concurrent commits can never tear the read.
@@ -1613,6 +1658,16 @@ class Engine:
         then applies the exact residual filter."""
         from cubefs_hadoop_spark import versioning
 
+        if at_timestamp is not None:
+            if version is not None or branch is not None:
+                raise EngineIOError(
+                    "at_timestamp excludes version/branch", name
+                )
+            version = versioning.resolve_timestamp(
+                self._table_path(name),
+                _ts_to_ms(at_timestamp),
+                self.fs,
+            )
         return versioning.read_version(
             self.spark,
             self._table_path(name),

@@ -446,6 +446,28 @@ def resolve_tag(
     return tags[tag]
 
 
+def resolve_timestamp(
+    table_path: str,
+    ts_ms: int,
+    fs: WarehouseFS | None = None,
+) -> int:
+    """TIMESTAMP AS OF resolution: the latest version whose commit time
+    is <= ``ts_ms`` (the Iceberg/Delta contract — "the table as it was
+    at that moment").  O(versions) light manifest reads; raises when the
+    timestamp predates the first commit."""
+    fs = _fs(fs)
+    best = None
+    for v in list_versions(table_path, fs):
+        m = read_manifest(table_path, v, fs, light=True)
+        if int(m.get("ts_ms", 0)) <= ts_ms:
+            best = v
+    if best is None:
+        raise TableNotFoundError(
+            f"no version committed at or before ts {ts_ms}", table_path
+        )
+    return best
+
+
 def delete_tag(
     table_path: str, tag: str, fs: WarehouseFS | None = None
 ) -> bool:

@@ -827,3 +827,46 @@ def test_sql_time_travel_by_hyphenated_tag(eng, spark):
         "SELECT COUNT(*) AS n FROM t VERSION AS OF 'base_line'"
     ).first().n
     assert n2 == 2
+
+
+def test_timestamp_as_of_time_travel(eng, spark):
+    """TIMESTAMP AS OF resolves the latest commit at-or-before the
+    moment — python API and SQL rewrite."""
+    import time as _time
+
+    from cubefs_hadoop_spark import versioning
+
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    path = eng._table_path("t")
+    t1 = versioning.read_manifest(path, 1)["ts_ms"]
+    _time.sleep(0.05)
+    eng.write_table_version(_df(spark, 0, 25), "t")
+    # a timestamp between the commits sees v1
+    assert (
+        eng.read_version("t", at_timestamp=t1).count() == 10
+    )
+    # epoch now sees v2
+    now_ms = int(_time.time() * 1000) + 1000
+    assert eng.read_version("t", at_timestamp=now_ms).count() == 25
+    # SQL form (ISO string, UTC)
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(
+        t1 / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    n = eng.execute(
+        f"SELECT COUNT(*) AS c FROM t TIMESTAMP AS OF '{iso}'"
+    ).first().c
+    assert n == 10
+    # predating the first commit raises
+    with pytest.raises(TableNotFoundError):
+        eng.read_version("t", at_timestamp=1)
+
+
+def test_restore_table_sql_verb(eng, spark):
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    eng.execute("RESTORE TABLE t TO VERSION AS OF 1")
+    assert eng.read_version("t").count() == 10
+    # append-only: the bad version is still in history
+    assert eng.read_version("t", 2).count() == 3
