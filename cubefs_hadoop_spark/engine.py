@@ -832,7 +832,9 @@ class Engine:
           VACUUM                                       -> vacuum
           ANALYZE TABLE t [FOR COLUMNS c1, c2]         -> analyze_table
           ... FROM t VERSION AS OF n ...               -> time-travel read
-          ... FROM t VERSION AS OF 'tag' ...           -> tagged-snapshot read
+          ... FROM t VERSION AS OF 'tag-or-branch' ... -> named-snapshot read
+          ... FROM t TIMESTAMP AS OF 'iso-ts' ...      -> as-of-moment read
+          RESTORE TABLE t TO VERSION AS OF n           -> rollback_table
 
         MERGE uses a restricted ANSI form (upsert-by-key: matched rows
         replaced, unmatched inserted — the same semantics merge_table
