@@ -1878,7 +1878,9 @@ class Engine:
             fs=self.fs,
         )
 
-    def table_history(self, name: str) -> DataFrame:
+    def table_history(
+        self, name: str, branch: str | None = None
+    ) -> DataFrame:
         """Snapshot metadata for a versioned table (Iceberg's ``snapshots``
         metadata-table parity): one row per committed version with mode,
         commit timestamp, parent, and file count.  Metadata-only — never
@@ -1887,15 +1889,18 @@ class Engine:
 
         path = self._table_path(name)
         rows = []
-        for v in versioning.list_versions(path, self.fs):
-            m = versioning.read_manifest(path, v, self.fs)
+        for v in versioning.list_versions(path, self.fs, branch):
+            m = versioning.read_manifest(
+                path, v, self.fs, light=True, branch=branch
+            )
             rows.append(
                 (
                     v,
                     m.get("parent"),
                     m.get("mode"),
                     m.get("ts_ms"),
-                    len(m.get("files", [])),
+                    # light format-2 roots carry the count, not the list
+                    m.get("file_count", len(m.get("files", []))),
                     m.get("batch_id"),
                 )
             )

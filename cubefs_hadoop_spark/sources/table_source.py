@@ -125,14 +125,32 @@ def _parse_part_value(raw: str | None, spark_type):
     return raw
 
 
+def _iso_to_ms(ts: str) -> int:
+    """ISO 'YYYY-MM-DD[ HH:MM:SS[.fff]]' (UTC) or epoch-millis string
+    -> epoch millis."""
+    import datetime
+
+    if ts.isdigit():
+        return int(ts)
+    dt = datetime.datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 class CfsTableReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("cfstable: option 'path' is required")
         v = options.get("version")
-        self.version = int(v) if v is not None else None
+        ts = options.get("timestamp")
         self.branch = options.get("branch")
+        if v is None and ts is not None:
+            from cubefs_hadoop_spark import versioning as _v
+
+            v = _v.resolve_timestamp(self.path, _iso_to_ms(ts))
+        self.version = int(v) if v is not None else None
         self.schema = schema
         self.cols = [f.name for f in schema.fields]
         self.predicates: list[tuple] = []
@@ -556,6 +574,9 @@ class CfsTableDataSource(DataSource):
             raise ValueError("cfstable: option 'path' is required")
         v = self.options.get("version")
         branch = self.options.get("branch")
+        ts = self.options.get("timestamp")
+        if v is None and ts is not None:
+            v = versioning.resolve_timestamp(path, _iso_to_ms(ts))
         # Resolve "latest" ONCE and pin it: the reader must plan its file
         # list from the SAME manifest this schema came from, or a commit
         # landing between schema resolution and partition planning tears

@@ -424,3 +424,34 @@ def test_branch_commits_vs_gc_threads(eng, spark):
     assert eng.read_version("t", branch="b").count() == 5 + 4 * 5
     # main head intact too
     assert eng.read_version("t").count() == 5 + 4 * 5
+
+
+def test_cfstable_timestamp_option_and_branch_history(eng, spark):
+    import datetime
+    import time as _time
+
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    eng.write_table_version(_df(spark, 0, 7), "t")
+    path = eng._table_path("t")
+    t1 = versioning.read_manifest(path, 1)["ts_ms"]
+    _time.sleep(0.05)
+    eng.write_table_version(_df(spark, 0, 3), "t")
+    iso = datetime.datetime.fromtimestamp(
+        t1 / 1000, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+    n = (
+        spark.read.format("cfstable")
+        .option("path", path)
+        .option("timestamp", iso)
+        .load()
+        .count()
+    )
+    assert n == 7
+    # branch history lists the branch chain, not main's
+    eng.create_table_branch("t", "b")
+    eng.write_table_version(_df(spark, 0, 9), "t", mode="append", branch="b")
+    hist = eng.table_history("t", branch="b").collect()
+    assert [r.mode for r in hist] == ["branch", "append"]
+    assert eng.table_history("t").count() == 2  # main: v1, v2
