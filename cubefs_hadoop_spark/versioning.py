@@ -888,6 +888,31 @@ def _collect_file_stats(
     return {f: st for f, st in out.items() if st}
 
 
+def _schema_shape(schema_json: dict) -> dict:
+    """{name: type} with nullability/metadata stripped (recursively), for
+    append-compatibility checks — writers legitimately disagree on
+    nullable flags, never on names or types."""
+
+    def norm(t):
+        if isinstance(t, dict):
+            if t.get("type") == "struct":
+                return {
+                    "struct": {
+                        f["name"]: norm(f["type"]) for f in t["fields"]
+                    }
+                }
+            if t.get("type") == "array":
+                return {"array": norm(t["elementType"])}
+            if t.get("type") == "map":
+                return {
+                    "map": [norm(t["keyType"]), norm(t["valueType"])]
+                }
+            return {k: v for k, v in t.items() if k != "nullable"}
+        return t
+
+    return {f["name"]: norm(f["type"]) for f in schema_json["fields"]}
+
+
 _PRUNE_OPS = ("<", "<=", ">", ">=", "=", "==")
 
 
@@ -1058,6 +1083,36 @@ def commit_staged_files(
                         f"{'partitioned' if _layout_partitioned(base_files) else 'unpartitioned'} "
                         f"but this append is {'partitioned' if partition_by else 'unpartitioned'}; "
                         "match partition_by or overwrite the table",
+                        table_path,
+                    )
+            if (
+                mode == "append"
+                and pm.get("schema")
+                and schema_json
+                and schema_json.get("fields") is not None
+            ):
+                # SCHEMA ENFORCEMENT (the Delta write-path contract): a
+                # mismatched append would SILENTLY corrupt — extra
+                # columns vanish (reads serve the manifest schema) and
+                # missing columns read as NULL.  Evolution is explicit:
+                # ALTER TABLE first, then append in the evolved shape.
+                # Only TYPE CONFLICTS refuse: a column present on both
+                # sides with different types is unrecoverable (the mixed
+                # parquet read crashes or silently nulls).  Column
+                # add/remove across appends stays allowed — that is the
+                # documented merge-schema contract (Engine.table /
+                # read_version(merge_schema=True) reconcile them).
+                want = _schema_shape(pm["schema"])
+                got = _schema_shape(schema_json)
+                changed = sorted(
+                    c for c in set(want) & set(got) if want[c] != got[c]
+                )
+                if changed:
+                    raise EngineIOError(
+                        f"append type conflict on column(s) {changed}: "
+                        "the table's and the append's types disagree; "
+                        "align the writer (column add/remove is the "
+                        "merge-schema path, type changes are not)",
                         table_path,
                     )
             if "batch_id_max" in pm:

@@ -870,3 +870,31 @@ def test_restore_table_sql_verb(eng, spark):
     assert eng.read_version("t").count() == 10
     # append-only: the bad version is still in history
     assert eng.read_version("t", 2).count() == 3
+
+
+def test_append_type_conflict_refused(eng, spark):
+    """Schema enforcement on append: same column, different type is
+    unrecoverable (mixed parquet reads crash or null) -> refused loudly.
+    Column add/remove stays allowed — that is the merge-schema path."""
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    with pytest.raises(EngineIOError, match="type conflict"):
+        eng.write_table_version(
+            spark.range(5, 8).selectExpr(
+                "id", "CAST(id AS STRING) AS v"
+            ),
+            "t",
+            mode="append",
+        )
+    # additive append still lands and reconciles through the merge read
+    eng.write_table_version(
+        spark.range(5, 8).selectExpr("id", "id * 2 AS v", "id AS extra"),
+        "t",
+        mode="append",
+    )
+    merged = versioning.read_version(
+        spark, eng._table_path("t"), merge_schema=True
+    )
+    assert set(merged.columns) == {"id", "v", "extra"}
+    assert merged.count() == 8
