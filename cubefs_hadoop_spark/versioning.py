@@ -1010,12 +1010,26 @@ def commit_version(
     fs = _fs(fs)
     if mode not in ("overwrite", "append"):
         raise EngineIOError(f"invalid version commit mode {mode!r}")
-    if stats_cols is None and fs.is_dir(_manifest_dir(table_path, fs)):
-        # table-property default: EVERY producer (engine, streaming
-        # sink, direct callers) inherits the table's declared stats tier
-        raw = get_properties(table_path, fs).get("cfs.stats.cols")
-        if raw:
-            stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
+    if fs.is_dir(_manifest_dir(table_path, fs)):
+        # table-property defaults: EVERY producer (engine, streaming
+        # sink, direct callers) inherits the table's declared layout
+        # contract — stats tier and bloom columns
+        props = get_properties(table_path, fs)
+        if stats_cols is None and props.get("cfs.stats.cols"):
+            stats_cols = [
+                c.strip()
+                for c in props["cfs.stats.cols"].split(",")
+                if c.strip()
+            ]
+        if write_opts is None and props.get("cfs.bloom.cols"):
+            cols = [
+                c.strip()
+                for c in props["cfs.bloom.cols"].split(",")
+                if c.strip() and c.strip() in df.columns
+            ]
+            write_opts = {
+                f"parquet.bloom.filter.enabled#{c}": "true" for c in cols
+            } or None
     stage, files = _stage_write(df, table_path, partition_by, fs, write_opts)
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs
@@ -1845,6 +1859,10 @@ def compact_version(
     else:
         out_df = df.repartition(n)
     stage, files = _stage_write(out_df, table_path, None, fs)
+    if stats_cols is None:
+        raw = get_properties(table_path, fs).get("cfs.stats.cols")
+        if raw:
+            stats_cols = [c.strip() for c in raw.split(",") if c.strip()]
     stats = _collect_file_stats(
         spark, table_path, stage, files, stats_cols or [], fs
     )
