@@ -1736,6 +1736,7 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
     fs: WarehouseFS | None = None,
+    branch: str | None = None,
 ) -> DataFrame:
     """Incremental scan (Iceberg incremental-read analog): the rows ADDED
     between ``from_version`` (exclusive) and ``to_version`` (inclusive,
@@ -1749,10 +1750,19 @@ def read_changes(
     not equal the row-level change set, so refusing beats silently wrong
     incremental results."""
     fs = _fs(fs)
-    to_v = current_version(table_path, fs) if to_version is None else to_version
-    base_m = read_manifest(table_path, from_version, fs)
+    to_v = (
+        current_version(table_path, fs, branch)
+        if to_version is None
+        else to_version
+    )
+    # branch form: base 0 means "since the fork point" — the branch's v1
+    # duplicates main's snapshot, so its own deltas start at v1
+    base_m = read_manifest(
+        table_path, max(from_version, 1) if branch else from_version,
+        fs, branch=branch,
+    )
     base = set(base_m["files"])
-    target_m = read_manifest(table_path, to_v, fs)
+    target_m = read_manifest(table_path, to_v, fs, branch=branch)
     target = set(target_m["files"])
     removed = base - target
     if removed:

@@ -455,3 +455,18 @@ def test_cfstable_timestamp_option_and_branch_history(eng, spark):
     hist = eng.table_history("t", branch="b").collect()
     assert [r.mode for r in hist] == ["branch", "append"]
     assert eng.table_history("t").count() == 2  # main: v1, v2
+
+
+def test_read_changes_on_branch(eng, spark):
+    """Incremental audit of a branch: the consumer tails the BRANCH
+    chain's deltas (since its fork snapshot) without touching main."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.create_table_branch("t", "b")
+    eng.write_table_version(_df(spark, 10, 18), "t", mode="append", branch="b")
+    eng.write_table_version(_df(spark, 18, 25), "t", mode="append", branch="b")
+    path = eng._table_path("t")
+    delta = versioning.read_changes(spark, path, 0, branch="b")
+    assert sorted(r.id for r in delta.collect()) == list(range(10, 25))
+    # second commit only
+    d2 = versioning.read_changes(spark, path, 2, branch="b")
+    assert sorted(r.id for r in d2.collect()) == list(range(18, 25))
