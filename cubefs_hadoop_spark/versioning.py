@@ -1079,6 +1079,19 @@ def commit_staged_files(
             table_path,
         )
     new_stats = new_stats or {}
+    if not new_stats and files and fs.is_dir(_manifest_dir(table_path, fs)):
+        # producers that stage bytes themselves (the cfstable Arrow
+        # writer) have no Spark session here, but the table's declared
+        # stats tier (cfs.stats.cols) can still harvest the NUMERIC
+        # tier straight from the staged parquet FOOTERS — metadata-only
+        # IO.  String/decimal columns (footer bounds truncatable) stay
+        # un-statted on this path; the engine write path's distributed
+        # scan is the exact tier for those.
+        raw = get_properties(table_path, fs).get("cfs.stats.cols")
+        if raw:
+            cols = [c.strip() for c in raw.split(",") if c.strip()]
+            footer, _fallback = _footer_stats(table_path, files, cols, fs)
+            new_stats = {f: st for f, st in footer.items() if st}
     attempt = 0
     while True:
         vs = list_versions(table_path, fs, branch)

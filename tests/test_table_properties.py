@@ -101,3 +101,33 @@ def test_bad_sql_properties_refused(eng, spark):
     eng.write_table_version(_df(spark, 0, 5), "t")
     with pytest.raises(EngineIOError, match="key"):
         eng.execute("ALTER TABLE t SET TBLPROPERTIES (k=v)")
+
+
+def test_cfstable_writer_inherits_stats_property(eng, spark):
+    """The DataSource writer (no Spark session at commit) still records
+    the numeric stats tier declared on the table — harvested from the
+    staged parquet footers, metadata-only."""
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    eng.write_table_version(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), "t"
+    )
+    eng.set_table_properties("t", {"cfs.stats.cols": "id"})
+    p = eng._table_path("t")
+    (
+        spark.range(10, 30)
+        .selectExpr("id", "id * 2 AS v")
+        .write.format("cfstable")
+        .option("path", p)
+        .mode("append")
+        .save()
+    )
+    m = versioning.read_manifest(p, versioning.current_version(p))
+    new_files = [f for f, seq in m["file_seq"].items() if seq == 2]
+    assert new_files
+    assert all("id" in m["stats"].get(f, {}) for f in new_files)
+    # and the stats actually prune: id >= 100 matches none of the NEW
+    # files (v1's pre-property files have no stats -> conservative keep)
+    kept = versioning.prune_files(m, [("id", ">=", 100)])
+    assert not set(kept) & set(new_files)
