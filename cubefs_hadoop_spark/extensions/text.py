@@ -409,3 +409,58 @@ def x15_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rep", F.col("rep").cast("long"))
         .orderBy("doc_id", "source", "rep")
     )
+
+
+@register(
+    "x29_ngram_novelty",
+    """WITH g AS (
+         SELECT DISTINCT doc_id,
+           UNNEST(list_transform(
+             range(1, greatest(len(string_split(text,' '))-4, 1)+1),
+             i -> array_to_string(string_split(text,' ')[i:i+4], ' ')))
+           AS gm
+         FROM documents),
+       own AS (SELECT gm, MIN(doc_id) AS own FROM g GROUP BY gm)
+       SELECT g.doc_id,
+          CAST(ROUND(SUM(CASE WHEN own.own = g.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 2) AS DECIMAL(18,2)) AS novelty
+       FROM g JOIN own ON g.gm = own.gm
+       GROUP BY g.doc_id ORDER BY doc_id, novelty""",
+)
+def x29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 corpus novelty scoring: per doc, the fraction of its DISTINCT
+    word 5-grams first introduced by that doc (owner = min doc_id over
+    the corpus).  Boilerplate- and duplicate-heavy documents score near
+    0; genuinely fresh content scores near 1 — the corpus-level
+    complement of X11's within-doc repetition signal, and a cheap rank
+    key for 'prefer novel text' curation passes.
+
+    Scale design: every stage is gram- or doc-keyed — distinct (doc,
+    gram) pairs, a partial-aggregated MIN per gram (hot boilerplate
+    grams combine map-side), a gram equi-join that reuses the
+    aggregation's hash partitioning, and a final doc_id rollup.  No
+    broadcast of corpus-sized state, no all-pairs anywhere; the
+    gram-owner table is vocabulary-scale and fully distributed."""
+    g = F.expr(
+        "transform(sequence(1, greatest(size(split(text,' '))-4, 1)),"
+        " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+    )
+    grams = (
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.explode(g).alias("gm"))
+        .distinct()
+    )
+    owner = grams.groupBy("gm").agg(F.min("doc_id").alias("own"))
+    return (
+        grams.join(owner, "gm")
+        .groupBy("doc_id")
+        .agg(
+            r2d(
+                F.sum(
+                    F.when(F.col("own") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty")
+        )
+        .orderBy("doc_id", "novelty")
+    )
