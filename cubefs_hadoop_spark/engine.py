@@ -802,6 +802,7 @@ class Engine:
         storage contract; anything else is a query delegated to sql().
 
           CREATE TABLE [IF NOT EXISTS] t AS <select>   -> write_table
+          CREATE TABLE t2 CLONE t [VERSION AS OF n]    -> clone_table
           CREATE [OR REPLACE] VIEW v AS <select>       -> create_view
           INSERT INTO t <select>                       -> append
           INSERT OVERWRITE [TABLE] t <select>          -> atomic replace
@@ -850,6 +851,19 @@ class Engine:
         )
         if m:
             self.rollback_table(m.group(1), int(m.group(2)))
+            return None
+        m = re.match(
+            r"CREATE\s+TABLE\s+(\w+)\s+CLONE\s+(\w+)"
+            r"(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.clone_table(
+                m.group(2),
+                m.group(1),
+                int(m.group(3)) if m.group(3) else None,
+            )
             return None
         # time travel: rewrite `t VERSION AS OF n` to a temp view over the
         # snapshot (Iceberg SQL parity for versioned tables)
@@ -1846,6 +1860,35 @@ class Engine:
         )
         self._mark_dirty(name)
         return out
+
+    def clone_table(
+        self,
+        src: str,
+        dst: str,
+        version: int | str | None = None,
+        at_timestamp: str | int | None = None,
+    ) -> int:
+        """Deep clone of ``src``'s snapshot into a NEW versioned table
+        ``dst`` (Delta CLONE semantics: an independent copy whose history
+        starts fresh; table properties carry over).  Deep by design — the
+        manifest protocol stores table-relative paths, so snapshots can
+        only reference files under their own root; a shallow clone would
+        need cross-table refs that GC could not reason about.  Cost is
+        one distributed copy job of the snapshot (not its history)."""
+        from cubefs_hadoop_spark import versioning
+
+        if self.table_exists(dst):
+            raise TableAlreadyExistsError("table already exists", dst)
+        df = self.read_version(src, version, at_timestamp=at_timestamp)
+        v = self.write_table_version(df, dst)
+        props = versioning.get_properties(
+            self._table_path(src), self.fs
+        )
+        if props:
+            versioning.set_properties(
+                self._table_path(dst), props, self.fs
+            )
+        return v
 
     def table_versions(self, name: str) -> list[int]:
         from cubefs_hadoop_spark import versioning

@@ -470,3 +470,30 @@ def test_read_changes_on_branch(eng, spark):
     # second commit only
     d2 = versioning.read_changes(spark, path, 2, branch="b")
     assert sorted(r.id for r in d2.collect()) == list(range(18, 25))
+
+
+def test_concurrent_publish_one_wins(eng, spark):
+    """Two racers fast-forwarding the same branch: the no-overwrite
+    manifest CAS lets exactly one publish land."""
+    import threading
+
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.create_table_branch("t", "b")
+    eng.write_table_version(_df(spark, 5, 12), "t", mode="append", branch="b")
+    path = eng._table_path("t")
+    results = [None, None]
+
+    def pub(i):
+        try:
+            results[i] = versioning.fast_forward(path, "b", drop=False)
+        except VersionConflictError as e:
+            results[i] = e
+
+    ts = [threading.Thread(target=pub, args=(i,)) for i in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    kinds = sorted(type(r).__name__ for r in results)
+    assert kinds == ["VersionConflictError", "int"]
+    assert eng.read_version("t").count() == 12

@@ -898,3 +898,23 @@ def test_append_type_conflict_refused(eng, spark):
     )
     assert set(merged.columns) == {"id", "v", "extra"}
     assert merged.count() == 8
+
+
+def test_clone_table_deep_at_version(eng, spark):
+    """CLONE: independent deep copy of a snapshot — fresh history,
+    properties carried, source history untouched."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.set_table_properties("t", {"cfs.stats.cols": "id"})
+    eng.write_table_version(_df(spark, 0, 4), "t")
+    eng.execute("CREATE TABLE t2 CLONE t VERSION AS OF 1")
+    assert eng.read_version("t2").count() == 10
+    assert eng.table_versions("t2") == [1]  # fresh history
+    assert eng.table_properties("t2") == {"cfs.stats.cols": "id"}
+    # clones are independent: dropping the source leaves the clone
+    eng.drop_table("t")
+    assert eng.read_version("t2").count() == 10
+    from cubefs_hadoop_spark.errors import TableAlreadyExistsError
+
+    eng.write_table_version(_df(spark, 0, 2), "t3")
+    with pytest.raises(TableAlreadyExistsError):
+        eng.clone_table("t3", "t2")
