@@ -815,6 +815,8 @@ class Engine:
           SHOW TABLES                                  -> list_tables
           DESCRIBE t                                   -> describe
           DESCRIBE HISTORY t                           -> table_history
+          DESCRIBE DETAIL t                            -> table_detail
+          SHOW TAGS t / SHOW BRANCHES t                -> tag/branch lists
           DESCRIBE FILES t                             -> table_files
           DESCRIBE PARTITIONS t                        -> table_partitions
           CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
@@ -1152,6 +1154,15 @@ class Engine:
         if m:
             self.drop_table(m.group(2), ignore_missing=bool(m.group(1)))
             return None
+        m = re.match(r"SHOW\s+TAGS\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            return self.spark.createDataFrame(
+                sorted(self.table_tags(m.group(1)).items()) or [],
+                "tag string, version int",
+            )
+        m = re.match(r"DESCRIBE\s+DETAIL\s+(\w+)$", s, re.IGNORECASE)
+        if m:
+            return self.table_detail(m.group(1))
         m = re.match(r"SHOW\s+BRANCHES\s+(\w+)$", s, re.IGNORECASE)
         if m:
             return self.spark.createDataFrame(
@@ -1951,6 +1962,48 @@ class Engine:
             rows,
             "version int, parent int, mode string, ts_ms bigint, "
             "n_files int, batch_id bigint",
+        )
+
+    def table_detail(self, name: str) -> DataFrame:
+        """One-row summary of a versioned table — DESCRIBE DETAIL
+        parity: current version, file/byte counts, partition columns,
+        branch/tag inventory, properties.  Metadata-only (manifest +
+        dir walk)."""
+        import json as _json
+
+        from cubefs_hadoop_spark import versioning
+
+        path = self._table_path(name)
+        if not versioning.is_versioned(path, self.fs):
+            raise EngineIOError(
+                "table_detail requires a versioned table", name
+            )
+        v = versioning.current_version(path, self.fs)
+        m = versioning.read_manifest(path, v, self.fs)
+        sizes = {
+            rel: size for rel, size, _m in self.fs.walk_files(path)
+        }
+        live = m["files"]
+        row = (
+            name,
+            "parquet",
+            path,
+            v,
+            len(live),
+            sum(sizes.get(f, 0) for f in live),
+            list(m.get("partition_by") or []),
+            sorted(versioning.list_tags(path, self.fs)),
+            versioning.list_branches(path, self.fs),
+            _json.dumps(
+                versioning.get_properties(path, self.fs), sort_keys=True
+            ),
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "name string, format string, location string, version int, "
+            "num_files int, size_bytes bigint, "
+            "partition_columns array<string>, tags array<string>, "
+            "branches array<string>, properties string",
         )
 
     def table_files(

@@ -108,3 +108,19 @@ def test_describe_sql_verbs(eng, spark):
     assert parts.count() == 3
     # plain DESCRIBE still routes to the FileStatus listing
     assert "is_marker" in eng.execute("DESCRIBE t2").columns
+
+
+def test_describe_detail_and_show_tags(eng, spark):
+    df = _df(spark, 0, 30)
+    eng.write_table_version(df, "t", partition_by=["bucket"])
+    eng.tag_table("t", "base")
+    eng.create_table_branch("t", "b1")
+    eng.set_table_properties("t", {"owner": "me"})
+    d = eng.execute("DESCRIBE DETAIL t").first()
+    assert d.name == "t" and d.version == 1
+    assert d.num_files >= 1 and d.size_bytes > 0
+    assert d.partition_columns == ["bucket"]
+    assert d.tags == ["base"] and d.branches == ["b1"]
+    assert "owner" in d.properties
+    tags = eng.execute("SHOW TAGS t").collect()
+    assert [(r.tag, r.version) for r in tags] == [("base", 1)]
