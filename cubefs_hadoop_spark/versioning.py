@@ -531,6 +531,14 @@ def get_properties(
         )
     except FileNotFoundError:
         return {}
+    except ValueError as ex:
+        # a torn sidecar (non-atomic backend crash mid-write) must fail
+        # LOUDLY, not silently drop the table's declared layout contract
+        raise EngineIOError(
+            f"corrupt {_PROPS_FILE} (torn write?); restore or delete it: "
+            f"{ex}",
+            table_path,
+        ) from ex
 
 
 # -- branches (write-audit-publish) --------------------------------------

@@ -131,3 +131,21 @@ def test_cfstable_writer_inherits_stats_property(eng, spark):
     # files (v1's pre-property files have no stats -> conservative keep)
     kept = versioning.prune_files(m, [("id", ">=", 100)])
     assert not set(kept) & set(new_files)
+
+
+def test_corrupt_props_sidecar_fails_loudly(eng, spark):
+    import os
+
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.set_table_properties("t", {"k": "v"})
+    p = os.path.join(eng._table_path("t"), "_manifests", "props.json")
+    with open(p, "w") as fh:
+        fh.write('{"k": "v"')  # torn write
+    with pytest.raises(EngineIOError, match="corrupt"):
+        eng.table_properties("t")
+    # and commits consult props, so they refuse too instead of silently
+    # dropping the declared layout contract
+    with pytest.raises(EngineIOError, match="corrupt"):
+        eng.write_table_version(_df(spark, 5, 8), "t", mode="append")
+    os.remove(p)  # operator remedy
+    assert eng.table_properties("t") == {}
