@@ -427,13 +427,23 @@ def list_tags(table_path: str, fs: WarehouseFS | None = None) -> dict:
     for name, is_dir in fs.list_dir(_manifest_dir(table_path, fs)):
         if not is_dir and name.startswith("tag-") and name.endswith(".json"):
             t = name[4:-5]
-            out[t] = int(
-                json.loads(
-                    fs.read_text(
-                        fs.join(_manifest_dir(table_path, fs), name)
-                    )
-                )["version"]
-            )
+            try:
+                out[t] = int(
+                    json.loads(
+                        fs.read_text(
+                            fs.join(_manifest_dir(table_path, fs), name)
+                        )
+                    )["version"]
+                )
+            except (ValueError, KeyError) as ex:
+                # a torn tag sidecar must fail LOUDLY and name its file:
+                # GC consults tags for snapshot pinning, so silently
+                # skipping one could reap a promised-readable version
+                raise EngineIOError(
+                    f"corrupt tag sidecar {name} (torn write?); restore "
+                    f"or delete it: {ex}",
+                    table_path,
+                ) from ex
     return out
 
 

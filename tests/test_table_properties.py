@@ -149,3 +149,19 @@ def test_corrupt_props_sidecar_fails_loudly(eng, spark):
         eng.write_table_version(_df(spark, 5, 8), "t", mode="append")
     os.remove(p)  # operator remedy
     assert eng.table_properties("t") == {}
+
+
+def test_corrupt_tag_sidecar_fails_loudly(eng, spark):
+    """A torn tag file must stop GC loudly — silently skipping it could
+    reap a snapshot the tag promised to keep readable."""
+    import os
+
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.tag_table("t", "keep")
+    p = os.path.join(eng._table_path("t"), "_manifests", "tag-keep.json")
+    with open(p, "w") as fh:
+        fh.write('{"version"')
+    with pytest.raises(EngineIOError, match="tag-keep"):
+        eng.table_tags("t")
+    with pytest.raises(EngineIOError, match="corrupt tag"):
+        eng.expire_table_versions("t", keep_last=1)
