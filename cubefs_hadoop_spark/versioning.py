@@ -999,6 +999,24 @@ def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
     return df
 
 
+def _prop_write_opts(
+    table_path: str, df: DataFrame, fs: WarehouseFS
+) -> dict | None:
+    """Parquet writer options implied by table properties: bloom filters
+    for ``cfs.bloom.cols`` (columns present in the written frame)."""
+    raw = get_properties(table_path, fs).get("cfs.bloom.cols")
+    if not raw:
+        return None
+    cols = [
+        c.strip()
+        for c in raw.split(",")
+        if c.strip() and c.strip() in df.columns
+    ]
+    return {
+        f"parquet.bloom.filter.enabled#{c}": "true" for c in cols
+    } or None
+
+
 def commit_version(
     df: DataFrame,
     table_path: str,
@@ -1040,14 +1058,7 @@ def commit_version(
                 if c.strip()
             ]
         if write_opts is None and props.get("cfs.bloom.cols"):
-            cols = [
-                c.strip()
-                for c in props["cfs.bloom.cols"].split(",")
-                if c.strip() and c.strip() in df.columns
-            ]
-            write_opts = {
-                f"parquet.bloom.filter.enabled#{c}": "true" for c in cols
-            } or None
+            write_opts = _prop_write_opts(table_path, df, fs)
     stage, files = _stage_write(df, table_path, partition_by, fs, write_opts)
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs
@@ -1899,7 +1910,9 @@ def compact_version(
         out_df = zorder_layout(df, zorder_by, n)
     else:
         out_df = df.repartition(n)
-    stage, files = _stage_write(out_df, table_path, None, fs)
+    stage, files = _stage_write(
+        out_df, table_path, None, fs, _prop_write_opts(table_path, out_df, fs)
+    )
     if stats_cols is None:
         raw = get_properties(table_path, fs).get("cfs.stats.cols")
         if raw:
@@ -2006,7 +2019,11 @@ def binpack_version(
         n, *partition_by
     )
     stage, new_files = _stage_write(
-        out_df, table_path, partition_by or None, fs
+        out_df,
+        table_path,
+        partition_by or None,
+        fs,
+        _prop_write_opts(table_path, out_df, fs),
     )
     old_stats = pm.get("stats") or {}
     if stats_cols is None:

@@ -165,3 +165,26 @@ def test_corrupt_tag_sidecar_fails_loudly(eng, spark):
         eng.table_tags("t")
     with pytest.raises(EngineIOError, match="corrupt tag"):
         eng.expire_table_versions("t", keep_last=1)
+
+
+def test_rewrites_preserve_property_blooms(eng, spark):
+    """OPTIMIZE/BINPACK rewrites keep writing the bloom tier declared on
+    the table — a compaction must not silently strip point-lookup
+    skipping from the files it produces."""
+    df = _df(spark, 0, 40000)
+    eng.write_table_version(df.coalesce(2), "t")
+    eng.set_table_properties("t", {"cfs.bloom.cols": "doc_id"})
+    path = eng._table_path("t")
+
+    def live_bytes():
+        m = versioning.read_manifest(path, versioning.current_version(path))
+        sizes = {rel: sz for rel, sz, _m in eng.fs.walk_files(path)}
+        return sum(sizes[f] for f in m["files"])
+
+    before = live_bytes()  # v1: written pre-property, no blooms
+    eng.compact_table("t")  # full rewrite under the property
+    after = live_bytes()
+    # same rows, same compression class — the bloom bitsets are the
+    # dominant byte delta (~1 byte/row at default FPP)
+    assert after > before + 20_000
+    assert eng.read_version("t").count() == 40000
