@@ -1916,7 +1916,11 @@ class Engine:
         return v
 
     def read_table_changes(
-        self, name: str, from_version: int, to_version: int | None = None
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Incremental scan: rows added to ``name`` after ``from_version``
         up to ``to_version`` (default latest).  Append-only ranges only —
@@ -1930,6 +1934,7 @@ class Engine:
             from_version,
             to_version,
             fs=self.fs,
+            branch=branch,
         )
 
     def table_history(
@@ -2074,7 +2079,10 @@ class Engine:
         )
 
     def table_partitions(
-        self, name: str, version: int | str | None = None
+        self,
+        name: str,
+        version: int | str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Partition-level rollup of ``table_files`` — Iceberg's
         ``partitions`` metadata table: one row per live Hive partition
@@ -2084,7 +2092,7 @@ class Engine:
         files' maintenance decisions at 100 TB."""
         from pyspark.sql import functions as F
 
-        files = self.table_files(name, version)
+        files = self.table_files(name, version, branch)
         return (
             files.groupBy("partition")
             .agg(
