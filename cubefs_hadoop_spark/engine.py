@@ -822,6 +822,8 @@ class Engine:
           CREATE [OR REPLACE] MATERIALIZED VIEW m AS.. -> materialized view
           REFRESH MATERIALIZED VIEW m                  -> incremental/full
           DROP MATERIALIZED VIEW m                     -> drop_materialized_view
+          ALTER TABLE t ADD CONSTRAINT n CHECK (e)     -> persisted check
+          ALTER TABLE t DROP CONSTRAINT n              -> drop check
           ALTER TABLE t SET TBLPROPERTIES ('k'='v')    -> set_table_properties
           ALTER TABLE t UNSET TBLPROPERTIES ('k')      -> unset keys
           SHOW TBLPROPERTIES t                         -> table_properties
@@ -1073,6 +1075,23 @@ class Engine:
             self.alter_table(
                 m.group(1), [{"op": "drop", "name": m.group(2)}]
             )
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+            r"CHECK\s*\((.+)\)$",
+            s,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            self.add_table_constraint(m.group(1), m.group(2), m.group(3))
+            return None
+        m = re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$",
+            s,
+            re.IGNORECASE,
+        )
+        if m:
+            self.drop_table_constraint(m.group(1), m.group(2))
             return None
         m = re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+(SET|UNSET)\s+TBLPROPERTIES\s*"
@@ -1787,6 +1806,49 @@ class Engine:
         if v is not None:
             self._mark_dirty(name)
         return v
+
+    def table_constraints(self, name: str) -> dict:
+        import json as _json
+
+        raw = self.table_properties(name).get("cfs.checks")
+        return _json.loads(raw) if raw else {}
+
+    def add_table_constraint(self, name: str, cname: str, expr: str) -> None:
+        """Persisted CHECK constraint (Delta ADD CONSTRAINT parity):
+        stored in the ``cfs.checks`` property, proven against the
+        EXISTING data first (a constraint the table already violates is
+        refused), then enforced on every subsequent versioned commit by
+        every producer."""
+        import json as _json
+
+        cons = self.table_constraints(name)
+        if cname in cons:
+            raise EngineIOError(
+                f"constraint {cname!r} already exists", name
+            )
+        # existing rows must satisfy it, or reads and writes disagree
+        # about the table's contract from day one
+        bad = self.expect(self.read_version(name), [expr])[expr]
+        if bad:
+            raise EngineIOError(
+                f"existing data violates {cname!r} ({bad} row(s)); "
+                "clean the table first",
+                name,
+            )
+        cons[cname] = expr
+        self.set_table_properties(
+            name, {"cfs.checks": _json.dumps(cons, sort_keys=True)}
+        )
+
+    def drop_table_constraint(self, name: str, cname: str) -> None:
+        import json as _json
+
+        cons = self.table_constraints(name)
+        cons.pop(cname, None)
+        self.set_table_properties(
+            name,
+            {"cfs.checks": _json.dumps(cons, sort_keys=True) if cons else None},
+        )
 
     def table_properties(self, name: str) -> dict:
         from cubefs_hadoop_spark import versioning

@@ -999,6 +999,41 @@ def _apply_predicates(df: DataFrame, predicates: list[tuple]) -> DataFrame:
     return df
 
 
+def _enforce_constraints(
+    df: DataFrame, table_path: str, fs: WarehouseFS
+) -> None:
+    """Persisted CHECK constraints (property ``cfs.checks``, a JSON
+    {name: sql_expr} map — ALTER TABLE ADD CONSTRAINT): every versioned
+    commit proves them in ONE distributed pass before any data stages;
+    a NULL predicate counts as a violation (the row failed to prove the
+    constraint).  Runs on every producer that commits a DataFrame —
+    engine verbs, the streaming sink, direct commit_version callers."""
+    raw = get_properties(table_path, fs).get("cfs.checks")
+    if not raw:
+        return
+    checks = json.loads(raw)
+    if not checks:
+        return
+    aggs = [
+        F.count(
+            F.when(~F.coalesce(F.expr(c), F.lit(False)), 1)
+        ).alias(f"_c{i}")
+        for i, c in enumerate(checks.values())
+    ]
+    row = df.agg(*aggs).first()
+    bad = {
+        name: int(row[f"_c{i}"])
+        for i, name in enumerate(checks)
+        if int(row[f"_c{i}"])
+    }
+    if bad:
+        raise EngineIOError(
+            f"CHECK constraint violations, commit refused: {bad} "
+            f"(constraints: { {k: checks[k] for k in bad} })",
+            table_path,
+        )
+
+
 def _prop_write_opts(
     table_path: str, df: DataFrame, fs: WarehouseFS
 ) -> dict | None:
@@ -1059,6 +1094,7 @@ def commit_version(
             ]
         if write_opts is None and props.get("cfs.bloom.cols"):
             write_opts = _prop_write_opts(table_path, df, fs)
+        _enforce_constraints(df, table_path, fs)
     stage, files = _stage_write(df, table_path, partition_by, fs, write_opts)
     new_stats = _collect_file_stats(
         df.sparkSession, table_path, stage, files, stats_cols or [], fs

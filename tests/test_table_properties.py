@@ -188,3 +188,30 @@ def test_rewrites_preserve_property_blooms(eng, spark):
     # dominant byte delta (~1 byte/row at default FPP)
     assert after > before + 20_000
     assert eng.read_version("t").count() == 40000
+
+
+def test_persisted_check_constraints(eng, spark):
+    """ADD CONSTRAINT: proven against existing data at creation, then
+    enforced on EVERY versioned commit by every producer."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.execute("ALTER TABLE t ADD CONSTRAINT id_pos CHECK (id >= 0)")
+    assert eng.table_constraints("t") == {"id_pos": "id >= 0"}
+    # clean append passes
+    eng.write_table_version(_df(spark, 10, 15), "t", mode="append")
+    # violating append refused BEFORE any data stages
+    bad = spark.range(5).selectExpr("id - 99 AS id", "md5('x') AS doc_id")
+    with pytest.raises(EngineIOError, match="id_pos"):
+        eng.write_table_version(bad, "t", mode="append")
+    assert eng.read_version("t").count() == 15  # nothing landed
+    # a constraint the existing data violates is refused at creation
+    with pytest.raises(EngineIOError, match="existing data"):
+        eng.execute("ALTER TABLE t ADD CONSTRAINT big CHECK (id > 100)")
+    # the streaming committer inherits enforcement (same commit path)
+    from cubefs_hadoop_spark import versioning
+
+    with pytest.raises(EngineIOError, match="id_pos"):
+        versioning.commit_version(bad, eng._table_path("t"), mode="append")
+    # drop lifts it
+    eng.execute("ALTER TABLE t DROP CONSTRAINT id_pos")
+    eng.write_table_version(bad, "t", mode="append")
+    assert eng.read_version("t").count() == 20
