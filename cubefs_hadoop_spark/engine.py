@@ -50,16 +50,9 @@ _VALID_MODES = ("errorifexists", "overwrite", "append", "ignore")
 
 
 def _ts_to_ms(ts: str | int) -> int:
-    """'YYYY-MM-DD[ HH:MM:SS[.fff]]' (UTC, matching the pinned session
-    timezone) or epoch millis -> epoch millis."""
-    if isinstance(ts, int):
-        return ts
-    import datetime
+    from cubefs_hadoop_spark import versioning
 
-    dt = datetime.datetime.fromisoformat(ts)
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=datetime.timezone.utc)
-    return int(dt.timestamp() * 1000)
+    return versioning.ts_to_ms(ts)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -1569,12 +1562,15 @@ class Engine:
             else {}
         )
         # cfs.stats.cols resolves inside commit_version (every producer
-        # inherits it); bloom is a writer option, resolved here
+        # inherits it); bloom is a writer option, resolved here.
+        # Property-derived cols FILTER to the written schema (a
+        # merge-schema append legitimately lacks some columns); only an
+        # EXPLICIT bloom_cols argument still validates strictly.
         if bloom_cols is None and props.get("cfs.bloom.cols"):
             bloom_cols = [
                 c.strip()
                 for c in props["cfs.bloom.cols"].split(",")
-                if c.strip()
+                if c.strip() and c.strip() in df.columns
             ]
         v = versioning.commit_version(
             df,
@@ -1603,7 +1599,11 @@ class Engine:
         costs ~1 byte/row at write time."""
         if bloom_cols is None:
             raw = self.spark.conf.get("cfspark.write.bloom.columns", None)
-            bloom_cols = [c.strip() for c in raw.split(",")] if raw else []
+            bloom_cols = (
+                [c.strip() for c in raw.split(",") if c.strip()]
+                if raw
+                else []
+            )
         bad = [c for c in bloom_cols if c not in df_cols]
         if bad:
             raise EngineIOError(
@@ -1953,9 +1953,39 @@ class Engine:
         if self.table_exists(dst):
             raise TableAlreadyExistsError("table already exists", dst)
         df = self.read_version(src, version, at_timestamp=at_timestamp)
-        v = self.write_table_version(df, dst)
-        props = versioning.get_properties(
-            self._table_path(src), self.fs
+        # the clone's FIRST commit must already carry the source's
+        # layout contract — partition dirs, stats tier, bloom tier —
+        # not gain it one rewrite later
+        src_path = self._table_path(src)
+        props = versioning.get_properties(src_path, self.fs)
+        sm = versioning.read_manifest(
+            src_path, versioning.current_version(src_path, self.fs),
+            self.fs,
+        )
+        pb = [c for c in sm.get("partition_by") or [] if c in df.columns]
+        stats_cols = [
+            c.strip()
+            for c in props.get("cfs.stats.cols", "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ] or sorted(
+            {
+                c
+                for st in (sm.get("stats") or {}).values()
+                for c in st
+                if c in df.columns
+            }
+        )
+        bloom_cols = [
+            c.strip()
+            for c in props.get("cfs.bloom.cols", "").split(",")
+            if c.strip() and c.strip() in df.columns
+        ]
+        v = self.write_table_version(
+            df,
+            dst,
+            partition_by=pb or None,
+            stats_cols=stats_cols or None,
+            bloom_cols=bloom_cols or None,
         )
         if props:
             versioning.set_properties(
@@ -2099,6 +2129,12 @@ class Engine:
             raise EngineIOError(
                 "table_files requires a versioned table "
                 "(write_table_version / adopt_table first)",
+                name,
+            )
+        if isinstance(version, str) and branch is not None:
+            raise EngineIOError(
+                "tags name MAIN-chain snapshots; a branch listing takes "
+                "a numeric branch version",
                 name,
             )
         v = (

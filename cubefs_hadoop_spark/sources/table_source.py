@@ -126,16 +126,9 @@ def _parse_part_value(raw: str | None, spark_type):
 
 
 def _iso_to_ms(ts: str) -> int:
-    """ISO 'YYYY-MM-DD[ HH:MM:SS[.fff]]' (UTC) or epoch-millis string
-    -> epoch millis."""
-    import datetime
+    from cubefs_hadoop_spark import versioning
 
-    if ts.isdigit():
-        return int(ts)
-    dt = datetime.datetime.fromisoformat(ts)
-    if dt.tzinfo is None:
-        dt = dt.replace(tzinfo=datetime.timezone.utc)
-    return int(dt.timestamp() * 1000)
+    return versioning.ts_to_ms(ts)
 
 
 class CfsTableReader(DataSourceReader):
@@ -146,6 +139,14 @@ class CfsTableReader(DataSourceReader):
         v = options.get("version")
         ts = options.get("timestamp")
         self.branch = options.get("branch")
+        if ts is not None and self.branch is not None:
+            # the timestamp resolves on the MAIN chain; reading that
+            # version number from a branch chain would be a different
+            # snapshot entirely (same refusal as Engine.read_version)
+            raise ValueError(
+                "cfstable: options 'timestamp' and 'branch' are "
+                "mutually exclusive"
+            )
         if v is None and ts is not None:
             from cubefs_hadoop_spark import versioning as _v
 
@@ -575,6 +576,11 @@ class CfsTableDataSource(DataSource):
         v = self.options.get("version")
         branch = self.options.get("branch")
         ts = self.options.get("timestamp")
+        if ts is not None and branch is not None:
+            raise ValueError(
+                "cfstable: options 'timestamp' and 'branch' are "
+                "mutually exclusive"
+            )
         if v is None and ts is not None:
             v = versioning.resolve_timestamp(path, _iso_to_ms(ts))
         # Resolve "latest" ONCE and pin it: the reader must plan its file

@@ -139,7 +139,11 @@ def _page_match(bounds: dict, predicates: list[tuple]) -> bool:
     file in a page with these aggregated [min, max] bounds match ALL
     predicates?  A column absent from ``bounds`` (some file in the page
     had no stats for it) never prunes."""
-    for col, op, val in predicates:
+    # bounds live in JSON-manifest form (_stat_json: datetimes as ISO
+    # strings, decimals as floats) — normalize the predicate values the
+    # same way or every timestamp/date comparison is a TypeError
+    # conservative-keep and page skipping silently never fires
+    for col, op, val in ((c, o, _stat_json(v)) for c, o, v in predicates):
         b = bounds.get(col)
         if not b or b[0] is None or b[1] is None:
             continue
@@ -454,6 +458,23 @@ def resolve_tag(
     if tag not in tags:
         raise TableNotFoundError(f"tag {tag!r} not found", table_path)
     return tags[tag]
+
+
+def ts_to_ms(ts: str | int) -> int:
+    """Canonical timestamp-input parser for every TIMESTAMP AS OF
+    surface: epoch millis (int or digit string) or ISO
+    'YYYY-MM-DD[ HH:MM:SS[.fff]]' (naive = UTC, matching the pinned
+    session timezone)."""
+    if isinstance(ts, int):
+        return ts
+    if ts.isdigit():
+        return int(ts)
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def resolve_timestamp(
@@ -2027,7 +2048,8 @@ def binpack_version(
     small = [f for f in pm["files"] if sizes.get(f, 0) < min_file_bytes]
     if len(small) < 2:
         return None
-    keep = [f for f in pm["files"] if f not in set(small)]
+    small_set = set(small)
+    keep = [f for f in pm["files"] if f not in small_set]
     partition_by = pm.get("partition_by") or []
     if partition_by:
         # recover the Hive-encoded partition columns via basePath — per
@@ -2063,8 +2085,16 @@ def binpack_version(
     )
     old_stats = pm.get("stats") or {}
     if stats_cols is None:
-        # re-harvest whatever the parent snapshot tracked
+        # re-harvest whatever the parent snapshot tracked; if it tracked
+        # nothing (e.g. string-typed cols through the footer-only staged
+        # path), fall back to the table's declared tier like compact does
         stats_cols = sorted({c for st in old_stats.values() for c in st})
+        if not stats_cols:
+            raw = get_properties(table_path, fs).get("cfs.stats.cols")
+            if raw:
+                stats_cols = [
+                    c.strip() for c in raw.split(",") if c.strip()
+                ]
     new_stats = _collect_file_stats(
         spark, table_path, stage, new_files, stats_cols, fs
     )
@@ -2128,8 +2158,19 @@ def expire_versions(
     referenced: set[str] = set()
     expired_refs: set[str] = set()
     live_pages: set[str] = set()
+    torn_roots: list[int] = []
     for v in vs:
-        m = read_manifest(table_path, v, fs)
+        try:
+            m = read_manifest(table_path, v, fs)
+        except EngineIOError:
+            if v in keep:
+                raise  # a LIVE version with missing pages is corruption
+            # an EXPIRED root whose pages a crashed pre-reorder sweep
+            # already reclaimed: self-heal by dropping the root; its
+            # files are either referenced by other versions (kept) or
+            # expired anyway (grace-reaped as never-referenced)
+            torn_roots.append(v)
+            continue
         refs = set(m["files"])
         for d in m.get("deletes", []):
             # equality-delete key files are live data too: reaping them
@@ -2152,6 +2193,14 @@ def expire_versions(
     removed_versions = 0
     md = _manifest_dir(table_path, fs)
     now_ms = int(time.time() * 1000)
+    # ROOTS FIRST, pages second: a crash between the two leaves orphan
+    # PAGES (reaped by the next sweep's grace logic below) — the reverse
+    # order would leave a root pointing at deleted pages, and the next
+    # sweep's census (full read_manifest) would fail forever on it
+    for v in vs:
+        if v not in keep:
+            fs.delete(_manifest_path(table_path, v, fs), recursive=False)
+            removed_versions += 1
     for rel, _size, mtime_ms in list(fs.walk_files(md)):
         # sweep orphaned publish tmp files left by a crash mid-commit —
         # ONLY when old enough that no in-flight commit can still own
@@ -2161,9 +2210,10 @@ def expire_versions(
             fs.delete(fs.join(md, rel), recursive=False)
         # manifest PAGES (format 2): a page not referenced by any kept
         # root is either an expired version's (provably superseded:
-        # its vNNNNN prefix names a dropped version — reclaim now) or a
-        # conflict-loser orphan whose root never published (reclaim
-        # after the same grace as crashed data stages)
+        # its vNNNNN prefix names a dropped version whose root is
+        # already gone — reclaim now) or a conflict-loser orphan whose
+        # root never published (reclaim after the same grace as
+        # crashed data stages)
         if rel.startswith(f"{_PAGES_DIR}/") and rel not in live_pages:
             name = rel.rsplit("/", 1)[-1]
             pv = None
@@ -2175,10 +2225,6 @@ def expire_versions(
             superseded = pv is not None and pv in vs and pv not in keep
             if superseded or now_ms - mtime_ms > orphan_grace_ms:
                 fs.delete(fs.join(md, rel), recursive=False)
-    for v in vs:
-        if v not in keep:
-            fs.delete(_manifest_path(table_path, v, fs), recursive=False)
-            removed_versions += 1
     removed_files = 0
     data_root = fs.join(table_path, _DATA_DIR)
     for rel, _size, mtime_ms in list(fs.walk_files(data_root)):

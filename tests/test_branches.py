@@ -497,3 +497,23 @@ def test_concurrent_publish_one_wins(eng, spark):
     kinds = sorted(type(r).__name__ for r in results)
     assert kinds == ["VersionConflictError", "int"]
     assert eng.read_version("t").count() == 12
+
+
+def test_cfstable_refuses_timestamp_plus_branch(eng, spark):
+    from cubefs_hadoop_spark.sources.table_source import register
+
+    register(spark)
+    eng.write_table_version(_df(spark, 0, 5), "t")
+    eng.create_table_branch("t", "b")
+    with pytest.raises(Exception, match="mutually exclusive"):
+        (
+            spark.read.format("cfstable")
+            .option("path", eng._table_path("t"))
+            .option("branch", "b")
+            .option("timestamp", "2026-01-01")
+            .load()
+            .count()
+        )
+    # engine surface mirrors the refusal for metadata listings too
+    with pytest.raises(EngineIOError, match="numeric branch version"):
+        eng.table_files("t", version="sometag", branch="b")

@@ -178,3 +178,59 @@ def test_conflict_loser_pages_cleaned(tmp_path):
     with pytest.raises(VersionConflictError):
         versioning._commit_manifest(path, dict(base), 1, fs)
     assert len(os.listdir(pages_dir)) == n_before
+
+
+def test_page_skipping_fires_on_timestamp_predicates(spark, tmp_path, paged):
+    """Page bounds live in JSON form (datetimes as ISO strings); a
+    datetime-valued predicate must normalize the same way or page
+    skipping silently never fires (r6 review fix)."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 64).selectExpr(
+        "id",
+        "timestampadd(HOUR, CAST(id AS INT), "
+        "TIMESTAMP '2026-01-01 00:00:00') AS ts",
+    )
+    versioning.commit_version(
+        df.repartition(16, "id"), path, stats_cols=["ts"]
+    )
+    cutoff = datetime.datetime(2026, 1, 10)  # beyond every ts bound
+    m = versioning.read_manifest(
+        path, 1, predicates=[("ts", ">", cutoff)]
+    )
+    assert m.get("page_pruned") is True
+    assert m["files"] == []  # every page refuted, none parsed for files
+    # and the full read agrees row-level
+    got = versioning.read_version(
+        spark, path, predicates=[("ts", ">", cutoff)]
+    )
+    assert got.count() == 0
+
+
+def test_gc_self_heals_torn_expired_root(spark, tmp_path, paged):
+    """Pre-reorder crash artifact: an EXPIRED format-2 root whose pages
+    are gone.  The census drops the torn root instead of wedging every
+    future sweep; LIVE torn roots still raise (real corruption)."""
+    path = str(tmp_path / "t")
+    df = spark.range(0, 32).selectExpr("id")
+    versioning.commit_version(df.repartition(8), path)
+    versioning.commit_version(df.repartition(8), path, mode="overwrite")
+    # simulate the old crash: delete v1's pages but keep its root
+    md = os.path.join(path, "_manifests")
+    root1 = json.load(open(os.path.join(md, "v00001.json")))
+    assert root1.get("pages"), "fixture must have paged v1"
+    for pg in root1["pages"]:
+        os.remove(os.path.join(md, pg["path"]))
+    stats = versioning.expire_versions(path, keep_last=1, orphan_grace_ms=0)
+    assert stats["versions_removed"] >= 1
+    assert versioning.list_versions(path) == [2]
+    assert versioning.read_version(spark, path).count() == 32
+    # a LIVE (kept) torn root is corruption and must raise
+    root2 = json.load(open(os.path.join(md, "v00002.json")))
+    for pg in root2["pages"]:
+        os.remove(os.path.join(md, pg["path"]))
+    from cubefs_hadoop_spark.errors import EngineIOError
+
+    with pytest.raises(EngineIOError):
+        versioning.expire_versions(path, keep_last=1, orphan_grace_ms=0)

@@ -215,3 +215,24 @@ def test_persisted_check_constraints(eng, spark):
     eng.execute("ALTER TABLE t DROP CONSTRAINT id_pos")
     eng.write_table_version(bad, "t", mode="append")
     assert eng.read_version("t").count() == 20
+
+
+def test_property_blooms_tolerate_merge_schema_appends(eng, spark):
+    """Property-derived bloom cols FILTER to the written schema — a
+    merge-schema append without the bloom column must not be refused
+    (r6 review fix); an EXPLICIT bloom_cols arg still validates."""
+    eng.write_table_version(_df(spark, 0, 10), "t")
+    eng.set_table_properties("t", {"cfs.bloom.cols": "doc_id"})
+    # additive append lacking doc_id: allowed, no bloom written
+    eng.write_table_version(
+        spark.range(10, 15).selectExpr("id", "id AS extra"),
+        "t",
+        mode="append",
+    )
+    assert versioning.read_version(
+        spark, eng._table_path("t"), merge_schema=True
+    ).count() == 15
+    with pytest.raises(EngineIOError, match="bloom"):
+        eng.write_table_version(
+            spark.range(3).selectExpr("id"), "t2", bloom_cols=["nope"]
+        )

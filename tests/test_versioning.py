@@ -918,3 +918,21 @@ def test_clone_table_deep_at_version(eng, spark):
     eng.write_table_version(_df(spark, 0, 2), "t3")
     with pytest.raises(TableAlreadyExistsError):
         eng.clone_table("t3", "t2")
+
+
+def test_clone_carries_layout_contract(eng, spark):
+    """The clone's FIRST commit already has the source's partition dirs,
+    stats tier and properties (r6 review fix) — not one rewrite later."""
+    df = spark.range(40).selectExpr(
+        "id", "CAST(id % 2 AS INT) AS p", "id * 2 AS v"
+    )
+    eng.write_table_version(
+        df, "src", partition_by=["p"], stats_cols=["id"]
+    )
+    eng.set_table_properties("src", {"cfs.stats.cols": "id"})
+    eng.clone_table("src", "dst")
+    m = versioning.read_manifest(eng._table_path("dst"), 1)
+    assert m["partition_by"] == ["p"]
+    assert all("id" in st for st in m["stats"].values())
+    assert eng.table_properties("dst") == {"cfs.stats.cols": "id"}
+    assert eng.read_version("dst").filter("p = 1").count() == 20
