@@ -310,3 +310,26 @@ def test_x14_prefix_sum_is_two_level(spark):
     assert re.search(r"hashpartitioning\(pid", a.text)
     # exactly one SinglePartition exchange: the tiny totals frame
     assert a.text.count("SinglePartition") == 1
+
+
+def test_x28_canonical_join_no_nlj_no_python(spark):
+    """Canonical election's final label-join must stay an equi-join over
+    JVM code — no nested loops, no Python eval anywhere (the star rounds
+    are separate barriered jobs; this gates the corpus-facing stage)."""
+    a = _audit(spark, "x28_canonical_dedup")
+    assert a.nested_loop_joins == 0
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+
+
+def test_x29_novelty_is_gram_keyed_and_bounded(spark):
+    """Novelty scoring's stages are gram-/doc-keyed shuffles only: no
+    nested loops, no Python, no corpus-sized SinglePartition funnel, and
+    the documents scan reads exactly (doc_id, text)."""
+    a = _audit(spark, "x29_ngram_novelty")
+    assert a.nested_loop_joins == 0
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert a.text.count("SinglePartition") == 0
+    assert any(
+        "doc_id" in rs and "text" in rs and "lang" not in rs
+        for rs in a.read_schemas
+    )
