@@ -50,6 +50,14 @@ _R6_WINDOW = [
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
+#
+# r7 rotation plan (stalest-first): lead with the 24 r04-last-green
+# entries this window displaced (q19/q19b, q21, q26-q37 families, q28b,
+# q29/q29b, q30 family, q31-q36, u01-u06 — whichever the r6
+# CORRECTNESS file shows as last green in r04), then the two r6-new
+# entries (x28_canonical_dedup, x29_ngram_novelty — first driver rows),
+# then r05 greens in registration order.  Every displaced entry still
+# hash-checks in pytest (test_oracle) each run.
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 reorder(_R6_WINDOW)
 
