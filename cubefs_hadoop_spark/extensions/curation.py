@@ -314,3 +314,91 @@ def x19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(load(spark, sf_dir, "documents")).orderBy(
         "lang", "doc_id", "tokens"
     )
+
+
+# -- x30: sliding-window document chunking ---------------------------------
+
+_X30_SIZE = 200  # chars per chunk
+_X30_OVERLAP = 40  # chars shared by consecutive chunks
+_X30_STRIDE = _X30_SIZE - _X30_OVERLAP
+
+_X30_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+            CAST(CEIL(CAST(GREATEST(LENGTH(text) - {_X30_OVERLAP}, 1)
+                 AS DOUBLE) / {_X30_STRIDE}) AS BIGINT) - 1)) AS i
+  FROM documents)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_X30_STRIDE} AS BIGINT) AS char_start,
+       substr(text, CAST(i AS BIGINT) * {_X30_STRIDE} + 1, {_X30_SIZE})
+           AS chunk_text,
+       CAST(LENGTH(substr(text, CAST(i AS BIGINT) * {_X30_STRIDE} + 1,
+                          {_X30_SIZE})) AS BIGINT) AS chunk_len
+FROM c ORDER BY doc_id, chunk_idx"""
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = _X30_SIZE,
+    overlap: int = _X30_OVERLAP,
+) -> DataFrame:
+    """RAG/context-window chunking: cut each document into fixed-size
+    character windows where consecutive chunks share exactly ``overlap``
+    chars (the retrieval-layout step downstream of filtering, distinct
+    from x14's corpus-wide concat-and-chunk token packing — chunks here
+    never cross document boundaries).
+
+    Contract: every document yields >= 1 chunk (empty text -> one empty
+    chunk, so no row silently vanishes); chunks cover every char; only
+    the last chunk of a document may be shorter than ``size``.
+
+    Scale (100 TB): map-only — one ``sequence``+``explode`` and a
+    ``substr``, all JVM codegen, ZERO shuffles and zero Python; output
+    partitioning inherits the scan, so a downstream embed/dedup stage
+    repartitions once on its own key and nothing funnels.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < size, got "
+            f"size={size} overlap={overlap}"
+        )
+    stride = size - overlap
+    n = F.ceil(
+        F.greatest(F.length(text_col) - F.lit(overlap), F.lit(1)).cast(
+            "double"
+        )
+        / F.lit(stride)
+    )
+    start = F.col("chunk_idx") * stride  # 0-based char offset
+    text = F.col(text_col).substr(
+        (start + 1).cast("int"), F.lit(size).cast("int")
+    )
+    return (
+        docs.select(
+            id_col,
+            text_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            start.cast("long").alias("char_start"),
+            text.alias("chunk_text"),
+            F.length(text).cast("long").alias("chunk_len"),
+        )
+    )
+
+
+@register("x30_chunk_documents", _X30_ORACLE)
+def x30_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 sliding-window chunking (200-char windows, 40-char overlap):
+    map-only explode, zero shuffles before the presentation sort."""
+    return chunk_documents(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_idx"
+    )

@@ -145,3 +145,33 @@ def test_curation_plan_shapes(spark):
     assert a19.has_window_group_limit
     assert "SinglePartition" not in a19.text
     assert "BatchEvalPython" not in a19.text
+
+
+def test_chunk_documents_contract(spark):
+    """x30 witness: full coverage, exact overlap between consecutive
+    chunks, short final chunk, and the >=1-chunk-per-doc guarantee
+    (empty text included — no row may silently vanish)."""
+    from cubefs_hadoop_spark.extensions.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abc"), (3, "")], ["doc_id", "text"]
+    )
+    out = {}
+    for r in chunk_documents(docs, size=4, overlap=2).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    # doc 1 (10 chars, stride 2): ceil((10-2)/2)=4 chunks
+    c1 = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c1] == ["abcd", "cdef", "efgh", "ghij"]
+    assert [r.char_start for r in c1] == [0, 2, 4, 6]
+    # consecutive chunks share exactly `overlap` chars
+    for a, b in zip(c1, c1[1:]):
+        assert a.chunk_text[-2:] == b.chunk_text[:2]
+    # coverage: stitching chunks at stride offsets rebuilds the doc
+    assert c1[0].chunk_text + "".join(r.chunk_text[2:] for r in c1[1:]) == "abcdefghij"
+    # doc 2: one short chunk; doc 3: empty text still yields one row
+    assert [(r.chunk_text, r.chunk_len) for r in out[2]] == [("abc", 3)]
+    assert [(r.chunk_text, r.chunk_len) for r in out[3]] == [("", 0)]
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, size=4, overlap=4)

@@ -333,3 +333,18 @@ def test_x29_novelty_is_gram_keyed_and_bounded(spark):
         "doc_id" in rs and "text" in rs and "lang" not in rs
         for rs in a.read_schemas
     )
+
+
+def test_x30_chunking_is_map_only(spark):
+    """x30's generic path (no presentation sort) must be pure map work:
+    zero exchanges, zero joins, no Python eval — at 100 TB the chunker
+    rides the scan and the downstream stage picks the partitioning."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.curation import chunk_documents
+
+    spark.catalog.clearCache()
+    docs = load(spark, SF_SMOKE, "documents")
+    a = audit_plan(chunk_documents(docs))
+    assert a.shuffles == 0
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
