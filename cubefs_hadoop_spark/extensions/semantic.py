@@ -418,3 +418,158 @@ def x13b_incremental_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", r2d(F.col("c")).alias("cos"))
         .orderBy("da", "db", "cos")
     )
+
+# ---------------------------------------------------------------------------
+# x31 — per-label embedding centroids / x32 — prototype (coreset) selection
+# ---------------------------------------------------------------------------
+# Class prototypes are the workhorse of cluster-balanced curation: SemDeDup
+# prunes within clusters, density-based mixing (DoReMi-style) weights them,
+# and coreset selection (Sorscher et al. 2022, arXiv:2206.14486 "Beyond
+# neural scaling laws") keeps the examples closest to (or farthest from)
+# their cluster prototype.  x31 computes the prototypes; x32 selects the
+# per-label k nearest examples to their own prototype.
+#
+# Exactness: element values enter as integer millis (floor(v*1000) after an
+# exact float->double widen), so sums are order-free BIGINT arithmetic and
+# the centroid is a deterministic floor-division — every output column is
+# integer-typed and hash-stable against the DuckDB twin.  Production keeps
+# the double-precision path (a milli grid quantizes the prototype); the
+# plan shape is identical either way.
+
+def _milli_expr(vec_col: str):
+    """Embedding floats -> exact integer millis (float->double widen is
+    exact; both engines floor the identical IEEE product)."""
+    return F.expr(
+        f"transform({vec_col}, v -> CAST(floor(CAST(v AS DOUBLE)*1000)"
+        " AS BIGINT))"
+    )
+
+_X31_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS em,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(em) AS BIGINT) AS sum_milli,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(FLOOR(CAST(SUM(em) AS DOUBLE)/COUNT(*)) AS BIGINT)
+           AS centroid_milli
+FROM ex GROUP BY label, dim ORDER BY label, dim"""
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean embedding per label, in exact integer millis:
+    (label, dim, sum_milli, cnt, centroid_milli).
+
+    Plan shape at 100 TB: posexplode is map work riding the scan, and the
+    (label, dim) groupBy carries a map-side partial aggregate — each task
+    emits at most labels x dims rows regardless of input size, so the one
+    shuffle moves O(L*D) rows per task, not the corpus.  No join, no
+    Python, no driver collect."""
+    return (
+        emb.select(label_col, F.posexplode(_milli_expr(vec_col)).alias("dim", "em"))
+        .groupBy(label_col, "dim")
+        .agg(F.sum("em").alias("sum_milli"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            label_col,
+            F.col("dim").cast("long").alias("dim"),
+            "sum_milli",
+            "cnt",
+            F.floor(F.col("sum_milli").cast("double") / F.col("cnt"))
+            .cast("long")
+            .alias("centroid_milli"),
+        )
+    )
+
+
+@register("x31_label_centroids", _X31_ORACLE)
+def x31_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 per-label centroids: exact integer-milli element-wise mean of
+    the embedding column, one partial-aggregated shuffle."""
+    return label_centroids(load(spark, sf_dir, "embeddings")).orderBy(
+        "label", "dim"
+    )
+
+
+_X32_K = 5
+
+_X32_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS em,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+cent AS (
+  SELECT label, dim,
+         CAST(FLOOR(CAST(SUM(em) AS DOUBLE)/COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim),
+d AS (
+  SELECT e.vec_id, e.label,
+         CAST(SUM((e.em - c.c)*(e.em - c.c)) AS BIGINT) AS d2_milli
+  FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label)
+SELECT vec_id, label, d2_milli, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+          ORDER BY d2_milli, vec_id) AS rn FROM d)
+WHERE rn <= {_X32_K} ORDER BY label, rank"""
+
+
+def prototype_selection(
+    emb: DataFrame,
+    k: int = _X32_K,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coreset selection: the k examples of each label nearest (squared
+    L2, integer millis, ties -> lowest id) to their own label centroid —
+    the "easy prototype" half of the pruning metric in Sorscher et al.
+    2022; flip the ordering for the hard-example half.
+
+    Plan shape at 100 TB: the centroid frame is labels x dims rows
+    (driver-sized by definition) -> collected to per-label arrays and
+    BROADCAST; the distance is one row-local zip_with/aggregate over the
+    corpus (JVM codegen, no Python); the per-label top-k is a rank window
+    Spark rewrites to WindowGroupLimit, so each map task forwards at most
+    k rows per label into the single label-keyed shuffle."""
+    if k < 1:
+        raise ValueError(f"prototype_selection: need k >= 1, got {k}")
+    em_m = widen_for_cpu(emb, id_col).select(
+        id_col, label_col, _milli_expr(vec_col).alias("em")
+    )
+    cent_arr = (
+        label_centroids(emb, label_col=label_col, vec_col=vec_col)
+        .groupBy(label_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim,"
+                " centroid_milli))), s -> s.centroid_milli)"
+            ).alias("cent_m")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy("d2_milli", id_col)
+    return (
+        em_m.join(F.broadcast(cent_arr), label_col)
+        .withColumn(
+            "d2_milli",
+            F.expr(
+                "aggregate(zip_with(em, cent_m, (e, c) -> (e-c)*(e-c)),"
+                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, label_col, "d2_milli", "rank")
+    )
+
+
+@register("x32_prototype_selection", _X32_ORACLE)
+def x32_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 prototype selection: per-label k=5 nearest-to-centroid coreset,
+    broadcast centroids + WindowGroupLimit top-k."""
+    return prototype_selection(load(spark, sf_dir, "embeddings")).orderBy(
+        "label", "rank"
+    )

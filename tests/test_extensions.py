@@ -827,3 +827,69 @@ def test_pinned_ivf_recall(spark):
     )
     assert total >= 0.8, f"pinned IVF aggregate recall: {total} {per_q}"
     assert min(per_q.values()) >= 0.6, f"per-query floor: {per_q}"
+
+
+def test_label_centroids_exact_integer_means(spark):
+    """x31 witness: centroid millis are exact floor-divided integer sums
+    on a hand dataset (values chosen so the float->milli floor is
+    unambiguous)."""
+    from cubefs_hadoop_spark.extensions.semantic import label_centroids
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 5.0], 0),
+            (3, [10.0, -4.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.label, r.dim): (r.sum_milli, r.cnt, r.centroid_milli)
+        for r in label_centroids(emb).collect()
+    }
+    assert got == {
+        (0, 0): (4000, 2, 2000),
+        (0, 1): (7000, 2, 3500),
+        (1, 0): (10000, 1, 10000),
+        (1, 1): (-4000, 1, -4000),
+    }
+
+
+def test_prototype_selection_nearest_to_own_centroid(spark):
+    """x32 witness: per-label winners are exactly the squared-L2-nearest
+    to that label's centroid with id tiebreak, ranks are 1..k, and k
+    caps the per-label output; brute-force recomputed ground truth."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        label_centroids,
+        prototype_selection,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    out = prototype_selection(emb, k=3).collect()
+    by_label: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.label, r.rank)):
+        by_label.setdefault(r.label, []).append(r)
+    assert by_label, "fixture has labels"
+    # ground truth: milli vectors + milli centroids recomputed in python
+    cent: dict[tuple, int] = {
+        (r.label, r.dim): r.centroid_milli
+        for r in label_centroids(emb).collect()
+    }
+    import math
+
+    vecs = {
+        (r.vec_id, r.label): [
+            int(math.floor(float(v) * 1000)) for v in r.embedding
+        ]
+        for r in emb.collect()
+    }
+    truth: dict[int, list] = {}
+    for (vid, lab), em in vecs.items():
+        d2 = sum((e - cent[(lab, i)]) ** 2 for i, e in enumerate(em))
+        truth.setdefault(lab, []).append((d2, vid))
+    for lab, rows in by_label.items():
+        want = sorted(truth[lab])[:3]
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert [(r.d2_milli, r.vec_id) for r in rows] == want
+    with pytest.raises(ValueError, match="k >= 1"):
+        prototype_selection(emb, k=0)

@@ -348,3 +348,31 @@ def test_x30_chunking_is_map_only(spark):
     assert a.shuffles == 0
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x31_x32_centroid_ops_scale_shapes(spark):
+    """x31: the centroid reduction must carry a map-side partial
+    aggregate into ONE shuffle — no join, no Python (at 100 TB each task
+    emits labels x dims rows, never the corpus).  x32: centroids arrive
+    by BROADCAST (zero sort-merge, zero nested-loop over the corpus) and
+    the per-label top-k is a WindowGroupLimit, so map tasks forward at
+    most k rows per label."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import (
+        label_centroids,
+        prototype_selection,
+    )
+
+    spark.catalog.clearCache()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a31 = audit_plan(label_centroids(emb))
+    assert a31.shuffles == 1
+    assert a31.broadcast_joins + a31.sort_merge_joins + a31.nested_loop_joins == 0
+    assert not a31.has_python_eval
+    assert "partial_" in a31.text.lower() or "HashAggregate" in a31.text
+
+    a32 = audit_plan(prototype_selection(emb))
+    assert a32.broadcast_joins >= 1
+    assert a32.sort_merge_joins == 0 and a32.nested_loop_joins == 0
+    assert a32.has_window_group_limit
+    assert not a32.has_python_eval
