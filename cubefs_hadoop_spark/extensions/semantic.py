@@ -573,3 +573,75 @@ def x32_prototype_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prototype_selection(load(spark, sf_dir, "embeddings")).orderBy(
         "label", "rank"
     )
+
+
+# x31b — incremental centroid maintenance: the (sum, cnt) state is exactly
+# additive, so a streaming/batched ingest never re-touches the corpus.
+
+_X31B_ORACLE = _X31_ORACLE  # folding the batch must equal the full recompute
+
+
+def centroid_state_build(
+    emb: DataFrame,
+    index_path: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the per-(label, dim) (sum_milli, cnt) sufficient statistics
+    — the additive state an ingest loop folds batches into."""
+    label_centroids(emb, label_col=label_col, vec_col=vec_col).select(
+        label_col, "dim", "sum_milli", "cnt"
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def centroid_state_fold(
+    new_emb: DataFrame,
+    index_path: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a batch into the persisted centroid state and return the
+    refreshed centroid frame (same shape as ``label_centroids``).
+
+    Exactness is the point: sums of integer millis are associative and
+    commutative, so state + batch == full recompute to the BIT — the
+    oracle twin hash-proves it.  Cost is O(batch) map work plus a
+    labels x dims-sized merge; the corpus embeddings are never re-read.
+    A production loop overwrites the state with the returned sums (write
+    to a temp path, then rename — the state is labels x dims rows,
+    metadata-sized)."""
+    spark = new_emb.sparkSession
+    state = spark.read.parquet(index_path)
+    batch = label_centroids(
+        new_emb, label_col=label_col, vec_col=vec_col
+    ).select(label_col, "dim", "sum_milli", "cnt")
+    return (
+        state.unionByName(batch)
+        .groupBy(label_col, "dim")
+        .agg(F.sum("sum_milli").alias("sum_milli"), F.sum("cnt").alias("cnt"))
+        .select(
+            label_col,
+            "dim",
+            "sum_milli",
+            "cnt",
+            F.floor(F.col("sum_milli").cast("double") / F.col("cnt"))
+            .cast("long")
+            .alias("centroid_milli"),
+        )
+    )
+
+
+@register("x31b_incremental_centroids", _X31B_ORACLE)
+def x31b_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31b incremental centroid ingest: state built from vec_id < 400,
+    the remaining vectors folded as a batch — the merged result must be
+    bit-identical to the full-corpus x31 recompute (the oracle IS x31's),
+    proving the (sum, cnt) state is exactly additive."""
+    import tempfile
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="cent_state_") + "/state"
+    centroid_state_build(emb.filter(F.col("vec_id") < 400), idx)
+    return centroid_state_fold(emb.filter(F.col("vec_id") >= 400), idx).orderBy(
+        "label", "dim"
+    )

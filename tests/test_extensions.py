@@ -893,3 +893,37 @@ def test_prototype_selection_nearest_to_own_centroid(spark):
         assert [(r.d2_milli, r.vec_id) for r in rows] == want
     with pytest.raises(ValueError, match="k >= 1"):
         prototype_selection(emb, k=0)
+
+
+def test_centroid_state_folds_are_exactly_additive(spark):
+    """x31b witness: building state from a third of the corpus and
+    folding the rest in TWO sequential batches reproduces the full
+    recompute bit-for-bit — the (sum, cnt) state is associative, so any
+    ingest batching gives identical centroids."""
+    import tempfile
+
+    from cubefs_hadoop_spark.extensions.semantic import (
+        centroid_state_build,
+        centroid_state_fold,
+        label_centroids,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    idx = tempfile.mkdtemp(prefix="cent_state_") + "/state"
+    centroid_state_build(emb.filter(F.col("vec_id") < 150), idx)
+    mid = centroid_state_fold(
+        emb.filter((F.col("vec_id") >= 150) & (F.col("vec_id") < 300)), idx
+    )
+    mid.select("label", "dim", "sum_milli", "cnt").write.mode(
+        "overwrite"
+    ).parquet(idx + "2")
+    final = centroid_state_fold(emb.filter(F.col("vec_id") >= 300), idx + "2")
+    got = {
+        (r.label, r.dim): (r.sum_milli, r.cnt, r.centroid_milli)
+        for r in final.collect()
+    }
+    want = {
+        (r.label, r.dim): (r.sum_milli, r.cnt, r.centroid_milli)
+        for r in label_centroids(emb).collect()
+    }
+    assert got == want
