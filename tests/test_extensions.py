@@ -927,3 +927,75 @@ def test_centroid_state_folds_are_exactly_additive(spark):
         for r in label_centroids(emb).collect()
     }
     assert got == want
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.floats(-2.0, 2.0, width=32, allow_nan=False), min_size=3, max_size=3
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    cut=st.integers(0, 12),
+)
+def test_centroid_milli_exactness_property(spark, data, cut):
+    """x31/x31b property: for ANY float vectors, (a) Spark's integer-milli
+    centroid equals a python ground truth computed with the same
+    float->double->floor contract, and (b) splitting the corpus at any
+    point and folding the tail equals the one-shot result — additivity
+    holds for every input, not just the fixture."""
+    import math
+    import tempfile
+
+    from cubefs_hadoop_spark.extensions.semantic import (
+        centroid_state_build,
+        centroid_state_fold,
+        label_centroids,
+    )
+
+    rows = [(i, vec, lab) for i, (lab, vec) in enumerate(data)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.label, r.dim): (r.sum_milli, r.cnt, r.centroid_milli)
+        for r in label_centroids(emb).collect()
+    }
+    # ground truth under the declared contract: float32 -> exact double,
+    # *1000 in double, floor
+    import numpy as np
+
+    want: dict[tuple, list] = {}
+    for _i, vec, lab in rows:
+        for d, v in enumerate(vec):
+            m = int(math.floor(float(np.float32(v)) * 1000.0))
+            want.setdefault((lab, d), []).append(m)
+    assert got == {
+        k: (sum(v), len(v), int(math.floor(sum(v) / len(v))))
+        for k, v in want.items()
+    }
+    # additivity at an arbitrary split point
+    cut = min(cut, len(rows) - 1)
+    if cut >= 1:
+        idx = tempfile.mkdtemp(prefix="cent_prop_") + "/state"
+        centroid_state_build(emb.filter(F.col("vec_id") < cut), idx)
+        folded = {
+            (r.label, r.dim): (r.sum_milli, r.cnt, r.centroid_milli)
+            for r in centroid_state_fold(
+                emb.filter(F.col("vec_id") >= cut), idx
+            ).collect()
+        }
+        assert folded == got
