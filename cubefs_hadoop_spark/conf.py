@@ -29,6 +29,7 @@ capability:
 | cfspark.checkpoint.dir                    | reliable-barrier checkpoint root        |
 |                                           | (plans/materialize.py)                  |
 | cfspark.reliable.barriers                 | durable iteration state for dedup/      |
+| cfspark.cc.driver.threshold               | CC driver union-find tier gate          |
 | cfspark.write.bloom.columns               | parquet bloom filters on versioned      |
 |                                           | commits (row-group point-lookup skip)   |
 |                                           | components pipelines                    |
@@ -56,6 +57,11 @@ KEYS: dict[str, tuple[str | None, str]] = {
     "cfspark.superuser.group": ("supergroup", "recorded; cluster-auth concern"),
     "cfspark.checkpoint.dir": (None, "reliable-barrier checkpoint root"),
     "cfspark.reliable.barriers": ("false", "durable iteration state"),
+    "cfspark.cc.driver.threshold": (
+        str(2_000_000),
+        "pair-graph size under which connected components runs as "
+        "driver union-find instead of star rounds (0 disables)",
+    ),
     "cfspark.write.bloom.columns": (
         None,
         "comma list: write parquet bloom filters for these columns on "

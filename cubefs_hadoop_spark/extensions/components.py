@@ -212,3 +212,81 @@ def dedup_keep_list(
     comps = cc(pairs, reliable=reliable)
     drop = comps.filter(F.col("doc_id") != F.col("comp")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+# -- driver union-find tier -------------------------------------------------
+
+_DRIVER_CC_THRESHOLD_KEY = "cfspark.cc.driver.threshold"
+_DRIVER_CC_THRESHOLD_DEFAULT = 2_000_000  # pairs; ~32 MB of (long, long)
+
+
+def connected_components_driver(pairs: DataFrame) -> DataFrame:
+    """Union-find on the driver: (da, db) edges -> (doc_id, component =
+    min reachable id), identical output contract to the distributed
+    variants.
+
+    Only for pair frames already KNOWN driver-sized (near-dup pair sets
+    after LSH + verify are duplicate-count-sized, orders of magnitude
+    below the corpus) — :func:`connected_components_auto` gates on a
+    measured count before choosing this tier, the same shape as Spark's
+    own runtime broadcast demotion.  A 2M-pair frame collects ~32 MB;
+    union-find with path compression labels it in well under a second,
+    replacing O(log^2 n) Spark rounds whose per-round scheduling cost
+    dominates small graphs."""
+    spark = pairs.sparkSession
+    rows = (
+        pairs.select(F.col("da").cast("long"), F.col("db").cast("long"))
+        .distinct()
+        .collect()
+    )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    return spark.createDataFrame(out, "doc_id long, comp long")
+
+
+def connected_components_auto(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    reliable: bool | None = None,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Size-tiered connected components: materialize the pair frame once,
+    count it, and run union-find on the driver when the graph is under
+    ``threshold`` edges (session conf ``cfspark.cc.driver.threshold``,
+    default 2M, 0 disables the driver tier); otherwise fall through to the
+    diameter-independent large/small-star rounds on the SAME materialized
+    frame (the count is never paid twice).
+
+    Rationale at 100 TB: the candidate-pair graph is duplicate-sized, not
+    corpus-sized, so most production runs land under the threshold — but
+    the distributed path stays the default contract; a billion-edge graph
+    runs exactly the plan it ran before this tier existed."""
+    spark = pairs.sparkSession
+    if threshold is None:
+        threshold = int(
+            spark.conf.get(
+                _DRIVER_CC_THRESHOLD_KEY, str(_DRIVER_CC_THRESHOLD_DEFAULT)
+            )
+        )
+    mat = barrier(pairs, eager=True, reliable=reliable)
+    if threshold > 0 and mat.count() <= threshold:
+        return connected_components_driver(mat)
+    return connected_components_star(mat, max_iter=max_iter, reliable=reliable)

@@ -575,16 +575,19 @@ FROM reach GROUP BY node ORDER BY doc_id"""
 @register("x28_canonical_dedup", _X28_ORACLE)
 def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 canonical-doc election: every document -> min doc_id of its
-    near-dup connected component (LSH pairs -> large/small-star CC ->
-    left-join back over the corpus; isolated docs canonicalize to
-    themselves)."""
+    near-dup connected component (LSH pairs -> size-tiered CC -> left-join
+    back over the corpus; isolated docs canonicalize to themselves).
+    The CC tier is auto-selected: driver union-find when the measured
+    pair count fits ``cfspark.cc.driver.threshold`` (pair graphs are
+    duplicate-sized, not corpus-sized), large/small-star rounds above it
+    — identical labels either way (tests pin the equality)."""
     from cubefs_hadoop_spark.extensions.components import (
-        connected_components_star,
+        connected_components_auto,
     )
 
     docs = load(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(docs)
-    comps = connected_components_star(pairs)
+    comps = connected_components_auto(pairs)
     return (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")

@@ -81,3 +81,58 @@ def test_star_components_on_fixture_pairs(spark):
     star = {r.doc_id: r.comp for r in connected_components_star(pairs).collect()}
     plain = {r.doc_id: r.comp for r in connected_components(pairs).collect()}
     assert star == plain
+
+
+def test_driver_tier_matches_distributed_on_fixture_pairs(spark):
+    """Union-find driver tier vs star vs propagation: identical labels on
+    the fixture pair graph and on a crafted graph with chains + isolated
+    pairs — the tier choice can never change the answer."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_driver,
+        connected_components_star,
+    )
+
+    crafted = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 5), (5, 9), (20, 21)],
+        "da bigint, db bigint",
+    )
+    fixture = x02_minhash_lsh(spark, SF_SMOKE)
+    for pairs in (crafted, fixture):
+        drv = {
+            r.doc_id: r.comp
+            for r in connected_components_driver(pairs).collect()
+        }
+        star = {
+            r.doc_id: r.comp
+            for r in connected_components_star(pairs).collect()
+        }
+        assert drv == star
+
+
+def test_auto_tier_gates_on_threshold_and_conf(spark):
+    """auto: under the threshold the plan is a driver-built localtable
+    (zero star rounds); threshold=0 (or the session conf) forces the
+    distributed star path; both produce the same labels."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "da bigint, db bigint"
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    fast = connected_components_auto(pairs)
+    # driver tier output is a parallelized local list, not a shuffle plan
+    assert "Exchange" not in fast._jdf.queryExecution().executedPlan().toString()
+    assert {r.doc_id: r.comp for r in fast.collect()} == want
+
+    slow = connected_components_auto(pairs, threshold=0)
+    assert {r.doc_id: r.comp for r in slow.collect()} == want
+
+    spark.conf.set("cfspark.cc.driver.threshold", "0")
+    try:
+        via_conf = connected_components_auto(pairs)
+        assert {r.doc_id: r.comp for r in via_conf.collect()} == want
+        assert "Exchange" in via_conf._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("cfspark.cc.driver.threshold")
