@@ -208,3 +208,80 @@ def x21_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X21 BM25 keyword retrieval: posting-list explode filtered at the
     generator, broadcast df/stats joins, TakeOrdered top-20."""
     return bm25_search(load(spark, sf_dir, "documents"))
+
+
+# -- x33: DSIR-style importance weights -------------------------------------
+
+_X33_ORACLE = """
+WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+vc AS (SELECT word, COUNT(*) AS cc FROM w GROUP BY word),
+vt AS (SELECT word, COUNT(*) AS ct FROM w WHERE lang = 'en' GROUP BY word),
+st AS (SELECT (SELECT SUM(cc) FROM vc) AS nc,
+              (SELECT COUNT(*) FROM vc) AS v,
+              (SELECT COALESCE(SUM(ct), 0) FROM vt) AS nt),
+lr AS (SELECT word,
+              CAST(ROUND((ln((COALESCE(ct, 0) + 1) / CAST(nt + v AS DOUBLE))
+                        - ln((cc + 1) / CAST(nc + v AS DOUBLE))) * 1000, 0)
+                   AS BIGINT) AS lr_milli
+       FROM vc LEFT JOIN vt USING (word), st)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tokens,
+       CAST(SUM(lr_milli) AS BIGINT) AS weight_milli
+FROM w JOIN lr USING (word)
+GROUP BY doc_id ORDER BY doc_id, tokens, weight_milli"""
+
+
+def dsir_weights(
+    docs: DataFrame, target, text_col: str = "text"
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (Xie et al. 2023,
+    arXiv:2302.03169), unigram form: per document, the add-one-smoothed
+    log-likelihood ratio sum log P_target(w)/P_corpus(w) over its tokens
+    — high weight = looks like the target domain.  ``target`` is a
+    boolean Column selecting the in-domain documents.  Downstream,
+    resampling composes with x15 (mixture) / x19 (stratified top-rank):
+    DSIR's Gumbel-top-k draw is one RNG column over these weights.
+
+    Plan shape at 100 TB: BOTH ln() calls happen on the VOCABULARY frame
+    (distinct words), never the token stream — the corpus-sized frames
+    only explode, equi-join the per-word ratio (AQE broadcasts the vocab
+    while it fits, shuffle-joins when web-scale), and sum exact integer
+    millis (order-free; snap-before-sum per the module contract).  The
+    scalar stats frame is a 1-row crossJoin broadcast."""
+    w = docs.select(
+        "doc_id", target.alias("_tgt"), F.explode(F.split(text_col, " ")).alias("word")
+    )
+    vc = w.groupBy("word").agg(
+        F.count("*").alias("cc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+    )
+    st = vc.agg(
+        F.sum("cc").alias("nc"),
+        F.count("*").alias("v"),
+        F.sum("ct").alias("nt"),
+    )
+    lr = vc.crossJoin(F.broadcast(st)).select(
+        "word",
+        _milli(
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double"))
+            - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v")).cast("double"))
+        ).alias("lr_milli"),
+    )
+    return (
+        w.join(lr, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("tokens"),
+            F.sum("lr_milli").alias("weight_milli"),
+        )
+    )
+
+
+@register("x33_dsir_weights", _X33_ORACLE)
+def x33_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 DSIR importance weights against the lang='en' target slice:
+    vocab-sized ln work, token-stream integer sums."""
+    docs = load(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en").orderBy(
+        "doc_id", "tokens", "weight_milli"
+    )

@@ -102,3 +102,32 @@ def test_bm25_filter_is_at_the_explode(spark):
     # generate (upstream in the printed tree = smaller index)
     filt = plan.rfind("Filter", 0, gen)
     assert filt != -1 and "word" in plan[filt:gen]
+
+
+def test_dsir_weights_rank_in_domain_documents_higher(spark):
+    """x33 witness on a crafted corpus: documents made of target-domain
+    vocabulary get strictly higher importance weights than documents of
+    out-of-domain vocabulary; shared-vocabulary docs sit between; add-one
+    smoothing keeps target-unseen words finite (never null/NaN)."""
+    from cubefs_hadoop_spark.extensions.search import dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "en"),    # pure target vocab
+            (2, "gamma delta gamma delta", "fr"),  # pure out-of-domain
+            (3, "alpha beta gamma delta", "fr"),   # mixed
+            (4, "epsilon epsilon epsilon epsilon", "fr"),  # target-unseen
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r.doc_id: (r.tokens, r.weight_milli)
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert all(t == 4 and w is not None for t, w in out.values())
+    w = {d: wm for d, (_t, wm) in out.items()}
+    assert w[1] > w[3] > w[2]  # in-domain > mixed > out-of-domain
+    # per-token ratios are word-level constants: doc3 holds exactly half
+    # of doc1's and half of doc2's token multiset
+    assert w[3] * 2 == w[1] + w[2]
