@@ -202,14 +202,26 @@ def dedup_keep_list(
     docs: DataFrame,
     pairs: DataFrame,
     reliable: bool = False,
-    algorithm: str = "propagation",
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Final near-dup dedup decision: for every doc, keep=True unless it is
     a non-representative member of a component (representative = min doc_id).
-    ``algorithm="star"`` switches to the diameter-independent
-    large/small-star variant for high-diameter candidate graphs."""
-    cc = connected_components_star if algorithm == "star" else connected_components
-    comps = cc(pairs, reliable=reliable)
+    ``algorithm``: "auto" (default) size-tiers between driver union-find
+    and large/small-star on the measured pair count; "star" forces the
+    diameter-independent rounds; "propagation" forces min-label
+    propagation (O(diameter) rounds — dense shallow graphs only).  All
+    three produce identical labels (tests pin the equality)."""
+    algos = {
+        "auto": connected_components_auto,
+        "star": connected_components_star,
+        "propagation": connected_components,
+    }
+    if algorithm not in algos:
+        raise ValueError(
+            f"dedup_keep_list: unknown algorithm {algorithm!r}; "
+            f"expected one of {sorted(algos)}"
+        )
+    comps = algos[algorithm](pairs, reliable=reliable)
     drop = comps.filter(F.col("doc_id") != F.col("comp")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
 
