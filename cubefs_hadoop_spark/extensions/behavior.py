@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.registry import register
@@ -122,4 +123,86 @@ def x26_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X26 user lifecycle summary over events."""
     return lifecycle_summary(load(spark, sf_dir, "events")).orderBy(
         "user_id", "active_days", "first_day", "last_day", "span_days"
+    )
+
+
+# -- x34: sessionization ----------------------------------------------------
+
+_X34_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_X34_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_X34_GAP_US}
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o)
+SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, sess
+ORDER BY user_id, session_idx"""
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = _X34_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Sessionization: split each user's event stream into sessions at
+    inactivity gaps > ``gap_us`` microseconds, then summarize per session
+    (start, end, event count, duration) — the clickstream base table
+    every engagement/attribution query builds on.  Gap arithmetic runs
+    on exact integer epoch-microseconds (no interval/rounding semantics
+    to disagree on), and ordering tiebreaks on the unique event id, so
+    output is fully deterministic.
+
+    Plan shape at 100 TB: ONE user-keyed shuffle — the session-boundary
+    lag and the running session counter share the same window spec, and
+    the per-(user, session) aggregate's clustering requirement is already
+    satisfied by the window's hash partitioning on user (no second
+    exchange; the plan gate pins exactly one).  State per user is one
+    row, never a collected event array."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # events.ts arrives as TIMESTAMP_NTZ; the session runs UTC, so the
+    # ltz cast is value-identity and unlocks exact epoch-us arithmetic
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    flag = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    return (
+        events.select(user_col, tiebreak_col, ts_col)
+        .withColumn("sess", F.sum(flag).over(w))
+        .groupBy(user_col, "sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("events"),
+            (F.max(us) - F.min(us)).alias("duration_us"),
+        )
+        .select(
+            user_col,
+            F.col("sess").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            "events",
+            "duration_us",
+        )
+    )
+
+
+@register("x34_sessionize", _X34_ORACLE)
+def x34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 sessionization: 30-minute-gap sessions over the event stream,
+    one user-keyed shuffle."""
+    return sessionize(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_idx"
     )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.extensions.behavior import funnel, lifecycle_summary
 from cubefs_hadoop_spark.plans.audit import audit_plan
@@ -72,3 +74,34 @@ def test_behavior_plan_shapes(spark):
     assert "BatchEvalPython" not in a.text
     assert "Window" not in a.text
     assert any("view" in f or "click" in f for f in a.pushed_filters)
+
+
+def test_sessionize_gap_semantics(spark):
+    """x34 witness: sessions split exactly at gaps > 30 min (a gap of
+    exactly 30:00 does NOT split), counters restart per user, duration
+    is exact microseconds, and a single-event session has duration 0."""
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+
+    rows = [
+        # user 1: 3 events 10 min apart -> one session, then a 31-min
+        # gap -> second session of one event
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 1, "2024-01-01 00:20:00"),
+        (4, 1, "2024-01-01 00:51:00"),
+        # user 2: exactly 30:00 apart -> still ONE session
+        (5, 2, "2024-01-01 00:00:00"),
+        (6, 2, "2024-01-01 00:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r.user_id, r.session_idx): (r.events, r.duration_us)
+        for r in sessionize(ev).collect()
+    }
+    assert got == {
+        (1, 1): (3, 20 * 60 * 1_000_000),
+        (1, 2): (1, 0),
+        (2, 1): (2, 30 * 60 * 1_000_000),
+    }

@@ -376,3 +376,18 @@ def test_x31_x32_centroid_ops_scale_shapes(spark):
     assert a32.sort_merge_joins == 0 and a32.nested_loop_joins == 0
     assert a32.has_window_group_limit
     assert not a32.has_python_eval
+
+
+def test_x34_sessionize_single_user_shuffle(spark):
+    """x34: the boundary lag, the running session counter, and the
+    per-(user, session) aggregate must share ONE user-keyed exchange —
+    the window's hash partitioning on user already satisfies the
+    aggregate's clustering — with no join and no Python."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+
+    spark.catalog.clearCache()
+    a = audit_plan(sessionize(load(spark, SF_SMOKE, "events")))
+    assert a.shuffles == 1
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
