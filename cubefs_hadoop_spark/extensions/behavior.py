@@ -171,10 +171,28 @@ def sessionize(
     satisfied by the window's hash partitioning on user (no second
     exchange; the plan gate pins exactly one).  State per user is one
     row, never a collected event array."""
+    from pyspark.sql import types as T
+
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    # events.ts arrives as TIMESTAMP_NTZ; the session runs UTC, so the
-    # ltz cast is value-identity and unlocks exact epoch-us arithmetic
-    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    ts_type = events.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        # an NTZ column only converts to epoch micros through an LTZ cast
+        # that interprets wall time in the SESSION timezone — under a
+        # DST-shifting zone that cast warps gaps across transitions
+        # (spring-forward inflates a 15-min gap past 75 min), so refuse
+        # anything but a fixed-at-zero offset rather than mis-sessionize
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"sessionize: column {ts_col!r} is TIMESTAMP_NTZ and the "
+                f"session timezone is {tz!r}; epoch arithmetic on NTZ wall "
+                "time is only gap-safe under UTC — set "
+                "spark.sql.session.timeZone=UTC or pass a TIMESTAMP (ltz) "
+                "column"
+            )
+        us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    else:
+        us = F.unix_micros(F.col(ts_col))
     flag = F.when(
         F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
     ).otherwise(0)

@@ -241,16 +241,20 @@ def connected_components_driver(pairs: DataFrame) -> DataFrame:
     after LSH + verify are duplicate-count-sized, orders of magnitude
     below the corpus) — :func:`connected_components_auto` gates on a
     measured count before choosing this tier, the same shape as Spark's
-    own runtime broadcast demotion.  A 2M-pair frame collects ~32 MB;
-    union-find with path compression labels it in well under a second,
-    replacing O(log^2 n) Spark rounds whose per-round scheduling cost
-    dominates small graphs."""
+    own runtime broadcast demotion.  Honest budget at the 2M-pair default
+    ceiling: the Arrow collect moves ~32 MB of packed int64 columns (no
+    per-row Row objects), the union-find dict peaks at a few hundred MB
+    of Python ints, and labeling takes seconds of driver CPU — still an
+    order cheaper than the star rounds' per-round scheduling on small
+    graphs; size ``cfspark.cc.driver.threshold`` to the driver's memory
+    headroom."""
     spark = pairs.sparkSession
-    rows = (
+    tbl = (
         pairs.select(F.col("da").cast("long"), F.col("db").cast("long"))
         .distinct()
-        .collect()
+        .toArrow()
     )
+    rows = zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

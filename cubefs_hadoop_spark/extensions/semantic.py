@@ -555,9 +555,31 @@ def prototype_selection(
         em_m.join(F.broadcast(cent_arr), label_col)
         .withColumn(
             "d2_milli",
-            F.expr(
-                "aggregate(zip_with(em, cent_m, (e, c) -> (e-c)*(e-c)),"
-                " CAST(0 AS BIGINT), (a, x) -> a + x)"
+            # a ragged vector (length != its label's dim count) would
+            # zip_with into NULLs, which ascending rank would then crown
+            # as the nearest prototype — refuse loudly instead (JVM-side,
+            # per-row, no extra pass)
+            F.when(
+                F.size("em") == F.size("cent_m"),
+                F.expr(
+                    "aggregate(zip_with(em, cent_m, (e, c) -> (e-c)*(e-c)),"
+                    " CAST(0 AS BIGINT), (a, x) -> a + x)"
+                ),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "prototype_selection: embedding length mismatch "
+                            "for id "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(" (got "),
+                        F.size("em").cast("string"),
+                        F.lit(" dims, label centroid has "),
+                        F.size("cent_m").cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("long")
             ),
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))

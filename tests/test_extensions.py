@@ -999,3 +999,44 @@ def test_centroid_milli_exactness_property(spark, data, cut):
             ).collect()
         }
         assert folded == got
+
+
+def test_prototype_selection_refuses_ragged_embeddings(spark):
+    """x32: a vector whose length differs from its label's centroid
+    dimensionality must fail LOUDLY (it would otherwise zip into NULL
+    distance and outrank every real prototype)."""
+    from pyspark.sql.utils import PythonException
+
+    from cubefs_hadoop_spark.extensions.semantic import prototype_selection
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 1.0], 0), (2, [1.0, 1.1], 0), (3, [9.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception, match="length mismatch"):
+        prototype_selection(emb, k=2).collect()
+
+
+def test_sessionize_refuses_ntz_under_non_utc_session(spark):
+    """x34: NTZ wall-time epoch arithmetic is only gap-safe under UTC —
+    a DST-shifting session timezone must be refused, not mis-sessionized."""
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-03-10 01:55:00"), (2, 1, "2024-03-10 02:10:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(ValueError, match="gap-safe under UTC"):
+            sessionize(ev)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # and an ltz column works under any session tz (instant-based)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        out = sessionize(ev.withColumn("ts", F.col("ts").cast("timestamp"))).collect()
+        assert len(out) == 1 and out[0].events == 2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
