@@ -28,6 +28,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.registry import register
+
 
 def _pil_image():
     """Import gate for the optional real image codec (executors import
@@ -423,4 +426,47 @@ def extract_audio_features(
     return df.select("item_id", "content").mapInPandas(
         decode_audio_batches(sample_rate=sample_rate, fake=fake, codec=codec),
         AUDIO_SCHEMA,
+    )
+
+
+# -- x35: binary payload metadata (the JVM-side layer of the contract) ------
+
+_X35_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+       md5(text) AS digest,
+       lower(substring(hex(encode(text)), 1, 8)) AS magic_hex
+FROM documents ORDER BY doc_id"""
+
+
+def binary_metadata(
+    df: DataFrame, payload, id_col: str = "doc_id"
+) -> DataFrame:
+    """Typed metadata over an opaque binary payload column: byte length,
+    content digest (the content-addressable exact-dedup key for ANY
+    modality — images, audio, video alike), and the 4-byte magic prefix
+    (the mime-sniffing basis: '89504e47' = PNG, '52494646' = RIFF/WAV...).
+
+    This is the layer of the multimodal contract that never decodes:
+    pure JVM expressions riding the scan — zero shuffles, zero Python —
+    so a 100 TB media inventory pass costs one map stage; only items a
+    downstream stage actually decodes pay the mapInPandas codec path
+    above.  ``payload`` is any binary-typed Column (here the fixture's
+    text re-encoded, since the parquet fixtures carry no media blobs —
+    the expressions are byte-domain either way)."""
+    return df.select(
+        id_col,
+        F.octet_length(payload).cast("long").alias("nbytes"),
+        F.md5(payload).alias("digest"),
+        F.lower(F.hex(payload.substr(1, 4))).alias("magic_hex"),
+    )
+
+
+@register("x35_binary_metadata", _X35_ORACLE)
+def x35_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 binary-column metadata: length/digest/magic over an opaque
+    payload, all JVM expressions, zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    return binary_metadata(docs, F.encode(F.col("text"), "UTF-8")).orderBy(
+        "doc_id"
     )

@@ -1040,3 +1040,24 @@ def test_sessionize_refuses_ntz_under_non_utc_session(spark):
         assert len(out) == 1 and out[0].events == 2
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_binary_metadata_on_real_png_wav_blobs(spark):
+    """x35 witness on REAL binary payloads (not re-encoded text): the
+    magic prefix identifies PNG and WAV blobs produced by the stdlib
+    codecs, nbytes is the payload length, and equal payloads share a
+    digest (the content-addressable dedup key)."""
+    from cubefs_hadoop_spark.extensions.codecs import png_encode, wav_encode
+    from cubefs_hadoop_spark.extensions.multimodal import binary_metadata
+
+    png = png_encode(2, 2, bytes(range(12)))
+    wav = wav_encode([0.0, 0.5, -0.5, 0.25] * 10, rate=8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(wav)), (3, bytearray(png))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in binary_metadata(df, F.col("payload")).collect()}
+    assert out[1].magic_hex == "89504e47"  # \x89PNG
+    assert out[2].magic_hex == "52494646"  # RIFF
+    assert out[1].nbytes == len(png) and out[2].nbytes == len(wav)
+    assert out[1].digest == out[3].digest != out[2].digest
