@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "x16_segment_dedup",
     "x21_bm25_search",
     "x28_canonical_dedup",
+    "x34_sessionize",
+    "x33_dsir_weights",
 ]
 
 RUNS = 4
