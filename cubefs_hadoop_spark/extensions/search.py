@@ -248,25 +248,42 @@ def dsir_weights(
     while it fits, shuffle-joins when web-scale), and sum exact integer
     millis (order-free; snap-before-sum per the module contract).  The
     scalar stats frame is a 1-row crossJoin broadcast."""
+    return dsir_score(docs, dsir_vocab(docs, target, text_col=text_col),
+                      text_col=text_col)
+
+
+def dsir_vocab(docs: DataFrame, target, text_col: str = "text") -> DataFrame:
+    """The DSIR sufficient statistics: (word, cc corpus count, ct target
+    count).  ADDITIVE — counts over a union of corpora are the sums of
+    per-corpus counts, so the LM state folds incrementally (x33b)."""
     w = docs.select(
-        "doc_id", target.alias("_tgt"), F.explode(F.split(text_col, " ")).alias("word")
+        target.alias("_tgt"), F.explode(F.split(text_col, " ")).alias("word")
     )
-    vc = w.groupBy("word").agg(
+    return w.groupBy("word").agg(
         F.count("*").alias("cc"),
         F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
     )
-    st = vc.agg(
+
+
+def dsir_score(
+    docs: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Score ``docs`` against a (word, cc, ct) vocabulary state: per-word
+    smoothed log-ratios (ln on the vocab frame only), token-stream
+    integer-milli sums."""
+    st = vocab.agg(
         F.sum("cc").alias("nc"),
         F.count("*").alias("v"),
         F.sum("ct").alias("nt"),
     )
-    lr = vc.crossJoin(F.broadcast(st)).select(
+    lr = vocab.crossJoin(F.broadcast(st)).select(
         "word",
         _milli(
             F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")).cast("double"))
             - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v")).cast("double"))
         ).alias("lr_milli"),
     )
+    w = docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("word"))
     return (
         w.join(lr, "word")
         .groupBy("doc_id")
@@ -277,11 +294,61 @@ def dsir_weights(
     )
 
 
+def dsir_state_build(
+    docs: DataFrame, target, index_path: str, text_col: str = "text"
+) -> None:
+    """Persist the (word, cc, ct) LM state an ingest loop folds into."""
+    dsir_vocab(docs, target, text_col=text_col).write.mode(
+        "overwrite"
+    ).parquet(index_path)
+
+
+def dsir_state_fold(
+    new_docs: DataFrame, target, index_path: str, text_col: str = "text"
+) -> DataFrame:
+    """Fold a document batch into the persisted LM state and return the
+    refreshed (word, cc, ct) vocabulary — exactly the state a full
+    recompute over old+new would produce (counts are associative), so
+    scoring against it is hash-identical to x33 on the union corpus.
+    O(batch) map work plus a vocabulary-scale merge; the old corpus is
+    never re-tokenized."""
+    spark = new_docs.sparkSession
+    state = spark.read.parquet(index_path)
+    batch = dsir_vocab(new_docs, target, text_col=text_col)
+    return (
+        state.unionByName(batch)
+        .groupBy("word")
+        .agg(F.sum("cc").alias("cc"), F.sum("ct").alias("ct"))
+    )
+
+
 @register("x33_dsir_weights", _X33_ORACLE)
 def x33_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X33 DSIR importance weights against the lang='en' target slice:
     vocab-sized ln work, token-stream integer sums."""
     docs = load(spark, sf_dir, "documents")
     return dsir_weights(docs, F.col("lang") == "en").orderBy(
+        "doc_id", "tokens", "weight_milli"
+    )
+
+
+_X33B_ORACLE = _X33_ORACLE  # folded LM state must score == full recompute
+
+
+@register("x33b_incremental_dsir", _X33B_ORACLE)
+def x33b_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33b incremental corpus-LM ingest: the (word, cc, ct) state is
+    built from doc_id < 250, the remaining documents fold in as a batch,
+    and scoring the whole corpus against the refreshed state must be
+    hash-identical to x33's full recompute — the unigram LM's sufficient
+    statistics are exactly additive."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tgt = F.col("lang") == "en"
+    idx = tempfile.mkdtemp(prefix="dsir_state_") + "/vocab"
+    dsir_state_build(docs.filter(F.col("doc_id") < 250), tgt, idx)
+    vocab = dsir_state_fold(docs.filter(F.col("doc_id") >= 250), tgt, idx)
+    return dsir_score(docs, vocab).orderBy(
         "doc_id", "tokens", "weight_milli"
     )

@@ -57,7 +57,8 @@ _R6_WINDOW = [
 # CORRECTNESS file shows as last green in r04), then the three r6-new
 # entries (x28_canonical_dedup, x29_ngram_novelty, x30_chunk_documents,
 # x31_label_centroids, x31b_incremental_centroids,
-# x32_prototype_selection, x33_dsir_weights, x34_sessionize,
+# x32_prototype_selection, x33_dsir_weights, x33b_incremental_dsir,
+# x34_sessionize,
 # x35_binary_metadata — first driver rows),
 # then r05 greens in registration order.  Every displaced entry still
 # hash-checks in pytest (test_oracle) each run.

@@ -131,3 +131,39 @@ def test_dsir_weights_rank_in_domain_documents_higher(spark):
     # per-token ratios are word-level constants: doc3 holds exactly half
     # of doc1's and half of doc2's token multiset
     assert w[3] * 2 == w[1] + w[2]
+
+
+def test_dsir_state_folds_are_exactly_additive(spark):
+    """x33b witness: LM state built from part of the corpus and folded in
+    two separate batches scores every document identically to the
+    one-shot vocabulary — unigram counts are associative."""
+    import tempfile
+
+    from cubefs_hadoop_spark.extensions.search import (
+        dsir_score,
+        dsir_state_build,
+        dsir_state_fold,
+        dsir_vocab,
+        dsir_weights,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    tgt = F.col("lang") == "en"
+    idx = tempfile.mkdtemp(prefix="dsir_prop_") + "/vocab"
+    dsir_state_build(docs.filter(F.col("doc_id") < 150), tgt, idx)
+    mid = dsir_state_fold(
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        tgt,
+        idx,
+    )
+    mid.write.mode("overwrite").parquet(idx + "2")
+    vocab = dsir_state_fold(docs.filter(F.col("doc_id") >= 300), tgt, idx + "2")
+    got = {
+        r.doc_id: (r.tokens, r.weight_milli)
+        for r in dsir_score(docs, vocab).collect()
+    }
+    want = {
+        r.doc_id: (r.tokens, r.weight_milli)
+        for r in dsir_weights(docs, tgt).collect()
+    }
+    assert got == want
