@@ -105,3 +105,29 @@ def test_sessionize_gap_semantics(spark):
         (1, 2): (1, 0),
         (2, 1): (2, 30 * 60 * 1_000_000),
     }
+
+
+def test_x34_agrees_with_session_window_family(spark):
+    """x34 at a 10-minute gap must produce exactly the per-user session
+    counts of the S04 batch twin — which tests/test_streaming.py pins
+    equal to the native streaming session_window — so the batch
+    summarizer and the streaming operator share one session semantics
+    (split strictly-greater-than the gap, tie kept together)."""
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+    from cubefs_hadoop_spark.queries.streaming_twins import (
+        s04_sessionization,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    x34 = {
+        r.user_id: r.n
+        for r in sessionize(ev, gap_us=600_000_000)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    s04 = {
+        r.user_id: r.sessions
+        for r in s04_sessionization(spark, SF_SMOKE).collect()
+    }
+    assert x34 == s04
