@@ -131,3 +131,62 @@ def test_x34_agrees_with_session_window_family(spark):
         for r in s04_sessionization(spark, SF_SMOKE).collect()
     }
     assert x34 == s04
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.integers(0, 200 * 60), min_size=1, max_size=40
+    ),  # event offsets in seconds over ~3 hours
+    users=st.integers(1, 3),
+)
+def test_sessionize_invariants_property(spark, offsets, users):
+    """x34 property: for ANY event stream — duplicates and ties included
+    — (a) every event lands in exactly one session, (b) consecutive
+    events within a session gap by <= 30 min, (c) consecutive sessions
+    of a user gap by > 30 min, (d) session indexes are 1..n dense."""
+    import datetime as dtm
+
+    from cubefs_hadoop_spark.extensions.behavior import sessionize
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (i, i % users, base + dtm.timedelta(seconds=off))
+        for i, off in enumerate(offsets)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    out = sorted(
+        sessionize(ev).collect(), key=lambda r: (r.user_id, r.session_idx)
+    )
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert sum(r.events for r in out) == len(rows)  # (a)
+    gap = 30 * 60 * 1_000_000
+    for uid, sess in per_user.items():
+        assert [r.session_idx for r in sess] == list(
+            range(1, len(sess) + 1)
+        )  # (d)
+        evs = sorted(
+            (t for i, u, t in rows if u == uid), key=lambda t: t
+        )
+        # rebuild ground-truth splits
+        truth = 1
+        prev = None
+        for t in evs:
+            if prev is not None and (t - prev).total_seconds() * 1e6 > gap:
+                truth += 1
+            prev = t
+        assert len(sess) == truth  # (b)+(c) combined
+        for r in sess:
+            assert 0 <= r.duration_us <= 200 * 60 * 1_000_000
