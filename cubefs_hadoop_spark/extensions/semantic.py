@@ -517,6 +517,23 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
 WHERE rn <= {_X32_K} ORDER BY label, rank"""
 
 
+def centroid_arrays(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, cent_m) — each label's integer-milli centroid packed into a
+    dim-ordered array; labels x 1 rows, broadcast-sized by definition."""
+    return (
+        label_centroids(emb, label_col=label_col, vec_col=vec_col)
+        .groupBy(label_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim,"
+                " centroid_milli))), s -> s.centroid_milli)"
+            ).alias("cent_m")
+        )
+    )
+
+
 def prototype_selection(
     emb: DataFrame,
     k: int = _X32_K,
@@ -540,16 +557,7 @@ def prototype_selection(
     em_m = widen_for_cpu(emb, id_col).select(
         id_col, label_col, _milli_expr(vec_col).alias("em")
     )
-    cent_arr = (
-        label_centroids(emb, label_col=label_col, vec_col=vec_col)
-        .groupBy(label_col)
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim,"
-                " centroid_milli))), s -> s.centroid_milli)"
-            ).alias("cent_m")
-        )
-    )
+    cent_arr = centroid_arrays(emb, label_col=label_col, vec_col=vec_col)
     w = Window.partitionBy(label_col).orderBy("d2_milli", id_col)
     return (
         em_m.join(F.broadcast(cent_arr), label_col)
@@ -667,3 +675,103 @@ def x31b_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_state_fold(emb.filter(F.col("vec_id") >= 400), idx).orderBy(
         "label", "dim"
     )
+
+
+# x36 — nearest-class-mean classification (the inference half of x31/x32)
+
+_X36_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS em,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+cent AS (
+  SELECT label AS clabel, dim,
+         CAST(FLOOR(CAST(SUM(em) AS DOUBLE)/COUNT(*)) AS BIGINT) AS c
+  FROM ex GROUP BY label, dim),
+d AS (
+  SELECT e.vec_id, e.label, c.clabel,
+         CAST(SUM((e.em - c.c)*(e.em - c.c)) AS BIGINT) AS d2_milli
+  FROM ex e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, e.label, c.clabel)
+SELECT vec_id, label, clabel AS pred_label, d2_milli,
+       (label = clabel) AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+          ORDER BY d2_milli, clabel) AS rn FROM d)
+WHERE rn = 1 ORDER BY vec_id"""
+
+
+def ncm_classify(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-class-mean classification: assign every vector to the
+    label whose centroid is squared-L2-nearest in integer millis (ties ->
+    lowest label) — the pseudo-labeling/NCM step of a semi-supervised
+    curation loop, and the accuracy audit of the x31 prototypes (the
+    ``correct`` flag scores the classifier against the true label).
+    ``centroids`` defaults to :func:`centroid_arrays` of ``emb`` itself
+    (resubstitution audit); pass a held-out or folded state
+    (x31b) to classify unlabeled batches.
+
+    Plan shape at 100 TB: the ONLY join is the labels-row broadcast
+    (same declared crossJoin-broadcast pattern as assign_clusters);
+    distances are row-local JVM zip_with/aggregate; the per-vector argmin
+    is a WindowGroupLimit rank over a frame that is corpus x C rows only
+    because C is small — at larger C the IVF path (similarity.py) is the
+    declared tier.  Ragged vectors fail loudly, exactly as in x32."""
+    cents = (
+        centroid_arrays(emb, label_col=label_col, vec_col=vec_col)
+        if centroids is None
+        else centroids
+    )
+    cents = cents.select(
+        F.col(label_col).alias("_clabel"), "cent_m"
+    )
+    em_m = widen_for_cpu(emb, id_col).select(
+        id_col, label_col, _milli_expr(vec_col).alias("em")
+    )
+    d2 = F.when(
+        F.size("em") == F.size("cent_m"),
+        F.expr(
+            "aggregate(zip_with(em, cent_m, (e, c) -> (e-c)*(e-c)),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ncm_classify: embedding length mismatch for id "),
+                F.col(id_col).cast("string"),
+                F.lit(" (got "),
+                F.size("em").cast("string"),
+                F.lit(" dims, centroid has "),
+                F.size("cent_m").cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
+    w = Window.partitionBy(id_col).orderBy("d2_milli", "_clabel")
+    return (
+        em_m.crossJoin(F.broadcast(cents))
+        .withColumn("d2_milli", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            label_col,
+            F.col("_clabel").alias("pred_label"),
+            "d2_milli",
+            (F.col(label_col) == F.col("_clabel")).alias("correct"),
+        )
+    )
+
+
+@register("x36_ncm_classify", _X36_ORACLE)
+def x36_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 nearest-class-mean: every embedding classified to its nearest
+    label centroid (integer-milli L2, lowest-label ties), with the
+    resubstitution correctness flag."""
+    return ncm_classify(load(spark, sf_dir, "embeddings")).orderBy("vec_id")

@@ -59,7 +59,7 @@ _R6_WINDOW = [
 # x31_label_centroids, x31b_incremental_centroids,
 # x32_prototype_selection, x33_dsir_weights, x33b_incremental_dsir,
 # x34_sessionize,
-# x35_binary_metadata — first driver rows),
+# x35_binary_metadata, x36_ncm_classify — first driver rows),
 # then r05 greens in registration order.  Every displaced entry still
 # hash-checks in pytest (test_oracle) each run.
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)

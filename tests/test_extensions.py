@@ -1061,3 +1061,58 @@ def test_binary_metadata_on_real_png_wav_blobs(spark):
     assert out[2].magic_hex == "52494646"  # RIFF
     assert out[1].nbytes == len(png) and out[2].nbytes == len(wav)
     assert out[1].digest == out[3].digest != out[2].digest
+
+
+def test_ncm_classify_crafted_and_heldout_state(spark):
+    """x36 witness: on a crafted corpus the argmin label is provably
+    right (hand-checkable distances, lowest-label ties); classifying
+    with a FOLDED centroid state (x31b) equals classifying with the
+    one-shot centroids — the inference half composes with the ingest
+    half."""
+    import tempfile
+
+    from cubefs_hadoop_spark.extensions.semantic import (
+        centroid_state_build,
+        centroid_state_fold,
+        ncm_classify,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0], 0),
+            (2, [0.2, 0.0], 0),
+            (3, [10.0, 10.0], 1),
+            (4, [10.2, 10.0], 1),
+            (5, [0.3, 0.1], 1),  # mislabeled: sits in label-0 territory
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in ncm_classify(emb).collect()}
+    assert [out[i].pred_label for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert out[5].pred_label == 0 and not out[5].correct
+    assert all(out[i].correct for i in (1, 2, 3, 4))
+
+    fx = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    idx = tempfile.mkdtemp(prefix="ncm_state_") + "/state"
+    centroid_state_build(fx.filter(F.col("vec_id") < 15), idx)
+    refreshed = centroid_state_fold(fx.filter(F.col("vec_id") >= 15), idx)
+    cents = (
+        refreshed.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim,"
+                " centroid_milli))), s -> s.centroid_milli)"
+            ).alias("cent_m")
+        )
+    )
+    via_state = {
+        r.vec_id: r.pred_label
+        for r in ncm_classify(fx, centroids=cents).collect()
+    }
+    one_shot = {
+        r.vec_id: r.pred_label for r in ncm_classify(fx).collect()
+    }
+    assert via_state == one_shot

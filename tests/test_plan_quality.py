@@ -391,3 +391,18 @@ def test_x34_sessionize_single_user_shuffle(spark):
     assert a.shuffles == 1
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x36_ncm_is_broadcast_argmin(spark):
+    """x36: the ONLY join is the labels-row centroid broadcast (the
+    declared crossJoin-broadcast pattern); the per-vector argmin rides
+    WindowGroupLimit; no Python, no sort-merge join anywhere."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import ncm_classify
+
+    spark.catalog.clearCache()
+    a = audit_plan(ncm_classify(load(spark, SF_SMOKE, "embeddings")))
+    assert a.nested_loop_joins == 1  # the centroid broadcast, only
+    assert a.sort_merge_joins == 0
+    assert a.has_window_group_limit
+    assert not a.has_python_eval
