@@ -54,12 +54,13 @@ _R6_WINDOW = [
 # r7 rotation plan (stalest-first): lead with the 24 r04-last-green
 # entries this window displaced (q19/q19b, q21, q26-q37 families, q28b,
 # q29/q29b, q30 family, q31-q36, u01-u06 — whichever the r6
-# CORRECTNESS file shows as last green in r04), then the three r6-new
+# CORRECTNESS file shows as last green in r04), then the eleven r6-new
 # entries (x28_canonical_dedup, x29_ngram_novelty, x30_chunk_documents,
 # x31_label_centroids, x31b_incremental_centroids,
 # x32_prototype_selection, x33_dsir_weights, x33b_incremental_dsir,
-# x34_sessionize,
-# x35_binary_metadata, x36_ncm_classify — first driver rows),
+# x34_sessionize, x35_binary_metadata, x36_ncm_classify — first driver
+# rows; all eleven are hash-green in late-r6 full local sweeps at both
+# sf0.01 and sf0.1),
 # then r05 greens in registration order.  Every displaced entry still
 # hash-checks in pytest (test_oracle) each run.
 assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
