@@ -9,4 +9,5 @@ from cubefs_hadoop_spark.extensions import packing  # noqa: F401
 from cubefs_hadoop_spark.extensions import curation  # noqa: F401
 from cubefs_hadoop_spark.extensions import search  # noqa: F401
 from cubefs_hadoop_spark.extensions import timeseries  # noqa: F401
+from cubefs_hadoop_spark.extensions import tokenize  # noqa: F401
 from cubefs_hadoop_spark.extensions import behavior  # noqa: F401

@@ -32,7 +32,7 @@ repartition/replay-stable and hash-checkable against DuckDB oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -140,7 +140,9 @@ ORDER BY source, cum_before, doc_id, tokens"""
 
 
 def token_budget_sample(
-    docs: DataFrame, budget: int = _X17_BUDGET
+    docs: DataFrame,
+    budget: int = _X17_BUDGET,
+    tokens: Column | None = None,
 ) -> DataFrame:
     """Select documents per source up to a token budget, in a
     deterministic content-hash order (md5(text), doc_id) — the Dolma-style
@@ -153,12 +155,18 @@ def token_budget_sample(
     two-level distributed prefix sum: the md5 key's leading byte is a
     RANGE bucket (hex is ordered, so (bucket, h) order == h order),
     cumulative sums run per (source, bucket) in parallel, and only the
-    <=256-rows-per-source bucket-totals frame sees an ordered window."""
+    <=256-rows-per-source bucket-totals frame sees an ordered window.
+
+    ``tokens`` overrides the metering unit (default: whitespace word
+    count) — x17b passes the subword-count expression so budgets meter
+    in BPE-style subword tokens."""
+    if tokens is None:
+        tokens = F.size(F.split("text", " "))
     t = docs.select(
         "doc_id",
         "source",
         F.md5("text").alias("h"),
-        F.size(F.split("text", " ")).cast("long").alias("tokens"),
+        tokens.cast("long").alias("tokens"),
     ).withColumn("bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("long"))
     within = (
         Window.partitionBy("source", "bkt")

@@ -1,0 +1,391 @@
+"""Subword tokenization (SURVEY §2C x37/x17b): deterministic greedy
+longest-match (MaxMatch) segmentation of each whitespace word against a
+fixed public subword vocabulary, plus a token-budget variant that meters
+in SUBWORD counts rather than whitespace words.
+
+This is the missing LLM-pipeline primitive between text curation and
+packing: x14 concat-and-chunk packing and x17 per-source budgets count
+whitespace words, but production packing/budgeting meters in subword
+tokens (BPE/WordPiece).  The tokenizer here is the INFERENCE half of
+that family — greedy longest-match against a frozen vocab, the same
+deterministic MaxMatch rule WordPiece uses (Devlin et al.,
+arXiv:1810.04805 §4.1; Song et al., "Fast WordPiece Tokenization",
+arXiv:2012.15524) — with a byte-fallback: a position matching no vocab
+entry emits its single character as a token (GPT-2-BPE-style
+never-fails coverage, Radford et al. 2019), so concat(subwords) == word
+ALWAYS holds (conservation, test-pinned).
+
+Reference parity: the reference connector moves opaque bytes
+(``CubefsInputStream.java:106-124``) and delegates all tokenization to
+the engine above it; this module is part of the natively-implemented
+delegated surface, like the rest of the x-family.
+
+Two execution tiers, same semantics (twin-equivalence test-pinned):
+
+* **JVM tier** (default, oracle-checked): the tokenize loop is a single
+  ``aggregate`` higher-order function over character positions — all
+  whole-stage-codegen, zero Python, zero shuffles (map-only; the
+  registered query's final ORDER BY is presentation only).  The vocab
+  rides the plan as a literal array (driver-scale, equivalent to a
+  broadcast scalar frame).  Per-character cost is O(L * |V|) literal
+  string compares (L = distinct vocab lengths) — right for the frozen
+  double-digit..few-hundred-entry vocabs of a curation heuristic.
+* **Arrow tier** (``subword_tokenize_arrow``): ``mapInPandas`` with a
+  hash-set vocab — O(maxlen) dict probes per character, independent of
+  |V|; the tier for production 30k+-entry BPE/WordPiece vocabs where a
+  literal-array scan would dominate.  Vocab arrives as a driver-scale
+  list (the caller collects it from a vocab table — driver-sized by
+  contract, like x32's centroid frames).
+
+Scale (100 TB): both tiers are MAP-ONLY — tokenization rides the
+parquet scan with zero shuffles and inherits the scan partitioning, so
+a downstream pack/budget stage repartitions once on its own key and
+nothing funnels.  x17b reuses x17's two-level distributed prefix sum
+(range-bucketed md5 order, per-bucket cumulative sums, 256-row
+bucket-totals window) so no source's documents serialize through one
+task.  State is O(1) per row; the vocab is the only shared state and it
+is driver-scale by contract.
+
+Determinism: the vocab is a frozen list, greedy MaxMatch is a pure
+function of (word, vocab), and there is no floating arithmetic anywhere
+— so output is repartition/replay-stable and hash-checkable against a
+DuckDB recursive-CTE oracle that replays the same greedy loop in SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.registry import register
+
+# Public common-English character-n-gram vocabulary (frequency lists of
+# English bigrams/trigrams are textbook public data, e.g. Norvig's
+# n-gram tables) plus a few 4/5-gram merges a BPE trained on English
+# would learn early.  Frozen: the oracle SQL below embeds the SAME list,
+# so editing one without the other fails the hash gate loudly.
+SUBWORD_VOCAB: tuple[str, ...] = (
+    # bigrams
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
+    "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
+    "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
+    "ra", "ce", "li", "ch", "ll", "be", "ma", "si", "om", "ur",
+    # trigrams
+    "the", "ing", "and", "ion", "ent", "for", "her", "ter", "hat",
+    "tha", "ere", "ate", "his", "con", "res", "ver", "all", "ons",
+    "men", "ith", "ted", "ers", "pro", "sta", "est", "row", "tab",
+    "sca", "que", "dow", "win", "str", "eam", "spa", "ark", "dat",
+    "fil", "sor", "mer", "lin", "val", "agg", "col", "cus", "tom",
+    "bat", "gro", "par", "key", "has", "joi", "oin",
+    # 4/5-gram merges
+    "tion", "ment", "ther", "able", "ream", "indow", "ilter",
+    "ustom", "erge", "roup", "uery", "atch", "tream", "mall",
+)
+
+_VLENS = tuple(sorted({len(t) for t in SUBWORD_VOCAB}, reverse=True))
+_MAXLEN = _VLENS[0]
+
+# VALUES list for the DuckDB oracles — same frozen vocab.
+_VOCAB_SQL = ", ".join(f"('{t}')" for t in SUBWORD_VOCAB)
+
+
+def _tokenize_word(w: Column) -> Column:
+    """array<string> of greedy longest-match subwords for one word.
+
+    One ``aggregate`` pass over character positions: the accumulator is
+    (pos, toks); each step finds the LONGEST vocab entry matching at
+    pos (lengths tried descending), else consumes one character
+    (byte-fallback).  Iterating length(w) times is always enough since
+    every step consumes >= 1 char; exhausted steps pass the accumulator
+    through untouched.  Pure JVM codegen — no Python, no shuffle."""
+    vocab_arr = F.array(*[F.lit(t) for t in SUBWORD_VOCAB])
+    lens_desc = F.array(*[F.lit(n) for n in _VLENS])
+
+    def step(acc: Column, _: Column) -> Column:
+        pos = acc["pos"]
+        # longest matching vocab length at pos, else 1 (byte-fallback)
+        ml = F.coalesce(
+            F.try_element_at(
+                F.filter(
+                    lens_desc,
+                    lambda n: F.array_contains(vocab_arr, w.substr(pos, n)),
+                ),
+                F.lit(1),
+            ),
+            F.lit(1),
+        )
+        advanced = F.struct(
+            (pos + ml).alias("pos"),
+            F.concat(acc["toks"], F.array(w.substr(pos, ml))).alias("toks"),
+        )
+        return F.when(pos > F.length(w), acc).otherwise(advanced)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+        F.struct(
+            F.lit(1).alias("pos"),
+            F.array().cast("array<string>").alias("toks"),
+        ),
+        step,
+        lambda acc: acc["toks"],
+    )
+
+
+def _subword_count_word(w: Column) -> Column:
+    """Number of greedy subwords for one word — the counting-only loop
+    (same MaxMatch rule, no token strings materialized)."""
+    vocab_arr = F.array(*[F.lit(t) for t in SUBWORD_VOCAB])
+    lens_desc = F.array(*[F.lit(n) for n in _VLENS])
+
+    def step(acc: Column, _: Column) -> Column:
+        pos = acc["pos"]
+        ml = F.coalesce(
+            F.try_element_at(
+                F.filter(
+                    lens_desc,
+                    lambda n: F.array_contains(vocab_arr, w.substr(pos, n)),
+                ),
+                F.lit(1),
+            ),
+            F.lit(1),
+        )
+        advanced = F.struct(
+            (pos + ml).alias("pos"), (acc["cnt"] + 1).alias("cnt")
+        )
+        return F.when(pos > F.length(w), acc).otherwise(advanced)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+        step,
+        lambda acc: acc["cnt"],
+    )
+
+
+def subword_tokenize(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Greedy-MaxMatch subword tokenization, JVM tier.
+
+    Returns (id, n_words, n_subwords, toks) where ``toks`` renders each
+    word's subwords joined by '|' and words joined by ' ' — e.g.
+    "window scan" -> "win|dow sca|n".  Map-only: zero shuffles, zero
+    Python (plan-gated)."""
+    words = F.split(F.col(text_col), " ")
+    per_word = F.transform(words, _tokenize_word)
+    return docs.select(
+        id_col,
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            per_word,
+            F.lit(0),
+            lambda acc, t: acc + F.size(t),
+        )
+        .cast("long")
+        .alias("n_subwords"),
+        F.array_join(
+            F.transform(per_word, lambda t: F.array_join(t, "|")), " "
+        ).alias("toks"),
+    )
+
+
+def subword_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_subwords) via the counting-only loop — the cheap input to
+    token budgeting / packing in subword units."""
+    words = F.split(F.col(text_col), " ")
+    return docs.select(
+        id_col,
+        F.aggregate(
+            F.transform(words, _subword_count_word),
+            F.lit(0),
+            lambda acc, c: acc + c,
+        )
+        .cast("long")
+        .alias("n_subwords"),
+    )
+
+
+def subword_tokenize_arrow(
+    docs: DataFrame,
+    vocab: tuple[str, ...] | list[str] = SUBWORD_VOCAB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow tier: same MaxMatch semantics via ``mapInPandas`` with a
+    hash-set vocab — O(maxlen) set probes per character regardless of
+    vocabulary size, the tier for production 30k+-entry vocabs.
+
+    ``vocab`` is a driver-scale list by contract (collect it from a
+    vocab table the way x32 collects centroid frames).  Output is
+    bitwise-identical to :func:`subword_tokenize` (twin-equivalence
+    test-pinned).  Map-only like the JVM tier: the Arrow exchange is
+    per-batch, no shuffle."""
+    vset = frozenset(vocab)
+    lens = sorted({len(t) for t in vset}, reverse=True)
+    out_schema = (
+        f"{id_col} string, n_words long, n_subwords long, toks string"
+    )
+
+    id_dtype = dict(docs.dtypes)[id_col]
+
+    def _tok_word(w: str) -> list[str]:
+        toks, pos, n = [], 0, len(w)
+        while pos < n:
+            for L in lens:
+                cand = w[pos : pos + L]
+                if len(cand) == L and cand in vset:
+                    toks.append(cand)
+                    pos += L
+                    break
+            else:
+                toks.append(w[pos])
+                pos += 1
+        return toks
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = text.split(" ")
+                per = [_tok_word(w) for w in words]
+                rows.append(
+                    (
+                        str(did),
+                        len(words),
+                        sum(len(t) for t in per),
+                        " ".join("|".join(t) for t in per),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_words", "n_subwords", "toks"]
+            )
+
+    out = docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    # mapInPandas schemas are strings; restore the id column's real type
+    return out.withColumn(id_col, F.col(id_col).cast(id_dtype))
+
+
+# -- x37: registry entry + DuckDB recursive-CTE oracle ---------------------
+
+# The oracle replays the SAME greedy loop in SQL: a recursive CTE
+# advances (word, pos) by the longest matching vocab length (else 1);
+# each recursion row with pos <= length(word) emits exactly one token.
+# Greedy-longest agreement: the correlated MAX(length(tok)) equals the
+# Spark side's first-in-descending-lengths match (vocab entries are
+# distinct, so equal-length double matches are impossible).
+_X37_ORACLE = f"""
+WITH RECURSIVE
+vocab(tok) AS (VALUES {_VOCAB_SQL}),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+       UNNEST(range(1, len(w) + 1)) AS u(i)
+),
+step(doc_id, widx, word, pos, tok) AS (
+  SELECT doc_id, widx, word, 1, CAST(NULL AS VARCHAR) FROM words
+  UNION ALL
+  SELECT doc_id, widx, word, pos + ml, substr(word, pos, ml)
+  FROM (
+    SELECT doc_id, widx, word, pos,
+           COALESCE((SELECT MAX(length(v.tok)) FROM vocab v
+                     WHERE substr(word, pos, length(v.tok)) = v.tok),
+                    1) AS ml
+    FROM step WHERE pos <= length(word)) s
+),
+toks AS (
+  SELECT doc_id, widx,
+         string_agg(tok, '|' ORDER BY pos) AS wtoks,
+         CAST(COUNT(tok) AS BIGINT) AS n_sub
+  FROM step WHERE tok IS NOT NULL
+  GROUP BY doc_id, widx
+),
+perword AS (
+  SELECT w.doc_id, w.widx,
+         COALESCE(t.wtoks, '') AS wtoks,
+         COALESCE(t.n_sub, 0) AS n_sub
+  FROM words w LEFT JOIN toks t USING (doc_id, widx)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       string_agg(wtoks, ' ' ORDER BY widx) AS toks
+FROM perword GROUP BY doc_id
+ORDER BY doc_id, n_words, n_subwords, toks"""
+
+
+@register("x37_subword_tokenize", _X37_ORACLE)
+def x37_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 greedy-MaxMatch subword tokenization over the documents
+    table, JVM tier — map-only, vocab as a plan literal."""
+    return subword_tokenize(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "n_words", "n_subwords", "toks"
+    )
+
+
+# -- x17b: per-source SUBWORD-token budget ---------------------------------
+
+_X17B_BUDGET = 700  # subword tokens per source (binding at every SF)
+
+_X17B_ORACLE = f"""
+WITH RECURSIVE
+vocab(tok) AS (VALUES {_VOCAB_SQL}),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+       UNNEST(range(1, len(w) + 1)) AS u(i)
+),
+step(doc_id, widx, word, pos, emitted) AS (
+  SELECT doc_id, widx, word, 1, 0 FROM words
+  UNION ALL
+  SELECT doc_id, widx, word,
+         pos + COALESCE((SELECT MAX(length(v.tok)) FROM vocab v
+                         WHERE substr(word, pos, length(v.tok)) = v.tok),
+                        1),
+         1
+  FROM step WHERE pos <= length(word)
+),
+counts AS (
+  SELECT doc_id, CAST(SUM(emitted) AS BIGINT) AS tokens
+  FROM step GROUP BY doc_id
+),
+t AS (
+  SELECT d.doc_id, d.source, md5(d.text) AS h, c.tokens
+  FROM documents d JOIN counts c USING (doc_id)
+),
+o AS (SELECT doc_id, source, tokens,
+             CAST(COALESCE(SUM(tokens) OVER (
+                  PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before
+      FROM t)
+SELECT doc_id, source, tokens, cum_before
+FROM o WHERE cum_before < {_X17B_BUDGET}
+ORDER BY source, cum_before, doc_id, tokens"""
+
+
+@register("x17b_subword_budget", _X17B_ORACLE)
+def x17b_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17b per-source token-budget selection metered in SUBWORD counts
+    (700 subwords/source): the counting-only MaxMatch loop rides the
+    scan, then x17's two-level distributed prefix sum picks documents in
+    deterministic md5 order."""
+    from cubefs_hadoop_spark.extensions.curation import token_budget_sample
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_sub = F.aggregate(
+        F.transform(words, _subword_count_word),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    ).cast("long")
+    return token_budget_sample(
+        docs, budget=_X17B_BUDGET, tokens=n_sub
+    ).orderBy("source", "cum_before", "doc_id", "tokens")

@@ -1,0 +1,163 @@
+"""Subword tokenization (x37/x17b): MaxMatch semantics, conservation,
+determinism, JVM/Arrow twin equivalence, and budget-variant behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _toks(spark, rows):
+    """Tokenize a tiny crafted frame; returns {doc_id: (n_words, n_subwords, toks)}."""
+    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = subword_tokenize(df).collect()
+    return {r.doc_id: (r.n_words, r.n_subwords, r.toks) for r in out}
+
+
+def test_greedy_longest_match_crafted(spark):
+    """MaxMatch picks the LONGEST vocab entry at each position; unknown
+    chars fall back to single-char tokens (never fails)."""
+    got = _toks(
+        spark,
+        [
+            ("a", "the"),  # exact vocab entry
+            ("b", "window"),  # win|dow (5/4-gram misses, 3-grams hit)
+            ("c", "customer"),  # cus|tom|er
+            ("d", "zzz"),  # no vocab entry contains z: z|z|z
+            ("e", "x"),  # single unknown char
+        ],
+    )
+    assert got["a"] == (1, 1, "the")
+    assert got["b"] == (1, 2, "win|dow")
+    assert got["c"] == (1, 3, "cus|tom|er")
+    assert got["d"] == (1, 3, "z|z|z")
+    assert got["e"] == (1, 1, "x")
+
+
+def test_conservation_on_fixture(spark):
+    """concat(subwords) == word for EVERY word of every fixture doc:
+    stripping the '|' separators reproduces the original text exactly."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize
+
+    docs = load(spark, SF_SMOKE, "documents")
+    joined = (
+        subword_tokenize(docs)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            F.replace(F.col("toks"), F.lit("|"), F.lit("")).alias("rebuilt"),
+            "text",
+            "n_words",
+            "n_subwords",
+        )
+    )
+    bad = joined.filter(F.col("rebuilt") != F.col("text")).count()
+    assert bad == 0
+    # subwords never fewer than words, never more than chars
+    viol = joined.filter(
+        (F.col("n_subwords") < F.col("n_words"))
+        | (F.col("n_subwords") > F.length("text"))
+    ).count()
+    assert viol == 0
+
+
+def test_repartition_stability(spark):
+    """Tokenization is a pure row map: output is identical under any
+    input partitioning (replay/repartition-stable)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize
+
+    docs = load(spark, SF_SMOKE, "documents")
+    a = {
+        r.doc_id: r.toks
+        for r in subword_tokenize(docs).collect()
+    }
+    b = {
+        r.doc_id: r.toks
+        for r in subword_tokenize(docs.repartition(17, "source")).collect()
+    }
+    assert a == b
+
+
+def test_arrow_tier_twin_equivalence(spark):
+    """The mapInPandas (hash-set) tier and the JVM (literal-scan) tier
+    produce bitwise-identical frames on the fixture corpus."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        subword_tokenize,
+        subword_tokenize_arrow,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    jvm = {tuple(r) for r in subword_tokenize(docs).collect()}
+    arrow = {tuple(r) for r in subword_tokenize_arrow(docs).collect()}
+    assert jvm == arrow
+
+
+def test_arrow_tier_custom_vocab(spark):
+    """The Arrow tier honors a caller-supplied vocab list (the
+    production path: collect a driver-scale vocab table, pass it in)."""
+    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize_arrow
+
+    df = spark.createDataFrame(
+        [("a", "abcabc"), ("b", "xyz")], "doc_id string, text string"
+    )
+    out = {
+        r.doc_id: r.toks
+        for r in subword_tokenize_arrow(df, vocab=("abc", "xy")).collect()
+    }
+    assert out["a"] == "abc|abc"
+    assert out["b"] == "xy|z"
+
+
+def test_subword_counts_match_tokenize(spark):
+    """The counting-only loop agrees with the materializing loop on
+    every fixture document."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        subword_counts,
+        subword_tokenize,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    full = {r.doc_id: r.n_subwords for r in subword_tokenize(docs).collect()}
+    cnt = {r.doc_id: r.n_subwords for r in subword_counts(docs).collect()}
+    assert full == cnt
+
+
+def test_x17b_budget_semantics(spark):
+    """x17b keeps exactly the prefix of each source's md5-ordered docs
+    whose preceding subword total is under budget — the straddling doc
+    is kept, the next one is not."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x17b_subword_budget"](spark, SF_SMOKE).collect()
+    assert rows, "budget must bind but not empty the selection"
+    from cubefs_hadoop_spark.extensions.tokenize import _X17B_BUDGET
+
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.cum_before)
+        # every kept row starts under budget; offsets are consistent
+        run = 0
+        for r in rs:
+            assert r.cum_before == run, (src, r)
+            assert r.cum_before < _X17B_BUDGET
+            run += r.tokens
+
+
+def test_vocab_is_frozen_and_wellformed():
+    """Vocab contract the oracles depend on: distinct entries, all
+    length >= 2 (single chars are the implicit byte-fallback), lowercase
+    ascii only (safe to embed in both engines' SQL/plan literals)."""
+    from cubefs_hadoop_spark.extensions.tokenize import SUBWORD_VOCAB
+
+    assert len(set(SUBWORD_VOCAB)) == len(SUBWORD_VOCAB)
+    assert all(len(t) >= 2 for t in SUBWORD_VOCAB)
+    assert all(t.isascii() and t.islower() and t.isalpha() for t in SUBWORD_VOCAB)
