@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "x28_canonical_dedup",
     "x34_sessionize",
     "x33_dsir_weights",
+    "x13_srp_lsh",
+    "x12_semantic_dedup",
+    "x29_ngram_novelty",
 ]
 
 RUNS = 4
