@@ -1,0 +1,174 @@
+"""Streaming ingest of ADDITIVE sufficient-statistics state (VERDICT r6
+item 5): a foreachBatch sink that folds each micro-batch into the
+persisted x31b centroid state / x33b DSIR vocabulary with the S14
+exactly-once batch-id ledger.
+
+The incremental operators (semantic.centroid_state_fold,
+search.dsir_state_fold) already prove fold == full-recompute for BATCH
+ingest; this module closes the loop for STREAMING ingest: embeddings or
+documents arriving as a stream fold into the same state files with
+exactly-once semantics across checkpoint restarts and replayed batches.
+
+Exactly-once mechanics (same watermark idea as ops.sink_versioned /
+versioning's batch ledger): Structured Streaming batch ids increase
+monotonically per checkpoint and foreachBatch is at-least-once around
+checkpoint boundaries, so "already folded" is exactly ``batch_id <=
+ledger max``.  Each successful fold writes a NEW state generation
+directory (``gen=N+1``) and then atomically publishes the ledger (write
+temp + rename — rename-as-commit, the same primitive the reference's
+create path leans on, ``CubefsFileSystem.java:221-223``); a replayed
+batch sees its id under the watermark and no-ops, so state is never
+double-counted.  Readers resolve the ledger first, then read that
+generation — a crash between state write and ledger publish leaves an
+orphan generation that the next fold overwrites, never a half-applied
+state.
+
+Scale (100 TB stream): per batch the work is O(batch) map + a
+state-sized merge — centroid state is labels x dims rows, DSIR state is
+vocabulary-sized; both metadata-scale next to the stream.  The corpus
+is never re-read (the whole point of additive sufficient statistics).
+The ledger is one tiny JSON per state dir, an O(1) read per batch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEDGER = "ledger.json"
+
+
+def _read_ledger(state_dir: str) -> dict:
+    p = os.path.join(state_dir, LEDGER)
+    if not os.path.exists(p):
+        return {"gen": 0, "batch_id_max": -1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish_ledger(state_dir: str, gen: int, batch_id_max: int) -> None:
+    tmp = os.path.join(state_dir, LEDGER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"gen": gen, "batch_id_max": batch_id_max}, f)
+    os.replace(tmp, os.path.join(state_dir, LEDGER))  # atomic commit
+
+
+def _gen_path(state_dir: str, gen: int) -> str:
+    return os.path.join(state_dir, f"gen={gen}")
+
+
+def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current state snapshot: resolve the ledger, read that generation."""
+    led = _read_ledger(state_dir)
+    if led["gen"] == 0:
+        raise FileNotFoundError(f"no state generation published in {state_dir}")
+    return spark.read.parquet(_gen_path(state_dir, led["gen"]))
+
+
+def additive_state_committer(
+    state_dir: str,
+    stats_fn: Callable[[DataFrame], DataFrame],
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function folding each micro-batch's additive
+    sufficient statistics into the persisted state, exactly once.
+
+    ``stats_fn(batch_df)`` must return a frame keyed by ``key_cols``
+    whose ``sum_cols`` are associative+commutative sums — then
+    fold(state, batch) == full recompute over every row ever ingested,
+    to the bit, regardless of how the stream sliced the data into
+    batches (the incremental-op contract x31b/x33b hash-prove)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        led = _read_ledger(state_dir)
+        if int(batch_id) <= led["batch_id_max"]:
+            return  # replayed batch: already folded, skip
+        batch_stats = stats_fn(batch_df)
+        if led["gen"] > 0:
+            spark = batch_df.sparkSession
+            prev = spark.read.parquet(_gen_path(state_dir, led["gen"]))
+            merged = (
+                prev.unionByName(batch_stats.select(*prev.columns))
+                .groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        else:
+            merged = (
+                batch_stats.groupBy(*key_cols)
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
+            )
+        new_gen = led["gen"] + 1
+        merged.write.mode("overwrite").parquet(_gen_path(state_dir, new_gen))
+        _publish_ledger(state_dir, new_gen, int(batch_id))
+
+    return _commit
+
+
+def sink_centroid_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> None:
+    """Stream (label, embedding) rows into the x31b centroid state: each
+    micro-batch's per-(label, dim) (sum_milli, cnt) folds into
+    ``state_dir`` exactly once.  ``semantic.centroids_from_state`` /
+    ``ncm_classify(state=...)`` consume the result."""
+    from cubefs_hadoop_spark.extensions.semantic import label_centroids
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return label_centroids(
+            batch, label_col=label_col, vec_col=vec_col
+        ).select(label_col, "dim", "sum_milli", "cnt")
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir, stats, [label_col, "dim"], ["sum_milli", "cnt"]
+        ),
+        checkpoint_dir,
+    )
+
+
+def sink_dsir_state(
+    sdf: DataFrame,
+    target,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Stream documents into the x33b DSIR LM state: each micro-batch's
+    (word, cc, ct) vocabulary counts fold into ``state_dir`` exactly
+    once.  ``search.dsir_score`` against the folded state is
+    hash-identical to the full x33 recompute over all ingested docs."""
+    from cubefs_hadoop_spark.extensions.search import dsir_vocab
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return dsir_vocab(batch, target, text_col=text_col)
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, ["word"], ["cc", "ct"]),
+        checkpoint_dir,
+    )
+
+
+def _drain(
+    sdf: DataFrame,
+    commit_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    q = (
+        sdf.writeStream.foreachBatch(commit_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

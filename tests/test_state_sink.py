@@ -1,0 +1,183 @@
+"""Streaming additive-state ingest (VERDICT r6 item 5): folding x31b
+centroid state and x33b DSIR vocabulary per micro-batch with the S14
+exactly-once ledger — folded state == full recompute across a checkpoint
+restart, and a replayed batch is a no-op."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _stage_embeddings(spark, out_dir: str, n_files: int = 4) -> None:
+    """Write the embeddings fixture as n_files parquet files sliced by
+    vec_id range, so file-replay yields deterministic micro-batches."""
+    from cubefs_hadoop_spark.catalog import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(out_dir, "data"))
+        )
+
+
+def _emb_stream(spark, stage_dir: str):
+    return (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+
+
+def test_streamed_centroid_state_equals_full_recompute(spark, tmp_path):
+    """Embeddings arriving as a 4-batch stream fold into the centroid
+    state; the final state's centroids are BIT-identical to the batch
+    x31 recompute over the whole corpus (additive sufficient
+    statistics)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import label_centroids
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_centroid_state,
+    )
+
+    stage = str(tmp_path / "stage")
+    state = str(tmp_path / "state")
+    _stage_embeddings(spark, stage)
+    sink_centroid_state(
+        _emb_stream(spark, stage), state, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        (r.label, r.dim): (r.sum_milli, r.cnt)
+        for r in read_state(spark, state).collect()
+    }
+    want = {
+        (r.label, r.dim): (r.sum_milli, r.cnt)
+        for r in label_centroids(load(spark, SF_SMOKE, "embeddings")).collect()
+    }
+    assert got == want
+    # 4 generations published (one per non-empty batch)
+    from cubefs_hadoop_spark.streaming.state_sink import _read_ledger
+
+    led = _read_ledger(state)
+    assert led["gen"] >= 1 and led["batch_id_max"] >= 0
+
+
+def test_restart_and_replay_are_noops(spark, tmp_path):
+    """Re-running the drained stream with the SAME checkpoint adds no
+    batches; manually replaying an already-folded batch id leaves the
+    ledger and state untouched (exactly-once, not at-least-once)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import label_centroids
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _read_ledger,
+        additive_state_committer,
+        read_state,
+        sink_centroid_state,
+    )
+
+    stage = str(tmp_path / "stage")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _stage_embeddings(spark, stage)
+    sink_centroid_state(_emb_stream(spark, stage), state, ckpt)
+    led1 = _read_ledger(state)
+
+    # checkpoint restart: drain again, same checkpoint -> no new data,
+    # no new generations
+    sink_centroid_state(_emb_stream(spark, stage), state, ckpt)
+    led2 = _read_ledger(state)
+    assert led2 == led1
+
+    # replayed batch (foreachBatch at-least-once): batch_id 0 again
+    emb = load(spark, SF_SMOKE, "embeddings")
+
+    def stats(b):
+        return label_centroids(b).select("label", "dim", "sum_milli", "cnt")
+
+    committer = additive_state_committer(
+        state, stats, ["label", "dim"], ["sum_milli", "cnt"]
+    )
+    committer(emb.limit(50), 0)  # id 0 <= watermark: must no-op
+    led3 = _read_ledger(state)
+    assert led3 == led1
+    # and the state still matches the full recompute
+    got = {
+        (r.label, r.dim): (r.sum_milli, r.cnt)
+        for r in read_state(spark, state).collect()
+    }
+    want = {
+        (r.label, r.dim): (r.sum_milli, r.cnt)
+        for r in label_centroids(emb).collect()
+    }
+    assert got == want
+
+
+def test_streamed_dsir_state_scores_match_batch_x33(spark, tmp_path):
+    """Documents arriving as a 3-batch stream fold into the DSIR LM
+    state; scoring against the folded state is hash-identical to the
+    batch x33 recompute (same (word, cc, ct) vocabulary to the row)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.search import dsir_score, dsir_vocab
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_dsir_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    target = F.col("lang") == "en"
+    state = str(tmp_path / "dsir_state")
+    sink_dsir_state(sdf, target, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        r.word: (r.cc, r.ct) for r in read_state(spark, state).collect()
+    }
+    full = {
+        r.word: (r.cc, r.ct) for r in dsir_vocab(docs, target).collect()
+    }
+    assert folded == full
+
+    s_folded = {
+        r.doc_id: (r.tokens, r.weight_milli)
+        for r in dsir_score(docs, read_state(spark, state)).collect()
+    }
+    s_full = {
+        r.doc_id: (r.tokens, r.weight_milli)
+        for r in dsir_score(docs, dsir_vocab(docs, target)).collect()
+    }
+    assert s_folded == s_full
