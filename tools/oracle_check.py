@@ -96,6 +96,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     rest = sys.argv[2:]
     first_n = None
+    json_out = None
+    if "--json" in rest:
+        i = rest.index("--json")
+        json_out = rest[i + 1]
+        rest = rest[:i] + rest[i + 2 :]
     if len(rest) == 2 and rest[0] == "--first":
         first_n, rest = int(rest[1]), []
     only = set(rest)
@@ -118,6 +123,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rowsonly = 0
     failed: list[str] = []
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -127,10 +133,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
             failed.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {ex}"[:300]}
             continue
         if name not in oracles:
             print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
+            results[name] = {"status": "rows-only", "spark_rows": len(spdf)}
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
@@ -138,6 +146,7 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
             failed.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {ex}"[:300]}
             continue
         sh, sn = canon_hash(spdf)
         dh, dn = canon_hash(dpdf)
@@ -146,6 +155,15 @@ def main() -> int:
             and sorted(spdf.columns) == sorted(dpdf.columns)
             and sn == dn
         )
+        results[name] = {
+            "status": "pass" if ok else "fail",
+            "spark_rows": sn,
+            "oracle_rows": dn,
+            "hash_match": sh == dh,
+            "schema_match": sorted(spdf.columns) == sorted(dpdf.columns),
+            "value_hash": sh,
+            "sec": round(time.time() - t0, 2),
+        }
         if ok:
             print(f"PASS {name}: {sn} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
@@ -165,6 +183,26 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only of {len(names)}")
     if failed:
         print("failed:", " ".join(failed))
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "entries": results,
+                    "summary": {
+                        "pass": n_pass,
+                        "fail": n_fail,
+                        "rows_only": n_rowsonly,
+                        "total": len(names),
+                    },
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if n_fail else 0
 
