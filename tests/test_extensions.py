@@ -4,6 +4,8 @@ plumbing shapes)."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1116,3 +1118,87 @@ def test_ncm_classify_crafted_and_heldout_state(spark):
         r.vec_id: r.pred_label for r in ncm_classify(fx).collect()
     }
     assert via_state == one_shot
+
+
+def test_auto_centroid_count_rule(spark):
+    """auto-C is max(floor, ceil(sqrt(N))) from a cheap count; the
+    conf-key path (n_centroids=None) resolves through
+    cfspark.ann.centroids (default 'auto'), and explicit ints/strings
+    pass through."""
+    from cubefs_hadoop_spark.extensions.similarity import (
+        auto_centroid_count,
+        resolve_centroid_count,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    c = auto_centroid_count(emb)
+    assert c == max(8, min(math.isqrt(n - 1) + 1, n // 64))
+    assert resolve_centroid_count(emb, "auto") == c
+    assert resolve_centroid_count(emb, None) == c  # conf default 'auto'
+    assert resolve_centroid_count(emb, 13) == 13
+    assert resolve_centroid_count(emb, "13") == 13
+    spark.conf.set("cfspark.ann.centroids", "21")
+    try:
+        assert resolve_centroid_count(emb, None) == 21
+    finally:
+        spark.conf.set("cfspark.ann.centroids", "auto")
+    with pytest.raises(ValueError):
+        resolve_centroid_count(emb, 0)
+
+
+def test_ivf_recall_holds_with_auto_c(spark):
+    """The recall gate (aggregate >= 0.8, per-query floor 0.6) holds
+    when C comes from the sqrt(N) rule instead of the pinned 8 — at
+    this N the min-bucket clamp keeps C at the pinned 8 by design
+    (near-uniform tiny corpora are IVF's worst case); the sqrt(N) term
+    is exercised at the sf1 probe where measured recall is 1.0
+    (SCALING.md sf1 section)."""
+    exact: dict[int, set] = {}
+    for r in x03_topk_cosine(spark, SF_SMOKE).collect():
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set] = {}
+    for r in ivf_topk(spark, SF_SMOKE, n_centroids="auto").collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    per_q = {
+        q: len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+    }
+    total = sum(len(exact[q] & got.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert total >= 0.8, f"auto-C recall collapsed: {total} {per_q}"
+    assert min(per_q.values()) >= 0.6, f"auto-C per-query floor: {per_q}"
+
+
+def test_seeded_centroids_auto_sizing(spark):
+    """seeded_centroids with no explicit C returns ceil(sqrt(N)) rows —
+    the SemDeDup-side consumer of the same rule."""
+    from cubefs_hadoop_spark.extensions.similarity import seeded_centroids
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    cents = seeded_centroids(emb)
+    assert cents.count() == max(8, min(math.isqrt(n - 1) + 1, n // 64))
+
+
+def test_auto_srp_bits_rule_and_small_n_equivalence(spark):
+    """auto bits-per-band sizes 2^bits to N/64 (floor 4); at the fixture
+    N the rule lands on the pinned 4 bits, so the auto pipeline must
+    reproduce the pinned x13 pair set exactly."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        auto_srp_bits,
+        srp_neardup_pairs_auto,
+        x13_srp_lsh,
+    )
+
+    assert auto_srp_bits(500) == 4
+    assert auto_srp_bits(2000) == 5
+    assert auto_srp_bits(20000) == 9
+    assert auto_srp_bits(10) == 4  # floor
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    auto = {(r.da, r.db) for r in srp_neardup_pairs_auto(emb).collect()}
+    pinned = {
+        (r.da, r.db) for r in x13_srp_lsh(spark, SF_SMOKE).collect()
+    }
+    assert auto == pinned
