@@ -219,13 +219,14 @@ def auto_srp_bits(n: int, target_bucket: int = 64, floor: int = 4) -> int:
     cosine c matches a band with (1 - theta/pi)^bits, theta =
     arccos(c); at the production near-dup operating point (c >= 0.9)
     8 bands x 9 bits still catch ~90% of true pairs, and the exact
-    verify stage keeps precision at 1.0 regardless."""
-    import math as _math
+    verify stage keeps precision at 1.0 regardless.
 
-    return max(
-        int(floor),
-        _math.ceil(_math.log2(max(float(n) / target_bucket, 2.0))),
-    )
+    Pure INTEGER arithmetic (ceil-div then bit_length), no log2 floats:
+    ceil(log2(x)) == ceil(log2(ceil(x))) because powers of two are
+    integers, so the integer form is exactly the real-valued rule — and
+    a DuckDB twin can replicate it without cross-libm ulp risk."""
+    m = max((int(n) + target_bucket - 1) // target_bucket, 2)  # ceil-div
+    return max(int(floor), (m - 1).bit_length())  # ceil(log2(m))
 
 
 def srp_neardup_pairs_auto(
@@ -842,3 +843,101 @@ def x36_ncm_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     label centroid (integer-milli L2, lowest-label ties), with the
     resubstitution correctness flag."""
     return ncm_classify(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# x12b / x13c — the AUTO-SIZED production configs, oracle-checked
+# ---------------------------------------------------------------------------
+
+# Both knobs resolve from COUNT(*) in pure integer arithmetic (Python)
+# and its exact SQL transcription (DuckDB), so the driver's hash gate
+# verifies the sizing rule itself, not just a pinned instance: at
+# sf0.001 (N=500) both rules land on the pinned x12/x13 configs; at
+# sf0.01 (N=2000) they genuinely diverge (C=31, bits=5).
+
+_X12B_ORACLE = f"""
+WITH p AS (
+  SELECT GREATEST(8, LEAST(CAST(CEIL(SQRT(COUNT(*))) AS BIGINT),
+                           COUNT(*) // 64)) AS c
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, embedding AS cent FROM embeddings, p
+  WHERE vec_id < p.c
+), asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cosine_duck('e.embedding', 'c.cent')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cosine_duck('a.embedding', 'b.embedding')} >= {_X12_TAU}
+)
+SELECT g.vec_id, g.cid, (d.vec_id IS NULL) AS kept
+FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id
+ORDER BY g.vec_id, g.cid, kept"""
+
+
+@register("x12b_semantic_dedup_auto", _X12B_ORACLE)
+def x12b_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12b SemDeDup with the PRODUCTION auto-sized C (VERDICT r6 item
+    8): C = max(8, min(ceil(sqrt(N)), N // 64)) from one count, then the
+    unchanged cluster-then-prune pipeline.  The oracle transcribes the
+    sizing rule into SQL (integer arithmetic; ceil(sqrt) agrees exactly
+    — see auto_centroid_count), so the hash gate verifies auto-C
+    end-to-end, not a pinned instance.  sf1-measured: 6.95 s vs the
+    pinned config's 46.2 s (SCALING.md)."""
+    from cubefs_hadoop_spark.extensions.similarity import auto_centroid_count
+
+    emb = load(spark, sf_dir, "embeddings")
+    c = auto_centroid_count(emb)
+    cents = emb.filter(F.col("vec_id") < c).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    return semantic_dedup(emb, cents).orderBy("vec_id", "cid", "kept")
+
+
+_X13C_ORACLE = f"""
+WITH p AS (
+  SELECT GREATEST(4, CAST(CEIL(LOG2(GREATEST(
+             CAST(CEIL(COUNT(*) / 64.0) AS BIGINT), 2))) AS BIGINT)) AS bits
+  FROM embeddings
+), hp AS (
+  SELECT h, hv FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS h,
+           embedding AS hv
+    FROM embeddings) t, p
+  WHERE t.h < {_X13_BANDS} * p.bits
+), bits AS (
+  SELECT e.vec_id, CAST(h.h // p.bits AS BIGINT) AS band,
+         SUM(CASE WHEN {_DOT_DUCK.format(a='e.embedding', b='h.hv')} >= 0
+                  THEN 1 << (h.h % p.bits) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN hp h CROSS JOIN p
+  GROUP BY e.vec_id, h.h // p.bits
+), cand AS (
+  SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bits a JOIN bits b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+), ver AS (
+  SELECT da, db, {_cosine_duck('x.embedding', 'y.embedding')} AS c
+  FROM cand JOIN embeddings x ON x.vec_id = da
+            JOIN embeddings y ON y.vec_id = db)
+SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos"""
+
+
+@register("x13c_srp_lsh_auto", _X13C_ORACLE)
+def x13c_srp_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13c SRP-LSH with the PRODUCTION auto-sized bits-per-band:
+    2^bits ≈ N/64 via pure integer arithmetic (ceil-div + bit_length ==
+    ceil(log2), transcribed exactly into the oracle — LOG2 only ever
+    sees an integer, where ceil can't straddle an ulp).  sf1-measured:
+    4.42 s vs the pinned config's 79.8 s, 1.1x on 10x data
+    (SCALING.md)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        srp_neardup_pairs_auto(emb)
+        .select("da", "db", r2d(F.col("c")).alias("cos"))
+        .orderBy("da", "db", "cos")
+    )

@@ -389,3 +389,16 @@ def x17b_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_sample(
         docs, budget=_X17B_BUDGET, tokens=n_sub
     ).orderBy("source", "cum_before", "doc_id", "tokens")
+
+
+# The Arrow tier under the driver's gate too: same oracle (the tiers are
+# semantically identical — twin-equivalence is also test-pinned), so a
+# hash mismatch here isolates a Python-tier regression specifically.
+@register("x37b_subword_tokenize_arrow", _X37_ORACLE)
+def x37b_subword_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37b greedy-MaxMatch subword tokenization, Arrow mapInPandas tier
+    (hash-set vocab, O(maxlen) probes per char — the production path for
+    30k+-entry vocabs)."""
+    return subword_tokenize_arrow(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "n_words", "n_subwords", "toks"
+    )
