@@ -402,3 +402,71 @@ def x37b_subword_tokenize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subword_tokenize_arrow(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "n_words", "n_subwords", "toks"
     )
+
+
+# -- x14b: sequence packing in SUBWORD units -------------------------------
+
+_X14B_S = 64  # subword tokens per packed sequence
+
+_X14B_ORACLE = f"""
+WITH RECURSIVE
+vocab(tok) AS (VALUES {_VOCAB_SQL}),
+words AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+       UNNEST(range(1, len(w) + 1)) AS u(i)
+),
+step(doc_id, widx, word, pos, emitted) AS (
+  SELECT doc_id, widx, word, 1, 0 FROM words
+  UNION ALL
+  SELECT doc_id, widx, word,
+         pos + COALESCE((SELECT MAX(length(v.tok)) FROM vocab v
+                         WHERE substr(word, pos, length(v.tok)) = v.tok),
+                        1),
+         1
+  FROM step WHERE pos <= length(word)
+),
+counts AS (
+  SELECT doc_id, CAST(SUM(emitted) AS BIGINT) AS tokens
+  FROM step GROUP BY doc_id
+),
+o AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM counts
+)
+SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+       least((c + 1) * {_X14B_S}, off + tokens)
+           - greatest(c * {_X14B_S}, off) AS tok_in_chunk
+FROM o, UNNEST(generate_series(off // {_X14B_S},
+                               (off + tokens - 1) // {_X14B_S})) AS u(c)
+ORDER BY chunk_id, doc_id, tok_in_chunk"""
+
+
+@register("x14b_subword_pack", _X14B_ORACLE)
+def x14b_subword_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14b concat-and-chunk sequence packing metered in SUBWORD tokens
+    (64 per sequence) — the unit a production training loader actually
+    packs.  The counting-only MaxMatch loop rides the scan; the layout
+    reuses x14's two-level distributed prefix sum unchanged (same plan
+    gate applies: one driver-scale SinglePartition window, everything
+    else bucket-parallel)."""
+    from cubefs_hadoop_spark.extensions.packing import sequence_pack
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    with_counts = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(words, _subword_count_word),
+            F.lit(0),
+            lambda acc, c: acc + c,
+        )
+        .cast("long")
+        .alias("subtok"),
+    )
+    return sequence_pack(
+        with_counts, seq_len=_X14B_S, tokens_col="subtok"
+    ).orderBy("chunk_id", "doc_id", "tok_in_chunk")

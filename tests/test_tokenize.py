@@ -161,3 +161,44 @@ def test_vocab_is_frozen_and_wellformed():
     assert len(set(SUBWORD_VOCAB)) == len(SUBWORD_VOCAB)
     assert all(len(t) >= 2 for t in SUBWORD_VOCAB)
     assert all(t.isascii() and t.islower() and t.isalpha() for t in SUBWORD_VOCAB)
+
+
+def test_x14b_subword_pack_conservation(spark):
+    """Packing invariants in subword units: per-chunk token totals are
+    exactly S except the final chunk; per-doc totals across chunks equal
+    the doc's subword count (no token lost or duplicated at cut
+    points)."""
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.extensions.tokenize import _X14B_S
+    from cubefs_hadoop_spark.extensions.tokenize import subword_counts
+    from cubefs_hadoop_spark.catalog import load
+
+    rows = QUERIES["x14b_subword_pack"](spark, SF_SMOKE).collect()
+    by_chunk: dict[int, int] = {}
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        by_chunk[r.chunk_id] = by_chunk.get(r.chunk_id, 0) + r.tok_in_chunk
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.tok_in_chunk
+    last = max(by_chunk)
+    assert all(v == _X14B_S for c, v in by_chunk.items() if c != last)
+    assert 0 < by_chunk[last] <= _X14B_S
+    want = {
+        r.doc_id: r.n_subwords
+        for r in subword_counts(load(spark, SF_SMOKE, "documents")).collect()
+    }
+    assert by_doc == want
+
+
+def test_x14b_two_level_plan_shape(spark):
+    """x14b inherits x14's scale gate: the only SinglePartition window
+    is the bucket-totals frame; no Python anywhere."""
+    import re
+
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x14b_subword_pack"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert re.search(r"hashpartitioning\(pid", a.text)
+    assert a.text.count("SinglePartition") == 1
