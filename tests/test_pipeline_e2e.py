@@ -418,3 +418,48 @@ def test_target_domain_coreset_pipeline(spark, tmp_path):
     sess = sessionize(load(spark, SF_SMOKE, "events"))
     tot = sess.agg(F.sum("events").alias("n")).collect()[0].n
     assert tot == load(spark, SF_SMOKE, "events").count()
+
+
+def test_subword_layout_pipeline(spark, tmp_path):
+    """Round-7 composition: tokenize -> subword budget -> subword pack
+    chain lazily in one program, and the packed layout conserves exactly
+    the budget-selected documents' subword counts; the blob inventory's
+    canonical set composes with a dedup filter."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.curation import token_budget_sample
+    from cubefs_hadoop_spark.extensions.multimodal import (
+        MEDIA_FIXTURE,
+        blob_inventory,
+    )
+    from cubefs_hadoop_spark.extensions.packing import sequence_pack
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        _subword_count_word,
+        subword_counts,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    words = F.split(F.col("text"), " ")
+    n_sub = F.aggregate(
+        F.transform(words, _subword_count_word), F.lit(0), lambda a, c: a + c
+    ).cast("long")
+    picked = token_budget_sample(docs, budget=700, tokens=n_sub)
+    packed = sequence_pack(
+        picked.select("doc_id", F.col("tokens").alias("subtok")),
+        seq_len=64,
+        tokens_col="subtok",
+    )
+    # conservation through the chain: packed spans sum to the selected
+    # docs' subword counts exactly
+    total_packed = packed.agg(F.sum("tok_in_chunk")).first()[0]
+    want = (
+        picked.join(subword_counts(docs), "doc_id")
+        .agg(F.sum("n_subwords"))
+        .first()[0]
+    )
+    assert total_packed == want
+
+    # media branch: keep one payload per digest (the canonical id), and
+    # the kept set holds exactly the distinct-digest count
+    inv = blob_inventory(spark.read.parquet(MEDIA_FIXTURE))
+    kept = inv.filter(F.col("media_id") == F.col("canonical_id"))
+    assert kept.count() == inv.select("digest").distinct().count()
