@@ -597,3 +597,162 @@ def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- x38: exact duplicated-substring spans (Lee et al. 2022) ---------------
+#
+# Position-level exact dedup: find every MAXIMAL word span that is part
+# of text repeated elsewhere in the corpus (or elsewhere in the same
+# document) — the "deduplicating training data" primitive from
+# arXiv:2107.06499, re-expressed over sliding word windows instead of a
+# suffix array.  Distinct from x16 (fixed k-word segments on aligned
+# boundaries): x38 slides a W-word window at stride 1, so a duplicated
+# passage is detected at ANY offset, and overlapping duplicated windows
+# are merged into one maximal span per document.
+#
+# Scale design (100 TB): the window stream is corpus x ~1 rows but is
+# born in a map stage riding the scan (sequence+transform+posexplode,
+# all JVM codegen).  Duplicate detection is ONE window count over the
+# window value — one exchange of the stream, no join, no pairwise work;
+# a corpus-hot boilerplate window concentrates its positions in one
+# task, which is the same bound as the join-based alternative and is
+# AQE-skew-splittable since nothing downstream needs the whole key in
+# one task.  Span merging and the per-doc rollup share ONE doc_id-keyed
+# exchange (window + groupBy on the same key, x34's pattern), and the
+# final left join back to the per-doc word counts is doc_id-keyed too.
+# Nothing ever collects; output is corpus-row-sized.
+
+_X38_W = 16  # words per sliding window
+
+_X38_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS total_words FROM w),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[(i+1):(i+{_X38_W})],' ') AS win
+  FROM w, UNNEST(range(CAST(len(w)-{_X38_W - 1} AS BIGINT))) AS u(i)
+  WHERE len(w) >= {_X38_W}
+),
+hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY win) AS c FROM wins) t
+  WHERE c > 1
+),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos+{_X38_W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR pos > MAX(pos+{_X38_W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS ns
+  FROM hits),
+sp AS (
+  SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked),
+spans AS (
+  SELECT doc_id, sid, MIN(pos) AS s, MAX(pos)+{_X38_W - 1} AS e
+  FROM sp GROUP BY doc_id, sid),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_words
+  FROM spans GROUP BY doc_id)
+SELECT b.doc_id, b.total_words,
+       COALESCE(p.n_dup_spans, CAST(0 AS BIGINT)) AS n_dup_spans,
+       COALESCE(p.dup_words, CAST(0 AS BIGINT)) AS dup_words,
+       (1000 * COALESCE(p.dup_words, CAST(0 AS BIGINT))) // b.total_words
+         AS dup_frac_milli
+FROM base b LEFT JOIN perdoc p USING (doc_id)
+ORDER BY doc_id, total_words, n_dup_spans, dup_words, dup_frac_milli"""
+
+
+def duplicate_spans(docs: DataFrame, w: int = _X38_W) -> DataFrame:
+    """Maximal duplicated word spans per document: slide a ``w``-word
+    window at stride 1 over every document; a window is DUPLICATED when
+    its exact text occurs at more than one (doc, position) in the corpus;
+    overlapping/contiguous duplicated windows merge into maximal spans.
+
+    Returns one row per document — (doc_id, total_words, n_dup_spans,
+    dup_words, dup_frac_milli) — all-integer so the result is
+    partitioning/replay-stable.  Documents shorter than ``w`` words (or
+    with no duplicated window) report zeros rather than vanishing.
+
+    Semantics follow the duplicated-substring removal of Lee et al. 2022
+    (arXiv:2107.06499) at word granularity; `dup_frac_milli = 1000`
+    flags a fully-duplicated document (x01's exact dups are a strict
+    subset).  Plan: window stream is map-born; dup detection is one
+    window-value exchange; span merge + rollup share one doc_id
+    exchange."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    base = words.select(
+        "doc_id", F.size("w").cast("long").alias("total_words")
+    )
+    idx = F.when(
+        F.size("w") >= w, F.sequence(F.lit(0), F.size("w") - F.lit(w))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, w)))
+        ).alias("pos", "win"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    # duplicate flag: ONE exchange on the window value, no join
+    hits = (
+        wins.withColumn(
+            "c", F.count(F.lit(1)).over(Window.partitionBy("win"))
+        )
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    # island merge: contiguous/overlapping duplicated windows -> maximal
+    # spans; the lag-max, running span counter, and per-span aggregate
+    # all ride ONE doc_id-keyed exchange (x34's sessionize pattern)
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "ns",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sp = marked.withColumn(
+        "sid",
+        F.sum("ns").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = sp.groupBy("doc_id", "sid").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(w - 1)).alias("e"),
+    )
+    perdoc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_words"),
+    )
+    return (
+        base.join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_words",
+            F.coalesce("n_dup_spans", F.lit(0).cast("long")).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_words", F.lit(0).cast("long")).alias("dup_words"),
+            F.expr(
+                "(1000 * coalesce(dup_words, 0L)) div total_words"
+            ).alias("dup_frac_milli"),
+        )
+    )
+
+
+@register("x38_dup_spans", _X38_ORACLE)
+def x38_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 exact duplicated-substring spans: per document, the maximal
+    16-word-window duplicated regions (count, words covered, milli
+    fraction) — the position-level dedup signal of arXiv:2107.06499
+    re-expressed as sliding windows + island merge."""
+    return duplicate_spans(
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    ).orderBy(
+        "doc_id", "total_words", "n_dup_spans", "dup_words", "dup_frac_milli"
+    )

@@ -1202,3 +1202,42 @@ def test_auto_srp_bits_rule_and_small_n_equivalence(spark):
         (r.da, r.db) for r in x13_srp_lsh(spark, SF_SMOKE).collect()
     }
     assert auto == pinned
+
+
+def test_dup_spans_witness(spark):
+    """x38 on a hand-built corpus: a 20-word passage shared between two
+    documents becomes ONE maximal span covering exactly those 20 words
+    (5 overlapping 16-word windows merged); an exact-copy pair is fully
+    duplicated (frac 1000); a short unique doc reports zeros; two
+    disjoint shared passages separated by unique text stay two spans."""
+    from cubefs_hadoop_spark.extensions.dedup import duplicate_spans
+
+    P = [f"p{i}" for i in range(20)]          # shared 20-word passage
+    Q1 = [f"q{i}" for i in range(16)]         # shared 16-word passage 1
+    Q2 = [f"r{i}" for i in range(16)]         # shared 16-word passage 2
+    u = iter(f"u{i}" for i in range(200))     # globally unique filler
+
+    def take(n):
+        return [next(u) for _ in range(n)]
+
+    d0 = take(5) + P + take(5)                # 30 words
+    rows = [
+        (0, " ".join(d0)),
+        (1, " ".join(take(3) + P + take(2))),  # 25 words, P at idx 3..22
+        (2, " ".join(take(10))),               # short + unique -> zeros
+        (3, " ".join(d0)),                     # exact copy of doc 0
+        (4, " ".join(Q1 + take(10) + Q2)),     # 42 words, two spans
+        (5, " ".join(take(4) + Q1 + take(4) + Q2 + take(4))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_words"], r["n_dup_spans"], r["dup_words"],
+                      r["dup_frac_milli"])
+        for r in duplicate_spans(docs).collect()
+    }
+    assert got[0] == (30, 1, 30, 1000)        # copy pair: fully duplicated
+    assert got[3] == (30, 1, 30, 1000)
+    assert got[1] == (25, 1, 20, 800)         # exactly the shared passage
+    assert got[2] == (10, 0, 0, 0)            # shorter than W: zeros, kept
+    assert got[4] == (42, 2, 32, 761)         # two disjoint maximal spans
+    assert got[5] == (44, 2, 32, 727)

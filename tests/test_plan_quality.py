@@ -443,3 +443,19 @@ def test_x17b_prefix_sum_is_two_level(spark):
     assert not a.has_python_eval
     assert a.text.count("SinglePartition") <= 1
     assert a.broadcast_joins >= 1
+
+
+def test_x38_dup_spans_shape(spark):
+    """x38's window stream must be map-born (sequence+explode riding the
+    scan, only doc_id/text read), duplicate detection one win-value
+    exchange, island merge + rollup sharing a doc_id exchange — never a
+    pairwise join, never Python, no single-partition funnel."""
+    a = _audit(spark, "x38_dup_spans")
+    assert not a.has_python_eval
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    # win exchange + doc_id exchange + widen + presentation sort + the
+    # static-plan base-join exchange (AQE demotes it to broadcast at
+    # runtime — the executed plan carries 4 exchanges and 1 BHJ)
+    assert a.shuffles <= 5
+    assert all(cols <= {"doc_id", "text"} for cols in a.scan_columns())
