@@ -352,3 +352,129 @@ def x33b_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_score(docs, vocab).orderBy(
         "doc_id", "tokens", "weight_milli"
     )
+
+
+# -- x40: bigram-LM fluency score (CCNet-style in-domain filter) ------------
+#
+# CCNet (Wenzek et al., arXiv:1911.00359 §4.3) ranks web text by the
+# perplexity of a KenLM n-gram model trained on an in-domain corpus and
+# keeps the most Wikipedia-like tercile — THE classic LM-corpus quality
+# gate.  This is that filter in exact arithmetic: an add-one-smoothed
+# BIGRAM model (P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V)) trained on the
+# lang='en' slice (x33's target convention), scoring EVERY document by
+# its mean per-transition log-probability.  It complements x20 (unigram
+# logprob under the corpus's own LM — no training slice, no word order)
+# and x33 (DSIR log-RATIO of two unigram LMs): the bigram conditional is
+# the first member of the family that scores word ORDER, so scrambled or
+# disfluent text drops even when its word multiset is perfectly
+# in-domain (test-pinned).
+#
+# Scale (100 TB): training is one partial-aggregated groupBy over the
+# target slice's transition stream into a SPARSE vocabulary²-scale
+# (w1,w2,count) frame (bigram TYPES, not tokens — KenLM's own state);
+# the context totals reduce that frame again by w1.  Scoring explodes
+# the corpus transition stream once and equi-joins the two model frames
+# on their keys (AQE broadcasts them at fixture scale; at production
+# scale they exceed broadcast and the joins stay partial-agg'd
+# shuffle-hash on (w1,w2)/(w1) — never corpus-pairwise).  V rides as a
+# broadcast scalar frame.  All log terms snap to integer millis before
+# summing (_milli), so partial-aggregation order can't change the hash.
+
+_X40_ORACLE = """
+WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents
+            WHERE lang = 'en'),
+tr AS (SELECT w[i] AS w1, w[i + 1] AS w2
+       FROM tw, LATERAL unnest(range(1, len(w))) AS u(i)),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM tr
+       GROUP BY w1, w2),
+cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw FROM bc GROUP BY w1),
+vv AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM
+        (SELECT unnest(string_split(text, ' ')) AS word FROM documents
+         WHERE lang = 'en') q),
+s AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+           LATERAL unnest(range(1, len(w))) AS u(i)),
+lp AS (SELECT doc_id,
+              CAST(ROUND(ln((COALESCE(bc.cb, 0) + 1.0)
+                            / (COALESCE(cu.cw, 0) + vv.v)) * 1000, 0)
+                   AS BIGINT) AS lp_milli
+       FROM s LEFT JOIN bc USING (w1, w2) LEFT JOIN cu USING (w1)
+            CROSS JOIN vv)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS transitions,
+       CAST(ROUND(CAST(SUM(lp_milli) AS DOUBLE) / COUNT(*) / 1000.0, 2)
+            AS DECIMAL(18,2)) AS bigram_lp
+FROM lp GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _transitions(text_col: str) -> Column:
+    """array<struct<w1,w2>> of adjacent word pairs of one document."""
+    words = F.split(F.col(text_col), " ")
+    return F.transform(
+        F.slice(words, 1, F.size(words) - 1),
+        lambda w, i: F.struct(
+            w.alias("w1"),
+            F.element_at(words, i + F.lit(2)).alias("w2"),
+        ),
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean per-transition log P(w2|w1) of every document under an
+    add-one-smoothed bigram LM trained on the ``target`` slice.
+
+    Returns (doc_id, transitions, bigram_lp); documents with fewer than
+    two words have no transitions and are absent (same in the SQL twin:
+    unnesting an empty range emits no rows)."""
+    train = docs.filter(target).select(
+        F.explode(_transitions(text_col)).alias("t")
+    )
+    bc = train.groupBy("t.w1", "t.w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    cu = bc.groupBy("w1").agg(F.sum("cb").cast("long").alias("cw"))
+    vf = (
+        docs.filter(target)
+        .select(F.explode(F.split(text_col, " ")).alias("word"))
+        .agg(F.countDistinct("word").cast("long").alias("v"))
+    )
+    s = docs.select(
+        "doc_id", F.explode(_transitions(text_col)).alias("t")
+    ).select("doc_id", "t.w1", "t.w2")
+    lp = (
+        s.join(bc, ["w1", "w2"], "left")
+        .join(cu, ["w1"], "left")
+        .crossJoin(F.broadcast(vf))
+        .select(
+            "doc_id",
+            _milli(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (
+                        F.coalesce(F.col("cw"), F.lit(0)) + F.col("v")
+                    ).cast("double")
+                )
+            ).alias("lp_milli"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("transitions"),
+        r2d(
+            F.sum("lp_milli").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000.0)
+        ).alias("bigram_lp"),
+    )
+
+
+@register("x40_bigram_lm_score", _X40_ORACLE)
+def x40_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 CCNet-style bigram-LM fluency score against the lang='en'
+    training slice: the first word-ORDER-aware member of the LM-scoring
+    family (x20 unigram, x33 DSIR ratio) — see the section comment for
+    the scale shape."""
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, F.col("lang") == "en").orderBy("doc_id")

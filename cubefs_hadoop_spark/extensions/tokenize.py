@@ -62,6 +62,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 
 # Public common-English character-n-gram vocabulary (frequency lists of
@@ -470,3 +471,243 @@ def x14b_subword_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_pack(
         with_counts, seq_len=_X14B_S, tokens_col="subtok"
     ).orderBy("chunk_id", "doc_id", "tok_in_chunk")
+
+
+# ---------------------------------------------------------------------------
+# x39: BPE tokenizer TRAINING (the training half of this module; x37 is
+# the inference half).  Sennrich et al., "Neural Machine Translation of
+# Rare Words with Subword Units" (arXiv:1508.07909 §3.2): start from
+# characters, repeatedly merge the most frequent adjacent symbol pair.
+# We follow the no-end-of-word-marker variant (GPT-2-style byte-level
+# BPE likewise carries no intra-word terminal marker; Radford et al.
+# 2019) and break count ties deterministically by (count DESC, lhs ASC,
+# rhs ASC) so the learned merge table is a pure function of the corpus.
+#
+# Reference parity: the reference connector moves opaque bytes
+# (`CubefsInputStream.java:106-124`) and delegates tokenizer training to
+# the engine above it — this is natively-implemented delegated surface.
+#
+# Scale design (100 TB): BPE training state is VOCABULARY-scale by
+# construction — the corpus is read exactly ONCE, into a (word, freq)
+# sufficient-statistics frame via one partial-aggregated groupBy (hot
+# words combine map-side; same additive-state idea as x33b's DSIR
+# vocabulary).  The m merge iterations then run entirely over that
+# vocab-scale frame: each iteration is one map-only pair explode, one
+# partial-aggregated pair count, a 1-row argmax collect (driver-sized
+# by definition — it is the learned merge), and one literal-param JVM
+# higher-order projection applying the merge.  Nothing corpus-sized is
+# ever shuffled again, broadcast, or collected.  Encoding (x39b) joins
+# the corpus word stream to the vocab-scale final segmentation with a
+# BROADCAST hash join — map-side, no corpus shuffle before the per-doc
+# rollup.
+#
+# Merge-application equivalence (test-pinned three ways): Spark applies
+# a merge with a left-to-right stack scan (aggregate HOF: if the
+# accumulator's last token == lhs and the next symbol == rhs, replace
+# the top with lhs||rhs — overlapping occurrences like 'aaa' under
+# ('a','a') resolve left-to-right because the merged token no longer
+# equals lhs); the DuckDB oracle expresses the SAME function relationally
+# as gaps-and-islands parity (adjacent candidate positions are only
+# possible when lhs == rhs; within each island of consecutive candidates
+# keep odd offsets); tests hold both equal to a third, pure-Python
+# reference implementation.  The oracle unrolls the m iterations as a
+# generated CTE chain (the x03c pinned-iteration precedent, except
+# nothing is pinned — DuckDB independently recomputes every argmax).
+
+_X39_M = 8  # merges learned by the registered queries (fixture-safe)
+
+
+def _apply_merge(syms: Column, lhs: str, rhs: str) -> Column:
+    """One BPE merge over a symbol array: left-to-right stack scan as a
+    literal-parameterized JVM aggregate HOF (zero Python, map-only)."""
+    merged = lhs + rhs
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(lhs))
+            & (s == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = _X39_M,
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from a document corpus.
+
+    Returns ``(merges, syms)``: the merge table as driver-side rows
+    ``(rank, lhs, rhs, merged, cnt)`` — driver-sized by definition, one
+    row per learned merge — and the final vocab-scale segmentation
+    frame ``(word, freq, syms: array<string>)`` (persisted; concat(syms)
+    == word always, test-pinned).  Stops early if no adjacent pair
+    remains (every word fused to one symbol)."""
+    wf = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = wf.withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ),
+    ).persist()
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair = F.transform(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            lambda s, i: F.struct(
+                s.alias("lhs"),
+                F.element_at(F.col("syms"), i + F.lit(2)).alias("rhs"),
+            ),
+        )
+        best = (
+            syms.where(F.size("syms") >= 2)
+            .select("freq", F.explode(pair).alias("p"))
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["cnt"]
+        merges.append((rank, lhs, rhs, lhs + rhs, int(cnt)))
+        nxt = syms.withColumn(
+            "syms", _apply_merge(F.col("syms"), lhs, rhs)
+        ).persist()
+        nxt.count()  # materialize before dropping the parent cache
+        syms.unpersist()
+        syms = nxt
+    return merges, syms
+
+
+def _bpe_cte(m: int) -> str:
+    """Generated DuckDB CTE chain unrolling ``m`` BPE iterations over
+    the documents view: s{k} is the (word, freq, pos, sym) segmentation
+    after k merges, b{k} the k-th learned merge."""
+    parts = [
+        """w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+  WHERE len(word) > 0 GROUP BY word),
+s0 AS (
+  SELECT word, freq, CAST(gs.i AS BIGINT) AS pos,
+         substr(word, CAST(gs.i AS INT), 1) AS sym
+  FROM w0, LATERAL unnest(generate_series(1, len(word))) AS gs(i))"""
+    ]
+    for k in range(1, m + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"""c{k} AS (
+  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT sym AS lhs,
+           lead(sym) OVER (PARTITION BY word ORDER BY pos) AS rhs, freq
+    FROM {p}) q
+  WHERE rhs IS NOT NULL GROUP BY lhs, rhs),
+b{k} AS (SELECT lhs, rhs, cnt FROM c{k} ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+m{k} AS (
+  SELECT s.word, s.freq, s.pos, s.sym,
+         coalesce(s.sym = b.lhs AND lead(s.sym)
+             OVER (PARTITION BY s.word ORDER BY s.pos) = b.rhs,
+             FALSE) AS cand
+  FROM {p} s CROSS JOIN b{k} b),
+i{k} AS (
+  SELECT *, CASE WHEN cand THEN pos - row_number()
+      OVER (PARTITION BY word, cand ORDER BY pos) END AS isl
+  FROM m{k}),
+k{k} AS (
+  SELECT *, coalesce(cand AND row_number()
+      OVER (PARTITION BY word, isl ORDER BY pos) % 2 = 1, FALSE) AS mstart
+  FROM i{k}),
+s{k} AS (
+  SELECT word, freq,
+         CAST(row_number() OVER (PARTITION BY word ORDER BY pos)
+              AS BIGINT) AS pos,
+         CASE WHEN mstart THEN sym || nxt ELSE sym END AS sym
+  FROM (SELECT *, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+               lag(mstart) OVER (PARTITION BY word ORDER BY pos) AS pstart
+        FROM k{k}) z
+  WHERE mstart OR NOT coalesce(pstart, FALSE))"""
+        )
+    return ",\n".join(parts)
+
+
+_X39_ORACLE = (
+    "WITH "
+    + _bpe_cte(_X39_M)
+    + "\nSELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lhs, rhs,"
+        f" lhs || rhs AS merged, cnt FROM b{k}"
+        for k in range(1, _X39_M + 1)
+    )
+    + ") ORDER BY rank"
+)
+
+
+@register("x39_bpe_train", _X39_ORACLE)
+def x39_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 BPE tokenizer training (arXiv:1508.07909 §3.2): the first 8
+    merges learned from the documents corpus, (rank, lhs, rhs, merged,
+    cnt).  Iterative algorithm in x03c's class — but the DuckDB twin
+    recomputes every argmax independently (nothing pinned): the oracle
+    unrolls the 8 iterations as a generated gaps-and-islands CTE chain.
+    See the module section comment for the scale design (corpus read
+    once into vocab-scale sufficient statistics; merge loop never
+    touches the corpus again)."""
+    merges, syms = bpe_train(load(spark, sf_dir, "documents"))
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, cnt long"
+    ).orderBy("rank")
+
+
+_X39B_ORACLE = (
+    "WITH "
+    + _bpe_cte(_X39_M)
+    + f""",
+tok AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM s{_X39_M} GROUP BY word),
+wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       FROM documents)
+SELECT wd.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(tok.n) AS BIGINT) AS n_tokens
+FROM wd JOIN tok USING (word)
+GROUP BY wd.doc_id ORDER BY doc_id"""
+)
+
+
+@register("x39b_bpe_encode", _X39B_ORACLE)
+def x39b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39b encode-with-learned-merges: train 8 BPE merges (x39), then
+    tokenize the corpus with them — per doc, whitespace-word and BPE
+    token counts.  The trained segmentation IS the per-word token
+    count, so encoding is a vocab-scale BROADCAST join against the
+    exploded word stream (map-side; the only corpus shuffle is the
+    per-doc rollup).  Every corpus word hits the join by construction
+    (trained on the same corpus)."""
+    docs = load(spark, sf_dir, "documents")
+    _, syms = bpe_train(docs)
+    tok = syms.select("word", F.size("syms").cast("long").alias("n"))
+    return (
+        widen_for_cpu(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -459,3 +459,22 @@ def test_x38_dup_spans_shape(spark):
     # runtime — the executed plan carries 4 exchanges and 1 BHJ)
     assert a.shuffles <= 5
     assert all(cols <= {"doc_id", "text"} for cols in a.scan_columns())
+
+
+def test_x39b_bpe_encode_shape(spark):
+    """x39b's corpus side: the vocab-scale trained segmentation attaches
+    via BROADCAST hash join (map-side — no corpus shuffle before the
+    per-doc rollup), no sort-merge join, no Python, and the corpus scan
+    reads only doc_id/text."""
+    # The trained segmentation is a persisted frame, so the explain text
+    # nests the cache's own adaptive "== Final Plan ==" sections and the
+    # structured audit would parse the wrong fragment — gate on the full
+    # plan text instead.
+    a = _audit(spark, "x39b_bpe_encode")
+    assert "BroadcastHashJoin" in a.text
+    assert "SortMergeJoin" not in a.text
+    assert "BroadcastNestedLoopJoin" not in a.text
+    assert "Python" not in a.text
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", a.text):
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols

@@ -167,3 +167,124 @@ def test_dsir_state_folds_are_exactly_additive(spark):
         for r in dsir_weights(docs, tgt).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# x40 bigram-LM fluency score
+
+
+def _bigram_ref(train_texts, score_rows):
+    """Hand-rolled add-one bigram LM — exact integer-milli replica."""
+    import collections
+    import math
+
+    bc: collections.Counter = collections.Counter()
+    vocab = set()
+    for t in train_texts:
+        ws = t.split(" ")
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    cu: collections.Counter = collections.Counter()
+    for (a, _), c in bc.items():
+        cu[a] += c
+    v = len(vocab)
+
+    def milli(x):
+        s = -1 if x < 0 else 1
+        return s * math.floor(abs(x) * 1000 + 0.5)
+
+    out = {}
+    for doc_id, t in score_rows:
+        ws = t.split(" ")
+        if len(ws) < 2:
+            continue
+        lps = [
+            milli(math.log((bc[(a, b)] + 1.0) / (cu[a] + v)))
+            for a, b in zip(ws, ws[1:])
+        ]
+        out[doc_id] = (len(lps), round(sum(lps) / len(lps) / 1000.0, 2))
+    return out
+
+
+def test_bigram_lm_matches_exact_reference(spark):
+    """Spark's integer-milli bigram scores equal the pure-Python exact
+    model on a crafted corpus (seen, partially seen, and fully
+    out-of-vocabulary documents)."""
+    from cubefs_hadoop_spark.extensions.search import bigram_lm_score
+
+    rows = [
+        (1, "the quick fox jumps", "en"),
+        (2, "the quick fox sleeps", "en"),
+        (3, "quick the fox the", "de"),     # scrambled-ish, not in train
+        (4, "zz yy xx", "de"),              # fully OOV
+        (5, "one", "de"),                   # single word: no transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.transitions, float(r.bigram_lp))
+        for r in bigram_lm_score(df, F.col("lang") == "en").collect()
+    }
+    want = _bigram_ref(
+        [t for _, t, l in rows if l == "en"],
+        [(i, t) for i, t, _ in rows],
+    )
+    assert got == want
+    assert 5 not in got  # no transitions -> absent, like the SQL twin
+
+
+def test_bigram_lm_scores_word_order(spark):
+    """The defining property vs x20/x33: a document with the SAME word
+    multiset as fluent in-domain text but scrambled order scores
+    strictly lower."""
+    from cubefs_hadoop_spark.extensions.search import bigram_lm_score
+
+    fluent = "the quick fox jumps over the lazy dog"
+    scrambled = "dog the over jumps lazy fox quick the"
+    rows = [
+        (1, fluent, "en"),
+        (2, fluent, "en"),  # reinforce the bigrams
+        (3, fluent, "xx"),  # scored copy outside the train slice
+        (4, scrambled, "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: float(r.bigram_lp)
+        for r in bigram_lm_score(df, F.col("lang") == "en").collect()
+    }
+    assert got[3] > got[4]
+
+
+def test_bigram_lm_fixture_sanity_and_determinism(spark):
+    """On the real corpus: every doc with >=2 words is scored, scores are
+    negative (log-probs), and a repartitioned run hashes identically."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.search import bigram_lm_score
+
+    docs = load(spark, SF_SMOKE, "documents")
+    tgt = F.col("lang") == "en"
+    base = bigram_lm_score(docs, tgt).collect()
+    n_docs = docs.where(F.size(F.split("text", " ")) >= 2).count()
+    assert len(base) == n_docs
+    assert all(float(r.bigram_lp) < 0 for r in base)
+    again = bigram_lm_score(docs.repartition(13), tgt).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_bigram_lm_plan_shape(spark):
+    """x40's scale shape: no Python anywhere, the ONLY nested-loop join
+    is the broadcast V-scalar crossJoin, model joins are hash
+    equi-joins (never corpus-pairwise), and the corpus scans read only
+    doc_id/text/lang."""
+    import re
+
+    from cubefs_hadoop_spark.extensions.search import bigram_lm_score
+
+    spark.catalog.clearCache()
+    docs = load(spark, SF_SMOKE, "documents")
+    a = audit_plan(bigram_lm_score(docs, F.col("lang") == "en"))
+    assert "BatchEvalPython" not in a.text and "ArrowEvalPython" not in a.text
+    assert a.nested_loop_joins == 1  # the 1-row V broadcast only
+    for s in re.findall(r"ReadSchema: struct<([^>]*)>", a.text):
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"doc_id", "text", "lang"}, cols

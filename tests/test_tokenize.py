@@ -202,3 +202,131 @@ def test_x14b_two_level_plan_shape(spark):
     assert not a.has_python_eval
     assert re.search(r"hashpartitioning\(pid", a.text)
     assert a.text.count("SinglePartition") == 1
+
+
+# ---------------------------------------------------------------------------
+# x39 BPE training
+
+
+def _py_bpe(texts, n_merges):
+    """Pure-Python BPE reference (Sennrich arXiv:1508.07909, no marker,
+    tiebreak count DESC / lhs ASC / rhs ASC) — the third, independent
+    formulation of the merge rule (Spark uses a stack scan, DuckDB
+    gaps-and-islands parity)."""
+    import collections
+
+    words = collections.Counter()
+    for t in texts:
+        words.update(w for w in t.split(" ") if w)
+    syms = {w: tuple(w) for w in words}
+
+    def apply(s, a, b):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return tuple(out)
+
+    merges = []
+    for k in range(1, n_merges + 1):
+        c = collections.Counter()
+        for w, f in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += f
+        if not c:
+            break
+        (a, b), cnt = min(
+            c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((k, a, b, a + b, cnt))
+        for w in syms:
+            syms[w] = apply(syms[w], a, b)
+    return merges, syms
+
+
+def test_bpe_train_matches_python_reference_on_fixture(spark):
+    """The Spark trainer's merge table equals the pure-Python reference
+    on the real sf0.001 corpus."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    docs = load(spark, SF_SMOKE, "documents")
+    merges, syms = bpe_train(docs, n_merges=6)
+    ref_merges, ref_syms = _py_bpe(
+        [r.text for r in docs.select("text").collect()], 6
+    )
+    assert merges == ref_merges
+    got_syms = {r.word: tuple(r.syms) for r in syms.collect()}
+    syms.unpersist()
+    assert got_syms == ref_syms
+
+
+def test_bpe_overlap_and_repeated_symbol_merges(spark):
+    """Left-to-right overlap semantics: 'aaaa' under ('a','a') merges
+    positions 1-2 and 3-4 (never 2-3); learned merges on a crafted
+    repeated-symbol corpus match the reference exactly."""
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    texts = ["aaaa bab aaa aa", "aaaa aaaa baab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges, syms = bpe_train(df, n_merges=4)
+    ref_merges, ref_syms = _py_bpe(texts, 4)
+    assert merges == ref_merges
+    got = {r.word: tuple(r.syms) for r in syms.collect()}
+    syms.unpersist()
+    assert got == ref_syms
+    assert got["aaaa"] == ("aaaa",)  # 'aa'+'aa', not straddling
+    assert got["baab"] == ("b", "aa", "b")
+
+
+def test_bpe_conservation_and_monotonicity(spark):
+    """concat(syms) == word after ANY number of merges, and each merge
+    never increases any word's token count."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    docs = load(spark, SF_SMOKE, "documents")
+    prev = None
+    for m in (0, 3, 6):
+        merges, syms = bpe_train(docs, n_merges=m)
+        rows = syms.select(
+            "word",
+            F.concat_ws("", "syms").alias("rebuilt"),
+            F.size("syms").alias("n"),
+        ).collect()
+        syms.unpersist()
+        assert all(r.rebuilt == r.word for r in rows)
+        sizes = {r.word: r.n for r in rows}
+        if prev is not None:
+            assert all(sizes[w] <= prev[w] for w in sizes)
+        prev = sizes
+
+
+def test_bpe_early_stop_when_exhausted(spark):
+    """A corpus whose words all fuse to single symbols stops early and
+    returns only the merges that exist."""
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    merges, syms = bpe_train(df, n_merges=10)
+    got = {r.word: tuple(r.syms) for r in syms.collect()}
+    syms.unpersist()
+    assert merges == [(1, "a", "b", "ab", 3)]
+    assert got == {"ab": ("ab",)}
+
+
+def test_bpe_train_is_deterministic_across_runs(spark):
+    """Two independent trainings on the same corpus produce identical
+    merge tables — the trainer is a pure function of the corpus."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    docs = load(spark, SF_SMOKE, "documents")
+    m1, s1 = bpe_train(docs, n_merges=5)
+    m2, s2 = bpe_train(docs.repartition(7), n_merges=5)
+    s1.unpersist()
+    s2.unpersist()
+    assert m1 == m2
