@@ -8,6 +8,7 @@ import math
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.extensions import multimodal as mm
@@ -1241,3 +1242,110 @@ def test_dup_spans_witness(spark):
     assert got[2] == (10, 0, 0, 0)            # shorter than W: zeros, kept
     assert got[4] == (42, 2, 32, 761)         # two disjoint maximal spans
     assert got[5] == (44, 2, 32, 727)
+
+
+# ---------------------------------------------------------------------------
+# x41 product quantization
+
+
+def test_pq_rerank_recall_vs_exact_l2(spark):
+    """PQ shortlist + exact re-rank recall vs the brute-force L2 top-5
+    (PQ ranks by L2, so the baseline is L2 — not x03's cosine):
+    aggregate >= 0.8 and no query below 0.6 on the near-uniform fixture
+    (the quantizer's documented worst case).  Deterministic training
+    makes the floors stable across runs."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import _L2SQ, pq_topk
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    exact_rows = (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("d2", F.expr(_L2SQ.format(a="q_emb", b="n_emb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id")
+        .collect()
+    )
+    exact: dict[int, set] = {}
+    for r in exact_rows:
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    got: dict[int, set] = {}
+    for r in pq_topk(spark, SF_SMOKE, rerank=True).collect():
+        got.setdefault(r.q_id, set()).add(r.n_id)
+    per_q = {
+        k: len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact
+    }
+    total = sum(len(exact[k] & got.get(k, set())) for k in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert total >= 0.8, f"PQ rerank recall collapsed: {total} {per_q}"
+    assert min(per_q.values()) >= 0.6, f"per-query floor: {per_q}"
+
+
+def test_pq_codes_are_a_complete_index(spark):
+    """Every vector carries exactly M codes (one per subspace), every
+    code points into the trained codebook — the codes frame is a valid
+    32x-compressed stand-in for the corpus."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import (
+        _PQ_M,
+        auto_pq_codes,
+        pq_train_encode,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    n = emb.count()
+    k = auto_pq_codes(n)
+    cents, codes = pq_train_encode(spark, emb, k)
+    assert cents.count() == _PQ_M * k
+    assert codes.count() == n * _PQ_M
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [_PQ_M]
+    rng = codes.agg(F.min("cid"), F.max("cid")).collect()[0]
+    assert rng[0] >= 1 and rng[1] <= k
+
+
+def test_pq_auto_sizing_rules():
+    """Pure-integer sizing rules: K = 2^ceil(log2(ceil(N/8))) in
+    [16, 256] (the 256 one-byte-code cap binds at any real N);
+    R = ceil(N/10) in [25, 200]."""
+    from cubefs_hadoop_spark.extensions.similarity import (
+        auto_pq_codes,
+        auto_pq_shortlist,
+    )
+
+    assert auto_pq_codes(500) == 64
+    assert auto_pq_codes(2000) == 256
+    assert auto_pq_codes(10**9) == 256
+    assert auto_pq_codes(10) == 16
+    assert auto_pq_shortlist(500) == 50
+    assert auto_pq_shortlist(2000) == 200
+    assert auto_pq_shortlist(10) == 25
+    assert auto_pq_shortlist(10**9) == 200
+
+
+def test_pq_determinism_across_partitioning(spark):
+    """Micro-integer Lloyd sums and total-order tiebreaks make both PQ
+    outputs a pure function of the corpus — repartitioning cannot move
+    a single row."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["x41_pq_adc"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, QUERIES["x41_pq_adc"](spark, SF_SMOKE).collect()))
+    assert a == b
+    r = sorted(map(tuple, QUERIES["x41b_pq_rerank"](spark, SF_SMOKE).collect()))
+    assert len(r) == 25

@@ -478,3 +478,17 @@ def test_x39b_bpe_encode_shape(spark):
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", a.text):
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_x41_pq_adc_shape(spark):
+    """x41's ADC scan: the distance table and codebooks attach by
+    BROADCAST hash join (the codes stream is never shuffled before the
+    per-(q,vec) partial agg), no sort-merge join, no corpus x corpus
+    nested loop, no Python, and top-k is a window group limit — the
+    compressed-domain scan stays map-side at any corpus size."""
+    a = _audit(spark, "x41_pq_adc")
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.has_window_group_limit
