@@ -11,3 +11,4 @@ from cubefs_hadoop_spark.extensions import search  # noqa: F401
 from cubefs_hadoop_spark.extensions import timeseries  # noqa: F401
 from cubefs_hadoop_spark.extensions import tokenize  # noqa: F401
 from cubefs_hadoop_spark.extensions import behavior  # noqa: F401
+from cubefs_hadoop_spark.extensions import sketch  # noqa: F401

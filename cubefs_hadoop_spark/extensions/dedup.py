@@ -756,3 +756,208 @@ def x38_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         "doc_id", "total_words", "n_dup_spans", "dup_words", "dup_frac_milli"
     )
+
+
+# -- x38b: duplicated-substring REMOVAL (the other half of Lee et al.) ------
+
+_X38B_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS total_words FROM w),
+wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(w[(i+1):(i+{_X38_W})],' ') AS win
+  FROM w, UNNEST(range(CAST(len(w)-{_X38_W - 1} AS BIGINT))) AS u(i)
+  WHERE len(w) >= {_X38_W}
+),
+flagged AS (
+  SELECT doc_id, pos,
+         COUNT(*) OVER (PARTITION BY win) AS c,
+         MIN(ROW(doc_id, pos)) OVER (PARTITION BY win) AS canon
+  FROM wins),
+hits AS (
+  SELECT doc_id, pos FROM flagged
+  WHERE c > 1 AND ROW(doc_id, pos) != canon
+),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos+{_X38_W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR pos > MAX(pos+{_X38_W - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS ns
+  FROM hits),
+sp AS (
+  SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked),
+spans AS (
+  SELECT doc_id, sid, MIN(pos) AS s, MAX(pos)+{_X38_W - 1} AS e
+  FROM sp GROUP BY doc_id, sid),
+sl AS (
+  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+  FROM spans GROUP BY doc_id),
+cut AS (
+  SELECT w.doc_id,
+         COALESCE(array_to_string(
+           [w.w[i+1] FOR i IN range(0, len(w.w))
+            IF len(list_filter(range(1, len(sl.ss)+1),
+                   j -> i >= sl.ss[j] AND i <= sl.ee[j])) = 0], ' '), '')
+           AS cleaned_text,
+         CAST(len([i FOR i IN range(0, len(w.w))
+            IF len(list_filter(range(1, len(sl.ss)+1),
+                   j -> i >= sl.ss[j] AND i <= sl.ee[j])) > 0]) AS BIGINT)
+           AS removed_words
+  FROM w JOIN sl USING (doc_id))
+SELECT b.doc_id, b.total_words,
+       b.total_words - COALESCE(c.removed_words, CAST(0 AS BIGINT))
+           AS kept_words,
+       COALESCE(c.removed_words, CAST(0 AS BIGINT)) AS removed_words,
+       COALESCE(c.cleaned_text,
+                (SELECT array_to_string(w2.w, ' ') FROM w w2
+                 WHERE w2.doc_id = b.doc_id)) AS cleaned_text
+FROM base b LEFT JOIN cut c USING (doc_id)
+ORDER BY doc_id, total_words, kept_words, removed_words, cleaned_text"""
+
+
+def remove_duplicate_spans(docs: DataFrame, w: int = _X38_W) -> DataFrame:
+    """The REMOVAL half of arXiv:2107.06499 ExactSubstr dedup (x38 is
+    the detection half): every duplicated ``w``-word window keeps its
+    CANONICAL occurrence — the corpus-min (doc_id, pos) over the window
+    value — and every word covered by a NON-canonical duplicated window
+    is cut; surviving words re-join into ``cleaned_text``.
+
+    Returns (doc_id, total_words, kept_words, removed_words,
+    cleaned_text); kept + removed == total (test-pinned), and every
+    removed window's text still exists somewhere in the cleaned corpus
+    (the canonical copy survives unless itself covered by a different
+    non-canonical window — the same one-pass approximation the
+    reference implementation makes when cuts overlap).
+
+    Plan shape (same bounds as x38): window stream map-born; the
+    duplicate flag AND the canonical election share ONE window-value
+    exchange (count + min-struct over the same partition); island
+    merge + span collection share one doc_id exchange; the cut itself
+    is a doc_id-keyed join back to the words array with a row-local
+    exists() filter per position — no corpus pairwise work anywhere."""
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    base = words.select(
+        "doc_id", F.size("w").cast("long").alias("total_words")
+    )
+    idx = F.when(
+        F.size("w") >= w, F.sequence(F.lit(0), F.size("w") - F.lit(w))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("w", i + 1, w)))
+        ).alias("pos", "win"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    wwin = Window.partitionBy("win")
+    flagged = wins.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wwin).alias("c"),
+        F.min(F.struct("doc_id", "pos")).over(wwin).alias("canon"),
+    )
+    hits = flagged.filter(
+        (F.col("c") > 1)
+        & (F.struct("doc_id", "pos") != F.col("canon"))
+    ).select("doc_id", "pos")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "ns",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sp = marked.withColumn(
+        "sid",
+        F.sum("ns").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        sp.groupBy("doc_id", "sid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(w - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans")
+        )
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — row-local span probe
+        F.col("spans"),
+        lambda sp_: (i >= sp_["s"]) & (i <= sp_["e"]),
+    )
+    cut = (
+        words.join(spans, "doc_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.filter(
+                        F.sequence(F.lit(0), F.size("w") - 1).cast(
+                            "array<bigint>"
+                        ),
+                        lambda i: ~covered(i),
+                    ),
+                    lambda i: F.element_at(
+                        F.col("w"), (i + 1).cast("int")
+                    ),
+                ),
+            ).alias("cleaned_text"),
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(0), F.size("w") - 1).cast(
+                        "array<bigint>"
+                    ),
+                    covered,
+                )
+            )
+            .cast("long")
+            .alias("removed_words"),
+        )
+    )
+    return (
+        base.join(
+            cut, "doc_id", "left"
+        )
+        .join(
+            words.select(
+                "doc_id", F.concat_ws(" ", "w").alias("_orig")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "total_words",
+            (
+                F.col("total_words")
+                - F.coalesce("removed_words", F.lit(0).cast("long"))
+            ).alias("kept_words"),
+            F.coalesce("removed_words", F.lit(0).cast("long")).alias(
+                "removed_words"
+            ),
+            F.coalesce("cleaned_text", F.col("_orig")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
+@register("x38b_dup_span_removal", _X38B_ORACLE)
+def x38b_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38b ExactSubstr REMOVAL (arXiv:2107.06499): cut every word
+    covered by a non-canonical duplicated 16-word window, keeping the
+    corpus-min occurrence — the rewrite x38's detection feeds.  See
+    remove_duplicate_spans for semantics and plan shape."""
+    return remove_duplicate_spans(
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    ).orderBy(
+        "doc_id", "total_words", "kept_words", "removed_words",
+        "cleaned_text",
+    )

@@ -1349,3 +1349,66 @@ def test_pq_determinism_across_partitioning(spark):
     assert a == b
     r = sorted(map(tuple, QUERIES["x41b_pq_rerank"](spark, SF_SMOKE).collect()))
     assert len(r) == 25
+
+
+def test_dup_span_removal_witness(spark):
+    """x38b removal semantics on the crafted corpus: the canonical
+    (corpus-min) occurrence of each duplicated passage survives, every
+    other occurrence is cut, short/unique docs pass through verbatim,
+    and kept + removed == total on every row."""
+    from cubefs_hadoop_spark.extensions.dedup import remove_duplicate_spans
+
+    P = [f"p{i}" for i in range(20)]
+    u = iter(f"u{i}" for i in range(200))
+
+    def take(n):
+        return [next(u) for _ in range(n)]
+
+    d0 = take(5) + P + take(5)
+    rows = [
+        (0, " ".join(d0)),                     # doc 0 holds the canon of P
+        (1, " ".join(take(3) + P + take(2))),  # non-canonical P: cut
+        (2, " ".join(take(10))),               # short + unique: verbatim
+        (3, " ".join(d0)),                     # full copy of doc 0: all cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.total_words, r.kept_words, r.removed_words,
+                   r.cleaned_text)
+        for r in remove_duplicate_spans(docs).collect()
+    }
+    assert all(t == k + rm for t, k, rm, _ in got.values())
+    # doc 0: canonical everywhere -> untouched
+    assert got[0] == (30, 30, 0, rows[0][1])
+    # doc 3 is the full later copy -> fully removed
+    assert got[3] == (30, 0, 30, "")
+    # doc 1: exactly the 20-word shared passage is cut, filler survives
+    t1, k1, r1, c1 = got[1]
+    assert (t1, k1, r1) == (25, 5, 20)
+    assert all(w not in c1.split(" ") for w in P)
+    assert len(c1.split(" ")) == 5
+    # doc 2 verbatim
+    assert got[2] == (10, 10, 0, rows[2][1])
+    # the canonical copy keeps P in the cleaned corpus
+    assert " ".join(P) in got[0][3]
+
+
+def test_dup_span_removal_matches_detection_accounting(spark):
+    """On the real corpus: x38b's removed_words <= x38's dup_words per
+    doc (removal spares canonical copies that detection still flags),
+    totals conserve, and at least one duplicated doc is actually cut."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        duplicate_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    det = {r.doc_id: r.dup_words for r in duplicate_spans(docs).collect()}
+    rem = {
+        r.doc_id: (r.total_words, r.kept_words, r.removed_words)
+        for r in remove_duplicate_spans(docs).collect()
+    }
+    assert set(det) == set(rem)
+    assert all(rem[d][2] <= det[d] for d in det)
+    assert all(t == k + rm for t, k, rm in rem.values())
+    assert any(rm > 0 for _, _, rm in rem.values())

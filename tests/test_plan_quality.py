@@ -492,3 +492,15 @@ def test_x41_pq_adc_shape(spark):
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
     assert a.has_window_group_limit
+
+
+def test_x38b_removal_shape(spark):
+    """x38b adds the canonical election to x38's window-value exchange
+    (count + min-struct over the SAME partition — no extra shuffle) and
+    cuts with a row-local exists() per position: no Python, no nested
+    loop, no single-partition funnel."""
+    a = _audit(spark, "x38b_dup_span_removal")
+    assert not a.has_python_eval
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert all(cols <= {"doc_id", "text"} for cols in a.scan_columns())

@@ -1,0 +1,113 @@
+"""Count-Min sketch (x42/x42b): one-sided error, estimate quality,
+sketch-guided exact heavy hitters, determinism, and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.sketch import (
+    _CMS_D,
+    _CMS_W,
+    cms_estimates,
+    count_min_cells,
+)
+from cubefs_hadoop_spark.plans.audit import audit_plan
+from cubefs_hadoop_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_cms_error_is_one_sided_on_fixture(spark):
+    """est >= exact for EVERY key (the Count-Min invariant), and with
+    W >> distinct keys most estimates are collision-free and exact."""
+    rows = QUERIES["x42_countmin"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    exact_hits = sum(1 for r in rows if r.cms_est == r.exact_cnt)
+    assert exact_hits >= len(rows) * 0.8  # 31 keys in 4x256 counters
+
+
+def test_cms_cells_mass_conservation(spark):
+    """Every counter row holds the whole stream: sum of each of the D
+    rows' cells == stream length (increments are never dropped)."""
+    docs = load(spark, SF_SMOKE, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    n = words.count()
+    per_row = (
+        count_min_cells(words)
+        .groupBy("row")
+        .agg(F.sum("c").alias("mass"))
+        .collect()
+    )
+    assert len(per_row) == _CMS_D
+    assert all(r.mass == n for r in per_row)
+    # state bound: never more than D x W cells, whatever the stream
+    assert count_min_cells(words).count() <= _CMS_D * _CMS_W
+
+
+def test_cms_heavy_hitters_exact_on_skewed_corpus(spark):
+    """Crafted zipf-ish corpus: the two-pass CMS+verify output equals
+    the ground-truth heavy-hitter set exactly — candidates the sketch
+    over-proposes are removed by the exact pass, nothing true is missed
+    (no false negatives: est >= true)."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["hot"] * 40 + ["warm"] * 20 + ["w%d" % i for i in range(30)])),
+            (2, " ".join(["hot"] * 40 + ["mild"] * 3 + ["v%d" % i for i in range(25)])),
+        ],
+        "doc_id long, text string",
+    )
+    # stream: 40+20+30 + 40+3+25 = 158 words; threshold = 158/64 -> cnt*64 >= 158
+    # hot=80 (heavy), warm=20 (heavy: 1280 >= 158), mild=3 (1.2x: 192 >= 158 heavy!),
+    # singletons: 64 < 158 -> out
+    import cubefs_hadoop_spark.extensions.sketch as sk
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    n = words.count()
+    truth = {
+        (r.word, r["count"])
+        for r in words.groupBy("word").count().collect()
+        if r["count"] * sk._HH_PHI >= n
+    }
+    tmp = "/tmp/cms_hh_fixture"
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    got = {
+        (r.word, r.exact_cnt)
+        for r in QUERIES["x42b_cms_heavy_hitters"](spark, tmp).collect()
+    }
+    assert got == truth
+    assert ("hot", 80) in got
+    singles = {w for w, _ in got if w[0] in "wv" and w[1:].isdigit()}
+    assert not singles  # no singleton survived the exact pass
+
+
+def test_cms_is_partitioning_invariant(spark):
+    """Counters are additive — repartitioning the stream cannot change a
+    single cell, estimate, or heavy-hitter row."""
+    docs = load(spark, SF_SMOKE, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    a = sorted(map(tuple, count_min_cells(words).collect()))
+    b = sorted(map(tuple, count_min_cells(words.repartition(17)).collect()))
+    assert a == b
+    keys = words.distinct()
+    cells = count_min_cells(words)
+    e1 = sorted(map(tuple, cms_estimates(keys, cells).collect()))
+    e2 = sorted(
+        map(tuple, cms_estimates(keys.repartition(5), cells).collect())
+    )
+    assert e1 == e2
+
+
+def test_x42_plan_shape(spark):
+    """The sketch build is explode + partial-agg'd groupBy (map-side
+    combine IS the CMS merge); probes join the O(DxW) cells frame by
+    BROADCAST; no Python, no sort-merge join anywhere."""
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x42_countmin"](spark, SF_SMOKE))
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+    assert not a.has_python_eval
+    b = audit_plan(QUERIES["x42b_cms_heavy_hitters"](spark, SF_SMOKE))
+    assert not b.has_python_eval
+    assert "LeftSemi" in b.text  # pass 2 counts candidates only
+    assert b.sort_merge_joins == 0
