@@ -172,3 +172,30 @@ def _drain(
         .start()
     )
     q.awaitTermination()
+
+
+def sink_cms_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Stream documents into an x42 Count-Min state: each micro-batch's
+    (row, bucket) counter increments fold into ``state_dir`` exactly
+    once — CMS counters are the textbook additive sketch (merging two
+    sketches of two streams IS the sketch of the concatenated stream),
+    so the streamed state equals the batch-built sketch to the bit and
+    ``sketch.cms_estimates`` serves point queries against it at any
+    moment.  State is O(D x W) forever, whatever the stream has seen."""
+    from cubefs_hadoop_spark.extensions.sketch import count_min_cells
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return count_min_cells(
+            batch.select(F.explode(F.split(text_col, " ")).alias("word"))
+        )
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, ["row", "bucket"], ["c"]),
+        checkpoint_dir,
+    )

@@ -181,3 +181,65 @@ def test_streamed_dsir_state_scores_match_batch_x33(spark, tmp_path):
         for r in dsir_score(docs, dsir_vocab(docs, target)).collect()
     }
     assert s_folded == s_full
+
+
+def test_streamed_cms_state_equals_batch_sketch(spark, tmp_path):
+    """S17: documents arriving as a 3-batch stream fold into the x42
+    Count-Min state; the folded counter table is BIT-identical to the
+    batch-built sketch over the whole corpus (CMS merge == counter
+    addition), and point estimates against the streamed state keep the
+    one-sided est >= exact invariant."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.sketch import (
+        cms_estimates,
+        count_min_cells,
+    )
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_cms_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    state = str(tmp_path / "cms_state")
+    sink_cms_state(sdf, state, str(tmp_path / "ckpt"))
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    folded = {
+        (r.row, r.bucket): r.c for r in read_state(spark, state).collect()
+    }
+    full = {
+        (r.row, r.bucket): r.c for r in count_min_cells(words).collect()
+    }
+    assert folded == full
+
+    exact = {
+        r.word: r["count"] for r in words.groupBy("word").count().collect()
+    }
+    est = {
+        r.word: r.cms_est
+        for r in cms_estimates(
+            words.distinct(), read_state(spark, state)
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[w] >= exact[w] for w in exact)
