@@ -463,3 +463,54 @@ def test_subword_layout_pipeline(spark, tmp_path):
     inv = blob_inventory(spark.read.parquet(MEDIA_FIXTURE))
     kept = inv.filter(F.col("media_id") == F.col("canonical_id"))
     assert kept.count() == inv.select("digest").distinct().count()
+
+
+def test_dedup_then_score_then_train_pipeline(spark, tmp_path):
+    """Late-round-7 composition: ExactSubstr span REMOVAL (x38b) feeds
+    its cleaned corpus into bigram-LM fluency scoring (x40) and BPE
+    tokenizer training (x39) — one lazy program per branch.  Removing
+    duplicated passages must not break the scorers: every cleaned doc
+    with >= 2 surviving words gets a score, and BPE merges learned on
+    the cleaned corpus stay a pure function of it (two runs agree)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.dedup import remove_duplicate_spans
+    from cubefs_hadoop_spark.extensions.search import bigram_lm_score
+    from cubefs_hadoop_spark.extensions.sketch import (
+        cms_estimates,
+        count_min_cells,
+    )
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    docs = load(spark, SF_SMOKE, "documents")
+    cleaned = (
+        remove_duplicate_spans(docs)
+        .filter(F.col("kept_words") >= 2)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("cleaned_text").alias("text"), "lang")
+    )
+    n_clean = cleaned.count()
+    assert 0 < n_clean <= docs.count()
+
+    scored = bigram_lm_score(cleaned, F.col("lang") == "en")
+    assert scored.count() == n_clean
+    assert all(float(r.bigram_lp) < 0 for r in scored.collect())
+
+    m1, s1 = bpe_train(cleaned, n_merges=4)
+    m2, s2 = bpe_train(cleaned.repartition(9), n_merges=4)
+    s1.unpersist()
+    s2.unpersist()
+    assert m1 == m2 and len(m1) == 4
+
+    # sketch branch: CMS counters built on the cleaned corpus still hold
+    # the whole cleaned stream (mass conservation survives composition)
+    w = cleaned.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = count_min_cells(w)
+    n_words = w.count()
+    assert all(
+        r.mass == n_words
+        for r in cells.groupBy("row").agg(F.sum("c").alias("mass")).collect()
+    )
+    est = cms_estimates(w.distinct(), cells)
+    exact = w.groupBy("word").count()
+    joined = est.join(exact, "word").collect()
+    assert joined and all(r.cms_est >= r["count"] for r in joined)
