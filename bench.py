@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "x13_srp_lsh",
     "x12_semantic_dedup",
     "x29_ngram_novelty",
+    "x39_bpe_train",
+    "x41b_pq_rerank",
+    "x40_bigram_lm_score",
 ]
 
 RUNS = 4
