@@ -941,3 +941,95 @@ def x13c_srp_lsh_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", r2d(F.col("c")).alias("cos"))
         .orderBy("da", "db", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# x43: Johnson-Lindenstrauss random projection (embedding WIDTH compression)
+#
+# Achlioptas, "Database-friendly random projections" (PODS 2001 / JCSS
+# 2003): a +-1 Rademacher matrix is a JL map — projecting d-dim vectors
+# to k dims preserves pairwise squared distances in expectation
+# (E[||Sx||^2] = k ||x||^2) with distortion O(1/sqrt(k)).  The WIDTH
+# member of the embedding-compression family: x41 PQ shrinks the BYTES
+# each stored vector costs (codebook lookups, for ANN serving), x43
+# shrinks the DIMENSIONS every downstream shuffle/clustering pass pays
+# for — 64 -> 16 dims is a 4x cut of the bytes every embedding exchange
+# (SemDeDup assignment, centroid folds, LSH banding) moves at 100 TB.
+#
+# Determinism: the matrix is FROZEN at import — sign(j, i) = parity of
+# the first md5 hex byte of "j|i" (hashlib; pure function of the
+# indices, no RNG) — and embedded as literal arrays in BOTH engines, so
+# the projection hash-checks exactly: per output dim the dot product
+# accumulates sequentially in array order (the _DOT FP-contract) and
+# snaps to integer micros.  Map-only: zero shuffles, zero joins, zero
+# Python (plan-gated); rides the scan like x30/x35.
+
+_X43_K = 16  # output dims
+_X43_D = 64  # input dims
+
+
+def _jl_signs() -> list[list[float]]:
+    """The frozen k x d Rademacher matrix (pure function of indices)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1.0
+            for i in range(_X43_D)
+        ]
+        for j in range(_X43_K)
+    ]
+
+
+_JL = _jl_signs()
+
+
+def jl_project(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, proj: array<bigint>) — k=16 integer-micro JL projection
+    of each 64-dim embedding.  One map stage; the matrix rides the plan
+    as literals."""
+    signs_sql = ", ".join(
+        "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
+        for row in _JL
+    )
+    agg = (
+        f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
+        " row, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+    expr = (
+        f"transform(array({signs_sql}), row -> "
+        f"CAST(CASE WHEN {agg} < 0 THEN -FLOOR(ABS(({agg}) * 1000000.0) + 0.5)"
+        f" ELSE FLOOR(ABS(({agg}) * 1000000.0) + 0.5) END AS BIGINT))"
+    )
+    return emb.select("vec_id", F.expr(expr).alias("proj"))
+
+
+_X43_SIGNS_DUCK = ", ".join(
+    "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + "]"
+    for row in _JL
+)
+_X43_AGG_DUCK = (
+    "list_sum(list_transform(list_zip(CAST(embedding AS DOUBLE[]), row),"
+    " p -> p[1] * p[2]))"
+)
+_X43_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT vec_id,
+       list_transform([{_X43_SIGNS_DUCK}], row ->
+         CAST(CASE WHEN {_X43_AGG_DUCK} < 0
+              THEN -FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+              ELSE FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+              END AS BIGINT)) AS proj
+FROM e ORDER BY vec_id"""
+
+
+@register("x43_jl_project", _X43_ORACLE)
+def x43_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 JL random projection 64 -> 16 dims (integer micros): the
+    dimension-compression pass downstream embedding shuffles ride —
+    map-only, frozen Rademacher matrix as plan literals.  See the
+    section comment for the distortion contract and the PQ contrast."""
+    return jl_project(load(spark, sf_dir, "embeddings")).orderBy("vec_id")

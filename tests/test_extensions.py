@@ -1412,3 +1412,67 @@ def test_dup_span_removal_matches_detection_accounting(spark):
     assert all(rem[d][2] <= det[d] for d in det)
     assert all(t == k + rm for t, k, rm in rem.values())
     assert any(rm > 0 for _, _, rm in rem.values())
+
+
+# ---------------------------------------------------------------------------
+# x43 JL random projection
+
+
+def test_jl_matrix_is_frozen_and_balanced():
+    """The Rademacher matrix is a pure function of indices (no RNG):
+    shape k x d, entries +-1, roughly balanced per row."""
+    from cubefs_hadoop_spark.extensions.semantic import _X43_D, _X43_K, _jl_signs
+
+    m = _jl_signs()
+    assert len(m) == _X43_K and all(len(r) == _X43_D for r in m)
+    assert all(s in (1.0, -1.0) for r in m for s in r)
+    for r in m:
+        assert 16 <= sum(1 for s in r if s > 0) <= 48  # not degenerate
+    assert _jl_signs() == m  # deterministic
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """The JL contract on the fixture: d_proj^2 / k is an unbiased
+    estimator of d_orig^2 — median ratio near 1, and the k=16 distortion
+    tail stays inside the Achlioptas bound's practical band."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import _X43_K, jl_project
+
+    emb = load(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 50)
+    orig = {
+        r.vec_id: r.embedding for r in emb.select("vec_id", "embedding").collect()
+    }
+    proj = {r.vec_id: r.proj for r in jl_project(emb).collect()}
+    assert set(proj) == set(orig)
+    ratios = []
+    ids = sorted(orig)
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d_o = sum((float(x) - float(y)) ** 2 for x, y in zip(orig[a], orig[b]))
+            d_p = sum(((x - y) / 1e6) ** 2 for x, y in zip(proj[a], proj[b]))
+            ratios.append((d_p / _X43_K) / d_o)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.7 <= med <= 1.3, med
+    inside = sum(1 for r in ratios if 0.4 <= r <= 1.9) / len(ratios)
+    assert inside >= 0.9, (med, inside)
+
+
+def test_jl_projection_is_map_only_and_stable(spark):
+    """Zero shuffles, zero joins, zero Python — the projection rides the
+    scan; repartitioning cannot change a single micro-int."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import jl_project
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    spark.catalog.clearCache()
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a = audit_plan(jl_project(emb))
+    assert a.shuffles == 0
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    x = sorted(map(tuple, jl_project(emb).collect()))
+    y = sorted(map(tuple, jl_project(emb.repartition(7)).collect()))
+    assert [(i, tuple(p)) for i, p in x] == [(i, tuple(p)) for i, p in y]
