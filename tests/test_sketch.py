@@ -111,3 +111,51 @@ def test_x42_plan_shape(spark):
     assert not b.has_python_eval
     assert "LeftSemi" in b.text  # pass 2 counts candidates only
     assert b.sort_merge_joins == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_cms_invariants_property(spark, words):
+    """x42 property: for ANY word stream — collisions, repeats, ties —
+    (a) every estimate >= its exact count (one-sided error), (b) every
+    counter row carries the full stream mass, (c) the x42b two-pass
+    heavy-hitter output equals the ground truth exactly."""
+    import collections
+
+    from cubefs_hadoop_spark.extensions.sketch import (
+        _CMS_D,
+        _HH_PHI,
+        cms_estimates,
+        count_min_cells,
+    )
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    w = df.select(F.explode(F.split("text", " ")).alias("word"))
+    cells = count_min_cells(w)
+    n = len(words)
+    per_row = {r.row: r.mass for r in
+               cells.groupBy("row").agg(F.sum("c").alias("mass")).collect()}
+    assert per_row == {r: n for r in range(_CMS_D)}  # (b)
+    exact = collections.Counter(words)
+    est = {r.word: r.cms_est
+           for r in cms_estimates(w.distinct(), cells).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # (a)
+    truth = {(k, c) for k, c in exact.items() if c * _HH_PHI >= n}
+    cand = {k for k in est if est[k] * _HH_PHI >= n}
+    verified = {(k, exact[k]) for k in cand if exact[k] * _HH_PHI >= n}
+    assert verified == truth  # (c): no false negatives, exact pass filters

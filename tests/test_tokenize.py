@@ -330,3 +330,38 @@ def test_bpe_train_is_deterministic_across_runs(spark):
     s1.unpersist()
     s2.unpersist()
     assert m1 == m2
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    n_merges=st.integers(0, 6),
+)
+def test_bpe_train_property_matches_reference(spark, words, n_merges):
+    """x39 property: for ANY corpus over a tiny alphabet (maximally
+    tie- and overlap-prone: repeated symbols, nested merges), the Spark
+    trainer's merge table AND final segmentation equal the pure-Python
+    reference, and concat(syms) == word on every row."""
+    from cubefs_hadoop_spark.extensions.tokenize import bpe_train
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    merges, syms = bpe_train(df, n_merges=n_merges)
+    ref_merges, ref_syms = _py_bpe([text], n_merges)
+    got = {r.word: tuple(r.syms) for r in syms.collect()}
+    syms.unpersist()
+    assert merges == ref_merges
+    assert got == ref_syms
+    assert all("".join(s) == w for w, s in got.items())
