@@ -839,9 +839,15 @@ def remove_duplicate_spans(docs: DataFrame, w: int = _X38_W) -> DataFrame:
     merge + span collection share one doc_id exchange; the cut itself
     is a doc_id-keyed join back to the words array with a row-local
     exists() filter per position — no corpus pairwise work anywhere."""
-    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    words = docs.select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    )
+    # carry the original text on the per-doc frame so the no-span
+    # fallback needs no extra corpus join later
     base = words.select(
-        "doc_id", F.size("w").cast("long").alias("total_words")
+        "doc_id",
+        F.size("w").cast("long").alias("total_words"),
+        F.col("text").alias("_orig"),
     )
     idx = F.when(
         F.size("w") >= w, F.sequence(F.lit(0), F.size("w") - F.lit(w))
@@ -925,12 +931,6 @@ def remove_duplicate_spans(docs: DataFrame, w: int = _X38_W) -> DataFrame:
     return (
         base.join(
             cut, "doc_id", "left"
-        )
-        .join(
-            words.select(
-                "doc_id", F.concat_ws(" ", "w").alias("_orig")
-            ),
-            "doc_id",
         )
         .select(
             "doc_id",

@@ -164,12 +164,19 @@ def x42b_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality; pass 2 touches candidate keys only — exact heavy
     hitters over unbounded key spaces without a full frequency table.
     Output is partitioning-independent (the exact filter decides)."""
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
     docs = load(spark, sf_dir, "documents")
     words = widen_for_cpu(docs, "doc_id").select(
         F.explode(F.split("text", " ")).alias("word")
     )
-    cells = count_min_cells(words)
-    tot = words.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # materialize the two O(DxW)/O(1) pass-1 artifacts once: cells and
+    # the stream total each feed two downstream branches, and without a
+    # barrier Spark's lineage would re-run the corpus scan per use
+    cells = barrier(count_min_cells(words))
+    tot = barrier(
+        words.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     cand = (
         cms_estimates(words.select("word").distinct(), cells)
         .crossJoin(F.broadcast(tot))

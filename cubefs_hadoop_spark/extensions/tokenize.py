@@ -621,7 +621,7 @@ m{k} AS (
          coalesce(s.sym = b.lhs AND lead(s.sym)
              OVER (PARTITION BY s.word ORDER BY s.pos) = b.rhs,
              FALSE) AS cand
-  FROM {p} s CROSS JOIN b{k} b),
+  FROM {p} s LEFT JOIN b{k} b ON TRUE),
 i{k} AS (
   SELECT *, CASE WHEN cand THEN pos - row_number()
       OVER (PARTITION BY word, cand ORDER BY pos) END AS isl
@@ -699,7 +699,16 @@ def x39b_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trained on the same corpus)."""
     docs = load(spark, sf_dir, "documents")
     _, syms = bpe_train(docs)
-    tok = syms.select("word", F.size("syms").cast("long").alias("n"))
+    # pin the vocab-scale token counts driver-side (like x03e's centroid
+    # frame) so the persisted training frame can be released — otherwise
+    # every invocation leaks one cached frame into the CacheManager
+    tok_rows = syms.select(
+        "word", F.size("syms").cast("long").alias("n")
+    ).collect()
+    syms.unpersist()
+    tok = spark.createDataFrame(
+        [(r["word"], r["n"]) for r in tok_rows], "word string, n long"
+    )
     return (
         widen_for_cpu(docs, "doc_id")
         .select("doc_id", F.explode(F.split("text", " ")).alias("word"))

@@ -1339,14 +1339,21 @@ def test_pq_auto_sizing_rules():
 
 
 def test_pq_determinism_across_partitioning(spark):
-    """Micro-integer Lloyd sums and total-order tiebreaks make both PQ
-    outputs a pure function of the corpus — repartitioning cannot move
-    a single row."""
+    """Micro-integer Lloyd sums and total-order tiebreaks make training
+    and encoding a pure function of the corpus — REPARTITIONING the
+    input cannot move a centroid or flip a code."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import pq_train_encode
     from cubefs_hadoop_spark.queries import QUERIES
 
-    a = sorted(map(tuple, QUERIES["x41_pq_adc"](spark, SF_SMOKE).collect()))
-    b = sorted(map(tuple, QUERIES["x41_pq_adc"](spark, SF_SMOKE).collect()))
-    assert a == b
+    emb = load(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    c1, k1 = pq_train_encode(spark, emb, 16)
+    c2, k2 = pq_train_encode(spark, emb.repartition(13), 16)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+    assert sorted(map(tuple, k1.collect())) == sorted(map(tuple, k2.collect()))
     r = sorted(map(tuple, QUERIES["x41b_pq_rerank"](spark, SF_SMOKE).collect()))
     assert len(r) == 25
 

@@ -474,7 +474,11 @@ def test_x39b_bpe_encode_shape(spark):
     assert "BroadcastHashJoin" in a.text
     assert "SortMergeJoin" not in a.text
     assert "BroadcastNestedLoopJoin" not in a.text
-    assert "Python" not in a.text
+    # the pinned vocab-scale token frame is a driver-local PythonRDD
+    # SOURCE (31 rows, x03e's centroid pattern) — what must stay absent
+    # is Python row PROCESSING in the corpus path
+    assert "BatchEvalPython" not in a.text
+    assert "ArrowEvalPython" not in a.text
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", a.text):
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text"}, cols

@@ -203,7 +203,11 @@ def _bigram_ref(train_texts, score_rows):
             milli(math.log((bc[(a, b)] + 1.0) / (cu[a] + v)))
             for a, b in zip(ws, ws[1:])
         ]
-        out[doc_id] = (len(lps), round(sum(lps) / len(lps) / 1000.0, 2))
+        mean = sum(lps) / len(lps) / 1000.0
+        # r2d-compatible half-away-from-zero at 2 dp (Python round() is
+        # half-even and diverges on exact .xx5 midpoints)
+        s = -1 if mean < 0 else 1
+        out[doc_id] = (len(lps), s * math.floor(abs(mean) * 100 + 0.5) / 100)
     return out
 
 

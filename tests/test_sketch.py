@@ -45,7 +45,7 @@ def test_cms_cells_mass_conservation(spark):
     assert count_min_cells(words).count() <= _CMS_D * _CMS_W
 
 
-def test_cms_heavy_hitters_exact_on_skewed_corpus(spark):
+def test_cms_heavy_hitters_exact_on_skewed_corpus(spark, tmp_path):
     """Crafted zipf-ish corpus: the two-pass CMS+verify output equals
     the ground-truth heavy-hitter set exactly — candidates the sketch
     over-proposes are removed by the exact pass, nothing true is missed
@@ -69,7 +69,7 @@ def test_cms_heavy_hitters_exact_on_skewed_corpus(spark):
         for r in words.groupBy("word").count().collect()
         if r["count"] * sk._HH_PHI >= n
     }
-    tmp = "/tmp/cms_hh_fixture"
+    tmp = str(tmp_path / "cms_hh_fixture")
     docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
     got = {
         (r.word, r.exact_cnt)
