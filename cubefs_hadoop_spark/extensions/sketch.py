@@ -192,3 +192,168 @@ def x42b_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "exact_cnt")
         .orderBy("word")
     )
+
+
+# -- x44: Bloom-filter membership probe (n-gram decontamination shape) ------
+#
+# The MEMBERSHIP sketch completing the family (q08 HLL = cardinality,
+# x42 CMS = frequency): a Bloom filter (Bloom, CACM 1970) over the
+# TRAIN half's distinct 16-word windows, probed by the incoming batch's
+# windows — the "have we trained on this passage?" gate production
+# decontamination/dedup pipelines run as a Bloom pass (e.g. paragraph
+# Bloom dedup in Dolma/RefinedWeb-style curation) because the filter is
+# O(m) BITS regardless of how many passages it remembers, and a miss is
+# DEFINITIVE (no false negatives: seen => all k probe bits set).
+#
+# Relational form: "bits" are a frame of SET positions (<= m rows, here
+# m = 2^16) built by one partial-agg'd distinct over the train window
+# stream; a probe window hits iff all k=5 of its md5-derived positions
+# join the broadcast bit frame.  The registered entry scores each batch
+# document with (distinct windows, bloom hits, truly seen) side by
+# side — truly_seen <= bloom_hits row-by-row (one-sidedness,
+# test-pinned), and the gap IS the measured false-positive mass.  Both
+# engines recompute the filter exactly (md5 recipe as in x42), so the
+# sketch itself hash-checks.
+
+_BLOOM_M = 65536  # bits (2^16)
+_BLOOM_K = 5      # hash functions
+_BLOOM_W = 16     # words per window (x38's window size)
+_BLOOM_SPLIT = 250  # doc_id < split trains the filter; rest probes
+
+
+def _bloom_pos(key: F.Column, row: F.Column) -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(row.cast("string"), F.lit("|"), key)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % _BLOOM_M).alias("pos")
+
+
+def _windows(docs: DataFrame, w: int = _BLOOM_W) -> DataFrame:
+    """(doc_id, win): each document's DISTINCT w-word sliding windows."""
+    ws = F.split("text", " ")
+    idx = F.when(
+        F.size(ws) >= w, F.sequence(F.lit(0), F.size(ws) - F.lit(w))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, w))
+            )
+        ).alias("win"),
+    ).distinct()
+
+
+def bloom_build(keys: DataFrame, key_col: str = "win") -> DataFrame:
+    """The set-bit frame (pos) of a Bloom filter over distinct keys —
+    <= m rows whatever the key count (partial-agg'd distinct)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("r")
+    return (
+        keys.select(F.col(key_col).alias("k"), rows)
+        .select(_bloom_pos(F.col("k"), F.col("r")))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bits: DataFrame, key_col: str = "win"
+) -> DataFrame:
+    """``probes`` plus a boolean ``bloom_hit``: true iff ALL k positions
+    of the key are set (the bits frame broadcasts — O(m) rows)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("r")
+    hits = (
+        probes.select("*", rows)
+        .select(
+            *probes.columns, _bloom_pos(F.col(key_col), F.col("r"))
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy(*probes.columns)
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .filter(F.col("_set") == _BLOOM_K)
+        .select(*probes.columns, F.lit(True).alias("bloom_hit"))
+    )
+    return probes.join(hits, probes.columns, "left").fillna(
+        False, ["bloom_hit"]
+    )
+
+
+_X44_ORACLE = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[(i+1):(i+{_BLOOM_W})], ' ') AS win
+  FROM d, UNNEST(range(CAST(len(w) - {_BLOOM_W - 1} AS BIGINT))) AS u(i)
+  WHERE len(w) >= {_BLOOM_W}),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || '|' || win),
+                              1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+  FROM wins, LATERAL unnest(range(0, {_BLOOM_K})) AS u(r)
+  WHERE doc_id < {_BLOOM_SPLIT}),
+probe AS (SELECT doc_id, win FROM wins WHERE doc_id >= {_BLOOM_SPLIT}),
+hits AS (
+  SELECT doc_id, win FROM (
+    SELECT p.doc_id, p.win, COUNT(*) AS c
+    FROM (SELECT doc_id, win,
+                 CAST(('0x' || substr(md5(CAST(u.r AS VARCHAR) || '|' || win),
+                                      1, 8)) AS BIGINT) % {_BLOOM_M} AS pos
+          FROM probe, LATERAL unnest(range(0, {_BLOOM_K})) AS u(r)) p
+    JOIN bits USING (pos) GROUP BY p.doc_id, p.win) q
+  WHERE c = {_BLOOM_K}),
+seen AS (
+  SELECT DISTINCT p.doc_id, p.win FROM probe p
+  WHERE EXISTS (SELECT 1 FROM wins t
+                WHERE t.doc_id < {_BLOOM_SPLIT} AND t.win = p.win))
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN h.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+       CAST(SUM(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truly_seen
+FROM probe p
+LEFT JOIN hits h ON h.doc_id = p.doc_id AND h.win = p.win
+LEFT JOIN seen s ON s.doc_id = p.doc_id AND s.win = p.win
+GROUP BY p.doc_id
+ORDER BY p.doc_id"""
+
+
+@register("x44_bloom_probe", _X44_ORACLE)
+def x44_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 Bloom membership probe: per incoming-batch document, how many
+    of its distinct 16-word windows the train-half Bloom filter flags
+    (n_bloom_hits) vs how many are genuinely in the train half
+    (n_truly_seen <= n_bloom_hits ALWAYS — the gap is measured false
+    positives).  Filter state is O(m) bits at any train size; the probe
+    is a broadcast join of the bit frame against the window stream."""
+    docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    wins = _windows(docs)
+    bits = bloom_build(wins.filter(F.col("doc_id") < _BLOOM_SPLIT))
+    probe = wins.filter(F.col("doc_id") >= _BLOOM_SPLIT)
+    flagged = bloom_probe(probe, bits)
+    train_wins = (
+        wins.filter(F.col("doc_id") < _BLOOM_SPLIT)
+        .select("win")
+        .distinct()
+    )
+    seen = probe.join(train_wins, "win", "left_semi").select(
+        "doc_id", "win", F.lit(True).alias("truly_seen")
+    )
+    return (
+        flagged.join(seen, ["doc_id", "win"], "left")
+        .fillna(False, ["truly_seen"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum(F.col("bloom_hit").cast("long"))
+            .cast("long")
+            .alias("n_bloom_hits"),
+            F.sum(F.col("truly_seen").cast("long"))
+            .cast("long")
+            .alias("n_truly_seen"),
+        )
+        .orderBy("doc_id")
+    )

@@ -57,13 +57,13 @@ _R7_WINDOW = [
 # this window displaced (s14-era streaming twins are behavioral-only;
 # the displaced oracle entries are t09, u01, u06, x01, x02 family,
 # x03/x03d, x04b-x27 — whichever CORRECTNESS_r07 still shows last green
-# in r05), then the SEVENTEEN round-7-new operators for their first
+# in r05), then the EIGHTEEN round-7-new operators for their first
 # driver rows (x37_subword_tokenize, x17b_subword_budget,
 # x35b_blob_inventory, x37b_subword_tokenize_arrow,
 # x12b_semantic_dedup_auto, x13c_srp_lsh_auto, x14b_subword_pack,
 # x38_dup_spans, x39_bpe_train, x39b_bpe_encode, x40_bigram_lm_score,
 # x41_pq_adc, x41b_pq_rerank, x42_countmin, x42b_cms_heavy_hitters,
-# x38b_dup_span_removal, x43_jl_project —
+# x38b_dup_span_removal, x43_jl_project, x44_bloom_probe —
 # all hash-green in SWEEP_r07/local checks at sf0.001+sf0.01;
 # x12b/x13c and everything from x38 on also at sf0.1), then r06
 # greens in registration order.  Every

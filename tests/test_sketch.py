@@ -159,3 +159,58 @@ def test_cms_invariants_property(spark, words):
     cand = {k for k in est if est[k] * _HH_PHI >= n}
     verified = {(k, exact[k]) for k in cand if exact[k] * _HH_PHI >= n}
     assert verified == truth  # (c): no false negatives, exact pass filters
+
+
+def test_bloom_probe_crafted_witness(spark):
+    """x44 semantics on a crafted corpus: a trained passage probing back
+    is BOTH bloom-hit and truly seen (no false negatives — definitive
+    miss property); a fully novel doc has zero true hits and, at this
+    fill ratio (~75 of 65536 bits), zero false positives."""
+    from cubefs_hadoop_spark.extensions.sketch import (
+        _BLOOM_SPLIT,
+        _windows,
+        bloom_build,
+        bloom_probe,
+    )
+
+    P = " ".join(f"p{i}" for i in range(20))      # 20-word shared passage
+    novel = " ".join(f"n{i}" for i in range(20))
+    rows = [
+        (1, P),                                    # train: holds P
+        (_BLOOM_SPLIT + 1, P),                     # batch: same passage
+        (_BLOOM_SPLIT + 2, novel),                 # batch: fully novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wins = _windows(docs)
+    bits = bloom_build(wins.filter(F.col("doc_id") < _BLOOM_SPLIT))
+    probed = bloom_probe(wins.filter(F.col("doc_id") >= _BLOOM_SPLIT), bits)
+    got = {
+        (r.doc_id, r.win): r.bloom_hit for r in probed.collect()
+    }
+    dup_doc = {k: v for k, v in got.items() if k[0] == _BLOOM_SPLIT + 1}
+    nov_doc = {k: v for k, v in got.items() if k[0] == _BLOOM_SPLIT + 2}
+    assert dup_doc and all(dup_doc.values())   # every trained window hits
+    assert nov_doc and not any(nov_doc.values())  # novel windows all miss
+
+
+def test_bloom_probe_one_sided_on_fixture(spark):
+    """On the real corpus: truly_seen <= bloom_hits on EVERY row (a
+    genuinely-seen window can never miss), the corpus has nonzero true
+    cross-split overlap, and window counts are consistent."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x44_bloom_probe"](spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.n_truly_seen <= r.n_bloom_hits for r in rows)
+    assert all(r.n_bloom_hits <= r.n_windows for r in rows)
+    assert sum(r.n_truly_seen for r in rows) > 0
+
+
+def test_x44_plan_shape(spark):
+    """The bit frame attaches by BROADCAST (O(m) rows at any train
+    size); no nested loop, no Python."""
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x44_bloom_probe"](spark, SF_SMOKE))
+    assert a.broadcast_joins >= 1
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
