@@ -357,3 +357,222 @@ def x44_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- x45: histogram quantile summary (the QUANTILE sketch tier) -------------
+#
+# Completes the sketch family's fourth axis (q08 HLL = cardinality,
+# x42 CMS = frequency, x44 Bloom = membership, x45 = QUANTILES): a
+# B-bin equi-width histogram over the per-doc token-count stream,
+# served next to the EXACT quantiles it approximates — the q08/x42
+# audit-twin shape, so the estimator's rank error is measured, not
+# assumed.
+#
+# Why a histogram and not GK/KLL here: the production property that
+# matters is MERGEABILITY — bin counts are additive, so the distributed
+# build is one partial-agg'd groupBy (map-side combine IS the histogram
+# merge, exactly the CMS argument) and the same additivity folds
+# streaming micro-batches through the exactly-once ledger
+# (state_sink.sink_histogram_state).  GK/KLL trade determinism for
+# adaptive bin placement; a deterministic integer-edge histogram is
+# hash-checkable cross-engine AND is what ANALYZE-style engine
+# statistics actually persist.
+#
+# Sufficient statistic: the VALUE-COUNT frame vc(v, c) — one corpus
+# scan, partial-agg'd; lo/hi/n, the histogram cells, and the exact
+# quantiles all derive from vc without touching the corpus again.  The
+# only SinglePartition windows run over vc (O(distinct token counts) —
+# bounded by max doc length) and the 64-bin cumulative — metadata-scale
+# at any corpus size; there is never a global row sort.
+#
+# All arithmetic is BIGINT (bin = (v-lo)*B div (hi-lo+1), rank targets
+# ceil-div, edges floor-div), so both engines hash-match exactly.
+
+_HIST_B = 64          # equi-width bins
+_HIST_PS = (500, 900, 990)  # quantile targets, milli units
+
+
+def token_count_values(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The value-count sufficient statistic vc(v, c): per-doc token
+    count -> frequency, one partial-agg'd corpus scan."""
+    return (
+        widen_for_cpu(docs, "doc_id")
+        .select(F.size(F.split(text_col, " ")).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def hist_cells(vc: DataFrame, stats: DataFrame, b: int = _HIST_B) -> DataFrame:
+    """Equi-width bin counts from the value-count frame: bin =
+    (v - lo) * B div (hi - lo + 1), all BIGINT.  ``stats`` is the 1-row
+    (lo, hi, n) frame (broadcast)."""
+    return (
+        vc.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(v - lo) * {b} div (hi - lo + 1)").alias("bin"),
+            "c",
+        )
+        .groupBy("bin")
+        .agg(F.sum("c").alias("bc"))
+    )
+
+
+def _rank_targets(stats: DataFrame, ps=_HIST_PS) -> DataFrame:
+    """(p_milli, target_rank, lo, hi) — target_rank = ceil(p*n/1000)."""
+    arr = ", ".join(str(p) for p in ps)
+    return (
+        stats.select(
+            F.explode(F.expr(f"array({arr})")).alias("p_milli"), "lo", "hi", "n"
+        )
+        .select(
+            F.col("p_milli").cast("long").alias("p_milli"),
+            F.expr("(p_milli * n + 999) div 1000").alias("target_rank"),
+            "lo",
+            "hi",
+        )
+    )
+
+
+_X45_ORACLE = f"""
+WITH vc AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+st AS (SELECT MIN(v) AS lo, MAX(v) AS hi, SUM(c) AS n FROM vc),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM vc),
+cells AS (
+  SELECT (v - lo) * {_HIST_B} // (hi - lo + 1) AS bin, SUM(c) AS bc
+  FROM vc CROSS JOIN st GROUP BY 1),
+bcum AS (SELECT bin, SUM(bc) OVER (ORDER BY bin) AS bcum FROM cells),
+t AS (SELECT CAST(u.p AS BIGINT) AS p_milli,
+             CAST((u.p * n + 999) // 1000 AS BIGINT) AS target_rank, lo, hi
+      FROM st, UNNEST([{", ".join(str(p) for p in _HIST_PS)}]) AS u(p)),
+e AS (SELECT p_milli, MIN(v) AS exact_q
+      FROM t JOIN cum ON cum.cum >= t.target_rank GROUP BY 1),
+b AS (SELECT p_milli, CAST(MIN(bin) AS BIGINT) AS est_bin
+      FROM t JOIN bcum ON bcum.bcum >= t.target_rank GROUP BY 1)
+SELECT t.p_milli, t.target_rank, e.exact_q, b.est_bin,
+       CAST(t.lo + (b.est_bin * (t.hi - t.lo + 1)) // {_HIST_B} AS BIGINT)
+           AS hist_est
+FROM t JOIN e USING (p_milli) JOIN b USING (p_milli)
+ORDER BY p_milli"""
+
+
+@register("x45_hist_quantiles", _X45_ORACLE)
+def x45_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 histogram quantile audit twin: p50/p90/p99 of the per-doc
+    token-count distribution, EXACT (rank scan over the value-count
+    frame) next to the 64-bin equi-width histogram's estimate (lower
+    edge of the first bin whose cumulative count reaches the target
+    rank).  hist_est <= exact_q < next edge ALWAYS (the containing-bin
+    theorem, test-pinned); the gap is the measured rank error.  Bin
+    counts are additive -> one partial-agg'd build at any corpus size
+    and the same cells fold streaming batches (S18)."""
+    from pyspark.sql import Window
+
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    docs = load(spark, sf_dir, "documents")
+    vc = barrier(token_count_values(docs))
+    stats = barrier(
+        vc.agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("c").alias("n"),
+        )
+    )
+    targets = _rank_targets(stats)
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("cum", F.sum("c").over(wv))
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = hist_cells(vc, stats).withColumn("bcum", F.sum("bc").over(wb))
+    exact = (
+        F.broadcast(targets.select("p_milli", "target_rank"))
+        .join(cum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("p_milli")
+        .agg(F.min("v").alias("exact_q"))
+    )
+    est = (
+        F.broadcast(targets.select("p_milli", "target_rank"))
+        .join(bcum, F.col("bcum") >= F.col("target_rank"))
+        .groupBy("p_milli")
+        .agg(F.min("bin").alias("est_bin"))
+    )
+    return (
+        targets.join(exact, "p_milli")
+        .join(est, "p_milli")
+        .select(
+            "p_milli",
+            "target_rank",
+            "exact_q",
+            "est_bin",
+            F.expr(f"lo + (est_bin * (hi - lo + 1)) div {_HIST_B}").alias(
+                "hist_est"
+            ),
+        )
+        .orderBy("p_milli")
+    )
+
+
+# -- x45b: equi-depth histogram statistics (value-granularity) --------------
+#
+# The ANALYZE-statistics primitive: B equal-mass buckets over the
+# token-count distribution, split at VALUE boundaries — bucket(v) =
+# (last_rank(v) - 1) * B div n, where last_rank is the value's
+# cumulative count.  Value granularity (ties never straddle a bucket)
+# is deliberate: it is derivable from the vc sufficient statistic with
+# NO global row sort — the row-level NTILE formulation would funnel the
+# corpus through one partition, the classic scale-killer, while this
+# form's only SinglePartition window runs over O(distinct values) rows.
+# Per-bucket (n_docs, lo_v, hi_v, n_values) is exactly what an
+# optimizer's equi-depth stats page stores.
+
+_ED_B = 16  # equi-depth buckets
+
+
+_X45B_ORACLE = f"""
+WITH vc AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+st AS (SELECT SUM(c) AS n FROM vc),
+cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum FROM vc)
+SELECT CAST((cum - 1) * {_ED_B} // n AS BIGINT) AS bucket,
+       CAST(SUM(c) AS BIGINT) AS n_docs, MIN(v) AS lo_v, MAX(v) AS hi_v,
+       CAST(COUNT(*) AS BIGINT) AS n_values
+FROM cum CROSS JOIN st
+GROUP BY 1 ORDER BY bucket"""
+
+
+@register("x45b_equidepth_stats", _X45B_ORACLE)
+def x45b_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45b equi-depth (equal-mass) histogram of the token-count
+    distribution at value granularity: 16 buckets of ~n/16 docs each,
+    split only at distinct-value boundaries so the whole statistic
+    derives from the vc frame — one corpus scan, no global row sort.
+    Buckets are disjoint value ranges (hi_v[b] < lo_v[b+1],
+    test-pinned) and bucket doc-counts sum to n exactly."""
+    from pyspark.sql import Window
+
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    docs = load(spark, sf_dir, "documents")
+    vc = barrier(token_count_values(docs))
+    stats = vc.agg(F.sum("c").alias("n"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("cum", F.sum("c").over(wv))
+    return (
+        cum.crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(f"(cum - 1) * {_ED_B} div n").alias("bucket"), "v", "c"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.min("v").alias("lo_v"),
+            F.max("v").alias("hi_v"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+        )
+        .orderBy("bucket")
+    )

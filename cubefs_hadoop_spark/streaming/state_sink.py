@@ -199,3 +199,69 @@ def sink_cms_state(
         additive_state_committer(state_dir, stats, ["row", "bucket"], ["c"]),
         checkpoint_dir,
     )
+
+
+def sink_histogram_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    lo: int,
+    width: int,
+    bins: int,
+    text_col: str = "text",
+) -> None:
+    """Stream documents into an x45-style histogram state (S18): each
+    micro-batch's per-doc token counts bucket into FROZEN equi-width
+    bins and the (bin, bc) cells fold into ``state_dir`` exactly once —
+    bin counts are additive, the same CMS argument, so the streamed
+    state equals a batch-built histogram over everything ever ingested
+    and ``hist_quantile_from_cells`` serves rank queries against it at
+    any moment.  State is O(bins) forever.
+
+    Bins are frozen at sink creation (``lo``/``width``/``bins``) — the
+    one contract difference from batch x45, which derives [lo, hi] from
+    the data in a first pass; a stream has no second pass, so the bin
+    config is part of the state's identity (values clamp into the edge
+    bins).  This is the standard streaming-histogram tradeoff."""
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                F.size(F.split(text_col, " ")).cast("long").alias("v")
+            )
+            .select(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.least(
+                        F.lit(int(bins) - 1).cast("long"),
+                        F.expr(f"(v - {int(lo)}) div {int(width)}"),
+                    ),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+        )
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, ["bin"], ["bc"]),
+        checkpoint_dir,
+    )
+
+
+def hist_quantile_from_cells(cells: DataFrame, p_milli: int, lo: int, width: int) -> int:
+    """Serve a rank query from histogram cells (batch- or stream-built):
+    lower edge of the first bin whose cumulative count reaches
+    ceil(p * n / 1000).  O(bins) driver-side — the cells frame IS the
+    sketch."""
+    rows = sorted(
+        (r["bin"], r["bc"]) for r in cells.select("bin", "bc").collect()
+    )
+    n = sum(bc for _, bc in rows)
+    target = (p_milli * n + 999) // 1000
+    cum = 0
+    for b, bc in rows:
+        cum += bc
+        if cum >= target:
+            return int(lo) + int(b) * int(width)
+    raise ValueError("empty histogram state")

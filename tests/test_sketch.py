@@ -214,3 +214,124 @@ def test_x44_plan_shape(spark):
     assert a.broadcast_joins >= 1
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+# -- x45 / x45b: histogram quantile tier ------------------------------------
+
+
+def test_hist_quantile_containing_bin_theorem(spark):
+    """x45 invariant: the histogram's answer bin CONTAINS the exact
+    quantile — hist_est (bin lower edge) <= exact_q < next edge — for
+    every target p.  The gap between est and exact is bounded by one
+    bin width by construction."""
+    from cubefs_hadoop_spark.extensions.sketch import _HIST_B
+
+    rows = QUERIES["x45_hist_quantiles"](spark, SF_SMOKE).collect()
+    assert [r.p_milli for r in rows] == [500, 900, 990]
+    docs = load(spark, SF_SMOKE, "documents")
+    vals = sorted(
+        r.v
+        for r in docs.select(
+            F.size(F.split("text", " ")).alias("v")
+        ).collect()
+    )
+    lo, hi, n = vals[0], vals[-1], len(vals)
+    for r in rows:
+        assert r.target_rank == (r.p_milli * n + 999) // 1000
+        # exact quantile really is the rank-r order statistic
+        assert r.exact_q == vals[r.target_rank - 1]
+        # bin b holds v iff b <= (v-lo)*B/(hi-lo+1) < b+1, so the last
+        # value of bin b is lo + ceil((b+1)*R/B) - 1 — ceil-div, not the
+        # floor-div lower-edge formula (a value can EQUAL the floored
+        # next edge and still sit in bin b)
+        r_width = hi - lo + 1
+        edge_next = lo - ((-(r.est_bin + 1) * r_width) // _HIST_B)
+        assert r.hist_est <= r.exact_q < edge_next
+
+
+def test_hist_cells_mass_and_partitioning_invariance(spark):
+    """Bin counts carry the whole corpus mass and are additive — the
+    same repartition-invariance the CMS cells prove (map-side combine
+    IS the histogram merge)."""
+    from cubefs_hadoop_spark.extensions.sketch import (
+        hist_cells,
+        token_count_values,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    vc = token_count_values(docs)
+    stats = vc.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("c").alias("n")
+    )
+    cells = hist_cells(vc, stats)
+    n_docs = docs.count()
+    assert cells.agg(F.sum("bc")).first()[0] == n_docs
+    a = sorted(map(tuple, cells.collect()))
+    b = sorted(
+        map(
+            tuple,
+            hist_cells(
+                token_count_values(docs.repartition(13)), stats
+            ).collect(),
+        )
+    )
+    assert a == b
+    from cubefs_hadoop_spark.extensions.sketch import _HIST_B
+
+    assert all(0 <= r[0] < _HIST_B for r in a)
+
+
+def test_hist_quantiles_crafted_reference(spark, tmp_path):
+    """Crafted corpus with token counts 1..10 (one doc each): p50 ->
+    rank 5 -> 5 words, p90 -> rank 9, p99 -> rank 10 — checked against
+    hand-computed order statistics."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    tmp = str(tmp_path / "hist_fixture")
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    rows = {
+        r.p_milli: r for r in QUERIES["x45_hist_quantiles"](spark, tmp).collect()
+    }
+    assert rows[500].target_rank == 5 and rows[500].exact_q == 5
+    assert rows[900].target_rank == 9 and rows[900].exact_q == 9
+    assert rows[990].target_rank == 10 and rows[990].exact_q == 10
+    for r in rows.values():
+        assert r.hist_est <= r.exact_q
+
+
+def test_equidepth_buckets_disjoint_and_complete(spark):
+    """x45b invariants: bucket value-ranges are disjoint and ascending,
+    doc counts sum to the corpus exactly, bucket ids live in [0, B)."""
+    from cubefs_hadoop_spark.extensions.sketch import _ED_B
+
+    rows = QUERIES["x45b_equidepth_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.bucket < _ED_B for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.bucket < b.bucket
+        assert a.hi_v < b.lo_v  # value ranges never straddle buckets
+    for r in rows:
+        assert r.lo_v <= r.hi_v and r.n_values >= 1
+
+
+def test_x45_plan_shape(spark):
+    """x45/x45b stay metadata-scale after the one corpus scan: no
+    Python, no sort-merge join, SinglePartition windows only over the
+    O(distinct-values)/O(bins) frames (<= 2 of them), corpus scan reads
+    only doc_id/text."""
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x45_hist_quantiles"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert a.sort_merge_joins == 0
+    assert a.text.count("SinglePartition") <= 2
+    spark.catalog.clearCache()
+    b = audit_plan(QUERIES["x45b_equidepth_stats"](spark, SF_SMOKE))
+    assert not b.has_python_eval
+    assert b.sort_merge_joins == 0
+    # the cum window's exchange (the AQE text can mention it twice) —
+    # it runs over the O(distinct-values) frame, never the corpus
+    assert b.text.count("SinglePartition") <= 2

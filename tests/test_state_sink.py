@@ -243,3 +243,78 @@ def test_streamed_cms_state_equals_batch_sketch(spark, tmp_path):
     }
     assert set(est) == set(exact)
     assert all(est[w] >= exact[w] for w in exact)
+
+
+def test_streamed_histogram_state_equals_batch_cells(spark, tmp_path):
+    """S18: documents arriving as a 3-batch stream fold into a
+    frozen-bin histogram state; the folded (bin, bc) cells are
+    BIT-identical to a batch build with the same bin config over the
+    whole corpus (bin counts are additive — the CMS argument), mass is
+    conserved, and a rank query served from the state lands within one
+    bin width of the exact quantile."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        hist_quantile_from_cells,
+        read_state,
+        sink_histogram_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    LO, WIDTH, BINS = 0, 4, 64
+    state = str(tmp_path / "hist_state")
+    sink_histogram_state(
+        sdf, state, str(tmp_path / "ckpt"), lo=LO, width=WIDTH, bins=BINS
+    )
+
+    # batch build with the SAME frozen bins
+    batch_cells = {
+        r.bin: r.bc
+        for r in docs.select(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(BINS - 1).cast("long"),
+                    F.expr(
+                        f"(size(split(text, ' ')) - {LO}) div {WIDTH}"
+                    ).cast("long"),
+                ),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .count()
+        .withColumnRenamed("count", "bc")
+        .collect()
+    }
+    state_df = read_state(spark, state)
+    folded = {r.bin: r.bc for r in state_df.collect()}
+    assert folded == batch_cells
+    assert sum(folded.values()) == docs.count()
+
+    # rank query from the state: within one bin width of the exact p50
+    vals = sorted(
+        r.v
+        for r in docs.select(F.size(F.split("text", " ")).alias("v")).collect()
+    )
+    exact_p50 = vals[(500 * len(vals) + 999) // 1000 - 1]
+    est = hist_quantile_from_cells(state_df, 500, lo=LO, width=WIDTH)
+    assert est <= exact_p50 < est + WIDTH
