@@ -1033,3 +1033,142 @@ def x43_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only, frozen Rademacher matrix as plan literals.  See the
     section comment for the distortion contract and the PQ contrast."""
     return jl_project(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# x46 — kNN graph over SRP-LSH candidates; x46b — graph-density downsample
+# ---------------------------------------------------------------------------
+#
+# The GRAPH view of the embedding space: per vector, its top-k verified
+# neighbors among the SRP bucket candidates (x13's machinery, pinned
+# hyperplanes/bands/bits/tau) — the data structure graph-based curation
+# passes consume: SemDeDup-graph pruning, diversity sampling, label
+# propagation, connected-component dedup (x28 eats exactly these pairs).
+#
+# Scale: candidates come from the bucketed (band, key) self-join — the
+# pair space is per-bucket, NEVER N²; exact cosine re-verifies
+# candidates only, and top-k per source is a WindowGroupLimit (rank
+# pushed into the shuffle, no full sort of the neighbor lists).  The
+# kNN graph of a 100 TB corpus is built bucket-locally with the same
+# auto-sized bits knob as x13c when N grows (auto_srp_bits keeps
+# per-bucket populations ~constant).
+#
+# x46b is the consumption example: graph DEGREE as a density score —
+# vectors with many strong neighbors sit in dense near-dup regions
+# (cluster cores), vectors with few sit in sparse regions the corpus
+# under-represents.  Keeping degree <= D is the degree-threshold
+# diversity downsample (the graph-flavored cousin of x12's
+# cluster-then-prune); the kept flag rides every vector so the entry is
+# an auditable decision table, not a silent filter.
+
+_X46_K = 5      # neighbors kept per vector
+_X46B_DMAX = 1  # density threshold: kept iff degree <= D_MAX
+
+_X46_ORACLE = _X13_ORACLE.replace(
+    f"""SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos""",
+    f"""SELECT src, nbr, rank, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM (
+  SELECT src, nbr, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nbr)
+              AS BIGINT) AS rank
+  FROM (SELECT da AS src, db AS nbr, c FROM ver WHERE c >= {_X13_TAU}
+        UNION ALL
+        SELECT db AS src, da AS nbr, c FROM ver WHERE c >= {_X13_TAU}) sym
+) rk WHERE rank <= {_X46_K} ORDER BY src, rank""",
+)
+
+
+def knn_graph(
+    emb: DataFrame,
+    hyperplanes: DataFrame,
+    k: int = _X46_K,
+    tau: float = _X13_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(src, nbr, rank, c): each vector's top-k verified neighbors among
+    its SRP bucket candidates, ranked by cosine desc then neighbor id.
+    Pairs are computed once (da < db) behind a barrier and symmetrized —
+    the verify stage never runs twice per edge."""
+    pairs = barrier(
+        srp_neardup_pairs(
+            emb, hyperplanes, tau=tau, id_col=id_col, vec_col=vec_col
+        )
+    )
+    sym = pairs.select(
+        F.col("da").alias("src"), F.col("db").alias("nbr"), "c"
+    ).unionByName(
+        pairs.select(F.col("db").alias("src"), F.col("da").alias("nbr"), "c")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nbr"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("x46_knn_graph", _X46_ORACLE)
+def x46_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 kNN graph over SRP candidates (pinned x13 config): per
+    vector, its top-5 neighbors at cosine >= 0.4 among bucket-colliding
+    candidates — the adjacency structure graph-based curation consumes.
+    Candidate generation is bucket-local (never N²), top-k is a
+    WindowGroupLimit.  Recall vs the exact-graph ground truth is gated
+    engine-side (test_knn_graph_recall)."""
+    emb = load(spark, sf_dir, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    return (
+        knn_graph(emb, hp)
+        .select("src", "nbr", "rank", r2d(F.col("c")).alias("cos"))
+        .orderBy("src", "rank")
+    )
+
+
+_X46B_ORACLE = _X13_ORACLE.replace(
+    f"""SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos""",
+    f""", deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT da AS src FROM ver WHERE c >= {_X13_TAU}
+        UNION ALL
+        SELECT db AS src FROM ver WHERE c >= {_X13_TAU}) sym
+  GROUP BY src)
+SELECT e.vec_id, COALESCE(deg.degree, 0) AS degree,
+       COALESCE(deg.degree, 0) <= {_X46B_DMAX} AS kept
+FROM embeddings e LEFT JOIN deg ON deg.src = e.vec_id
+ORDER BY e.vec_id""",
+)
+
+
+@register("x46b_density_downsample", _X46B_ORACLE)
+def x46b_density_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46b degree-threshold diversity downsample: graph degree (number
+    of verified neighbors at cosine >= 0.4) as a density score; vectors
+    in dense near-dup regions (degree > 1) are dropped, sparse-region
+    vectors kept — an auditable decision table with every vector's
+    degree and kept flag.  The graph-flavored cousin of x12's
+    cluster-then-prune: no clustering step, degree IS the density."""
+    emb = load(spark, sf_dir, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    pairs = barrier(srp_neardup_pairs(emb, hp))
+    sym = pairs.select(F.col("da").alias("src")).unionByName(
+        pairs.select(F.col("db").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return (
+        emb.select("vec_id")
+        .join(deg, emb.vec_id == deg.src, "left")
+        .select(
+            "vec_id",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            (F.coalesce("degree", F.lit(0).cast("long")) <= _X46B_DMAX).alias(
+                "kept"
+            ),
+        )
+        .orderBy("vec_id")
+    )

@@ -1483,3 +1483,96 @@ def test_jl_projection_is_map_only_and_stable(spark):
     x = sorted(map(tuple, jl_project(emb).collect()))
     y = sorted(map(tuple, jl_project(emb.repartition(7)).collect()))
     assert [(i, tuple(p)) for i, p in x] == [(i, tuple(p)) for i, p in y]
+
+
+# -- x46 / x46b: kNN graph + graph-density downsample -----------------------
+
+
+def test_knn_graph_structure_and_recall(spark):
+    """x46 invariants: ranks are 1..k dense per source with cosines
+    non-increasing, every edge's exact cosine >= tau (verify-stage
+    precision), the graph is a subgraph of the exact kNN graph's edge
+    universe, and — at the fixture's worst-case operating point — the
+    bucketed graph recovers >= 70% of the exact top-5 edges."""
+    from cubefs_hadoop_spark.extensions.semantic import _X46_K
+    from cubefs_hadoop_spark.extensions.similarity import _cosine_expr
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x46_knn_graph"](spark, SF_SMOKE).collect()
+    assert rows
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    for src, es in by_src.items():
+        assert [e.rank for e in es] == list(range(1, len(es) + 1))
+        assert len(es) <= _X46_K
+        assert all(a.cos >= b.cos for a, b in zip(es, es[1:]))
+        assert all(e.nbr != src for e in es)
+
+    # exact graph ground truth: top-5 by cosine among ALL pairs >= tau
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nbr"))
+    truth = {
+        (r.src, r.nbr)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+            .withColumn("c", _cosine_expr("a.embedding", "b.embedding"))
+            .filter(F.col("c") >= 0.4)
+            .select(
+                F.col("a.vec_id").alias("src"),
+                F.col("b.vec_id").alias("nbr"),
+                "c",
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _X46_K)
+            .collect()
+        )
+    }
+    got = {(r.src, r.nbr) for r in rows}
+    assert truth
+    assert len(got & truth) / len(truth) >= 0.7, (len(got), len(truth))
+
+
+def test_density_downsample_degree_accounting(spark):
+    """x46b invariants: every vector appears exactly once with its kept
+    flag == (degree <= D_MAX); degrees agree with the symmetrized x13
+    pair multiset; both kept and dropped classes are non-empty on the
+    fixture (the threshold actually separates)."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        _X46B_DMAX,
+        x13_srp_lsh,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x46b_density_downsample"](spark, SF_SMOKE).collect()
+    n_vec = load(spark, SF_SMOKE, "embeddings").count()
+    assert len(rows) == n_vec
+    deg: dict[int, int] = {}
+    for r in x13_srp_lsh(spark, SF_SMOKE).collect():
+        deg[r.da] = deg.get(r.da, 0) + 1
+        deg[r.db] = deg.get(r.db, 0) + 1
+    for r in rows:
+        assert r.degree == deg.get(r.vec_id, 0)
+        assert r.kept == (r.degree <= _X46B_DMAX)
+    kept = sum(1 for r in rows if r.kept)
+    assert 0 < kept < n_vec
+
+
+def test_x46_plan_shape(spark):
+    """x46: candidates from the bucketed equi-join (no corpus x corpus
+    nested loop — the only NLJ is the broadcast 1-row hyperplane
+    frame), top-k is a WindowGroupLimit, no Python."""
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x46_knn_graph"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert a.has_window_group_limit
+    assert a.nested_loop_joins <= 1  # the broadcast hyperplane attach
+    spark.catalog.clearCache()
+    b = audit_plan(QUERIES["x46b_density_downsample"](spark, SF_SMOKE))
+    assert not b.has_python_eval
+    assert b.nested_loop_joins <= 1
