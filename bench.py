@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "x39_bpe_train",
     "x41b_pq_rerank",
     "x40_bigram_lm_score",
+    "x46_knn_graph",
 ]
 
 RUNS = 4
