@@ -410,3 +410,156 @@ def x30_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "chunk_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# x47 — histogram-percentile quality blend (signal ensembling without a
+# global sort)
+# ---------------------------------------------------------------------------
+#
+# The DataComp/FineWeb-style curation step that combines several raw
+# quality signals into one score: each signal is RANK-normalized (so
+# incommensurable units — a stopword ratio, a mean word length, a token
+# count — blend meaningfully), then weighted-averaged, then thresholded.
+#
+# The naive rank normalization is percent_rank() over the corpus — a
+# GLOBAL SORT, the canonical scale-killer.  This operator normalizes
+# through the x45 histogram instead: per signal, a 64-bin equi-width
+# histogram (one partial-agg'd pass over the skinny score frame), and
+# percentile(v) ~= 1000 * cum_mass(bin(v)) / n — an O(bins) broadcast
+# lookup.  Error is bounded by one bin's mass; the blend is exactly as
+# good as its bin resolution, and B is a knob.  At 100 TB: ONE corpus
+# scan materializes the (doc_id, s1, s2, s3) frame (4 ints/row), three
+# O(bins) histogram builds + broadcast joins do the rest — no sort, no
+# wide shuffle, no Python.
+#
+# Signals (all integer millis, row-local):
+#   s1  stopword ratio      (C4/Gopher prose-ness; x09's signal)
+#   s2  mean word length    (penalizes boilerplate/minified junk)
+#   s3  token count         (length prior)
+# Weights 40/30/30, keep iff blended percentile >= 500 (top half).
+# Everything BIGINT, so the whole decision table hash-checks cross-engine.
+
+_X47_B = 64                    # histogram bins per signal
+_X47_W = (40, 30, 30)          # signal weights, percent
+_X47_KEEP = 500                # keep iff blend >= this (milli)
+_X47_STOPS = ("the", "a", "of", "and", "to")
+
+
+def _x47_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, s1, s2, s3) in integer millis — one map-only pass."""
+    stops = ", ".join(f"'{w}'" for w in _X47_STOPS)
+    return docs.selectExpr(
+        "doc_id",
+        f"1000 * size(filter(split(text, ' '), w -> w IN ({stops})))"
+        " div size(split(text, ' ')) AS s1",
+        "1000 * aggregate(split(text, ' '), 0L, (acc, w) -> acc + length(w))"
+        " div size(split(text, ' ')) AS s2",
+        "cast(size(split(text, ' ')) AS BIGINT) AS s3",
+    )
+
+
+def hist_percentile(df: DataFrame, col: str, b: int = _X47_B) -> DataFrame:
+    """Attach ``pct_<col>`` — the histogram-approximated inclusive
+    percentile of ``col`` in integer millis: 1000 * (mass of bins <=
+    bin(v)) / n.  One agg for (lo, hi, n), one O(b) cells pass, one
+    broadcast join; bounded error of one bin's mass, no global sort."""
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    stats = barrier(
+        df.agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    binned = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_bin", F.expr(f"({col} - lo) * {b} div (hi - lo + 1)")
+    )
+    wb = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    pct = (
+        binned.groupBy("_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+        .withColumn("bcum", F.sum("bc").over(wb))
+        .crossJoin(F.broadcast(stats.select("n")))
+        .select("_bin", F.expr("1000 * bcum div n").alias(f"pct_{col}"))
+    )
+    return (
+        binned.join(F.broadcast(pct), "_bin")
+        .drop("_bin", "lo", "hi", "n")
+    )
+
+
+def _x47_hist_cte(sig: str) -> str:
+    """DuckDB CTE chain replicating hist_percentile for one signal."""
+    return f"""
+st_{sig} AS (SELECT MIN({sig}) AS lo, MAX({sig}) AS hi,
+                    CAST(COUNT(*) AS BIGINT) AS n FROM base),
+c_{sig} AS (SELECT ({sig} - lo) * {_X47_B} // (hi - lo + 1) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS bc
+            FROM base CROSS JOIN st_{sig} GROUP BY 1),
+p_{sig} AS (SELECT bin,
+                   CAST(1000 * bcum // n AS BIGINT) AS pct
+            FROM (SELECT bin, SUM(bc) OVER (ORDER BY bin) AS bcum
+                  FROM c_{sig}) CROSS JOIN st_{sig})"""
+
+
+_X47_ORACLE = (
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         1000 * len(list_filter(string_split(text, ' '),
+                    w -> w IN ({", ".join(f"'{w}'" for w in _X47_STOPS)})))
+             // len(string_split(text, ' ')) AS s1,
+         1000 * list_sum(list_transform(string_split(text, ' '),
+                                        w -> len(w)))
+             // len(string_split(text, ' ')) AS s2,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s3
+  FROM documents),"""
+    + ",".join(_x47_hist_cte(s) for s in ("s1", "s2", "s3"))
+    + f"""
+SELECT b.doc_id, p_s1.pct AS pct_s1, p_s2.pct AS pct_s2,
+       p_s3.pct AS pct_s3,
+       CAST(({_X47_W[0]} * p_s1.pct + {_X47_W[1]} * p_s2.pct
+             + {_X47_W[2]} * p_s3.pct) // 100 AS BIGINT) AS blend,
+       ({_X47_W[0]} * p_s1.pct + {_X47_W[1]} * p_s2.pct
+             + {_X47_W[2]} * p_s3.pct) // 100 >= {_X47_KEEP} AS kept
+FROM base b
+JOIN st_s1 ON TRUE JOIN st_s2 ON TRUE JOIN st_s3 ON TRUE
+JOIN p_s1 ON p_s1.bin = (b.s1 - st_s1.lo) * {_X47_B} // (st_s1.hi - st_s1.lo + 1)
+JOIN p_s2 ON p_s2.bin = (b.s2 - st_s2.lo) * {_X47_B} // (st_s2.hi - st_s2.lo + 1)
+JOIN p_s3 ON p_s3.bin = (b.s3 - st_s3.lo) * {_X47_B} // (st_s3.hi - st_s3.lo + 1)
+ORDER BY doc_id"""
+)
+
+
+@register("x47_quality_blend", _X47_ORACLE)
+def x47_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 histogram-percentile quality blend: three raw signals
+    (stopword ratio, mean word length, token count — integer millis)
+    rank-normalized through 64-bin histograms (the x45 sketch; O(bins)
+    broadcast lookups, NO percent_rank global sort), blended 40/30/30,
+    kept iff blended percentile >= 500.  The full per-doc decision
+    table (signal percentiles, blend, kept) is the output — curation
+    decisions stay auditable."""
+    from cubefs_hadoop_spark.plans.materialize import barrier
+    from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
+
+    docs = load(spark, sf_dir, "documents")
+    base = barrier(_x47_signals(widen_for_cpu(docs, "doc_id")))
+    out = base
+    for sig in ("s1", "s2", "s3"):
+        out = hist_percentile(out, sig)
+    w0, w1, w2 = _X47_W
+    blend = F.expr(f"({w0} * pct_s1 + {w1} * pct_s2 + {w2} * pct_s3) div 100")
+    return (
+        out.select(
+            "doc_id",
+            "pct_s1",
+            "pct_s2",
+            "pct_s3",
+            blend.alias("blend"),
+            (blend >= _X47_KEEP).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -576,3 +576,97 @@ def x45b_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# -- x48: per-source distribution drift (histogram L1 distance) -------------
+#
+# The MONITORING primitive a continuously-ingesting pipeline runs on
+# every source: does this feed's length distribution still look like
+# the corpus?  Drift is measured as the L1 distance between the
+# source's token-count histogram and the corpus-wide one, in integer
+# millis over shared corpus-derived bins — the statistic behind
+# "source X started sending truncated/boilerplate docs" alerts.
+#
+# Scale: ONE partial-agg'd corpus pass builds the (source, bin) cell
+# grid; everything after is O(sources x bins) — metadata-scale.  The
+# cells are the same additive state as x45's (S18 folds them per
+# micro-batch), so the drift table can be served live from streamed
+# state without re-reading anything.  Bins are frozen from the CORPUS
+# [lo, hi] so every source is measured on the same axis.
+#
+# All-BIGINT arithmetic (milli proportions via integer division) —
+# hash-checkable cross-engine; the truncation error is identical in
+# both engines by construction.
+
+_DRIFT_B = 64
+
+
+_X48_ORACLE = f"""
+WITH v AS (SELECT source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+           FROM documents),
+st AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM v),
+cells AS (
+  SELECT source, (v - lo) * {_DRIFT_B} // (hi - lo + 1) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bc
+  FROM v CROSS JOIN st GROUP BY 1, 2),
+srcs AS (SELECT source, CAST(SUM(bc) AS BIGINT) AS ns FROM cells GROUP BY 1),
+gbl AS (SELECT bin, CAST(SUM(bc) AS BIGINT) AS gc FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(bc) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT s.source, s.ns, g.bin, g.gc, COALESCE(c.bc, 0) AS bc
+  FROM srcs s CROSS JOIN gbl g
+  LEFT JOIN cells c ON c.source = s.source AND c.bin = g.bin)
+SELECT source, CAST(MAX(ns) AS BIGINT) AS n_docs,
+       CAST(SUM(ABS(1000 * bc // ns - 1000 * gc // n)) AS BIGINT)
+           AS l1_milli,
+       CAST(MAX(ABS(1000 * bc // ns - 1000 * gc // n)) AS BIGINT)
+           AS max_bin_milli
+FROM grid CROSS JOIN tot
+GROUP BY source ORDER BY source"""
+
+
+@register("x48_source_drift", _X48_ORACLE)
+def x48_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 per-source distribution drift: L1 distance (and worst-bin
+    deviation) between each source's token-count histogram and the
+    corpus-wide histogram, integer millis over shared corpus-derived
+    64 bins.  One partial-agg'd corpus pass -> O(sources x bins) grid;
+    the cells are x45's additive state, so streamed S18 cells serve the
+    same drift table live.  Identical-distribution sources score near
+    0; a drifted feed's L1 is the alert signal."""
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    docs = load(spark, sf_dir, "documents")
+    v = widen_for_cpu(docs, "doc_id").select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("v")
+    )
+    st = barrier(v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    cells = barrier(
+        v.crossJoin(F.broadcast(st))
+        .select(
+            "source",
+            F.expr(f"(v - lo) * {_DRIFT_B} div (hi - lo + 1)").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    )
+    srcs = cells.groupBy("source").agg(F.sum("bc").alias("ns"))
+    gbl = cells.groupBy("bin").agg(F.sum("bc").alias("gc"))
+    tot = cells.agg(F.sum("bc").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(gbl))
+        .join(cells, ["source", "bin"], "left")
+        .fillna(0, ["bc"])
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.expr("abs(1000 * bc div ns - 1000 * gc div n)")
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.sum(dev).cast("long").alias("l1_milli"),
+            F.max(dev).cast("long").alias("max_bin_milli"),
+        )
+        .orderBy("source")
+    )

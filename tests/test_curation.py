@@ -175,3 +175,98 @@ def test_chunk_documents_contract(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, size=4, overlap=4)
+
+
+# -- x47: histogram-percentile quality blend --------------------------------
+
+
+def test_x47_percentile_bounds_and_monotonicity(spark):
+    """The histogram percentile is a one-sided overestimate of the
+    exact inclusive percent-rank, off by at most the answer bin's mass
+    (plus integer rounding) — and it is monotone in the raw signal."""
+    from collections import Counter
+
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X47_B,
+        _x47_signals,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x47_quality_blend"](spark, SF_SMOKE).collect()
+    sigs = {
+        r.doc_id: r for r in _x47_signals(
+            load(spark, SF_SMOKE, "documents")
+        ).collect()
+    }
+    n = len(rows)
+    assert n == len(sigs)
+    for sig, pcol in (("s1", "pct_s1"), ("s2", "pct_s2"), ("s3", "pct_s3")):
+        vals = sorted(getattr(sigs[r.doc_id], sig) for r in rows)
+        lo, hi = vals[0], vals[-1]
+        width = hi - lo + 1
+        bin_mass = Counter((v - lo) * _X47_B // width for v in vals)
+        # exact inclusive rank via bisect on the sorted values
+        import bisect
+
+        prev = {}
+        for r in rows:
+            v = getattr(sigs[r.doc_id], sig)
+            p_hist = getattr(r, pcol)
+            assert 0 <= p_hist <= 1000
+            p_exact = 1000 * bisect.bisect_right(vals, v) // n
+            mass = bin_mass[(v - lo) * _X47_B // width]
+            assert p_exact <= p_hist <= p_exact + 1000 * mass // n + 1, (
+                sig, v, p_hist, p_exact, mass,
+            )
+            if v in prev:
+                assert prev[v] == p_hist  # same value -> same percentile
+            prev[v] = p_hist
+
+
+def test_x47_blend_accounting_and_separation(spark):
+    """blend is the exact 40/30/30 integer average of the percentiles,
+    kept == (blend >= 500), and the threshold separates the fixture
+    into two non-trivial classes (roughly the top half)."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x47_quality_blend"](spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r.blend == (40 * r.pct_s1 + 30 * r.pct_s2 + 30 * r.pct_s3) // 100
+        assert r.kept == (r.blend >= 500)
+    kept = sum(1 for r in rows if r.kept)
+    assert 0.2 <= kept / len(rows) <= 0.8
+
+
+def test_x47_partitioning_invariant(spark):
+    """Integer histogram math end-to-end: repartitioning the corpus
+    cannot move a single percentile, blend, or kept flag."""
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X47_KEEP,
+        _x47_signals,
+        hist_percentile,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    def run(d):
+        out = _x47_signals(d)
+        for s in ("s1", "s2", "s3"):
+            out = hist_percentile(out, s)
+        return sorted(
+            (r.doc_id, r.pct_s1, r.pct_s2, r.pct_s3)
+            for r in out.collect()
+        )
+
+    assert run(docs) == run(docs.repartition(17))
+
+
+def test_x47_plan_shape(spark):
+    """No Python, no percent_rank global sort over the corpus: the only
+    SinglePartition windows run over the O(bins) cells frames, the
+    percentile lookups are broadcast joins, no sort-merge join."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x47_quality_blend"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_joins >= 3  # one pct lookup per signal

@@ -514,3 +514,62 @@ def test_dedup_then_score_then_train_pipeline(spark, tmp_path):
     exact = w.groupBy("word").count()
     joined = est.join(exact, "word").collect()
     assert joined and all(r.cms_est >= r["count"] for r in joined)
+
+
+def test_monitored_quality_blend_pipeline(spark, tmp_path):
+    """Drift-gated curation: x48 scores every source's distribution
+    drift, sources under the alert threshold feed x47's
+    histogram-percentile quality blend (percentiles recomputed over the
+    SURVIVING population — the gate changes the distribution, so the
+    blend must re-normalize), and the kept docs land in a partitioned
+    warehouse table.  One lazy program per materialization; the
+    monitoring pass and the curation pass share no driver-side row
+    loops."""
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X47_KEEP,
+        _x47_signals,
+        hist_percentile,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = load(spark, SF_SMOKE, "documents")
+
+    # 1. monitor: per-source drift table (x48); gate = L1 below the
+    # fixture's median drift (keeps ~half the sources)
+    drift = QUERIES["x48_source_drift"](spark, SF_SMOKE)
+    l1s = sorted(r.l1_milli for r in drift.collect())
+    gate = l1s[len(l1s) // 2]
+    ok_sources = drift.filter(F.col("l1_milli") <= gate).select("source")
+    survivors = docs.join(F.broadcast(ok_sources), "source", "left_semi")
+    n_surv = survivors.count()
+    assert 0 < n_surv < docs.count()
+
+    # 2. curate: quality blend re-normalized over the survivors
+    base = _x47_signals(survivors)
+    for s in ("s1", "s2", "s3"):
+        base = hist_percentile(base, s)
+    blended = base.withColumn(
+        "blend",
+        F.expr("(40 * pct_s1 + 30 * pct_s2 + 30 * pct_s3) div 100"),
+    )
+    kept = blended.filter(F.col("blend") >= _X47_KEEP)
+    n_kept = kept.count()
+    assert 0 < n_kept < n_surv
+
+    # 3. land: partitioned by blend decile, auditable scores carried
+    out = kept.withColumn("decile", F.expr("blend div 100"))
+    eng.write_table(out, "curated_blend", partition_by=["decile"], mode="overwrite")
+    back = eng.table("curated_blend")
+    assert back.count() == n_kept
+    # the percentile columns survived into the warehouse (auditability)
+    assert {"pct_s1", "pct_s2", "pct_s3", "blend"} <= set(back.columns)
+    # survivors-only population: every landed doc's source passed the
+    # gate (the signal frame is doc_id-keyed; recover source via docs)
+    bad = (
+        back.select("doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(ok_sources), "source", "left_anti")
+        .count()
+    )
+    assert bad == 0

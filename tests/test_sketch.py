@@ -335,3 +335,56 @@ def test_x45_plan_shape(spark):
     # the cum window's exchange (the AQE text can mention it twice) —
     # it runs over the O(distinct-values) frame, never the corpus
     assert b.text.count("SinglePartition") <= 2
+
+
+# -- x48: per-source distribution drift -------------------------------------
+
+
+def test_x48_drift_crafted_witness(spark, tmp_path):
+    """Two identical-distribution sources score (near-)zero L1; a third
+    source with a shifted length distribution scores large — and the
+    drifted source's L1 exceeds the matched sources' by a wide margin."""
+    rows = []
+    did = 0
+    for src in ("a", "b"):  # identical length mix
+        for ln in [5] * 20 + [50] * 20:
+            rows.append((did, " ".join(["w"] * ln), src))
+            did += 1
+    for ln in [200] * 40:  # drifted: all long
+        rows.append((did, " ".join(["w"] * ln), "drifted"))
+        did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tmp = str(tmp_path / "drift_fixture")
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    out = {r.source: r for r in QUERIES["x48_source_drift"](spark, tmp).collect()}
+    assert set(out) == {"a", "b", "drifted"}
+    assert out["a"].l1_milli == out["b"].l1_milli  # identical mixes tie
+    assert out["drifted"].l1_milli > out["a"].l1_milli + 500
+    assert out["drifted"].max_bin_milli > out["a"].max_bin_milli
+    assert all(r.n_docs == 40 for r in out.values())
+
+
+def test_x48_l1_bounds_and_fixture_sanity(spark):
+    """L1 in [0, 2000] by construction (two milli distributions); every
+    fixture source present with its true doc count."""
+    rows = QUERIES["x48_source_drift"](spark, SF_SMOKE).collect()
+    docs = load(spark, SF_SMOKE, "documents")
+    true_counts = {
+        r.source: r["count"]
+        for r in docs.groupBy("source").count().collect()
+    }
+    assert {r.source for r in rows} == set(true_counts)
+    for r in rows:
+        assert r.n_docs == true_counts[r.source]
+        assert 0 <= r.max_bin_milli <= r.l1_milli <= 2000
+
+
+def test_x48_plan_shape(spark):
+    """One corpus pass then O(sources x bins): no Python, no sort-merge
+    join, no SinglePartition funnel (no windows at all), global/total
+    frames attach by broadcast."""
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x48_source_drift"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert a.sort_merge_joins == 0
+    assert a.text.count("SinglePartition") <= 1  # the 1-row stats agg
