@@ -209,6 +209,7 @@ def sink_histogram_state(
     width: int,
     bins: int,
     text_col: str = "text",
+    group_cols: list[str] | None = None,
 ) -> None:
     """Stream documents into an x45-style histogram state (S18): each
     micro-batch's per-doc token counts bucket into FROZEN equi-width
@@ -216,36 +217,70 @@ def sink_histogram_state(
     bin counts are additive, the same CMS argument, so the streamed
     state equals a batch-built histogram over everything ever ingested
     and ``hist_quantile_from_cells`` serves rank queries against it at
-    any moment.  State is O(bins) forever.
+    any moment.  State is O(bins) forever — O(groups x bins) when
+    ``group_cols`` (e.g. ``["source"]``) partition the histogram, which
+    is exactly the state the x48 drift monitor consumes:
+    ``drift_from_cells`` turns a grouped streamed state into the live
+    per-source drift table without re-reading anything.
 
     Bins are frozen at sink creation (``lo``/``width``/``bins``) — the
     one contract difference from batch x45, which derives [lo, hi] from
     the data in a first pass; a stream has no second pass, so the bin
     config is part of the state's identity (values clamp into the edge
     bins).  This is the standard streaming-histogram tradeoff."""
+    gcols = list(group_cols or [])
 
     def stats(batch: DataFrame) -> DataFrame:
         return (
             batch.select(
-                F.size(F.split(text_col, " ")).cast("long").alias("v")
+                *gcols,
+                F.size(F.split(text_col, " ")).cast("long").alias("v"),
             )
             .select(
+                *gcols,
                 F.greatest(
                     F.lit(0).cast("long"),
                     F.least(
                         F.lit(int(bins) - 1).cast("long"),
                         F.expr(f"(v - {int(lo)}) div {int(width)}"),
                     ),
-                ).alias("bin")
+                ).alias("bin"),
             )
-            .groupBy("bin")
+            .groupBy(*gcols, "bin")
             .agg(F.count(F.lit(1)).cast("long").alias("bc"))
         )
 
     _drain(
         sdf,
-        additive_state_committer(state_dir, stats, ["bin"], ["bc"]),
+        additive_state_committer(state_dir, stats, gcols + ["bin"], ["bc"]),
         checkpoint_dir,
+    )
+
+
+def drift_from_cells(cells: DataFrame, group_col: str = "source") -> DataFrame:
+    """The x48 drift table served from grouped histogram cells
+    (``(group, bin, bc)``, batch- or stream-built): per group, L1
+    distance and worst-bin deviation vs the all-groups histogram, in
+    integer millis.  O(groups x bins) compute — the monitoring query a
+    pipeline runs against its S18 state between micro-batches."""
+    srcs = cells.groupBy(group_col).agg(F.sum("bc").alias("ns"))
+    gbl = cells.groupBy("bin").agg(F.sum("bc").alias("gc"))
+    tot = cells.agg(F.sum("bc").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(gbl))
+        .join(cells, [group_col, "bin"], "left")
+        .fillna(0, ["bc"])
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.expr("abs(1000 * bc div ns - 1000 * gc div n)")
+    return (
+        grid.groupBy(group_col)
+        .agg(
+            F.max("ns").cast("long").alias("n_docs"),
+            F.sum(dev).cast("long").alias("l1_milli"),
+            F.max(dev).cast("long").alias("max_bin_milli"),
+        )
+        .orderBy(group_col)
     )
 
 

@@ -318,3 +318,67 @@ def test_streamed_histogram_state_equals_batch_cells(spark, tmp_path):
     exact_p50 = vals[(500 * len(vals) + 999) // 1000 - 1]
     est = hist_quantile_from_cells(state_df, 500, lo=LO, width=WIDTH)
     assert est <= exact_p50 < est + WIDTH
+
+
+def test_streamed_grouped_histogram_serves_live_drift(spark, tmp_path):
+    """S18 grouped mode: per-source frozen-bin cells fold from a
+    3-batch stream; drift_from_cells over the streamed state equals
+    drift_from_cells over a batch build with the same bins (additivity),
+    and a crafted drifted source scores far above the matched ones."""
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        drift_from_cells,
+        read_state,
+        sink_histogram_state,
+    )
+
+    rows, did = [], 0
+    for src in ("a", "b"):
+        for ln in [5] * 20 + [50] * 20:
+            rows.append((did, " ".join(["w"] * ln), src)); did += 1
+    for ln in [200] * 40:
+        rows.append((did, " ".join(["w"] * ln), "drifted")); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    stage = str(tmp_path / "stage")
+    for b in range(3):
+        (
+            docs.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    LO, WIDTH, BINS = 0, 4, 64
+    state = str(tmp_path / "hist_state")
+    sink_histogram_state(
+        sdf, state, str(tmp_path / "ckpt"),
+        lo=LO, width=WIDTH, bins=BINS, group_cols=["source"],
+    )
+
+    batch_cells = (
+        docs.select(
+            "source",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(BINS - 1).cast("long"),
+                    F.expr(f"(size(split(text, ' ')) - {LO}) div {WIDTH}"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    )
+    streamed = read_state(spark, state)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch_cells.collect())
+    )
+    live = {r.source: r for r in drift_from_cells(streamed).collect()}
+    assert live["a"].l1_milli == live["b"].l1_milli
+    assert live["drifted"].l1_milli > live["a"].l1_milli + 500
+    assert all(r.n_docs == 40 for r in live.values())
