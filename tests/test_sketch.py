@@ -388,3 +388,57 @@ def test_x48_plan_shape(spark):
     assert not a.has_python_eval
     assert a.sort_merge_joins == 0
     assert a.text.count("SinglePartition") <= 1  # the 1-row stats agg
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=40)
+)
+def test_hist_quantile_property(spark, lens):
+    """x45 property: for ANY token-count multiset — ties, skew,
+    single-value corpora — (a) the value-count frame is the exact
+    multiset, (b) bin mass is conserved and bins stay in range, (c) for
+    every target rank the first bin whose cumulative mass reaches it is
+    EXACTLY the bin containing the true order statistic (the
+    containing-bin theorem x45's estimate rests on)."""
+    from collections import Counter
+
+    from cubefs_hadoop_spark.extensions.sketch import (
+        _HIST_B,
+        hist_cells,
+        token_count_values,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    vc = token_count_values(docs)
+    got = {r.v: r.c for r in vc.collect()}
+    assert got == dict(Counter(lens))  # (a)
+
+    stats = vc.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("c").alias("n")
+    )
+    cells = {r.bin: r.bc for r in hist_cells(vc, stats).collect()}
+    n = len(lens)
+    lo, hi = min(lens), max(lens)
+    width = hi - lo + 1
+    assert sum(cells.values()) == n  # (b)
+    assert all(0 <= b < _HIST_B for b in cells)
+
+    ordered = sorted(lens)
+    for p in (500, 900, 990):
+        r = (p * n + 999) // 1000
+        exact = ordered[r - 1]
+        cum, est_bin = 0, None
+        for b in sorted(cells):
+            cum += cells[b]
+            if cum >= r:
+                est_bin = b
+                break
+        assert est_bin == (exact - lo) * _HIST_B // width  # (c)
