@@ -462,32 +462,30 @@ def _x47_signals(docs: DataFrame) -> DataFrame:
 def hist_percentile(df: DataFrame, col: str, b: int = _X47_B) -> DataFrame:
     """Attach ``pct_<col>`` — the histogram-approximated inclusive
     percentile of ``col`` in integer millis: 1000 * (mass of bins <=
-    bin(v)) / n.  One agg for (lo, hi, n), one O(b) cells pass, one
-    broadcast join; bounded error of one bin's mass, no global sort."""
-    from cubefs_hadoop_spark.plans.materialize import barrier
-
-    stats = barrier(
-        df.agg(
-            F.min(col).alias("lo"),
-            F.max(col).alias("hi"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-    )
-    binned = df.crossJoin(F.broadcast(stats)).withColumn(
-        "_bin", F.expr(f"({col} - lo) * {b} div (hi - lo + 1)")
+    bin(v)) / n.  One 1-row agg pins (lo, hi, n) as plan LITERALS (the
+    x03e/x39b driver-sized pattern — collecting a single aggregate row
+    is metadata, and literals keep the bin expression join-free), one
+    O(b) cells pass, one broadcast pct lookup; bounded error of one
+    bin's mass, no global sort, no 1-row crossJoins in the plan."""
+    st = df.agg(
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    if st["n"] == 0 or st["lo"] is None:
+        raise ValueError(f"hist_percentile: empty input for {col!r}")
+    lo, hi, n = int(st["lo"]), int(st["hi"]), int(st["n"])
+    binned = df.withColumn(
+        "_bin", F.expr(f"({col} - {lo}) * {b} div ({hi} - {lo} + 1)")
     )
     wb = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
     pct = (
         binned.groupBy("_bin")
         .agg(F.count(F.lit(1)).cast("long").alias("bc"))
         .withColumn("bcum", F.sum("bc").over(wb))
-        .crossJoin(F.broadcast(stats.select("n")))
-        .select("_bin", F.expr("1000 * bcum div n").alias(f"pct_{col}"))
+        .select("_bin", F.expr(f"1000 * bcum div {n}").alias(f"pct_{col}"))
     )
-    return (
-        binned.join(F.broadcast(pct), "_bin")
-        .drop("_bin", "lo", "hi", "n")
-    )
+    return binned.join(F.broadcast(pct), "_bin").drop("_bin")
 
 
 def _x47_hist_cte(sig: str) -> str:

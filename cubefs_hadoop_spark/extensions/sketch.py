@@ -641,26 +641,32 @@ def x48_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = widen_for_cpu(docs, "doc_id").select(
         "source", F.size(F.split("text", " ")).cast("long").alias("v")
     )
-    st = barrier(v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    # corpus [lo, hi] and total pinned as plan literals from 1-row aggs
+    # (the x03e/x39b driver-sized pattern): bin assignment and the milli
+    # proportions stay join-free — no 1-row crossJoins in the plan
+    st = v.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    if st["lo"] is None:
+        raise ValueError("x48_source_drift: empty documents table")
+    lo, hi = int(st["lo"]), int(st["hi"])
     cells = barrier(
-        v.crossJoin(F.broadcast(st))
-        .select(
+        v.select(
             "source",
-            F.expr(f"(v - lo) * {_DRIFT_B} div (hi - lo + 1)").alias("bin"),
+            F.expr(f"(v - {lo}) * {_DRIFT_B} div ({hi} - {lo} + 1)").alias(
+                "bin"
+            ),
         )
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("bc"))
     )
+    n = cells.agg(F.sum("bc")).first()[0]
     srcs = cells.groupBy("source").agg(F.sum("bc").alias("ns"))
     gbl = cells.groupBy("bin").agg(F.sum("bc").alias("gc"))
-    tot = cells.agg(F.sum("bc").alias("n"))
     grid = (
         srcs.crossJoin(F.broadcast(gbl))
         .join(cells, ["source", "bin"], "left")
         .fillna(0, ["bc"])
-        .crossJoin(F.broadcast(tot))
     )
-    dev = F.expr("abs(1000 * bc div ns - 1000 * gc div n)")
+    dev = F.expr(f"abs(1000 * bc div ns - 1000 * gc div {int(n)})")
     return (
         grid.groupBy("source")
         .agg(

@@ -270,3 +270,5 @@ def test_x47_plan_shape(spark):
     assert not a.has_python_eval
     assert a.sort_merge_joins == 0
     assert a.broadcast_joins >= 3  # one pct lookup per signal
+    # (lo, hi, n) ride as plan literals — no 1-row crossJoins at all
+    assert a.nested_loop_joins == 0

@@ -388,6 +388,9 @@ def test_x48_plan_shape(spark):
     assert not a.has_python_eval
     assert a.sort_merge_joins == 0
     assert a.text.count("SinglePartition") <= 1  # the 1-row stats agg
+    # only the declared O(sources)xO(bins) grid cross join; [lo, hi]
+    # and the corpus total ride as plan literals
+    assert a.nested_loop_joins <= 1
 
 
 @settings(
