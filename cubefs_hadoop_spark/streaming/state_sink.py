@@ -300,3 +300,68 @@ def hist_quantile_from_cells(cells: DataFrame, p_milli: int, lo: int, width: int
         if cum >= target:
             return int(lo) + int(b) * int(width)
     raise ValueError("empty histogram state")
+
+
+def union_state_committer(
+    state_dir: str,
+    keys_fn: Callable[[DataFrame], DataFrame],
+    key_cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function folding IDEMPOTENT-UNION state (distinct
+    key rows) into the persisted state, exactly once — the same ledger
+    mechanics as ``additive_state_committer`` with set union instead of
+    counter addition.  The fold is replay-safe twice over: the ledger
+    skips replayed batch ids AND union is idempotent, so even a
+    key present in many batches lands exactly one row.  This is the
+    merge law of Bloom filters (OR of bit vectors) expressed
+    relationally: the set-bit frame of stream A ∪ B IS the union of
+    the two set-bit frames."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        led = _read_ledger(state_dir)
+        if int(batch_id) <= led["batch_id_max"]:
+            return  # replayed batch: already folded, skip
+        batch_keys = keys_fn(batch_df)
+        if led["gen"] > 0:
+            spark = batch_df.sparkSession
+            prev = spark.read.parquet(_gen_path(state_dir, led["gen"]))
+            merged = (
+                prev.unionByName(batch_keys.select(*prev.columns))
+                .distinct()
+            )
+        else:
+            merged = batch_keys.select(*key_cols).distinct()
+        new_gen = led["gen"] + 1
+        merged.write.mode("overwrite").parquet(_gen_path(state_dir, new_gen))
+        _publish_ledger(state_dir, new_gen, int(batch_id))
+
+    return _commit
+
+
+def sink_bloom_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> None:
+    """Stream documents into an x44 Bloom-filter state (S19): each
+    micro-batch's 16-word windows hash into set-bit positions that fold
+    into ``state_dir`` by exactly-once set union — Bloom's merge IS
+    bitwise OR, so the streamed filter bit-equals the batch-built one
+    over everything ever ingested, keeps its definitive-miss guarantee
+    (a window seen in ANY past batch always hits), and
+    ``sketch.bloom_probe`` serves decontamination lookups against it at
+    any moment.  State is <= m rows forever, whatever the stream saw —
+    the streaming half of the passage-Bloom decontamination loop (x44
+    scores it batch-side)."""
+    from cubefs_hadoop_spark.extensions.sketch import _windows, bloom_build
+
+    def keys(batch: DataFrame) -> DataFrame:
+        return bloom_build(_windows(batch))
+
+    _drain(
+        sdf,
+        union_state_committer(state_dir, keys, ["pos"]),
+        checkpoint_dir,
+    )

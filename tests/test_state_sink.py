@@ -382,3 +382,62 @@ def test_streamed_grouped_histogram_serves_live_drift(spark, tmp_path):
     assert live["a"].l1_milli == live["b"].l1_milli
     assert live["drifted"].l1_milli > live["a"].l1_milli + 500
     assert all(r.n_docs == 40 for r in live.values())
+
+
+def test_streamed_bloom_state_equals_batch_filter(spark, tmp_path):
+    """S19: documents arriving as a 3-batch stream fold into the x44
+    Bloom state by exactly-once SET UNION (Bloom merge == bitwise OR);
+    the streamed set-bit frame equals the batch-built filter over the
+    whole corpus, a window from ANY past batch still hits (definitive
+    miss preserved across the stream), and a novel window misses."""
+    from cubefs_hadoop_spark.extensions.sketch import (
+        _windows,
+        bloom_build,
+        bloom_probe,
+    )
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_bloom_state,
+    )
+
+    P1 = " ".join(f"a{i}" for i in range(20))
+    P2 = " ".join(f"b{i}" for i in range(20))
+    P3 = " ".join(f"c{i}" for i in range(20))
+    novel = " ".join(f"z{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, P1), (1, P2), (2, P3)], "doc_id long, text string"
+    )
+    stage = str(tmp_path / "stage")
+    for b in range(3):
+        (
+            docs.filter(F.col("doc_id") == b)
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    state = str(tmp_path / "bloom_state")
+    sink_bloom_state(sdf, state, str(tmp_path / "ckpt"))
+
+    streamed = {r.pos for r in read_state(spark, state).collect()}
+    batch = {r.pos for r in bloom_build(_windows(docs)).collect()}
+    assert streamed == batch  # OR-merge == batch build
+
+    probes = spark.createDataFrame(
+        [(10, P1), (11, P3), (12, novel)], "doc_id long, text string"
+    )
+    hits = {
+        (r.doc_id, r.bloom_hit)
+        for r in bloom_probe(
+            _windows(probes), read_state(spark, state)
+        ).collect()
+    }
+    # every window of the batch-0 and batch-2 passages hits (the filter
+    # remembers the WHOLE stream); at this fill ratio the novel doc's
+    # windows all miss
+    assert all(h for d, h in hits if d in (10, 11))
+    assert not any(h for d, h in hits if d == 12)
