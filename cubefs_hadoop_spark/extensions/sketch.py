@@ -676,3 +676,94 @@ def x48_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- x49: cross-source contamination matrix ---------------------------------
+#
+# The PROVENANCE diagnostic completing the observability pair (x48
+# answers "did a source's distribution drift?"; x49 answers "which
+# sources share verbatim passages with which?"): for every source
+# pair, how many distinct 16-word windows (x38/x44's passage unit)
+# appear in BOTH — plus a milli containment score
+# 1000·shared/min(|A|,|B|), the asymmetric-size-robust overlap measure
+# dedup planning uses (a mirror site shows containment ~1000 against
+# its origin even when the origin is 100x larger).
+#
+# Scale: the (source, win) frame is a partial-agg'd distinct off one
+# corpus pass; the matrix is a win-keyed EQUI-join — pair space is
+# per-window (bounded by sources-per-window <= S, never corpus²), and
+# the output is at most S² rows of metadata.  The matrix is what routes
+# an x38b dedup pass: pairs at high containment are mirror feeds worth
+# deduplicating against each other first.
+
+_X49_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+           FROM documents),
+wins AS (
+  SELECT DISTINCT source,
+         array_to_string(w[(i+1):(i+{_BLOOM_W})], ' ') AS win
+  FROM d, UNNEST(range(CAST(len(w) - {_BLOOM_W - 1} AS BIGINT))) AS u(i)
+  WHERE len(w) >= {_BLOOM_W}),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nw FROM wins GROUP BY 1),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_windows
+  FROM wins a JOIN wins b ON a.win = b.win AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.shared_windows,
+       sa.nw AS n_windows_a, sb.nw AS n_windows_b,
+       CAST(1000 * p.shared_windows // LEAST(sa.nw, sb.nw) AS BIGINT)
+           AS containment_milli
+FROM pairs p
+JOIN sz sa ON sa.source = p.src_a
+JOIN sz sb ON sb.source = p.src_b
+ORDER BY src_a, src_b"""
+
+
+@register("x49_overlap_matrix", _X49_ORACLE)
+def x49_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 cross-source contamination matrix: per source pair, the
+    count of distinct 16-word windows present in both, each side's
+    distinct window count, and milli containment
+    1000·shared/min(|A|,|B|).  One corpus pass -> (source, win)
+    distinct frame; the matrix is a win-keyed equi-join (pair space
+    per-window, never corpus²), output <= sources² rows."""
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    wins = barrier(
+        _windows(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "win")
+        .distinct()
+    )
+    sz = wins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nw")
+    )
+    a = wins.select(F.col("source").alias("src_a"), "win")
+    b = wins.select(F.col("source").alias("src_b"), "win")
+    pairs = (
+        a.join(b, "win")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_windows"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("nw", "n_windows_a")
+        .join(F.broadcast(sz.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("nw", "n_windows_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_windows",
+            "n_windows_a",
+            "n_windows_b",
+            F.expr(
+                "1000 * shared_windows div least(n_windows_a, n_windows_b)"
+            ).alias("containment_milli"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -445,3 +445,61 @@ def test_hist_quantile_property(spark, lens):
                 est_bin = b
                 break
         assert est_bin == (exact - lo) * _HIST_B // width  # (c)
+
+
+# -- x49: cross-source contamination matrix ---------------------------------
+
+
+def test_x49_crafted_mirror_witness(spark, tmp_path):
+    """A mirror source sharing one passage with its origin shows up at
+    containment 1000 against it even though the origin is much larger;
+    two disjoint sources produce no row at all; shared counts and sizes
+    match hand counts."""
+    P = " ".join(f"p{i}" for i in range(20))       # 20 words -> 5 windows
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, P + " " + uniq("o", 60), "origin"),    # holds P + 60 own words
+        (2, P, "mirror"),                          # ONLY the passage
+        (3, uniq("d", 40), "disjoint"),            # nothing shared
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tmp = str(tmp_path / "overlap_fixture")
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in QUERIES["x49_overlap_matrix"](spark, tmp).collect()
+    }
+    assert set(out) == {("mirror", "origin")}  # disjoint never appears
+    m = out[("mirror", "origin")]
+    assert m.n_windows_b > m.n_windows_a == 5  # mirror: the 5 P-windows
+    assert m.shared_windows == 5
+    assert m.containment_milli == 1000  # full containment of the mirror
+
+
+def test_x49_matrix_bounds_and_symmetry_invariants(spark):
+    """Fixture sanity: every pair ordered src_a < src_b exactly once,
+    shared <= min(side sizes), containment in (0, 1000]."""
+    rows = QUERIES["x49_overlap_matrix"](spark, SF_SMOKE).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert 0 < r.shared_windows <= min(r.n_windows_a, r.n_windows_b)
+        assert 0 < r.containment_milli <= 1000
+        assert r.containment_milli == (
+            1000 * r.shared_windows // min(r.n_windows_a, r.n_windows_b)
+        )
+
+
+def test_x49_plan_shape(spark):
+    """The matrix is a win-keyed EQUI-join off one barriered distinct
+    frame (never a corpus nested loop); size frames attach broadcast;
+    no Python, no single-partition funnel."""
+    spark.catalog.clearCache()
+    a = audit_plan(QUERIES["x49_overlap_matrix"](spark, SF_SMOKE))
+    assert not a.has_python_eval
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins >= 2
+    assert a.text.count("SinglePartition") == 0
