@@ -1172,3 +1172,68 @@ def x46b_density_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x50 — semantic decontamination (embedding-level benchmark leakage gate)
+# ---------------------------------------------------------------------------
+#
+# The EMBEDDING half of the decontamination family: x09/x44 catch
+# verbatim n-gram/passage leakage, but a paraphrased or
+# lightly-reworded benchmark item shares no 16-word window with its
+# source — it shares an embedding neighborhood.  x50 flags every train
+# vector whose max cosine against the HELD-OUT set reaches tau: the
+# "remove anything semantically too close to the eval set" pass
+# production pipelines run beside the lexical gate.
+#
+# Scale shape: the held-out frame is BROADCAST and the scan is one pass
+# over the train side (a broadcast nested loop — the declared probe
+# shape, exactly x03's brute-force tier) because benchmark sets are
+# thousands of rows against a 100 TB corpus; when the held-out side
+# grows past broadcast size, the SRP/IVF candidate tiers (x13/x03c)
+# bound the pair space first and x50's exact verify runs on candidates
+# only — the same cascade as the dedup family.  Output is the full
+# auditable decision table (every train vector, its max held-out
+# cosine, the flag), never a silent filter.
+
+_X50_TAU = 0.4        # contamination threshold (cosine) — the family operating point (x12/x13)
+_X50_TEST_MOD = 10    # vec_id % 10 == 0 -> held-out set (10%)
+
+_X50_ORACLE = f"""
+WITH test AS (
+  SELECT vec_id AS tid, embedding AS te FROM embeddings
+  WHERE vec_id % {_X50_TEST_MOD} = 0),
+train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_X50_TEST_MOD} <> 0),
+scored AS (
+  SELECT t.vec_id, MAX({_cosine_duck('t.embedding', 's.te')}) AS mc
+  FROM train t CROSS JOIN test s GROUP BY t.vec_id)
+SELECT vec_id, CAST(ROUND(mc, 2) AS DECIMAL(18,2)) AS max_test_cos,
+       mc >= {_X50_TAU} AS contaminated
+FROM scored ORDER BY vec_id"""
+
+
+@register("x50_semantic_decontam", _X50_ORACLE)
+def x50_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 semantic decontamination: every train vector (vec_id % 10
+    != 0) scored by its MAX cosine against the held-out 10%, flagged at
+    cos >= 0.4 — the embedding-side leakage gate beside the lexical
+    x09/x44 passes (paraphrases share neighborhoods, not n-grams).
+    Held-out frame broadcast, one train-side pass; at scale the
+    x13/x03c candidate tiers bound the pair space first."""
+    emb = load(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") % _X50_TEST_MOD == 0).select(
+        F.col("embedding").alias("te"),
+        _norm_expr("embedding").alias("tn"),
+    )
+    train = widen_for_cpu(
+        emb.filter(F.col("vec_id") % _X50_TEST_MOD != 0), "vec_id"
+    ).select("vec_id", "embedding", _norm_expr("embedding").alias("n"))
+    mc = F.max(_cosine_with_norms("embedding", "te", "n", "tn")).alias("mc")
+    scored = train.join(F.broadcast(test)).groupBy("vec_id").agg(mc)
+    return scored.select(
+        "vec_id",
+        r2d(F.col("mc")).alias("max_test_cos"),
+        (F.col("mc") >= _X50_TAU).alias("contaminated"),
+    ).orderBy("vec_id")

@@ -1576,3 +1576,61 @@ def test_x46_plan_shape(spark):
     b = audit_plan(QUERIES["x46b_density_downsample"](spark, SF_SMOKE))
     assert not b.has_python_eval
     assert b.nested_loop_joins <= 1
+
+
+# -- x50: semantic decontamination ------------------------------------------
+
+
+def test_x50_crafted_paraphrase_witness(spark, tmp_path):
+    """A train vector that is a near-copy of a held-out vector is
+    flagged even though it shares NO exact representation; an unrelated
+    train vector is not.  Every train vector appears exactly once, the
+    held-out rows never appear, and the flag equals (max cos >= tau)
+    against a hand-computed cosine."""
+    import math
+
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    test_vec = [1.0, 0.0, 0.0, 0.0]          # vec_id 0 -> held out (0 % 10)
+    near = [0.99, 0.12, 0.0, 0.0]            # vec_id 1 -> train, ~aligned
+    far = [0.0, 0.0, 1.0, 0.0]               # vec_id 2 -> train, orthogonal
+    rows = [(0, test_vec, 0), (1, near, 0), (2, far, 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    tmp = str(tmp_path / "decontam_fixture")
+    emb.write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    out = {r.vec_id: r for r in QUERIES["x50_semantic_decontam"](spark, tmp).collect()}
+    assert set(out) == {1, 2}  # held-out id 0 is never scored
+    cos_near = 0.99 / math.sqrt(0.99**2 + 0.12**2)
+    assert abs(float(out[1].max_test_cos) - round(cos_near, 2)) < 1e-9
+    assert out[1].contaminated
+    assert float(out[2].max_test_cos) == 0.0 and not out[2].contaminated
+
+
+def test_x50_fixture_accounting_and_flag_law(spark):
+    """Fixture sanity: exactly the vec_id % 10 != 0 vectors are scored,
+    contaminated == (max_test_cos >= tau) after the same rounding, and
+    the contaminated class is nonempty at the family operating point
+    while never swallowing the whole corpus."""
+    from cubefs_hadoop_spark.extensions.semantic import _X50_TAU
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x50_semantic_decontam"](spark, SF_SMOKE).collect()
+    ids = [
+        r.vec_id
+        for r in load(spark, SF_SMOKE, "embeddings").select("vec_id").collect()
+    ]
+    assert sorted(r.vec_id for r in rows) == sorted(
+        i for i in ids if i % 10 != 0
+    )
+    n_cont = sum(1 for r in rows if r.contaminated)
+    assert 0 < n_cont < len(rows)
+    for r in rows:
+        # r2d rounding can push a borderline max across the display
+        # threshold; the FLAG is computed on the unrounded max, so only
+        # check one-sided consistency at a safe margin
+        if float(r.max_test_cos) >= _X50_TAU + 0.01:
+            assert r.contaminated
+        if float(r.max_test_cos) <= _X50_TAU - 0.01:
+            assert not r.contaminated
