@@ -459,22 +459,36 @@ def _x47_signals(docs: DataFrame) -> DataFrame:
     )
 
 
-def hist_percentile(df: DataFrame, col: str, b: int = _X47_B) -> DataFrame:
+def hist_percentile(
+    df: DataFrame,
+    col: str,
+    b: int = _X47_B,
+    stats: "tuple[int, int, int] | None" = None,
+) -> DataFrame:
     """Attach ``pct_<col>`` — the histogram-approximated inclusive
     percentile of ``col`` in integer millis: 1000 * (mass of bins <=
-    bin(v)) / n.  One 1-row agg pins (lo, hi, n) as plan LITERALS (the
-    x03e/x39b driver-sized pattern — collecting a single aggregate row
-    is metadata, and literals keep the bin expression join-free), one
+    bin(v)) / n.  (lo, hi, n) ride as plan LITERALS (the x03e/x39b
+    driver-sized pattern — collecting a single aggregate row is
+    metadata, and literals keep the bin expression join-free), one
     O(b) cells pass, one broadcast pct lookup; bounded error of one
-    bin's mass, no global sort, no 1-row crossJoins in the plan."""
-    st = df.agg(
-        F.min(col).alias("lo"),
-        F.max(col).alias("hi"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    ).first()
-    if st["n"] == 0 or st["lo"] is None:
+    bin's mass, no global sort, no 1-row crossJoins in the plan.
+
+    ``stats`` lets a caller normalizing SEVERAL signals pin all their
+    bounds from ONE agg over the base frame instead of one driver
+    action per signal (x47 does — three signals, one stats pass)."""
+    if stats is None:
+        st = df.agg(
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        ).first()
+        if st["n"] == 0 or st["lo"] is None:
+            raise ValueError(f"hist_percentile: empty input for {col!r}")
+        stats = (int(st["lo"]), int(st["hi"]), int(st["n"]))
+    lo, hi, n = stats
+    if n <= 0 or lo is None:
         raise ValueError(f"hist_percentile: empty input for {col!r}")
-    lo, hi, n = int(st["lo"]), int(st["hi"]), int(st["n"])
+    lo, hi, n = int(lo), int(hi), int(n)
     binned = df.withColumn(
         "_bin", F.expr(f"({col} - {lo}) * {b} div ({hi} - {lo} + 1)")
     )
@@ -545,9 +559,25 @@ def x47_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     base = barrier(_x47_signals(widen_for_cpu(docs, "doc_id")))
+    # ONE stats pass over the barriered base pins all three signals'
+    # (lo, hi, n) literals — not one progressively-wider driver action
+    # per signal
+    st = base.agg(
+        *[
+            f(s).alias(f"{name}_{s}")
+            for s in ("s1", "s2", "s3")
+            for name, f in (("lo", F.min), ("hi", F.max))
+        ],
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).first()
+    if st["n"] == 0:
+        raise ValueError("x47_quality_blend: empty documents table")
     out = base
     for sig in ("s1", "s2", "s3"):
-        out = hist_percentile(out, sig)
+        out = hist_percentile(
+            out, sig,
+            stats=(int(st[f"lo_{sig}"]), int(st[f"hi_{sig}"]), int(st["n"])),
+        )
     w0, w1, w2 = _X47_W
     blend = F.expr(f"({w0} * pct_s1 + {w1} * pct_s2 + {w2} * pct_s3) div 100")
     return (

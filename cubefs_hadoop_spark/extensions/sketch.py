@@ -232,14 +232,22 @@ def _bloom_pos(key: F.Column, row: F.Column) -> F.Column:
     return (h % _BLOOM_M).alias("pos")
 
 
-def _windows(docs: DataFrame, w: int = _BLOOM_W) -> DataFrame:
-    """(doc_id, win): each document's DISTINCT w-word sliding windows."""
+def _windows(
+    docs: DataFrame, w: int = _BLOOM_W, extra_cols: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, [extra_cols,] win): each document's DISTINCT w-word
+    sliding windows.  ``extra_cols`` carry doc-level columns (e.g.
+    ``source``) on the window stream directly — the map-born frame
+    keeps them for free, where a join back to the corpus to recover
+    them would cost a second scan plus a corpus-scale shuffle (the
+    x38b lesson, carried here for x49)."""
     ws = F.split("text", " ")
     idx = F.when(
         F.size(ws) >= w, F.sequence(F.lit(0), F.size(ws) - F.lit(w))
     ).otherwise(F.expr("array()").cast("array<int>"))
     return docs.select(
         "doc_id",
+        *(extra_cols or []),
         F.explode(
             F.transform(
                 idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, w))
@@ -403,35 +411,24 @@ def token_count_values(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def hist_cells(vc: DataFrame, stats: DataFrame, b: int = _HIST_B) -> DataFrame:
+def hist_cells(vc: DataFrame, stats, b: int = _HIST_B) -> DataFrame:
     """Equi-width bin counts from the value-count frame: bin =
-    (v - lo) * B div (hi - lo + 1), all BIGINT.  ``stats`` is the 1-row
-    (lo, hi, n) frame (broadcast)."""
-    return (
-        vc.crossJoin(F.broadcast(stats))
-        .select(
+    (v - lo) * B div (hi - lo + 1), all BIGINT.  ``stats`` is either a
+    (lo, hi) int pair — preferred: the bounds ride as plan LITERALS
+    (the x03e/x39b driver-sized pattern, no 1-row crossJoin in the
+    plan) — or a 1-row (lo, hi, ...) frame (broadcast)."""
+    if isinstance(stats, tuple):
+        lo, hi = int(stats[0]), int(stats[1])
+        binned = vc.select(
+            F.expr(f"(v - {lo}) * {b} div ({hi} - {lo} + 1)").alias("bin"),
+            "c",
+        )
+    else:
+        binned = vc.crossJoin(F.broadcast(stats)).select(
             F.expr(f"(v - lo) * {b} div (hi - lo + 1)").alias("bin"),
             "c",
         )
-        .groupBy("bin")
-        .agg(F.sum("c").alias("bc"))
-    )
-
-
-def _rank_targets(stats: DataFrame, ps=_HIST_PS) -> DataFrame:
-    """(p_milli, target_rank, lo, hi) — target_rank = ceil(p*n/1000)."""
-    arr = ", ".join(str(p) for p in ps)
-    return (
-        stats.select(
-            F.explode(F.expr(f"array({arr})")).alias("p_milli"), "lo", "hi", "n"
-        )
-        .select(
-            F.col("p_milli").cast("long").alias("p_milli"),
-            F.expr("(p_milli * n + 999) div 1000").alias("target_rank"),
-            "lo",
-            "hi",
-        )
-    )
+    return binned.groupBy("bin").agg(F.sum("c").alias("bc"))
 
 
 _X45_ORACLE = f"""
@@ -475,44 +472,52 @@ def x45_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     vc = barrier(token_count_values(docs))
-    stats = barrier(
-        vc.agg(
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-            F.sum("c").alias("n"),
-        )
-    )
-    targets = _rank_targets(stats)
+    # (lo, hi, n) and the three rank targets pin as plan LITERALS from
+    # one 1-row agg (the x03e/x39b driver-sized pattern): the per-target
+    # "first row reaching rank r" scans become conditional MIN
+    # aggregates — zero joins anywhere in the plan
+    st = vc.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi"), F.sum("c").alias("n")
+    ).first()
+    if st["lo"] is None:
+        raise ValueError("x45_hist_quantiles: empty documents table")
+    lo, hi, n = int(st["lo"]), int(st["hi"]), int(st["n"])
+    ranks = {p: (p * n + 999) // 1000 for p in _HIST_PS}
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = vc.withColumn("cum", F.sum("c").over(wv))
     wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    bcum = hist_cells(vc, stats).withColumn("bcum", F.sum("bc").over(wb))
-    exact = (
-        F.broadcast(targets.select("p_milli", "target_rank"))
-        .join(cum, F.col("cum") >= F.col("target_rank"))
-        .groupBy("p_milli")
-        .agg(F.min("v").alias("exact_q"))
+    bcum = (
+        hist_cells(vc, (lo, hi))
+        .withColumn("bcum", F.sum("bc").over(wb))
     )
-    est = (
-        F.broadcast(targets.select("p_milli", "target_rank"))
-        .join(bcum, F.col("bcum") >= F.col("target_rank"))
-        .groupBy("p_milli")
-        .agg(F.min("bin").alias("est_bin"))
+    exact = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= r, F.col("v"))).alias(f"e{p}")
+            for p, r in ranks.items()
+        ]
     )
-    return (
-        targets.join(exact, "p_milli")
-        .join(est, "p_milli")
-        .select(
-            "p_milli",
-            "target_rank",
-            "exact_q",
-            "est_bin",
-            F.expr(f"lo + (est_bin * (hi - lo + 1)) div {_HIST_B}").alias(
-                "hist_est"
-            ),
-        )
-        .orderBy("p_milli")
+    est = bcum.agg(
+        *[
+            F.min(F.when(F.col("bcum") >= r, F.col("bin"))).alias(f"b{p}")
+            for p, r in ranks.items()
+        ]
     )
+    one = exact.unionByName(est, allowMissingColumns=True).agg(
+        *[
+            F.first(c, ignorenulls=True).alias(c)
+            for p in ranks
+            for c in (f"e{p}", f"b{p}")
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({p} AS BIGINT), CAST({r} AS BIGINT), e{p}, b{p}, "
+        f"CAST({lo} + (b{p} * ({hi} - {lo} + 1)) div {_HIST_B} AS BIGINT)"
+        for p, r in ranks.items()
+    )
+    return one.selectExpr(
+        f"stack({len(ranks)}, {stack}) AS "
+        "(p_milli, target_rank, exact_q, est_bin, hist_est)"
+    ).orderBy("p_milli")
 
 
 # -- x45b: equi-depth histogram statistics (value-granularity) --------------
@@ -559,13 +564,18 @@ def x45b_equidepth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     vc = barrier(token_count_values(docs))
-    stats = vc.agg(F.sum("c").alias("n"))
+    # corpus total pinned as a plan literal (x03e/x39b pattern — no
+    # 1-row crossJoin riding the vc frame)
+    n = vc.agg(F.sum("c")).first()[0]
+    if n is None:
+        raise ValueError("x45b_equidepth_stats: empty documents table")
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = vc.withColumn("cum", F.sum("c").over(wv))
     return (
-        cum.crossJoin(F.broadcast(stats))
-        .select(
-            F.expr(f"(cum - 1) * {_ED_B} div n").alias("bucket"), "v", "c"
+        cum.select(
+            F.expr(f"(cum - 1) * {_ED_B} div {int(n)}").alias("bucket"),
+            "v",
+            "c",
         )
         .groupBy("bucket")
         .agg(
@@ -658,24 +668,13 @@ def x48_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("bc"))
     )
+    # post-cells stage delegates to drift_from_cells — the SAME code
+    # path the S18 streamed state is served through, so the
+    # oracle-checked batch table and the live one cannot diverge
+    from cubefs_hadoop_spark.streaming.state_sink import drift_from_cells
+
     n = cells.agg(F.sum("bc")).first()[0]
-    srcs = cells.groupBy("source").agg(F.sum("bc").alias("ns"))
-    gbl = cells.groupBy("bin").agg(F.sum("bc").alias("gc"))
-    grid = (
-        srcs.crossJoin(F.broadcast(gbl))
-        .join(cells, ["source", "bin"], "left")
-        .fillna(0, ["bc"])
-    )
-    dev = F.expr(f"abs(1000 * bc div ns - 1000 * gc div {int(n)})")
-    return (
-        grid.groupBy("source")
-        .agg(
-            F.max("ns").cast("long").alias("n_docs"),
-            F.sum(dev).cast("long").alias("l1_milli"),
-            F.max(dev).cast("long").alias("max_bin_milli"),
-        )
-        .orderBy("source")
-    )
+    return drift_from_cells(cells, group_col="source", total=int(n))
 
 
 # -- x49: cross-source contamination matrix ---------------------------------
@@ -731,11 +730,10 @@ def x49_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubefs_hadoop_spark.plans.materialize import barrier
 
     docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    # source rides the map-born window stream (extra_cols) — ONE corpus
+    # scan, no join back to recover doc-level columns (the x38b lesson)
     wins = barrier(
-        _windows(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "win")
-        .distinct()
+        _windows(docs, extra_cols=["source"]).select("source", "win").distinct()
     )
     sz = wins.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("nw")

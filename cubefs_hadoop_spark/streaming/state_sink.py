@@ -69,6 +69,37 @@ def read_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(_gen_path(state_dir, led["gen"]))
 
 
+def _ledger_committer(
+    state_dir: str,
+    stats_fn: Callable[[DataFrame], DataFrame],
+    merge_fn: "Callable[[DataFrame | None, DataFrame], DataFrame]",
+) -> Callable[[DataFrame, int], None]:
+    """The ONE exactly-once fold protocol every state sink shares:
+    ledger read -> batch-id watermark skip -> merge with the previous
+    generation -> new generation write -> atomic ledger publish.  Only
+    the MERGE LAW varies by sink (counter addition, set union), so only
+    ``merge_fn(prev_or_None, batch_stats)`` is pluggable — a fix to the
+    exactly-once mechanics lands once, for every sink."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        led = _read_ledger(state_dir)
+        if int(batch_id) <= led["batch_id_max"]:
+            return  # replayed batch: already folded, skip
+        batch_stats = stats_fn(batch_df)
+        prev = None
+        if led["gen"] > 0:
+            prev = batch_df.sparkSession.read.parquet(
+                _gen_path(state_dir, led["gen"])
+            )
+        merged = merge_fn(prev, batch_stats)
+        new_gen = led["gen"] + 1
+        merged.write.mode("overwrite").parquet(_gen_path(state_dir, new_gen))
+        _publish_ledger(state_dir, new_gen, int(batch_id))
+
+    return _commit
+
+
 def additive_state_committer(
     state_dir: str,
     stats_fn: Callable[[DataFrame], DataFrame],
@@ -83,31 +114,18 @@ def additive_state_committer(
     fold(state, batch) == full recompute over every row ever ingested,
     to the bit, regardless of how the stream sliced the data into
     batches (the incremental-op contract x31b/x33b hash-prove)."""
-    os.makedirs(state_dir, exist_ok=True)
 
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        led = _read_ledger(state_dir)
-        if int(batch_id) <= led["batch_id_max"]:
-            return  # replayed batch: already folded, skip
-        batch_stats = stats_fn(batch_df)
-        if led["gen"] > 0:
-            spark = batch_df.sparkSession
-            prev = spark.read.parquet(_gen_path(state_dir, led["gen"]))
-            merged = (
-                prev.unionByName(batch_stats.select(*prev.columns))
-                .groupBy(*key_cols)
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
-            )
-        else:
-            merged = (
-                batch_stats.groupBy(*key_cols)
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
-            )
-        new_gen = led["gen"] + 1
-        merged.write.mode("overwrite").parquet(_gen_path(state_dir, new_gen))
-        _publish_ledger(state_dir, new_gen, int(batch_id))
+    def merge(prev: DataFrame | None, batch_stats: DataFrame) -> DataFrame:
+        both = (
+            prev.unionByName(batch_stats.select(*prev.columns))
+            if prev is not None
+            else batch_stats
+        )
+        return both.groupBy(*key_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
 
-    return _commit
+    return _ledger_committer(state_dir, stats_fn, merge)
 
 
 def sink_centroid_state(
@@ -228,6 +246,16 @@ def sink_histogram_state(
     the data in a first pass; a stream has no second pass, so the bin
     config is part of the state's identity (values clamp into the edge
     bins).  This is the standard streaming-histogram tradeoff."""
+    # a degenerate bin config would not error downstream — Spark's
+    # non-ANSI div-by-zero yields NULL and the clamp would silently
+    # funnel every document into one edge bin, corrupting the state
+    # while looking healthy.  Refuse loudly instead (the x47/x48
+    # empty-input contract).
+    if int(width) <= 0 or int(bins) <= 0:
+        raise ValueError(
+            f"sink_histogram_state: invalid bin config width={width} "
+            f"bins={bins} (both must be positive)"
+        )
     gcols = list(group_cols or [])
 
     def stats(batch: DataFrame) -> DataFrame:
@@ -257,22 +285,37 @@ def sink_histogram_state(
     )
 
 
-def drift_from_cells(cells: DataFrame, group_col: str = "source") -> DataFrame:
+def drift_from_cells(
+    cells: DataFrame, group_col: str = "source", total: int | None = None
+) -> DataFrame:
     """The x48 drift table served from grouped histogram cells
     (``(group, bin, bc)``, batch- or stream-built): per group, L1
     distance and worst-bin deviation vs the all-groups histogram, in
     integer millis.  O(groups x bins) compute — the monitoring query a
-    pipeline runs against its S18 state between micro-batches."""
+    pipeline runs against its S18 state between micro-batches.
+
+    This is THE post-cells drift computation — x48's registered entry
+    delegates here, so the batch/oracle-checked table and the
+    live-served one cannot diverge.  ``total`` optionally pins the
+    all-groups count as a plan literal (x48 passes it — the x03e
+    pattern); left None it is computed from the cells with a 1-row
+    broadcast."""
     srcs = cells.groupBy(group_col).agg(F.sum("bc").alias("ns"))
     gbl = cells.groupBy("bin").agg(F.sum("bc").alias("gc"))
-    tot = cells.agg(F.sum("bc").alias("n"))
     grid = (
         srcs.crossJoin(F.broadcast(gbl))
         .join(cells, [group_col, "bin"], "left")
         .fillna(0, ["bc"])
-        .crossJoin(F.broadcast(tot))
     )
-    dev = F.expr("abs(1000 * bc div ns - 1000 * gc div n)")
+    if total is None:
+        grid = grid.crossJoin(
+            F.broadcast(cells.agg(F.sum("bc").alias("n")))
+        )
+        dev = F.expr("abs(1000 * bc div ns - 1000 * gc div n)")
+    else:
+        dev = F.expr(
+            f"abs(1000 * bc div ns - 1000 * gc div {int(total)})"
+        )
     return (
         grid.groupBy(group_col)
         .agg(
@@ -315,28 +358,17 @@ def union_state_committer(
     key present in many batches lands exactly one row.  This is the
     merge law of Bloom filters (OR of bit vectors) expressed
     relationally: the set-bit frame of stream A ∪ B IS the union of
-    the two set-bit frames."""
-    os.makedirs(state_dir, exist_ok=True)
+    the two set-bit frames.  Shares `_ledger_committer`'s exactly-once
+    protocol with the additive sinks — only the merge law differs."""
 
-    def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        led = _read_ledger(state_dir)
-        if int(batch_id) <= led["batch_id_max"]:
-            return  # replayed batch: already folded, skip
-        batch_keys = keys_fn(batch_df)
-        if led["gen"] > 0:
-            spark = batch_df.sparkSession
-            prev = spark.read.parquet(_gen_path(state_dir, led["gen"]))
-            merged = (
-                prev.unionByName(batch_keys.select(*prev.columns))
-                .distinct()
-            )
-        else:
-            merged = batch_keys.select(*key_cols).distinct()
-        new_gen = led["gen"] + 1
-        merged.write.mode("overwrite").parquet(_gen_path(state_dir, new_gen))
-        _publish_ledger(state_dir, new_gen, int(batch_id))
+    def merge(prev: DataFrame | None, batch_keys: DataFrame) -> DataFrame:
+        if prev is not None:
+            return prev.unionByName(
+                batch_keys.select(*prev.columns)
+            ).distinct()
+        return batch_keys.select(*key_cols).distinct()
 
-    return _commit
+    return _ledger_committer(state_dir, keys_fn, merge)
 
 
 def sink_bloom_state(

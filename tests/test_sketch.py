@@ -327,6 +327,10 @@ def test_x45_plan_shape(spark):
     a = audit_plan(QUERIES["x45_hist_quantiles"](spark, SF_SMOKE))
     assert not a.has_python_eval
     assert a.sort_merge_joins == 0
+    # literal-pinned (lo, hi, n) + conditional-MIN rank scans: the plan
+    # has NO joins at all (family parity with x47/x48's refactor)
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins == 0
     assert a.text.count("SinglePartition") <= 2
     spark.catalog.clearCache()
     b = audit_plan(QUERIES["x45b_equidepth_stats"](spark, SF_SMOKE))

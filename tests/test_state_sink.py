@@ -441,3 +441,30 @@ def test_streamed_bloom_state_equals_batch_filter(spark, tmp_path):
     # windows all miss
     assert all(h for d, h in hits if d in (10, 11))
     assert not any(h for d, h in hits if d == 12)
+
+
+def test_histogram_sink_refuses_degenerate_bin_config(spark, tmp_path):
+    """width=0 / bins=0 would silently funnel every doc into one edge
+    bin (non-ANSI div-by-zero -> NULL -> clamp) — the sink must refuse
+    loudly before any state is written."""
+    import pytest
+
+    from cubefs_hadoop_spark.streaming.state_sink import sink_histogram_state
+
+    spark.createDataFrame(
+        [(1, "w w w")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "data"))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(tmp_path / "data"))
+    )
+    with pytest.raises(ValueError, match="invalid bin config"):
+        sink_histogram_state(
+            sdf, str(tmp_path / "s"), str(tmp_path / "c"),
+            lo=0, width=0, bins=64,
+        )
+    with pytest.raises(ValueError, match="invalid bin config"):
+        sink_histogram_state(
+            sdf, str(tmp_path / "s2"), str(tmp_path / "c2"),
+            lo=0, width=4, bins=0,
+        )
