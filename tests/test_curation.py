@@ -272,3 +272,59 @@ def test_x47_plan_shape(spark):
     assert a.broadcast_joins >= 3  # one pct lookup per signal
     # (lo, hi, n) ride as plan literals — no 1-row crossJoins at all
     assert a.nested_loop_joins == 0
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+def test_hist_percentile_property(spark, vals):
+    """x47's normalizer vs a pure-Python reference for ANY integer
+    multiset (ties, negatives, single-value): pct(v) = 1000 *
+    (mass of bins <= bin(v)) // n, bin(v) = (v-lo)*B div (hi-lo+1) —
+    bit-equal, monotone in v, and 1000 for the max value."""
+    from collections import Counter
+
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X47_B,
+        hist_percentile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s1 long"
+    )
+    got = {r.id: r.pct_s1 for r in hist_percentile(df, "s1").collect()}
+
+    lo, hi, n = min(vals), max(vals), len(vals)
+    width = hi - lo + 1
+    # python floor-div matches Spark's `div` here: (v-lo) >= 0 always
+    bins = Counter((v - lo) * _X47_B // width for v in vals)
+    cum = {}
+    running = 0
+    for b in sorted(bins):
+        running += bins[b]
+        cum[b] = running
+    for i, v in enumerate(vals):
+        ref = 1000 * cum[(v - lo) * _X47_B // width] // n
+        assert got[i] == ref, (v, got[i], ref)
+    vmax = max(vals)
+    assert all(
+        got[i] == 1000 for i, v in enumerate(vals) if v == vmax
+    )
+    by_val = sorted(set(vals))
+    pcts = {
+        v: got[next(i for i, x in enumerate(vals) if x == v)] for v in by_val
+    }
+    assert all(
+        pcts[a] <= pcts[b] for a, b in zip(by_val, by_val[1:])
+    )
