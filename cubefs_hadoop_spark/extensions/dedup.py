@@ -961,3 +961,69 @@ def x38b_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "total_words", "kept_words", "removed_words",
         "cleaned_text",
     )
+
+
+# -- x51: dedup-yield forecast (near-dup cluster-size distribution) --------
+#
+# The PLANNING statistic run before committing a dedup pass over a new
+# corpus: the distribution of near-dup cluster sizes and the exact
+# row-count yield — n_removable = Σ (size-1)·n_clusters(size) — tells
+# you what the x28/x38b pass will actually save (and whether the corpus
+# is template-heavy: a fat tail of large clusters) BEFORE paying for
+# the rewrite.  Pure composition: x28's end-to-end component labels,
+# rolled up twice (label -> size, size -> distribution) — both rollups
+# are partial-agg'd groupBys over duplicate-sized frames, metadata
+# next to the corpus.  The oracle extends x28's recursive closure, so
+# the forecast is hash-checked through the ENTIRE pipeline (shingles ->
+# MinHash -> LSH buckets -> CC -> sizes), not just the last stage.
+
+_X51_ORACLE = _X28_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(lbl) AS canonical
+FROM reach GROUP BY node ORDER BY doc_id""",
+    """, canon AS (
+  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach GROUP BY node),
+sizes AS (
+  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM canon GROUP BY canonical)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM sizes GROUP BY sz ORDER BY cluster_size""",
+)
+
+
+@register("x51_dedup_yield", _X51_ORACLE)
+def x51_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 dedup-yield forecast: the near-dup cluster-size distribution
+    with exact removable-row counts per size — (cluster_size,
+    n_clusters, n_docs, n_removable) where n_removable =
+    (size-1)·n_clusters.  Σ n_removable is what an x28 keep-canonical
+    pass deletes; the size tail shape flags template-heavy corpora.
+    Composition of x28's labels + two metadata-scale rollups, oracle
+    hash-checked through the whole pipeline."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    comps = connected_components_auto(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(F.coalesce("comp", F.col("doc_id")).alias("canonical"))
+    )
+    sizes = canon.groupBy("canonical").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            F.expr("sz * n_clusters").cast("long").alias("n_docs"),
+            F.expr("(sz - 1) * n_clusters").cast("long").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -65,7 +65,7 @@ _R7_WINDOW = [
 # x41_pq_adc, x41b_pq_rerank, x42_countmin, x42b_cms_heavy_hitters,
 # x38b_dup_span_removal, x43_jl_project, x44_bloom_probe,
 # x45_hist_quantiles, x45b_equidepth_stats, x46_knn_graph,
-# x46b_density_downsample, x47_quality_blend, x48_source_drift, x49_overlap_matrix, x50_semantic_decontam —
+# x46b_density_downsample, x47_quality_blend, x48_source_drift, x49_overlap_matrix, x50_semantic_decontam, x51_dedup_yield —
 # all hash-green in SWEEP_r07/local checks at sf0.001+sf0.01;
 # x12b/x13c and everything from x38 on also at sf0.1), then r06
 # greens in registration order.  Every

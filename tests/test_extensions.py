@@ -1634,3 +1634,24 @@ def test_x50_fixture_accounting_and_flag_law(spark):
             assert r.contaminated
         if float(r.max_test_cos) <= _X50_TAU - 0.01:
             assert not r.contaminated
+
+
+def test_x51_dedup_yield_accounting(spark):
+    """x51 invariants vs x28's labels: n_docs partitions the corpus
+    exactly (Σ n_docs == corpus), n_removable = n_docs - n_clusters
+    row-by-row, Σ n_removable == docs x28 would delete (non-canonical
+    count), and size-1 clusters contribute zero yield."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x51_dedup_yield"](spark, SF_SMOKE).collect()
+    assert rows
+    n_docs_total = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.n_removable == r.n_docs - r.n_clusters
+        assert r.cluster_size >= 1 and r.n_clusters >= 1
+        if r.cluster_size == 1:
+            assert r.n_removable == 0
+    canon = QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
+    removable_truth = sum(1 for r in canon if r.doc_id != r.canonical)
+    assert sum(r.n_removable for r in rows) == removable_truth
