@@ -1227,6 +1227,17 @@ def x50_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("te"),
         _norm_expr("embedding").alias("tn"),
     )
+    # an empty held-out frame would make the inner broadcast join yield
+    # an empty decision table — every train vector silently disappears
+    # instead of being marked uncontaminated.  Refuse loudly, matching
+    # the x45/x47/x48 empty-input guards (ADVICE r7).  The count is one
+    # O(held-out) job on a frame that is broadcast anyway.
+    if test.limit(1).count() == 0:
+        raise ValueError(
+            "x50_semantic_decontam: held-out set is empty (no vec_id % "
+            f"{_X50_TEST_MOD} == 0 rows); a decontamination pass against "
+            "nothing would drop every train vector silently"
+        )
     train = widen_for_cpu(
         emb.filter(F.col("vec_id") % _X50_TEST_MOD != 0), "vec_id"
     ).select("vec_id", "embedding", _norm_expr("embedding").alias("n"))

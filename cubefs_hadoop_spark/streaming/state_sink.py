@@ -259,11 +259,17 @@ def sink_histogram_state(
     gcols = list(group_cols or [])
 
     def stats(batch: DataFrame) -> DataFrame:
+        # greatest/least SKIP null arguments, so a NULL token count (a
+        # null text row) would silently land in bin bins-1 — the exact
+        # edge-bin corruption the config guard above refuses loudly.
+        # A null text row carries no token-count signal: drop it before
+        # binning (ADVICE r7).
         return (
             batch.select(
                 *gcols,
                 F.size(F.split(text_col, " ")).cast("long").alias("v"),
             )
+            .where(F.col("v").isNotNull())
             .select(
                 *gcols,
                 F.greatest(

@@ -1636,6 +1636,25 @@ def test_x50_fixture_accounting_and_flag_law(spark):
             assert not r.contaminated
 
 
+def test_x50_refuses_empty_heldout(spark, tmp_path):
+    """An empty held-out partition (no vec_id % 10 == 0) would make the
+    broadcast join yield an empty decision table — every train vector
+    silently disappears instead of being marked uncontaminated.  The
+    family contract (x45/x47/x48) is to refuse loudly (ADVICE r7)."""
+    import pytest
+
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tmp = str(tmp_path / "no_heldout_fixture")
+    emb.write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    with pytest.raises(ValueError, match="held-out set is empty"):
+        QUERIES["x50_semantic_decontam"](spark, tmp)
+
+
 def test_x51_dedup_yield_accounting(spark):
     """x51 invariants vs x28's labels: n_docs partitions the corpus
     exactly (Σ n_docs == corpus), n_removable = n_docs - n_clusters

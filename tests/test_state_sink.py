@@ -468,3 +468,34 @@ def test_histogram_sink_refuses_degenerate_bin_config(spark, tmp_path):
             sdf, str(tmp_path / "s2"), str(tmp_path / "c2"),
             lo=0, width=4, bins=0,
         )
+
+
+def test_histogram_sink_drops_null_text_rows(spark, tmp_path):
+    """A NULL text row has no token count; greatest/least SKIP null
+    arguments, so without the explicit null filter it would silently
+    land in bin bins-1 — edge-bin corruption that looks healthy
+    (ADVICE r7).  The sink must drop it: cells equal a batch build
+    over the non-null rows only, and total mass excludes the null row."""
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_histogram_state,
+    )
+
+    spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "a b c d e")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(tmp_path / "data"))
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(tmp_path / "data"))
+    )
+    BINS = 8
+    sink_histogram_state(
+        sdf, str(tmp_path / "s"), str(tmp_path / "c"),
+        lo=0, width=2, bins=BINS,
+    )
+    cells = {r.bin: r.bc for r in read_state(spark, str(tmp_path / "s")).collect()}
+    # 3 tokens -> bin 1, 5 tokens -> bin 2; the null row appears NOWHERE
+    assert cells == {1: 1, 2: 1}
+    assert BINS - 1 not in cells
+    assert sum(cells.values()) == 2
