@@ -369,16 +369,21 @@ def x33b_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # disfluent text drops even when its word multiset is perfectly
 # in-domain (test-pinned).
 #
-# Scale (100 TB): training is one partial-aggregated groupBy over the
-# target slice's transition stream into a SPARSE vocabulary²-scale
-# (w1,w2,count) frame (bigram TYPES, not tokens — KenLM's own state);
-# the context totals reduce that frame again by w1.  Scoring explodes
-# the corpus transition stream once and equi-joins the two model frames
-# on their keys (AQE broadcasts them at fixture scale; at production
-# scale they exceed broadcast and the joins stay partial-agg'd
-# shuffle-hash on (w1,w2)/(w1) — never corpus-pairwise).  V rides as a
+# Scale (100 TB): a transition's lp depends only on its (w1,w2) TYPE,
+# so every corpus-grain operation is a partial aggregation — map-side
+# combine collapses Zipf-hot keys to one row per map partition before
+# any exchange, which is the skew immunity a join can never have.  The
+# corpus is exploded ONCE into a doc-pair-grain frame g on a composite
+# key no single word can skew (its exchange is read by the three
+# consumers via ReusedExchange); the model (sparse bigram-type counts
+# + w1 context totals — KenLM's own state) and the per-pair lp table
+# are built at TYPE grain, so the old corpus-scale skewed (w1) join is
+# gone, and g joins the finished lp table on (w1,w2).  V rides as a
 # broadcast scalar frame.  All log terms snap to integer millis before
 # summing (_milli), so partial-aggregation order can't change the hash.
+# r7 postmortem: the measured 8.2x-on-10x-data ratio was NOT the
+# shuffles — the old _transitions lambda re-split the text per element
+# (O(len²)/doc CPU, 13x at the sf1 probe); see _transitions.
 
 _X40_ORACLE = """
 WITH tw AS (SELECT string_split(text, ' ') AS w FROM documents
@@ -407,14 +412,18 @@ FROM lp GROUP BY doc_id ORDER BY doc_id"""
 
 
 def _transitions(text_col: str) -> Column:
-    """array<struct<w1,w2>> of adjacent word pairs of one document."""
+    """array<struct<w1,w2>> of adjacent word pairs of one document.
+
+    Shape matters: ``arrays_zip`` of the two shifted slices evaluates
+    the split a constant number of times per row.  The r7 version's
+    ``transform(slice, lambda w, i: element_at(words, i+2))`` re-split
+    the text per ELEMENT — O(len²) CPU per document, measured 13x
+    slower over the sf1 probe corpus and the true root of x40's 8.2x
+    superlinear ratio (the shuffles were innocent)."""
     words = F.split(F.col(text_col), " ")
-    return F.transform(
-        F.slice(words, 1, F.size(words) - 1),
-        lambda w, i: F.struct(
-            w.alias("w1"),
-            F.element_at(words, i + F.lit(2)).alias("w2"),
-        ),
+    return F.arrays_zip(
+        F.slice(words, 1, F.size(words) - 1).alias("w1"),
+        F.slice(words, 2, F.size(words) - 1).alias("w2"),
     )
 
 
@@ -428,28 +437,59 @@ def bigram_lm_score(
 
     Returns (doc_id, transitions, bigram_lp); documents with fewer than
     two words have no transitions and are absent (same in the SQL twin:
-    unnesting an empty range emits no rows)."""
-    train = docs.filter(target).select(
-        F.explode(_transitions(text_col)).alias("t")
+    unnesting an empty range emits no rows).
+
+    The lp of a transition depends only on its (w1, w2) type, so the
+    corpus-grain work is pure partial-aggregation (map-side combine
+    absorbs Zipf skew — hot keys collapse to one row per map partition
+    before any exchange): the transition stream aggregates ONCE to
+    doc-pair grain on a composite key no single word can skew, the
+    model joins happen at TYPE grain (distinct pairs x totals — never
+    against a corpus-sized stream, so the old skewed corpus-scale (w1)
+    exchange is gone), and the doc-pair frame joins the finished
+    per-pair lp table.  The doc-pair frame's exchange is planned once
+    and read by all three consumers via ReusedExchange, so the corpus
+    is exploded exactly once with no materialization barrier."""
+    from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
+
+    src = widen_for_cpu(docs, "doc_id")
+    # ONE corpus explode -> doc-pair grain; is_train is doc-functional
+    # so carrying it in the key adds no grain
+    g = (
+        src.select(
+            "doc_id",
+            target.alias("is_train"),
+            F.explode(_transitions(text_col)).alias("t"),
+        )
+        .select("doc_id", "is_train", "t.w1", "t.w2")
+        .groupBy("doc_id", "is_train", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    bc = train.groupBy("t.w1", "t.w2").agg(
-        F.count(F.lit(1)).cast("long").alias("cb")
+    bc = (
+        g.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.sum("n").cast("long").alias("cb"))
     )
     cu = bc.groupBy("w1").agg(F.sum("cb").cast("long").alias("cw"))
+    # vocabulary is over WORDS, not transitions (a 1-word doc and every
+    # doc's last word contribute) — the one pass g can't serve
     vf = (
-        docs.filter(target)
+        src.filter(target)
         .select(F.explode(F.split(text_col, " ")).alias("word"))
         .agg(F.countDistinct("word").cast("long").alias("v"))
     )
-    s = docs.select(
-        "doc_id", F.explode(_transitions(text_col)).alias("t")
-    ).select("doc_id", "t.w1", "t.w2")
-    lp = (
-        s.join(bc, ["w1", "w2"], "left")
+    # per-pair lp table at type grain: every distinct scoring pair,
+    # left-joined to the model frames (vocab-scale joins; misses
+    # coalesce to the unseen-bigram / unseen-context smoothing terms)
+    lpt = (
+        g.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)))
+        .join(bc, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(vf))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             _milli(
                 F.log(
                     (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
@@ -460,13 +500,17 @@ def bigram_lm_score(
             ).alias("lp_milli"),
         )
     )
-    return lp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("transitions"),
-        r2d(
-            F.sum("lp_milli").cast("double")
-            / F.count(F.lit(1))
-            / F.lit(1000.0)
-        ).alias("bigram_lp"),
+    return (
+        g.join(lpt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("transitions"),
+            r2d(
+                F.sum(F.col("n") * F.col("lp_milli")).cast("double")
+                / F.sum("n")
+                / F.lit(1000.0)
+            ).alias("bigram_lp"),
+        )
     )
 
 
