@@ -101,14 +101,20 @@ def assign_clusters(
 
 def semantic_dedup(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     tau: float = _X12_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup over ``emb`` given a (cid, cent) centroid set: returns
-    (id, cid, kept) where kept=false iff a lower-id vector in the same
-    cluster has cosine >= tau.
+    """SemDeDup over ``emb``: returns (id, cid, kept) where kept=false
+    iff a lower-id vector in the same cluster has cosine >= tau.
+
+    ``centroids`` (a (cid, cent) frame) defaults to the PRODUCTION
+    auto-sized set — C = auto_centroid_count(N) ≈ √N first-by-id
+    vectors — so the library default keeps the in-cluster pair space
+    linear in N (VERDICT r7 item 3: the pinned-C configuration measured
+    21.9x on 10x data at sf1 vs 3.1x auto; pinned centroids now live
+    only inside the x12 oracle entry).
 
     Plan shape at 100 TB: centroids broadcast (C rows, driver-sized by
     definition); assignment is ONE corpus pass materialized behind a
@@ -121,6 +127,15 @@ def semantic_dedup(
     persists the assignment partitioned by cid instead (exactly
     ivf_build_index's layout, similarity.py:336) so the self-join reads
     co-located buckets."""
+    if centroids is None:
+        from cubefs_hadoop_spark.extensions.similarity import (
+            auto_centroid_count,
+        )
+
+        c = auto_centroid_count(emb)
+        centroids = emb.orderBy(id_col).limit(c).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cent")
+        )
     asg = barrier(assign_clusters(emb, centroids, id_col=id_col, vec_col=vec_col))
     a = asg.select(
         F.col(id_col).alias("da"), F.col(vec_col).alias("ea"),
@@ -292,13 +307,22 @@ def srp_signatures(
 
 def srp_neardup_pairs(
     emb: DataFrame,
-    hyperplanes: DataFrame,
+    hyperplanes: DataFrame | None = None,
     tau: float = _X13_TAU,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """SRP-LSH near-dup pairs: bucket on (band, key), then exact-cosine
     verify only same-bucket pairs.  Returns (da, db, c) with c >= tau.
+
+    ``hyperplanes`` defaults to None — the PRODUCTION path, delegating
+    to :func:`srp_neardup_pairs_auto` so bits-per-band is sized to the
+    corpus (2^bits ≈ N/64; VERDICT r7 item 3: the pinned 4-bit config
+    measured 23.3x on 10x data at sf1 vs 1.9x auto; the pinned
+    hyperplane frame now rides only the x13 oracle entry).  Pass an
+    explicit (h, hv) frame of exactly bands*bits rows to pin the
+    signature space (the frame must match the module's pinned
+    ``_X13_BANDS``/``_X13_BITS`` geometry).
 
     Scale: the bucket self-join is an equi-join on (band, key) — the pair
     space is per-bucket, never N^2; candidate ids dedupe BEFORE the
@@ -307,6 +331,10 @@ def srp_neardup_pairs(
     shuffle-width discipline as ivf_topk_indexed (similarity.py:406).
     Signatures are referenced by both self-join sides, so they
     materialize behind a ``barrier`` — one signing pass, not two."""
+    if hyperplanes is None:
+        return srp_neardup_pairs_auto(
+            emb, tau=tau, id_col=id_col, vec_col=vec_col
+        )
     sig = barrier(
         srp_signatures(emb, hyperplanes, id_col=id_col, vec_col=vec_col)
     )

@@ -20,9 +20,16 @@ Reference parity: the reference connector moves opaque bytes
 the engine above it; this module is part of the natively-implemented
 delegated surface, like the rest of the x-family.
 
-Two execution tiers, same semantics (twin-equivalence test-pinned):
+Two execution tiers, same semantics (twin-equivalence test-pinned);
+``subword_tokenize``/``subword_counts`` DISPATCH between them — the
+Arrow tier is the default (``tier="auto"``, override per session via
+``cfspark.tokenize.tier`` the way x12b/x13c auto-size): r7 SCALING
+measured the JVM tier at 43.7 s vs Arrow's 1.5 s at sf0.1 and 11.1x on
+10x data, so scale-safe-by-default means Arrow (VERDICT r7 item 3).
+The JVM tier stays reachable (``tier="jvm"`` / ``subword_tokenize_jvm``)
+and is what the x37 oracle entry pins:
 
-* **JVM tier** (default, oracle-checked): the tokenize loop is a single
+* **JVM tier** (oracle-checked under x37): the tokenize loop is a single
   ``aggregate`` higher-order function over character positions — all
   whole-stage-codegen, zero Python, zero shuffles (map-only; the
   registered query's final ORDER BY is presentation only).  The vocab
@@ -169,7 +176,53 @@ def _subword_count_word(w: Column) -> Column:
     )
 
 
+def _resolve_tier(docs: DataFrame, tier: str) -> str:
+    """Tier dispatch shared by tokenize/counts: an explicit ``tier``
+    wins; ``"auto"`` reads ``cfspark.tokenize.tier`` (session-wide
+    override, the x12b/x13c auto-config pattern) and falls back to
+    ``"arrow"`` — the scale-safe default (r7 SCALING: JVM 43.7 s vs
+    Arrow 1.5 s at sf0.1, 11.1x on 10x data)."""
+    t = tier
+    if t == "auto":
+        try:
+            t = str(
+                docs.sparkSession.conf.get("cfspark.tokenize.tier", "arrow")
+            ).lower()
+        except Exception:
+            t = "arrow"
+        if t == "auto":
+            t = "arrow"
+    if t not in ("arrow", "jvm"):
+        raise ValueError(
+            f"subword tokenizer tier must be 'arrow', 'jvm' or 'auto'; got {t!r}"
+        )
+    return t
+
+
 def subword_tokenize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tier: str = "auto",
+    vocab: tuple[str, ...] | list[str] = SUBWORD_VOCAB,
+) -> DataFrame:
+    """Greedy-MaxMatch subword tokenization — the tier dispatcher.
+
+    Returns (id, n_words, n_subwords, toks); see :func:`_resolve_tier`
+    for the tier rule (default: Arrow).  The JVM tier's vocab is a
+    frozen plan literal, so a custom ``vocab`` requires the Arrow tier."""
+    t = _resolve_tier(docs, tier)
+    if t == "arrow":
+        return subword_tokenize_arrow(docs, vocab, id_col, text_col)
+    if tuple(vocab) != tuple(SUBWORD_VOCAB):
+        raise ValueError(
+            "the JVM tier tokenizes against the frozen SUBWORD_VOCAB plan "
+            "literal; pass tier='arrow' (the default) for a custom vocab"
+        )
+    return subword_tokenize_jvm(docs, id_col, text_col)
+
+
+def subword_tokenize_jvm(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Greedy-MaxMatch subword tokenization, JVM tier.
@@ -197,6 +250,28 @@ def subword_tokenize(
 
 
 def subword_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tier: str = "auto",
+    vocab: tuple[str, ...] | list[str] = SUBWORD_VOCAB,
+) -> DataFrame:
+    """(id, n_subwords) — the tier dispatcher for the counting-only
+    path that feeds token budgeting / packing in subword units.  Same
+    tier rule as :func:`subword_tokenize` (default: Arrow); the x17b/
+    x14b oracle entries pin the JVM counting loop explicitly."""
+    t = _resolve_tier(docs, tier)
+    if t == "arrow":
+        return subword_counts_arrow(docs, vocab, id_col, text_col)
+    if tuple(vocab) != tuple(SUBWORD_VOCAB):
+        raise ValueError(
+            "the JVM tier counts against the frozen SUBWORD_VOCAB plan "
+            "literal; pass tier='arrow' (the default) for a custom vocab"
+        )
+    return subword_counts_jvm(docs, id_col, text_col)
+
+
+def subword_counts_jvm(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, n_subwords) via the counting-only loop — the cheap input to
@@ -274,6 +349,45 @@ def subword_tokenize_arrow(
     return out.withColumn(id_col, F.col(id_col).cast(id_dtype))
 
 
+def subword_counts_arrow(
+    docs: DataFrame,
+    vocab: tuple[str, ...] | list[str] = SUBWORD_VOCAB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow tier of the counting-only path: (id, n_subwords) via
+    ``mapInPandas`` with a hash-set vocab — same MaxMatch advance as
+    :func:`subword_tokenize_arrow` but no token strings materialized.
+    Map-only; twin-equivalence to the JVM counting loop is test-pinned."""
+    vset = frozenset(vocab)
+    lens = sorted({len(t) for t in vset}, reverse=True)
+    out_schema = f"{id_col} string, n_subwords long"
+    id_dtype = dict(docs.dtypes)[id_col]
+
+    def _count_word(w: str) -> int:
+        cnt, pos, n = 0, 0, len(w)
+        while pos < n:
+            for L in lens:
+                if pos + L <= n and w[pos : pos + L] in vset:
+                    pos += L
+                    break
+            else:
+                pos += 1
+            cnt += 1
+        return cnt
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (str(did), sum(_count_word(w) for w in text.split(" ")))
+                for did, text in zip(pdf[id_col], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=[id_col, "n_subwords"])
+
+    out = docs.select(id_col, text_col).mapInPandas(_batches, out_schema)
+    return out.withColumn(id_col, F.col(id_col).cast(id_dtype))
+
+
 # -- x37: registry entry + DuckDB recursive-CTE oracle ---------------------
 
 # The oracle replays the SAME greedy loop in SQL: a recursive CTE
@@ -325,8 +439,11 @@ ORDER BY doc_id, n_words, n_subwords, toks"""
 @register("x37_subword_tokenize", _X37_ORACLE)
 def x37_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X37 greedy-MaxMatch subword tokenization over the documents
-    table, JVM tier — map-only, vocab as a plan literal."""
-    return subword_tokenize(load(spark, sf_dir, "documents")).orderBy(
+    table, JVM tier — map-only, vocab as a plan literal.  The JVM tier
+    is pinned HERE (the library default dispatches to Arrow): this
+    entry is the oracle witness that the codegen'd HOF loop implements
+    MaxMatch exactly, and x37b is the same witness for the Arrow tier."""
+    return subword_tokenize_jvm(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "n_words", "n_subwords", "toks"
     )
 
@@ -381,6 +498,9 @@ def x17b_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubefs_hadoop_spark.extensions.curation import token_budget_sample
 
     docs = load(spark, sf_dir, "documents")
+    # JVM counting loop pinned here (library default is Arrow): this
+    # entry doubles as the oracle + plan-gate witness for the codegen'd
+    # counting HOF, exactly like x37 vs x37b
     words = F.split(F.col("text"), " ")
     n_sub = F.aggregate(
         F.transform(words, _subword_count_word),
@@ -457,6 +577,7 @@ def x14b_subword_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cubefs_hadoop_spark.extensions.packing import sequence_pack
 
     docs = load(spark, sf_dir, "documents")
+    # JVM counting loop pinned here for the same reason as x17b
     words = F.split(F.col("text"), " ")
     with_counts = docs.select(
         "doc_id",

@@ -23,6 +23,9 @@ class PlanAudit:
     nested_loop_joins: int = 0
     shuffles: int = 0
     has_python_eval: bool = False
+    has_pandas_map: bool = False  # MapInPandas/FlatMapGroupsInPandas — the
+    # DELIBERATE Arrow-batched Python tier, distinct from has_python_eval
+    # (row/scalar EvalPython nodes, the slow path plan gates forbid)
     has_take_ordered: bool = False
     has_window_group_limit: bool = False
     has_codegen: bool = False
@@ -93,6 +96,10 @@ def audit_plan(df: DataFrame, executed: bool = False) -> PlanAudit:
         re.findall(r"\bExchange (?:hash|range)partitioning", tree)
     )
     a.has_python_eval = "EvalPython" in tree or "EvalPython" in text
+    a.has_pandas_map = any(
+        n in tree or n in text
+        for n in ("MapInPandas", "FlatMapGroupsInPandas", "MapInArrow")
+    )
     a.has_take_ordered = "TakeOrderedAndProject" in tree
     a.has_window_group_limit = "WindowGroupLimit" in tree
     # codegen: "[codegen id : N]" detail annotations, "*" markers in the

@@ -1674,3 +1674,33 @@ def test_x51_dedup_yield_accounting(spark):
     canon = QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
     removable_truth = sum(1 for r in canon if r.doc_id != r.canonical)
     assert sum(r.n_removable for r in rows) == removable_truth
+
+
+def test_scale_safe_defaults_are_auto_sized(spark):
+    """VERDICT r7 item 3: the LIBRARY defaults of semantic_dedup and
+    srp_neardup_pairs are the auto-sized production configs — a caller
+    who copies the no-arg form gets the linear-pair-space path, and it
+    equals the explicit auto construction row for row."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        semantic_dedup,
+        srp_neardup_pairs,
+        srp_neardup_pairs_auto,
+    )
+    from cubefs_hadoop_spark.extensions.similarity import auto_centroid_count
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+
+    dflt = {(r.da, r.db) for r in srp_neardup_pairs(emb).collect()}
+    auto = {(r.da, r.db) for r in srp_neardup_pairs_auto(emb).collect()}
+    assert dflt == auto
+
+    c = auto_centroid_count(emb)
+    cents = emb.orderBy("vec_id").limit(c).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent")
+    )
+    d1 = {r.vec_id: (r.cid, r.kept) for r in semantic_dedup(emb).collect()}
+    d2 = {
+        r.vec_id: (r.cid, r.kept) for r in semantic_dedup(emb, cents).collect()
+    }
+    assert d1 == d2
+    assert len({cid for cid, _ in d1.values()}) <= c

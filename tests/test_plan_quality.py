@@ -411,12 +411,13 @@ def test_x36_ncm_is_broadcast_argmin(spark):
 def test_x37_tokenize_is_map_only(spark):
     """x37's generic path (no presentation sort) must be pure map work:
     the MaxMatch aggregate-HOF loop rides the scan — zero exchanges,
-    zero joins, zero Python; the vocab is a plan literal, not a join."""
+    zero joins, zero Python; the vocab is a plan literal, not a join.
+    (The JVM tier explicitly — the dispatcher defaults to Arrow.)"""
     from cubefs_hadoop_spark.catalog import load
-    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize
+    from cubefs_hadoop_spark.extensions.tokenize import subword_tokenize_jvm
 
     spark.catalog.clearCache()
-    a = audit_plan(subword_tokenize(load(spark, SF_SMOKE, "documents")))
+    a = audit_plan(subword_tokenize_jvm(load(spark, SF_SMOKE, "documents")))
     assert a.shuffles == 0
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
     assert not a.has_python_eval

@@ -88,12 +88,12 @@ def test_arrow_tier_twin_equivalence(spark):
     produce bitwise-identical frames on the fixture corpus."""
     from cubefs_hadoop_spark.catalog import load
     from cubefs_hadoop_spark.extensions.tokenize import (
-        subword_tokenize,
         subword_tokenize_arrow,
+        subword_tokenize_jvm,
     )
 
     docs = load(spark, SF_SMOKE, "documents")
-    jvm = {tuple(r) for r in subword_tokenize(docs).collect()}
+    jvm = {tuple(r) for r in subword_tokenize_jvm(docs).collect()}
     arrow = {tuple(r) for r in subword_tokenize_arrow(docs).collect()}
     assert jvm == arrow
 
@@ -127,6 +127,12 @@ def test_subword_counts_match_tokenize(spark):
     full = {r.doc_id: r.n_subwords for r in subword_tokenize(docs).collect()}
     cnt = {r.doc_id: r.n_subwords for r in subword_counts(docs).collect()}
     assert full == cnt
+    # ... on BOTH tiers of the counting loop
+    jcnt = {
+        r.doc_id: r.n_subwords
+        for r in subword_counts(docs, tier="jvm").collect()
+    }
+    assert jcnt == cnt
 
 
 def test_x17b_budget_semantics(spark):
@@ -365,3 +371,63 @@ def test_bpe_train_property_matches_reference(spark, words, n_merges):
     assert merges == ref_merges
     assert got == ref_syms
     assert all("".join(s) == w for w, s in got.items())
+
+
+def test_tier_dispatch_defaults_to_arrow(spark):
+    """VERDICT r7 item 3: the scale-safe tier IS the default.  The
+    dispatcher's default plan carries the Arrow mapInPandas node;
+    tier='jvm' carries none; cfspark.tokenize.tier=jvm flips the
+    session default; a custom vocab on the JVM tier refuses loudly
+    (its vocab is a frozen plan literal)."""
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        subword_counts,
+        subword_tokenize,
+    )
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    docs = spark.createDataFrame(
+        [("a", "the window")], "doc_id string, text string"
+    )
+    assert audit_plan(subword_tokenize(docs)).has_pandas_map
+    assert audit_plan(subword_counts(docs)).has_pandas_map
+    assert not audit_plan(subword_tokenize(docs, tier="jvm")).has_pandas_map
+    assert not audit_plan(subword_counts(docs, tier="jvm")).has_pandas_map
+
+    spark.conf.set("cfspark.tokenize.tier", "jvm")
+    try:
+        assert not audit_plan(subword_tokenize(docs)).has_pandas_map
+        assert not audit_plan(subword_counts(docs)).has_pandas_map
+    finally:
+        spark.conf.unset("cfspark.tokenize.tier")
+
+    with pytest.raises(ValueError, match="frozen SUBWORD_VOCAB"):
+        subword_tokenize(docs, tier="jvm", vocab=("ab",))
+    with pytest.raises(ValueError, match="tier must be"):
+        subword_tokenize(docs, tier="gpu")
+
+
+def test_counts_arrow_twin_and_custom_vocab(spark):
+    """The Arrow counting tier equals the JVM counting loop on crafted
+    rows and honors a caller vocab (the production 30k-vocab path)."""
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        subword_counts,
+        subword_counts_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "the window scan"), ("b", "zzz x"), ("c", "customer")],
+        "doc_id string, text string",
+    )
+    arrow = {r.doc_id: r.n_subwords for r in subword_counts(docs).collect()}
+    jvm = {
+        r.doc_id: r.n_subwords
+        for r in subword_counts(docs, tier="jvm").collect()
+    }
+    assert arrow == jvm
+    custom = {
+        r.doc_id: r.n_subwords
+        for r in subword_counts_arrow(docs, vocab=("the", "cust")).collect()
+    }
+    # "the window scan": the + 10 single chars = 11; "zzz x" -> 4;
+    # "customer" -> cust|o|m|e|r = 5
+    assert custom == {"a": 11, "b": 4, "c": 5}
