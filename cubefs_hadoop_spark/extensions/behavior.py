@@ -224,3 +224,133 @@ def x34_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events")).orderBy(
         "user_id", "session_idx"
     )
+
+
+def sessionize_bucketed(
+    events: DataFrame,
+    gap_us: int = _X34_GAP_US,
+    bucket_us: int = 24 * 3600 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Skew-safe sessionization: bit-identical to :func:`sessionize`,
+    but the event-grain window partitions on (user, time-bucket) so a
+    HOT user's stream splits across buckets instead of serializing
+    through one task's sort (AQE skew-splitting covers joins only —
+    a skewed WINDOW exchange has no runtime remedy, so the remedy is
+    the key).  VERDICT r7 item 4.
+
+    Two-level stitching: bucket-local sessions are built exactly like
+    :func:`sessionize` within each (user, bucket); boundary merges are
+    decided on the BUCKET-GRAIN frame (one row per active (user,
+    bucket) — for a bot user owning 10%% of a 100 TB corpus that is
+    #buckets rows, not #events) by a per-user window ordered by bucket:
+    the first local session of a bucket is the same session as the last
+    of the previous ACTIVE bucket iff the boundary gap <= gap_us, and a
+    running merge count re-numbers every downstream session.  Spanning
+    chains (one session crossing many buckets) fold through the running
+    sum; summaries combine by min/max/sum, which is exactly the
+    session-aggregate algebra.  Requires ``bucket_us >= gap_us`` (it is
+    by 48x at the defaults) only for intuition, not correctness — the
+    lag is over active buckets, so an empty bucket inside a still-open
+    gap stitches fine."""
+    from pyspark.sql import types as T
+
+    ts_type = events.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"sessionize_bucketed: column {ts_col!r} is TIMESTAMP_NTZ "
+                f"and the session timezone is {tz!r}; see sessionize"
+            )
+        us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    else:
+        us = F.unix_micros(F.col(ts_col))
+
+    base = events.select(
+        user_col,
+        tiebreak_col,
+        ts_col,
+        us.alias("us"),
+        F.floor(us / F.lit(int(bucket_us))).cast("long").alias("bkt"),
+    )
+    # level 1: bucket-local sessions — the event-grain window keys on
+    # (user, bucket), the whole point
+    wb = Window.partitionBy(user_col, "bkt").orderBy(ts_col, tiebreak_col)
+    flag = F.when(
+        F.lag("us").over(wb).isNull()
+        | (F.col("us") - F.lag("us").over(wb) > gap_us),
+        1,
+    ).otherwise(0)
+    local = (
+        base.withColumn("lsess", F.sum(flag).over(wb))
+        .groupBy(user_col, "bkt", "lsess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("events"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+    )
+    # level 2: bucket-grain stitch frame — one row per active (user,
+    # bucket); the per-user window here is #active-buckets rows per user
+    bstats = local.groupBy(user_col, "bkt").agg(
+        F.max("lsess").cast("long").alias("k"),
+        F.min("first_us").alias("bkt_first_us"),
+        F.max("last_us").alias("bkt_last_us"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("bkt")
+    merged = F.when(
+        (F.col("bkt_first_us") - F.lag("bkt_last_us").over(wu)) <= gap_us, 1
+    ).otherwise(0)
+    stitch = (
+        bstats.withColumn(
+            "s_before",
+            F.coalesce(
+                F.sum("k").over(wu.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("m_through", F.sum(merged).over(wu))
+        .select(user_col, "bkt", "s_before", "m_through")
+    )
+    # gidx = sessions before this bucket + local idx - merges so far:
+    # a merged bucket's first session lands exactly on the previous
+    # bucket's last global index (proof in the docstring's algebra)
+    return (
+        local.join(stitch, [user_col, "bkt"])
+        .withColumn(
+            "gidx", F.col("s_before") + F.col("lsess") - F.col("m_through")
+        )
+        .groupBy(user_col, "gidx")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("events").alias("events"),
+            (F.max("last_us") - F.min("first_us")).alias("duration_us"),
+        )
+        .select(
+            user_col,
+            F.col("gidx").cast("long").alias("session_idx"),
+            "session_start",
+            "session_end",
+            "events",
+            "duration_us",
+        )
+    )
+
+
+# Same oracle as x34: the driver's hash gate is the end-to-end proof
+# that the bucketed/stitched plan and the single-window plan are the
+# same function of the event stream.
+@register("x34b_sessionize_skewsafe", _X34_ORACLE)
+def x34b_sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34b skew-safe sessionization: (user, day-bucket) event-grain
+    window + bucket-grain boundary stitching — the plan that survives a
+    bot user owning 10% of a 100 TB event stream."""
+    return sessionize_bucketed(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "session_idx"
+    )

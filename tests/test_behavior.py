@@ -190,3 +190,118 @@ def test_sessionize_invariants_property(spark, offsets, users):
         assert len(sess) == truth  # (b)+(c) combined
         for r in sess:
             assert 0 <= r.duration_us <= 200 * 60 * 1_000_000
+
+
+def test_sessionize_bucketed_stitches_boundaries(spark):
+    """x34b witness: bucket-local sessions + boundary stitching equal
+    single-window sessionization on crafted streams that exercise every
+    stitch case — a session spanning one boundary (merge), a boundary
+    that is a real gap (no merge), a session CHAINING across four
+    buckets, and a hot user owning most of the stream.  bucket_us is
+    shrunk to 1 h so the 30-min gap can straddle boundaries hard."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    rows = [
+        # user 1: events every 25 min for 4 hours -> ONE session chaining
+        # across 4+ hourly buckets
+        *[
+            (100 + i, 1, f"2024-01-01 {h:02d}:{m:02d}:00")
+            for i, (h, m) in enumerate(
+                (t // 60, t % 60) for t in range(0, 250, 25)
+            )
+        ],
+        # user 2: 00:50 -> 01:10 (20-min gap across the 01:00 boundary,
+        # merge), then 01:10 -> 02:50 (real gap, no merge)
+        (200, 2, "2024-01-01 00:50:00"),
+        (201, 2, "2024-01-01 01:10:00"),
+        (202, 2, "2024-01-01 02:50:00"),
+        # user 3: exactly 30:00 across a boundary -> still one session
+        (300, 3, "2024-01-01 00:45:00"),
+        (301, 3, "2024-01-01 01:15:00"),
+        # user 4: single event
+        (400, 4, "2024-01-01 05:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    want = {
+        (r.user_id, r.session_idx): (
+            r.session_start,
+            r.session_end,
+            r.events,
+            r.duration_us,
+        )
+        for r in sessionize(ev).collect()
+    }
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start,
+            r.session_end,
+            r.events,
+            r.duration_us,
+        )
+        for r in sessionize_bucketed(ev, bucket_us=3600 * 1_000_000).collect()
+    }
+    assert got == want
+    # the chain really did cross buckets: user 1 is one session of 10
+    assert got[(1, 1)][2] == 10
+
+
+def test_sessionize_bucketed_hot_user_equivalence(spark):
+    """Skew witness (VERDICT r7 item 4): one bot user owns ~10% of a
+    multi-day stream; the bucketed plan must (a) key its event-grain
+    exchange on (user, bucket) — the skew remedy — and (b) reproduce
+    the single-window output bit-for-bit."""
+    import random
+
+    from cubefs_hadoop_spark.extensions.behavior import (
+        sessionize,
+        sessionize_bucketed,
+    )
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    rng = random.Random(34)
+    rows = []
+    eid = 0
+    # bot: one event every 2-40 min for 5 days (dense, many sessions,
+    # lots of day-boundary crossings)
+    t = 0
+    while t < 5 * 86400:
+        rows.append((eid, 0, t))
+        eid += 1
+        t += rng.randrange(120, 2400)
+    # 60 normal users with sparse activity
+    for u in range(1, 61):
+        t = rng.randrange(0, 86400)
+        for _ in range(rng.randrange(3, 12)):
+            rows.append((eid, u, t))
+            eid += 1
+            t += rng.randrange(60, 7200)
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, off long"
+    ).select(
+        "event_id",
+        "user_id",
+        (
+            F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+            + F.make_dt_interval(secs=F.col("off").cast("double"))
+        ).alias("ts"),
+    )
+    bot_share = sum(1 for r in rows if r[1] == 0) / len(rows)
+    assert bot_share > 0.3  # deliberately extreme at test scale
+
+    bucketed = sessionize_bucketed(ev)
+    a = audit_plan(bucketed)
+    assert "hashpartitioning(user_id" in a.text and "bkt" in a.text
+    want = {
+        (r.user_id, r.session_idx): (r.events, r.duration_us)
+        for r in sessionize(ev).collect()
+    }
+    got = {
+        (r.user_id, r.session_idx): (r.events, r.duration_us)
+        for r in bucketed.collect()
+    }
+    assert got == want
