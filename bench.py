@@ -53,6 +53,12 @@ BENCH_QUERIES = [
     "x41b_pq_rerank",
     "x40_bigram_lm_score",
     "x46_knn_graph",
+    # r8 additions (VERDICT r7 item 6): the round-7 observability/
+    # curation heavies — eager-barrier pipelines whose honest cost is
+    # construction+collect, which is exactly what this loop times
+    "x47_quality_blend",
+    "x49_overlap_matrix",
+    "x50_semantic_decontam",
 ]
 
 RUNS = 4

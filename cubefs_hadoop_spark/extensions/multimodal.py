@@ -25,7 +25,7 @@ import io
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
@@ -492,15 +492,50 @@ WITH m AS (
   SELECT media_id, modality, mime,
          CAST(octet_length(payload) AS BIGINT) AS nbytes,
          md5(hex(payload)) AS digest,
-         lower(substring(hex(payload), 1, 8)) AS magic_hex
+         lower(substring(hex(payload), 1, 8)) AS magic_hex,
+         CASE
+           WHEN lower(substring(hex(payload), 1, 8)) = '89504e47'
+             THEN 'image/png'
+           WHEN lower(substring(hex(payload), 1, 6)) = 'ffd8ff'
+             THEN 'image/jpeg'
+           WHEN lower(substring(hex(payload), 1, 8)) = '52494646'
+                AND lower(substring(hex(payload), 17, 8)) = '57415645'
+             THEN 'audio/wav'
+           WHEN lower(substring(hex(payload), 1, 8)) = '664c6143'
+             THEN 'audio/flac'
+           ELSE 'application/octet-stream'
+         END AS sniffed_mime
   FROM read_parquet('{MEDIA_FIXTURE}'))
-SELECT media_id, modality, mime, nbytes, digest, magic_hex,
+SELECT media_id, modality, mime, nbytes, digest, magic_hex, sniffed_mime,
        CAST(COUNT(*) OVER (PARTITION BY digest) AS BIGINT) AS n_copies,
        CAST(MIN(media_id) OVER (PARTITION BY digest) AS BIGINT)
            AS canonical_id
 FROM m
-ORDER BY media_id, modality, mime, nbytes, digest, magic_hex, n_copies,
-         canonical_id"""
+ORDER BY media_id, modality, mime, nbytes, digest, magic_hex, sniffed_mime,
+         n_copies, canonical_id"""
+
+
+def sniff_mime(payload) -> Column:
+    """Magic-prefix mime sniffing as a pure JVM CASE expression — the
+    never-decode tier's format id, riding the scan beside the digest.
+    Prefixes: \\x89PNG -> image/png, FF D8 FF -> image/jpeg (SOI), RIFF
+    + 'WAVE' at bytes 9-12 -> audio/wav (the RIFF fourcc alone is also
+    AVI/WebP, so the format tag is checked), 'fLaC' -> audio/flac; all
+    else application/octet-stream.  JPEG/FLAC are metadata-tier formats
+    here (VERDICT r7 item 8): sniffing/digesting/dedup are real, decode
+    stays the loud NotImplementedError path (no codec shipped)."""
+    hex4 = F.lower(F.hex(payload.substr(1, 4)))
+    return (
+        F.when(hex4 == "89504e47", F.lit("image/png"))
+        .when(F.lower(F.hex(payload.substr(1, 3))) == "ffd8ff", F.lit("image/jpeg"))
+        .when(
+            (hex4 == "52494646")
+            & (F.lower(F.hex(payload.substr(9, 4))) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(hex4 == "664c6143", F.lit("audio/flac"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
 
 
 def blob_inventory(media: DataFrame, id_col: str = "media_id") -> DataFrame:
@@ -523,6 +558,7 @@ def blob_inventory(media: DataFrame, id_col: str = "media_id") -> DataFrame:
         F.octet_length(payload).cast("long").alias("nbytes"),
         F.md5(F.hex(payload)).alias("digest"),
         F.lower(F.hex(payload.substr(1, 4))).alias("magic_hex"),
+        sniff_mime(payload).alias("sniffed_mime"),
     )
     per_digest = Window.partitionBy("digest")
     return m.select(
@@ -535,10 +571,13 @@ def blob_inventory(media: DataFrame, id_col: str = "media_id") -> DataFrame:
 @register("x35b_blob_inventory", _X35B_ORACLE)
 def x35b_blob_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X35b blob-backed metadata + exact dedup over the committed media
-    fixture's REAL PNG/WAV payloads (sf-independent: the blobs live in
-    the repo fixture, not the sf dirs)."""
+    fixture's REAL payloads — PNG/WAV (decodable by the shipped stdlib
+    codecs) plus JPEG/FLAC at the metadata tier (magic-valid containers,
+    decode deliberately unshipped) — sf-independent: the blobs live in
+    the repo fixture, not the sf dirs.  The sniffed_mime column runs
+    the magic sniffer through the hash gate against its SQL twin."""
     media = spark.read.parquet(MEDIA_FIXTURE)
     return blob_inventory(media).orderBy(
         "media_id", "modality", "mime", "nbytes", "digest", "magic_hex",
-        "n_copies", "canonical_id",
+        "sniffed_mime", "n_copies", "canonical_id",
     )

@@ -10,8 +10,16 @@ differ in metadata ordering; the committed file is the fixture of
 record and `tests/test_multimodal_fixture.py` pins its content hash).
 
 Duplicate payloads are planted on purpose (ids 30/31 repeat id 0's PNG;
-ids 62/63 repeat id 32's WAV) so digest-based exact dedup over the
-fixture is a meaningful operation.
+ids 62/63 repeat id 32's WAV; ids 70/71 repeat id 64's JPEG; ids 78/79
+repeat id 72's FLAC) so digest-based exact dedup over the fixture is a
+meaningful operation.
+
+r8 (VERDICT r7 item 8): ids 64-71 are JPEG blobs and 72-79 FLAC blobs
+at the METADATA tier — structurally correct containers with the real
+magic bytes (FFD8FF..FFD9 JFIF skeleton; fLaC + STREAMINFO block), but
+the repo deliberately ships no JPEG/FLAC codec, so decode stays the
+loud NotImplementedError path; the sniffer, digests and dedup are as
+real as for PNG/WAV.
 
 Run from the repo root: ``python tools/make_media_fixture.py``
 """
@@ -30,6 +38,8 @@ from cubefs_hadoop_spark.extensions.codecs import png_encode, wav_encode
 
 N_IMAGES = 32
 N_AUDIO = 32
+N_JPEG = 8
+N_FLAC = 8
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "fixtures")
 
@@ -54,6 +64,27 @@ def make_wav(i: int) -> tuple[bytes, int, int]:
     return wav_encode(samples, rate), n, rate
 
 
+def make_jpeg(i: int) -> bytes:
+    """Deterministic JPEG-container blob: real SOI/APP0-JFIF skeleton and
+    EOI trailer around integer-arithmetic entropy bytes.  Magic-valid
+    (FF D8 FF), not decodable — the repo ships no JPEG codec on purpose."""
+    soi_app0 = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    n = 40 + (i % 7) * 8
+    body = bytes((i * 41 + k * 13) % 255 for k in range(n))  # never 0xFF
+    return soi_app0 + body + b"\xff\xd9"
+
+
+def make_flac(i: int) -> bytes:
+    """Deterministic FLAC-container blob: the fLaC marker and a
+    last-block STREAMINFO header (34 bytes) around integer-arithmetic
+    bytes.  Magic-valid ('fLaC'), not decodable — no FLAC codec shipped."""
+    streaminfo = bytes((i * 29 + k * 17) % 256 for k in range(34))
+    frames = bytes((i * 53 + k * 19) % 256 for k in range(24 + (i % 5) * 4))
+    return b"fLaC" + b"\x80\x00\x00\x22" + streaminfo + frames
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     raw_dir = os.path.join(OUT, "media_files")
@@ -69,6 +100,18 @@ def main() -> None:
         src = 0 if j >= N_AUDIO - 2 else j  # planted duplicates 62,63
         payload, n, rate = make_wav(src)
         rows.append((i, "audio", "audio/wav", None, None, n, rate, payload))
+    for j in range(N_JPEG):
+        i = N_IMAGES + N_AUDIO + j
+        src = 0 if j >= N_JPEG - 2 else j  # planted duplicates 70,71
+        rows.append(
+            (i, "image", "image/jpeg", None, None, None, None, make_jpeg(src))
+        )
+    for j in range(N_FLAC):
+        i = N_IMAGES + N_AUDIO + N_JPEG + j
+        src = 0 if j >= N_FLAC - 2 else j  # planted duplicates 78,79
+        rows.append(
+            (i, "audio", "audio/flac", None, None, None, None, make_flac(src))
+        )
 
     table = pa.table(
         {
