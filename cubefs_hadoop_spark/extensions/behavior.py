@@ -343,6 +343,88 @@ def sessionize_bucketed(
     )
 
 
+# -- x52: key-skew profile (the pre-flight shuffle audit) --------------------
+#
+# Every user-keyed stage in this family (x25 funnel, x26 lifecycle, x34
+# sessionize) shuffles on user_id, and the ONE thing that decides
+# whether that exchange survives 100 TB is the key-frequency tail —
+# AQE can split a skewed JOIN at runtime but not a skewed WINDOW, so
+# the decision between x34 and x34b has to be made BEFORE the job runs.
+# x52 is that decision's input: the top of the key-frequency
+# distribution with exact milli shares, plus the corpus totals, from
+# one partial-aggregated pass (aggregation is skew-immune — map-side
+# combine collapses a hot key to one row per partition before the
+# exchange, so profiling the skew never suffers from it).
+
+_X52_TOP = 20
+
+_X52_ORACLE = f"""
+WITH g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS nr, CAST(COUNT(*) AS BIGINT) AS nk
+      FROM g),
+o AS (SELECT user_id, c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT)
+                 AS rk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, user_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM g)
+SELECT rk, user_id, c AS n_events,
+       CAST(1000 * c // t.nr AS BIGINT) AS share_milli,
+       CAST(1000 * cum // t.nr AS BIGINT) AS cum_share_milli,
+       t.nk AS n_keys, t.nr AS n_rows
+FROM o CROSS JOIN t WHERE rk <= {_X52_TOP}
+ORDER BY rk, user_id, n_events, share_milli, cum_share_milli"""
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str = "user_id", top: int = _X52_TOP
+) -> DataFrame:
+    """Top-``top`` key-frequency profile of ``df[key_col]`` with exact
+    integer milli shares and corpus totals — the pre-flight audit for
+    any key-partitioned shuffle (is the hottest key's share_milli big
+    enough that a window on this key needs the x34b bucketed plan?).
+
+    Scale shape: ONE partial-aggregated groupBy (skew-immune by
+    map-side combine), TakeOrderedAndProject for the top slice, totals
+    as plan literals from a driver-sized agg, and the only ordered
+    window runs on the ``top``-row frame."""
+    g = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = g.agg(
+        F.sum("c").cast("long").alias("nr"),
+        F.count(F.lit(1)).cast("long").alias("nk"),
+    ).first()
+    nr, nk = int(t["nr"]), int(t["nk"])
+    w = Window.orderBy(F.desc("c"), key_col)
+    return (
+        g.orderBy(F.desc("c"), key_col)
+        .limit(int(top))
+        .select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            key_col,
+            F.col("c").alias("n_events"),
+            F.expr(f"1000 * c div {nr}").alias("share_milli"),
+            F.expr(
+                f"1000 * sum(c) over (order by c desc, {key_col} "
+                f"rows between unbounded preceding and current row) "
+                f"div {nr}"
+            ).alias("cum_share_milli"),
+            F.lit(nk).cast("long").alias("n_keys"),
+            F.lit(nr).cast("long").alias("n_rows"),
+        )
+    )
+
+
+@register("x52_skew_profile", _X52_ORACLE)
+def x52_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 key-skew profile of the event stream's user_id — the
+    pre-flight audit that routes between x34 (plain window) and x34b
+    (bucketed window + stitch)."""
+    return key_skew_profile(load(spark, sf_dir, "events")).orderBy(
+        "rk", "user_id", "n_events", "share_milli", "cum_share_milli"
+    )
+
+
 # Same oracle as x34: the driver's hash gate is the end-to-end proof
 # that the bucketed/stitched plan and the single-window plan are the
 # same function of the event stream.

@@ -591,3 +591,130 @@ def x47_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# -- x54: temperature-flattened source mixture -------------------------------
+#
+# The data-recipe step every large LM run applies between curation and
+# packing (GPT-3 Table 2.2's per-dataset sampling rates, PaLM/LLaMA's
+# alpha-temperature source weights; arXiv:2005.14165): sample sources
+# proportionally to c^alpha instead of c, flattening the web-crawl
+# giant toward the small high-quality corpora.  alpha = 0.5 here, and
+# the whole quota computation is EXACT integer arithmetic so the hash
+# gate covers it: weight_i = floor(sqrt(c_i * 10^6)) — IEEE sqrt is
+# correctly rounded, so floor of it is bit-deterministic across engines
+# — and quota_i = min(B * w_i // sum(w), c_i) with B = half the corpus.
+# Selection within a source is the family's md5 content-hash order
+# (x17's two-level prefix machinery: per-(source, hex-bucket) counters,
+# one 256-rows-per-source bucket-totals window — no source ever
+# serializes through a single task), RNG-free and replay-stable.
+#
+# Scale: one groupBy(source) for quotas (driver-sized output,
+# broadcast back), one corpus pass for ranks; nothing quadratic,
+# nothing keyed on a skewed column alone.
+
+_X54_TOP_MILLI = 1_000_000
+
+_X54_ORACLE = """
+WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(SQRT(c * 1000000)) AS BIGINT)) AS BIGINT)
+                 AS sw
+      FROM g),
+q AS (SELECT source, c,
+             LEAST((t.n // 2) * CAST(FLOOR(SQRT(c * 1000000)) AS BIGINT)
+                   // t.sw, c) AS quota
+      FROM g CROSS JOIN t),
+r AS (SELECT doc_id, source,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id)
+                  AS BIGINT) AS sel_rank
+      FROM documents)
+SELECT r.doc_id, r.source, r.sel_rank, q.quota
+FROM r JOIN q USING (source) WHERE r.sel_rank <= q.quota
+ORDER BY source, sel_rank, doc_id, quota"""
+
+
+def hash_rank(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, sel_rank): each document's 1-based rank in its
+    source's deterministic (md5(text), doc_id) order, via the x17
+    two-level prefix trick — per-(source, hex-bucket) counting windows
+    in parallel, one ordered window on the <=256-rows-per-source
+    bucket-totals frame."""
+    t = docs.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    ).withColumn("bkt", F.conv(F.substring("h", 1, 2), 16, 10).cast("long"))
+    within = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "off_in", F.coalesce(F.count(F.lit(1)).over(within), F.lit(0))
+    )
+    over_buckets = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        t.groupBy("source", "bkt")
+        .agg(F.count(F.lit(1)).alias("btot"))
+        .select(
+            "source",
+            "bkt",
+            F.coalesce(F.sum("btot").over(over_buckets), F.lit(0)).alias(
+                "boff"
+            ),
+        )
+    )
+    return (
+        t.join(F.broadcast(prefix), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("boff") + F.col("off_in") + 1).cast("long").alias(
+                "sel_rank"
+            ),
+        )
+    )
+
+
+def temperature_mixture(docs: DataFrame) -> DataFrame:
+    """Alpha=0.5 temperature-flattened source selection: per-source
+    quotas from exact integer arithmetic on sqrt-weights, documents
+    picked in md5 content-hash order up to quota.  Returns
+    (doc_id, source, sel_rank, quota) for the kept set."""
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_expr = f"cast(floor(sqrt(c * {_X54_TOP_MILLI})) as bigint)"
+    tots = g.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.expr(w_expr)).cast("long").alias("sw"),
+    ).first()
+    n, sw = int(tots["n"]), int(tots["sw"])
+    quotas = g.select(
+        "source",
+        F.least(
+            F.expr(f"({n} div 2) * {w_expr} div {sw}"), F.col("c")
+        ).alias("quota"),
+    )
+    return (
+        hash_rank(docs)
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("sel_rank") <= F.col("quota"))
+        .select("doc_id", "source", "sel_rank", "quota")
+    )
+
+
+@register("x54_temperature_mixture", _X54_ORACLE)
+def x54_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 alpha=0.5 temperature mixture over the documents table: half
+    the corpus, sources flattened toward sqrt weights, deterministic
+    md5-order selection; every quota is exact integer arithmetic so the
+    oracle hash covers the recipe end-to-end."""
+    return temperature_mixture(load(spark, sf_dir, "documents")).orderBy(
+        "source", "sel_rank", "doc_id", "quota"
+    )

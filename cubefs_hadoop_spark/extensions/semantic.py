@@ -1276,3 +1276,76 @@ def x50_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2d(F.col("mc")).alias("max_test_cos"),
         (F.col("mc") >= _X50_TAU).alias("contaminated"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# x53: LSH bucket-population audit (the guardrail that sizes the knobs)
+# ---------------------------------------------------------------------------
+#
+# The whole SRP/MinHash family's scaling behavior is a function of ONE
+# distribution — bucket populations: candidate pairs per band are
+# sum(c*(c-1)/2) over its buckets, which is exactly the term that blew
+# the pinned-bits config to 23x-on-10x-data at the sf1 probe while the
+# auto-sized config stayed 1.9x (SCALING.md).  x53 measures that term
+# BEFORE the pair join runs: per band, the bucket count, the hottest
+# bucket, the exact candidate-pair count, and the hottest bucket's
+# milli share of the corpus.  Reading this table is how an operator
+# decides bits-per-band are too few without paying the quadratic join
+# to find out.
+#
+# Scale: signatures are the same map-only pass x13 runs; everything
+# after is partial-aggregated at (band, key) grain (skew-immune — the
+# hot bucket collapses map-side) and the output is `bands` rows.
+
+_X53_ORACLE = f"""
+WITH hp AS (
+  SELECT vec_id AS h, embedding AS hv FROM embeddings WHERE vec_id < {_X13_H}
+), bits AS (
+  SELECT e.vec_id, h.h // {_X13_BITS} AS band,
+         SUM(CASE WHEN {_DOT_DUCK.format(a='e.embedding', b='h.hv')} >= 0
+                  THEN 1 << (h.h % {_X13_BITS}) ELSE 0 END) AS key
+  FROM embeddings e CROSS JOIN hp h GROUP BY e.vec_id, h.h // {_X13_BITS}
+), bk AS (
+  SELECT band, key, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bits GROUP BY band, key
+), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
+       CAST(1000 * MAX(c) // MAX(t.n) AS BIGINT) AS top_share_milli
+FROM bk CROSS JOIN t
+GROUP BY band
+ORDER BY band, n_buckets, max_bucket, cand_pairs, top_share_milli"""
+
+
+def lsh_bucket_audit(sig: DataFrame, n: int) -> DataFrame:
+    """Per-band bucket-population audit over an SRP signature frame
+    ``(vec_id, band, key)``: bucket count, hottest bucket, exact
+    candidate-pair count sum(c*(c-1)/2), and the hottest bucket's milli
+    share of the ``n``-vector corpus.  All partial aggregation; output
+    is `bands` rows."""
+    bk = sig.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return bk.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+        F.expr(f"1000 * max(c) div {int(n)}").alias("top_share_milli"),
+    )
+
+
+@register("x53_lsh_bucket_audit", _X53_ORACLE)
+def x53_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 LSH bucket audit at x13's pinned SRP config — the table that
+    says (via cand_pairs / top_share_milli) when pinned bits are too
+    few for the corpus, before any pair join is paid."""
+    emb = load(spark, sf_dir, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    n = emb.count()
+    return lsh_bucket_audit(srp_signatures(emb, hp), n).orderBy(
+        "band", "n_buckets", "max_bucket", "cand_pairs", "top_share_milli"
+    )

@@ -59,8 +59,10 @@ _R8_WINDOW = [
 # window displaced (x16_segment_dedup, x17_token_budget,
 # x18_curriculum_order, x19_stratified_sample, x20_unigram_logprob,
 # x21_bm25_search, x22_zorder_key, x23_gapfill_locf, x24_range_join,
-# x25_funnel, x26_lifecycle, x27_series_similarity), then any r8-new
-# operators for their first driver rows, then the 50 r06 greens in
+# x25_funnel, x26_lifecycle, x27_series_similarity), then the r8-new
+# operators for their first driver rows (x34b_sessionize_skewsafe,
+# x52_skew_profile, x53_lsh_bucket_audit, x54_temperature_mixture —
+# all hash-green at 3 SFs and in SWEEP_r08), then the 50 r06 greens in
 # registration order.
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 reorder(_R8_WINDOW)

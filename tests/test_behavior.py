@@ -305,3 +305,26 @@ def test_sessionize_bucketed_hot_user_equivalence(spark):
         for r in bucketed.collect()
     }
     assert got == want
+
+
+def test_x52_skew_profile_exact_shares(spark):
+    """x52 witness on a crafted stream: hand-computed ranks, exact
+    integer milli shares, cumulative shares, and totals; ties broken by
+    key; the top-N truncation keeps exactly N rows."""
+    from cubefs_hadoop_spark.extensions.behavior import key_skew_profile
+
+    rows = []
+    eid = 0
+    for uid, n in ((7, 50), (3, 30), (9, 30), (1, 10)):
+        for _ in range(n):
+            rows.append((eid, uid))
+            eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long")
+    prof = key_skew_profile(ev, top=3).collect()
+    assert [r.rk for r in prof] == [1, 2, 3]
+    assert [r.user_id for r in prof] == [7, 3, 9]  # tie 3/9 -> key order
+    assert [r.n_events for r in prof] == [50, 30, 30]
+    # total 120: 50 -> 416 milli, cum 50/80/110 -> 416/666/916
+    assert [r.share_milli for r in prof] == [416, 250, 250]
+    assert [r.cum_share_milli for r in prof] == [416, 666, 916]
+    assert all(r.n_keys == 4 and r.n_rows == 120 for r in prof)

@@ -1704,3 +1704,96 @@ def test_scale_safe_defaults_are_auto_sized(spark):
     }
     assert d1 == d2
     assert len({cid for cid, _ in d1.values()}) <= c
+
+
+def test_x53_bucket_audit_hand_computed(spark):
+    """x53 witness: on a crafted signature frame the audit reproduces
+    hand-computed bucket counts, hottest buckets, exact candidate-pair
+    sums (c*(c-1)/2 per bucket), and milli top-bucket shares."""
+    from cubefs_hadoop_spark.extensions.semantic import lsh_bucket_audit
+
+    sig = spark.createDataFrame(
+        # band 0: bucket a holds 3 vectors, bucket b holds 1 -> pairs 3
+        # band 1: buckets of 2 and 2 -> pairs 1 + 1 = 2
+        [(1, 0, 10), (2, 0, 10), (3, 0, 10), (4, 0, 11),
+         (1, 1, 20), (2, 1, 20), (3, 1, 21), (4, 1, 21)],
+        "vec_id long, band int, key long",
+    )
+    out = {r.band: r for r in lsh_bucket_audit(sig, n=4).collect()}
+    assert out[0].n_buckets == 2 and out[0].max_bucket == 3
+    assert out[0].cand_pairs == 3 and out[0].top_share_milli == 750
+    assert out[1].n_buckets == 2 and out[1].max_bucket == 2
+    assert out[1].cand_pairs == 2 and out[1].top_share_milli == 500
+
+
+def test_x53_pair_term_matches_actual_candidates(spark):
+    """The audit's cand_pairs is the exact per-band candidate count the
+    x13 bucket self-join would generate (before cross-band dedup) —
+    verified by actually joining the fixture signatures."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        _X13_H,
+        lsh_bucket_audit,
+        srp_signatures,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    sig = srp_signatures(emb, hp).cache()
+    audit = {
+        r.band: r.cand_pairs
+        for r in lsh_bucket_audit(sig, n=emb.count()).collect()
+    }
+    a = sig.select(F.col("vec_id").alias("da"), "band", "key")
+    b = sig.select(F.col("vec_id").alias("db"), "band", "key")
+    actual = {
+        r.band: r.c
+        for r in a.join(b, ["band", "key"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    sig.unpersist()
+    assert audit == actual
+
+
+def test_x54_temperature_mixture_flattens(spark):
+    """x54 witnesses: quotas follow the exact integer sqrt-weight
+    formula; flattening holds (the small source's kept FRACTION exceeds
+    the big source's); selection is the md5-order prefix; total kept ==
+    sum of quotas."""
+    import hashlib
+    import math
+
+    from cubefs_hadoop_spark.extensions.curation import temperature_mixture
+
+    rows = []
+    did = 0
+    for src, n in (("web", 400), ("wiki", 25)):
+        for i in range(n):
+            rows.append((did, src, f"{src} doc {i} text {did}"))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mixture(docs).collect()
+
+    # exact quota arithmetic in python ints
+    c = {"web": 400, "wiki": 25}
+    w = {s: math.floor(math.sqrt(v * 1_000_000)) for s, v in c.items()}
+    B = sum(c.values()) // 2
+    quota = {s: min(B * w[s] // sum(w.values()), c[s]) for s in c}
+    got_q = {r.source: r.quota for r in out}
+    assert got_q == quota
+    assert len(out) == sum(quota.values())
+    # flattening: wiki keeps a larger fraction than web
+    kept = {s: sum(1 for r in out if r.source == s) for s in c}
+    assert kept["wiki"] / c["wiki"] > kept["web"] / c["web"]
+    # selection is the md5-order prefix within each source
+    md5_order = sorted(
+        (hashlib.md5(t.encode()).hexdigest(), d)
+        for d, s, t in rows
+        if s == "wiki"
+    )
+    want_wiki = {d for _, d in md5_order[: quota["wiki"]]}
+    assert {r.doc_id for r in out if r.source == "wiki"} == want_wiki
