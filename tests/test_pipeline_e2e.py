@@ -573,3 +573,65 @@ def test_monitored_quality_blend_pipeline(spark, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_preflight_audited_mixture_pipeline(spark, tmp_path):
+    """Round-8 composition — audits route the plan, then the recipe
+    lands: the key-skew profile (x52) reads the event stream's hottest
+    key and picks x34b's bucketed sessionize iff its share crosses a
+    policy line (both plans are hash-equal, so the choice is pure
+    economics); the LSH bucket audit (x53) proves the pinned-config
+    candidate-pair term that motivates auto-sizing; the
+    temperature-flattened mixture (x54) then selects the training set
+    and lands it partitioned by source, with per-source quotas exactly
+    respected in the warehouse."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        sessionize,
+        sessionize_bucketed,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    events = load(spark, SF_SMOKE, "events")
+    docs = load(spark, SF_SMOKE, "documents")
+
+    # 1. pre-flight: skew profile routes the sessionize plan
+    prof = QUERIES["x52_skew_profile"](spark, SF_SMOKE).collect()
+    hottest_milli = prof[0].share_milli
+    sess_fn = sessionize_bucketed if hottest_milli > 100 else sessionize
+    sessions = sess_fn(events)
+    # whichever plan the profile picked, the output is the x34 function
+    want = {
+        (r.user_id, r.session_idx): r.events
+        for r in sessionize(events).collect()
+    }
+    got = {
+        (r.user_id, r.session_idx): r.events for r in sessions.collect()
+    }
+    assert got == want
+
+    # 2. pre-flight: the bucket audit's pair term bounds the pair join
+    # the x13 pipeline would run (total candidates <= sum over bands)
+    audit = QUERIES["x53_lsh_bucket_audit"](spark, SF_SMOKE).collect()
+    total_band_pairs = sum(r.cand_pairs for r in audit)
+    distinct_pairs = QUERIES["x13_srp_lsh"](spark, SF_SMOKE).count()
+    assert distinct_pairs <= total_band_pairs
+
+    # 3. recipe: temperature mixture -> partitioned landing; quotas
+    # exactly respected per source
+    mix = QUERIES["x54_temperature_mixture"](spark, SF_SMOKE)
+    eng.write_table(
+        mix.join(docs.select("doc_id", "text"), "doc_id"),
+        "training_mix",
+        partition_by=["source"],
+        mode="overwrite",
+    )
+    back = eng.table("training_mix")
+    landed = {
+        r.source: r.c
+        for r in back.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    quotas = {r.source: r.quota for r in mix.select("source", "quota").distinct().collect()}
+    assert landed == quotas
