@@ -328,3 +328,56 @@ def test_x52_skew_profile_exact_shares(spark):
     assert [r.share_milli for r in prof] == [416, 250, 250]
     assert [r.cum_share_milli for r in prof] == [416, 666, 916]
     assert all(r.n_keys == 4 and r.n_rows == 120 for r in prof)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        # spread events over ~5 days so day-bucket boundaries are hit
+        # both inside sessions (merge) and at real gaps (no merge)
+        st.integers(0, 5 * 86400),
+        min_size=1,
+        max_size=40,
+    ),
+    users=st.integers(1, 3),
+    bucket_hours=st.sampled_from([1, 6, 24]),
+)
+def test_sessionize_bucketed_equals_plain_property(
+    spark, offsets, users, bucket_hours
+):
+    """x34b property: for ANY event stream — duplicates, ties, and any
+    bucket width — the bucketed/stitched plan is row-identical to the
+    single-window plan.  This is the equivalence the shared oracle
+    checks on the fixture, generalized to adversarial streams where
+    sessions straddle and CHAIN across arbitrary bucket boundaries."""
+    import datetime as dtm
+
+    from cubefs_hadoop_spark.extensions.behavior import (
+        sessionize,
+        sessionize_bucketed,
+    )
+
+    base = dtm.datetime(2024, 1, 1)
+    rows = [
+        (i, i % users, base + dtm.timedelta(seconds=off))
+        for i, off in enumerate(offsets)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    key = lambda r: (r.user_id, r.session_idx)  # noqa: E731
+    want = {
+        key(r): (r.session_start, r.session_end, r.events, r.duration_us)
+        for r in sessionize(ev).collect()
+    }
+    got = {
+        key(r): (r.session_start, r.session_end, r.events, r.duration_us)
+        for r in sessionize_bucketed(
+            ev, bucket_us=bucket_hours * 3600 * 1_000_000
+        ).collect()
+    }
+    assert got == want
