@@ -305,17 +305,22 @@ def x10_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the (tiny) contaminated-id distinct; at 100 TB this is a pure
     map-side membership probe, the same plan as a bloom-filter gate."""
     docs = load(spark, sf_dir, "documents")
+    # split ONCE into a column the lambda indexes — an inline
+    # split-in-lambda re-splits the text per element, O(len^2)/doc
+    # (the x40 r8 postmortem; same fix here and in x11/x29)
     grams5 = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' '))-4, 1)),"
-        " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+        "transform(sequence(1, greatest(size(ws)-4, 1)),"
+        " i -> concat_ws(' ', slice(ws, i, 5)))"
     )
     ev = (
         docs.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("ws", F.split("text", " "))
         .select(F.explode(grams5).alias("gm"))
         .distinct()
     )
     tr = (
         widen_for_cpu(docs.filter(F.col("doc_id") % 20 != 0), "doc_id")
+        .withColumn("ws", F.split("text", " "))
         .select("doc_id", F.explode(grams5).alias("gm"))
     )
     return (
@@ -344,11 +349,12 @@ def x11_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate and degenerate generations score high and get dropped.
     Row-local higher-order functions only — map-shaped at any scale."""
     g = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' '))-2, 1)),"
-        " i -> concat_ws(' ', slice(split(text,' '), i, 3)))"
+        "transform(sequence(1, greatest(size(ws)-2, 1)),"
+        " i -> concat_ws(' ', slice(ws, i, 3)))"
     )
     return (
         widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+        .withColumn("ws", F.split("text", " "))
         .select(
             "doc_id",
             r2d(
@@ -442,11 +448,12 @@ def x29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of corpus-sized state, no all-pairs anywhere; the
     gram-owner table is vocabulary-scale and fully distributed."""
     g = F.expr(
-        "transform(sequence(1, greatest(size(split(text,' '))-4, 1)),"
-        " i -> concat_ws(' ', slice(split(text,' '), i, 5)))"
+        "transform(sequence(1, greatest(size(ws)-4, 1)),"
+        " i -> concat_ws(' ', slice(ws, i, 5)))"
     )
     grams = (
         widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+        .withColumn("ws", F.split("text", " "))
         .select("doc_id", F.explode(g).alias("gm"))
         .distinct()
     )
