@@ -248,11 +248,14 @@ def _windows(
     re-distinct at a COARSER grain (x49 dedupes at (source, win)) —
     two stacked corpus-scale distincts is one wide shuffle too many
     (ADVICE r7)."""
-    ws = F.split("text", " ")
+    # split ONCE into a column the lambda indexes — an inline
+    # split-in-lambda re-splits the text per element, O(len^2)/doc
+    # (the x40/x29 r8 postmortem class)
+    ws = F.col("ws")
     idx = F.when(
         F.size(ws) >= w, F.sequence(F.lit(0), F.size(ws) - F.lit(w))
     ).otherwise(F.expr("array()").cast("array<int>"))
-    out = docs.select(
+    out = docs.withColumn("ws", F.split("text", " ")).select(
         "doc_id",
         *(extra_cols or []),
         F.explode(
