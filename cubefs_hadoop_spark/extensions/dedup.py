@@ -599,6 +599,87 @@ def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- x55: quality-canonical dedup (keep the BEST copy, not the first) -------
+#
+# x28 elects min doc_id per near-dup component — the deterministic
+# baseline.  Production dedup keeps the best copy instead: mirror sites
+# truncate, scrapes drop paragraphs, and the min-id copy is often the
+# worst one.  x55 runs the same LSH -> connected-components pipeline
+# and elects per component by a QUALITY total order — here token count
+# (keep the longest copy, the common heuristic), doc_id as the
+# deterministic tiebreak.  The election is one partial-aggregated
+# max-of-struct per component (components are duplicate-sized, the
+# aggregation is skew-immune), so swapping in any other integer quality
+# signal (x47's blend, x40's fluency millis) is a one-column change.
+
+_X55_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + """),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db AS a, da AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY node),
+t AS (SELECT l.doc_id, l.comp,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tk
+      FROM lab l JOIN documents d USING (doc_id)),
+win AS (SELECT comp, doc_id AS canonical,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY tk DESC, doc_id) AS rn
+        FROM t)
+SELECT t.doc_id, w.canonical, t.doc_id = w.canonical AS kept
+FROM t JOIN win w ON w.comp = t.comp AND w.rn = 1
+ORDER BY doc_id, canonical, kept"""
+)
+
+
+@register("x55_quality_canonical_dedup", _X55_ORACLE)
+def x55_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 quality-canonical election: every document -> the LONGEST
+    member of its near-dup component (token count, doc_id tiebreak);
+    kept = (doc == canonical).  Same pair/CC machinery as x28; the
+    election is a max-of-struct partial aggregation per component —
+    never a per-component sort of the corpus."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    comps = connected_components_auto(lsh_candidate_pairs(docs))
+    labeled = (
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
+        )
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", "tk", F.coalesce("comp", F.col("doc_id")).alias("comp")
+        )
+    )
+    # argmax by (tokens desc, doc_id asc) as one max-of-struct: struct
+    # comparison is lexicographic, so (tk, -doc_id) maxes to the longest
+    # copy with the smallest id among ties
+    elect = labeled.groupBy("comp").agg(
+        F.max(F.struct(F.col("tk"), (-F.col("doc_id")).alias("nid"))).alias(
+            "best"
+        )
+    ).select("comp", (-F.col("best.nid")).cast("long").alias("canonical"))
+    return (
+        labeled.join(elect, "comp")
+        .select(
+            "doc_id",
+            "canonical",
+            (F.col("doc_id") == F.col("canonical")).alias("kept"),
+        )
+        .orderBy("doc_id", "canonical", "kept")
+    )
+
+
 # -- x38: exact duplicated-substring spans (Lee et al. 2022) ---------------
 #
 # Position-level exact dedup: find every MAXIMAL word span that is part

@@ -1797,3 +1797,37 @@ def test_x54_temperature_mixture_flattens(spark):
     )
     want_wiki = {d for _, d in md5_order[: quota["wiki"]]}
     assert {r.doc_id for r in out if r.source == "wiki"} == want_wiki
+
+
+def test_x55_elects_longest_not_first(spark, tmp_path):
+    """x55 witness: in a near-dup component where the LONGEST copy has
+    the LARGEST doc_id, x28 canonicalizes to the min id but x55 to the
+    longest copy; isolated docs keep themselves; exactly one kept doc
+    per component; every member maps to the same canonical."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, base, "s"),                             # dup, shortest, min id
+        (1, base + " extra words appended here", "s"),  # dup, LONGEST
+        (2, "totally unrelated text about databases and engines", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tmp = str(tmp_path / "fx")
+    docs.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    x28 = {r.doc_id: r.canonical for r in QUERIES["x28_canonical_dedup"](spark, tmp).collect()}
+    out = {r.doc_id: r for r in QUERIES["x55_quality_canonical_dedup"](spark, tmp).collect()}
+    # 0 and 1 must be near-dups for the witness to bite
+    assert x28[1] == 0, "fixture assumption: 0~1 are LSH near-dups"
+    assert out[0].canonical == 1 and not out[0].kept  # longest wins
+    assert out[1].canonical == 1 and out[1].kept
+    assert out[2].canonical == 2 and out[2].kept      # isolated keeps self
+    # one kept per component
+    comps = {}
+    for r in out.values():
+        comps.setdefault(r.canonical, []).append(r.kept)
+    assert all(sum(k) == 1 for k in comps.values())
