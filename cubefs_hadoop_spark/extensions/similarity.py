@@ -1128,3 +1128,248 @@ def x41b_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     R-per-query times.  Measured rerank-recall@5: 0.84 at N=500, 1.0
     at N=2000 (near-uniform embeddings — the documented worst case)."""
     return pq_topk(spark, sf_dir, k=5, n_queries=5, rerank=True)
+
+
+# -- x56: IVF-PQ (coarse quantizer + residual product codes) ----------------
+#
+# The production ANN index shape (Jégou TPAMI 2011 §IV "IVFADC"; what
+# FAISS ships as IndexIVFPQ): a coarse quantizer routes each vector to
+# an inverted list, PQ encodes the RESIDUAL v - c(v) (residuals cluster
+# far tighter than raw vectors, so the same code budget buys more
+# precision), and a query probes only nprobe lists with a per-list
+# distance table over its own residual q - c.  This composes the two
+# index families already built here: x03c/x03d's IVF routing (partition
+# pruning at the storage layer via ivf_build_index) and x41's ADC
+# arithmetic (micro-integer exact, broadcast distance tables).
+#
+# Scale: corpus-side work is one coarse assignment pass (broadcast
+# C-row centroid frame) + the PQ encode (vec x M skinny rows); a
+# persisted deployment writes codes PARTITIONED BY ccid exactly like
+# ivf_build_index so a probe reads nprobe/C of the files.  Query-side
+# state is (queries x nprobe x M x K) distance-table rows — broadcast-
+# sized by construction.  Everything is md5-seeded and micro-integer
+# rounded, so the whole index + probe pipeline is oracle-hashable.
+
+_X56_C = 4        # coarse centroids (pinned witness config)
+_X56_NPROBE = 2   # lists probed per query
+_X56_K = 16       # PQ codes per subspace
+_X56_Q = 3        # query vectors (vec_id < Q)
+_X56_TOPK = 5
+
+_SUB_DUCK = "r[(u.s - 1) * {d} + 1 : u.s * {d}]".format(d=_PQ_D)
+
+_X56_SHORTLIST = 100  # IVFADC-R re-rank shortlist (x56b)
+
+_X56_CTE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+cc AS (SELECT vec_id AS ccid, emb AS cent FROM e WHERE vec_id < {_X56_C}),
+asg AS (SELECT vec_id, emb, ccid, cent FROM (
+    SELECT e.vec_id, e.emb, c.ccid, c.cent,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cosine_duck('e.emb', 'c.cent')} DESC, c.ccid) AS rn
+    FROM e CROSS JOIN cc c) WHERE rn = 1),
+res AS (SELECT vec_id, ccid,
+               [emb[i] - cent[i] FOR i IN generate_series(1, len(emb))] AS r
+        FROM asg),
+ids AS (SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM res),
+subs AS (SELECT vec_id, CAST(u.s AS INT) AS sub, {_SUB_DUCK} AS sv
+         FROM res, LATERAL unnest(range(1, {_PQ_M} + 1)) AS u(s)),
+seeds AS (SELECT sub, CAST(rn AS INT) AS cid, sv AS cent
+          FROM subs JOIN ids USING (vec_id) WHERE rn <= {_X56_K}),
+a0 AS (SELECT vec_id, sub, cid, sv FROM (
+        SELECT s.vec_id, s.sub, c.cid, s.sv,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {_MICRO_L2_DUCK.format(v=_L2SQ_DUCK.format(a='s.sv', b='c.cent'))}, c.cid) AS rn
+        FROM subs s JOIN seeds c USING (sub)) WHERE rn = 1),
+el AS (SELECT sub, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS v
+       FROM a0),
+m AS (SELECT sub, cid, pos,
+             SUM({_MICRO_L2_DUCK.format(v='v')}) AS s, COUNT(*) AS n
+      FROM el GROUP BY sub, cid, pos),
+mm AS (SELECT sub, cid,
+              list(CAST(s AS DOUBLE) / n / 1000000.0 ORDER BY pos) AS mean
+       FROM m GROUP BY sub, cid),
+cents AS (SELECT s.sub, s.cid, COALESCE(mm.mean, s.cent) AS cent
+          FROM seeds s LEFT JOIN mm USING (sub, cid)),
+codes AS (SELECT vec_id, sub, cid FROM (
+        SELECT s.vec_id, s.sub, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+                   ORDER BY {_MICRO_L2_DUCK.format(v=_L2SQ_DUCK.format(a='s.sv', b='c.cent'))}, c.cid) AS rn
+        FROM subs s JOIN cents c USING (sub)) WHERE rn = 1),
+probes AS (SELECT q_id, ccid, cent FROM (
+    SELECT e.vec_id AS q_id, c.ccid, c.cent,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cosine_duck('e.emb', 'c.cent')} DESC, c.ccid) AS rn
+    FROM e CROSS JOIN cc c WHERE e.vec_id < {_X56_Q}) WHERE rn <= {_X56_NPROBE}),
+qres AS (SELECT p.q_id, p.ccid,
+                [e.emb[i] - p.cent[i]
+                 FOR i IN generate_series(1, len(e.emb))] AS r
+         FROM probes p JOIN e ON e.vec_id = p.q_id),
+qsubs AS (SELECT q_id, ccid, CAST(u.s AS INT) AS sub, {_SUB_DUCK} AS qv
+          FROM qres, LATERAL unnest(range(1, {_PQ_M} + 1)) AS u(s)),
+dtab AS (SELECT q.q_id, q.ccid, c.sub, c.cid,
+                {_MICRO_L2_DUCK.format(v=_L2SQ_DUCK.format(a='q.qv', b='c.cent'))} AS dm
+         FROM qsubs q JOIN cents c USING (sub)),
+adc AS (SELECT d.q_id, a.vec_id AS n_id, CAST(SUM(d.dm) AS BIGINT) AS d
+        FROM codes k
+        JOIN asg a ON a.vec_id = k.vec_id
+        JOIN dtab d ON d.ccid = a.ccid AND d.sub = k.sub AND d.cid = k.cid
+        WHERE a.vec_id != d.q_id GROUP BY d.q_id, a.vec_id)"""
+
+_X56_ORACLE = (
+    _X56_CTE
+    + f"""
+SELECT q_id, n_id, d AS adc_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rk
+  FROM adc)
+WHERE rk <= {_X56_TOPK} ORDER BY q_id, adc_micro, n_id"""
+)
+
+_X56B_ORACLE = (
+    _X56_CTE
+    + f""",
+rr AS (SELECT q_id, n_id FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, n_id) AS rk
+  FROM adc) WHERE rk <= {_X56_SHORTLIST}),
+ex AS (SELECT rr.q_id, rr.n_id,
+              {_MICRO_L2_DUCK.format(v=_L2SQ_DUCK.format(a='qe.emb', b='ne.emb'))} AS d2
+       FROM rr JOIN e ne ON ne.vec_id = rr.n_id
+               JOIN e qe ON qe.vec_id = rr.q_id)
+SELECT q_id, n_id, d2 AS d2_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, n_id) AS rk
+  FROM ex)
+WHERE rk <= {_X56_TOPK} ORDER BY q_id, d2_micro, n_id"""
+)
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    emb_raw: DataFrame,
+    n_coarse: int = _X56_C,
+    nprobe: int = _X56_NPROBE,
+    n_codes: int = _X56_K,
+    n_queries: int = _X56_Q,
+    k: int = _X56_TOPK,
+    rerank: bool = False,
+    shortlist: int = _X56_SHORTLIST,
+) -> DataFrame:
+    """IVF-PQ top-k: coarse-assign, PQ-encode residuals (reusing
+    pq_train_encode verbatim — the residual frame rides in as its
+    ``emb`` column), probe nprobe lists per query with per-list
+    residual distance tables, ADC-rank inside probed lists only.
+
+    ``rerank=True`` is IVFADC-R: the ADC pass keeps a ``shortlist``
+    per query and exact micro-L2 re-ranks it — on near-uniform data
+    PQ distances concentrate and the raw ADC order is noise past the
+    probe ceiling (measured 0.07 recall raw vs 0.93 re-ranked at the
+    fixture), so the re-rank stage is what makes IVF-PQ a production
+    answer rather than a compression demo; full vectors are touched
+    shortlist-per-query times only."""
+    emb = widen_for_cpu(emb_raw, "vec_id").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    cc = emb.filter(F.col("vec_id") < n_coarse).select(
+        F.col("vec_id").alias("ccid"), F.col("emb").alias("cent")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "ccid")
+    asg = (
+        emb.crossJoin(F.broadcast(cc))
+        .withColumn("d", _cosine_expr("emb", "cent"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter("rn = 1")
+        .select(
+            "vec_id",
+            "ccid",
+            F.zip_with("emb", "cent", lambda x, y: x - y).alias("emb"),
+        )
+    )
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    # the residual frame feeds PQ training AND encoding AND the final
+    # list-membership join — one materialization, three readers
+    res = barrier(asg)
+    cents, codes = pq_train_encode(
+        spark, res.select("vec_id", "emb"), n_codes
+    )
+
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "ccid")
+    probes = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "emb")
+        .crossJoin(F.broadcast(cc))
+        .withColumn("d", _cosine_expr("emb", "cent"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "q_id",
+            "ccid",
+            F.zip_with("emb", "cent", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    sub_expr = F.expr(f"slice(qr, (sub - 1) * {_PQ_D} + 1, {_PQ_D})")
+    qsubs = probes.select(
+        "q_id",
+        "ccid",
+        F.explode(F.sequence(F.lit(1), F.lit(_PQ_M))).alias("sub"),
+        "qr",
+    ).select("q_id", "ccid", "sub", sub_expr.alias("qv"))
+    dtab = (
+        qsubs.join(F.broadcast(cents), "sub")
+        .withColumn("dm", _pq_micro(F.expr(_L2SQ.format(a="qv", b="cent"))))
+        .select("q_id", "ccid", "sub", "cid", "dm")
+    )
+    ws = Window.partitionBy("q_id").orderBy("d", "n_id")
+    stage1_k = shortlist if rerank else k
+    adc = (
+        codes.join(res.select("vec_id", "ccid"), "vec_id")
+        .join(F.broadcast(dtab), ["ccid", "sub", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("n_id"))
+        .agg(F.sum("dm").cast("long").alias("d"))
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= stage1_k)
+    )
+    if not rerank:
+        return adc.select(
+            "q_id", "n_id", F.col("d").alias("adc_micro")
+        ).orderBy("q_id", "adc_micro", "n_id")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    wr = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    return (
+        F.broadcast(adc.select("q_id", "n_id"))
+        .join(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb")),
+            "n_id",
+        )
+        .join(F.broadcast(queries), "q_id")
+        .withColumn(
+            "d2", _pq_micro(F.expr(_L2SQ.format(a="q_emb", b="n_emb")))
+        )
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", F.col("d2").alias("d2_micro"))
+        .orderBy("q_id", "d2_micro", "n_id")
+    )
+
+
+@register("x56_ivfpq_topk", _X56_ORACLE)
+def x56_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 IVF-PQ (IVFADC): coarse routing + residual product codes +
+    nprobe-list ADC probe — the production FAISS index shape, composed
+    from the repo's IVF and PQ tiers and hash-checked end-to-end.
+    Raw compressed-domain order (the x41 analog); x56b is the served
+    form."""
+    return ivfpq_topk(spark, load(spark, sf_dir, "embeddings"))
+
+
+@register("x56b_ivfpq_rerank", _X56B_ORACLE)
+def x56b_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56b IVFADC-R: the x56 pipeline + exact micro-L2 re-rank of a
+    100-candidate ADC shortlist — the serving configuration (recall
+    gate lives engine-side: test_x56_ivfpq_recall_and_pruning)."""
+    return ivfpq_topk(spark, load(spark, sf_dir, "embeddings"), rerank=True)

@@ -1831,3 +1831,84 @@ def test_x55_elects_longest_not_first(spark, tmp_path):
     for r in out.values():
         comps.setdefault(r.canonical, []).append(r.kept)
     assert all(sum(k) == 1 for k in comps.values())
+
+
+def test_x56_ivfpq_recall_and_pruning(spark):
+    """x56 witnesses: (a) recall of the SERVED form (x56b IVFADC-R:
+    ADC shortlist + exact re-rank) vs brute-force L2 top-5 — on the
+    near-uniform fixture raw ADC order is quantization noise (measured
+    0.07), which is exactly why the re-rank stage exists; aggregate bar
+    0.8; (b) LIST PRUNING IS REAL: every returned neighbor belongs to
+    one of its query's probed coarse lists."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import (
+        _X56_C,
+        _X56_NPROBE,
+        _X56_Q,
+        _cosine_expr,
+        _L2SQ,
+        ivfpq_topk,
+    )
+
+    raw = load(spark, SF_SMOKE, "embeddings")
+    emb = raw.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+    got_rows = ivfpq_topk(spark, raw, rerank=True).collect()
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r.q_id, set()).add(r.n_id)
+
+    q = emb.filter(F.col("vec_id") < _X56_Q).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    w = Window.partitionBy("q_id").orderBy("d2", "n_id")
+    exact: dict[int, set] = {}
+    for r in (
+        F.broadcast(q)
+        .crossJoin(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("emb").alias("n_emb"))
+        )
+        .filter(F.col("n_id") != F.col("q_id"))
+        .withColumn("d2", F.expr(_L2SQ.format(a="q_emb", b="n_emb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("q_id", "n_id")
+        .collect()
+    ):
+        exact.setdefault(r.q_id, set()).add(r.n_id)
+    hits = sum(len(got[qid] & exact[qid]) for qid in exact)
+    total = hits / sum(len(v) for v in exact.values())
+    assert total >= 0.8, f"IVF-PQ re-ranked recall collapsed: {total}"
+
+    # pruning witness: neighbors come only from probed lists
+    cc = emb.filter(F.col("vec_id") < _X56_C).select(
+        F.col("vec_id").alias("ccid"), F.col("emb").alias("cent")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "ccid")
+    asg = {
+        r.vec_id: r.ccid
+        for r in emb.crossJoin(F.broadcast(cc))
+        .withColumn("d", _cosine_expr("emb", "cent"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter("rn = 1")
+        .select("vec_id", "ccid")
+        .collect()
+    }
+    wp = Window.partitionBy("q_id").orderBy(F.col("d").desc(), "ccid")
+    probed: dict[int, set] = {}
+    for r in (
+        q.crossJoin(F.broadcast(cc))
+        .withColumn("d", _cosine_expr("q_emb", "cent"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _X56_NPROBE)
+        .select("q_id", "ccid")
+        .collect()
+    ):
+        probed.setdefault(r.q_id, set()).add(r.ccid)
+    for r in got_rows:
+        assert asg[r.n_id] in probed[r.q_id], (
+            f"neighbor {r.n_id} of query {r.q_id} came from unprobed "
+            f"list {asg[r.n_id]}"
+        )
