@@ -509,3 +509,63 @@ def test_x38b_removal_shape(spark):
     assert a.nested_loop_joins == 0
     assert a.text.count("SinglePartition") == 0
     assert all(cols <= {"doc_id", "text"} for cols in a.scan_columns())
+
+
+def test_x34b_bucketed_window_shape(spark):
+    """x34b: the event-grain window must key on (user, bkt) — the skew
+    remedy — with no SinglePartition funnel and no Python; stitch
+    re-attach is a broadcast join."""
+    a = _audit(spark, "x34b_sessionize_skewsafe")
+    assert "bkt" in a.text and "hashpartitioning(user_id" in a.text
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+    assert a.broadcast_joins >= 1
+    assert a.shuffles <= 5
+
+
+def test_x52_profile_shape(spark):
+    """x52: ONE partial-agg'd exchange + TakeOrderedAndProject for the
+    top slice; the only ordered window runs on the top-N frame (no
+    corpus-wide SinglePartition), no joins, no Python."""
+    a = _audit(spark, "x52_skew_profile")
+    assert a.shuffles == 1
+    assert a.has_take_ordered
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x53_bucket_audit_shape(spark):
+    """x53: signatures ride the declared broadcast-hyperplane pattern
+    (one 1-row collect agg + one broadcast cross join); everything
+    after is partial aggregation — no pairwise join anywhere."""
+    a = _audit(spark, "x53_lsh_bucket_audit")
+    assert a.nested_loop_joins == 1  # the broadcast 1-row hyperplane frame
+    assert a.sort_merge_joins == 0
+    assert a.text.count("SinglePartition") <= 1  # the collect_list agg
+    assert not a.has_python_eval
+
+
+def test_x54_mixture_shape(spark):
+    """x54: quotas broadcast back (>=1 BHJ), ranks via the two-level
+    prefix machinery — per-(source, bucket) windows only, never a
+    SinglePartition corpus funnel; no Python."""
+    a = _audit(spark, "x54_temperature_mixture")
+    assert a.broadcast_joins >= 1
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x56_ivfpq_shape(spark):
+    """x56/x56b: coarse centroids and distance tables ride as
+    broadcasts (the only NLJ is the C-row centroid cross join), ADC
+    top-k compiles to WindowGroupLimit, no Python anywhere; the re-rank
+    variant adds broadcast joins, never another NLJ."""
+    a = _audit(spark, "x56_ivfpq_topk")
+    assert a.nested_loop_joins <= 1
+    assert a.has_window_group_limit
+    assert not a.has_python_eval
+    b = _audit(spark, "x56b_ivfpq_rerank")
+    assert b.nested_loop_joins <= 1
+    assert b.broadcast_joins >= a.broadcast_joins
+    assert b.has_window_group_limit
+    assert not b.has_python_eval
