@@ -1308,32 +1308,51 @@ WITH hp AS (
 ), bk AS (
   SELECT band, key, CAST(COUNT(*) AS BIGINT) AS c
   FROM bits GROUP BY band, key
-), t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+)
 SELECT CAST(band AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_buckets,
        CAST(MAX(c) AS BIGINT) AS max_bucket,
        CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs,
-       CAST(1000 * MAX(c) // MAX(t.n) AS BIGINT) AS top_share_milli
-FROM bk CROSS JOIN t
+       CAST(1000 * MAX(c) // SUM(c) AS BIGINT) AS top_share_milli
+FROM bk
 GROUP BY band
 ORDER BY band, n_buckets, max_bucket, cand_pairs, top_share_milli"""
 
 
-def lsh_bucket_audit(sig: DataFrame, n: int) -> DataFrame:
-    """Per-band bucket-population audit over an SRP signature frame
-    ``(vec_id, band, key)``: bucket count, hottest bucket, exact
+def bucket_audit_from_cells(cells: DataFrame) -> DataFrame:
+    """The per-band audit served from ``(band, key, c)`` bucket cells —
+    batch- or stream-built (S20): bucket count, hottest bucket, exact
     candidate-pair count sum(c*(c-1)/2), and the hottest bucket's milli
-    share of the ``n``-vector corpus.  All partial aggregation; output
-    is `bands` rows."""
-    bk = sig.groupBy("band", "key").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    return bk.groupBy(F.col("band").cast("long").alias("band")).agg(
+    share.  Every vector lands in exactly one bucket per band, so the
+    per-band cell sum IS the corpus count — no separate total needed,
+    and a streamed additive state (bucket counts merge by addition, the
+    CMS argument) serves the identical table.  This is THE post-cells
+    audit — x53's registered entry delegates here, so the oracle-checked
+    batch table and the live-served one cannot diverge (the x48/S18
+    drift_from_cells contract)."""
+    return cells.groupBy(F.col("band").cast("long").alias("band")).agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.max("c").cast("long").alias("max_bucket"),
         F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
-        F.expr(f"1000 * max(c) div {int(n)}").alias("top_share_milli"),
+        F.expr("1000 * max(c) div sum(c)").cast("long").alias(
+            "top_share_milli"
+        ),
     )
+
+
+def srp_bucket_cells(sig: DataFrame) -> DataFrame:
+    """(band, key, c): the additive bucket-population cells of an SRP
+    signature frame — the sufficient statistic of the x53 audit and the
+    S20 streamed state's grain."""
+    return sig.groupBy("band", "key").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def lsh_bucket_audit(sig: DataFrame) -> DataFrame:
+    """Per-band bucket-population audit over an SRP signature frame
+    ``(vec_id, band, key)`` — cells + the shared from-cells audit."""
+    return bucket_audit_from_cells(srp_bucket_cells(sig))
 
 
 @register("x53_lsh_bucket_audit", _X53_ORACLE)
@@ -1345,7 +1364,6 @@ def x53_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hp = emb.filter(F.col("vec_id") < _X13_H).select(
         F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
     )
-    n = emb.count()
-    return lsh_bucket_audit(srp_signatures(emb, hp), n).orderBy(
+    return lsh_bucket_audit(srp_signatures(emb, hp)).orderBy(
         "band", "n_buckets", "max_bucket", "cand_pairs", "top_share_milli"
     )

@@ -377,6 +377,60 @@ def union_state_committer(
     return _ledger_committer(state_dir, keys_fn, merge)
 
 
+def sink_srp_bucket_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    hyperplanes: list[tuple[int, list]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Stream embeddings into an x53 LSH bucket-population state (S20):
+    each micro-batch's SRP signatures reduce to (band, key, c) cells
+    that fold into ``state_dir`` exactly once — bucket counts are
+    additive (the CMS argument), so the streamed cells bit-equal a
+    batch signature pass over everything ever ingested, and
+    ``semantic.bucket_audit_from_cells`` serves the x53 audit against
+    them at any moment.  This is the live half of the LSH sizing loop:
+    the ingest stream watches cand_pairs/top_share_milli grow and
+    re-sizes bits-per-band BEFORE the nightly dedup pays a blown-up
+    pair join (the x13 pinned-config lesson, SCALING.md).
+
+    ``hyperplanes`` is a driver-scale [(h, vector), ...] list FROZEN at
+    sink creation — like S18's bins, the signature space is part of the
+    state's identity (changing planes would alias old and new buckets).
+    State is O(bands x 2^bits) cells forever."""
+    if not hyperplanes:
+        raise ValueError(
+            "sink_srp_bucket_state: empty hyperplane list — a signature "
+            "space must be frozen at sink creation (collect e.g. the "
+            "first bands*bits corpus vectors)"
+        )
+    from cubefs_hadoop_spark.extensions.semantic import (
+        srp_bucket_cells,
+        srp_signatures,
+    )
+
+    def stats(batch: DataFrame) -> DataFrame:
+        hp = batch.sparkSession.createDataFrame(
+            [(int(h), list(map(float, v))) for h, v in hyperplanes],
+            "h int, hv array<double>",
+        )
+        sig = srp_signatures(
+            batch.select(id_col, F.col(vec_col).cast("array<double>")),
+            hp,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return srp_bucket_cells(sig)
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, ["band", "key"], ["c"]),
+        checkpoint_dir,
+    )
+
+
 def sink_bloom_state(
     sdf: DataFrame,
     state_dir: str,

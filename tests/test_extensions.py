@@ -1719,7 +1719,7 @@ def test_x53_bucket_audit_hand_computed(spark):
          (1, 1, 20), (2, 1, 20), (3, 1, 21), (4, 1, 21)],
         "vec_id long, band int, key long",
     )
-    out = {r.band: r for r in lsh_bucket_audit(sig, n=4).collect()}
+    out = {r.band: r for r in lsh_bucket_audit(sig).collect()}
     assert out[0].n_buckets == 2 and out[0].max_bucket == 3
     assert out[0].cand_pairs == 3 and out[0].top_share_milli == 750
     assert out[1].n_buckets == 2 and out[1].max_bucket == 2
@@ -1741,10 +1741,7 @@ def test_x53_pair_term_matches_actual_candidates(spark):
         F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
     )
     sig = srp_signatures(emb, hp).cache()
-    audit = {
-        r.band: r.cand_pairs
-        for r in lsh_bucket_audit(sig, n=emb.count()).collect()
-    }
+    audit = {r.band: r.cand_pairs for r in lsh_bucket_audit(sig).collect()}
     a = sig.select(F.col("vec_id").alias("da"), "band", "key")
     b = sig.select(F.col("vec_id").alias("db"), "band", "key")
     actual = {

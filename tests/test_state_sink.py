@@ -499,3 +499,76 @@ def test_histogram_sink_drops_null_text_rows(spark, tmp_path):
     assert cells == {1: 1, 2: 1}
     assert BINS - 1 not in cells
     assert sum(cells.values()) == 2
+
+
+def test_streamed_srp_bucket_state_serves_live_audit(spark, tmp_path):
+    """S20: embeddings arriving as a 3-batch stream fold into an LSH
+    bucket-population state under frozen hyperplanes; the folded
+    (band, key, c) cells are BIT-identical to a batch signature pass
+    over the whole corpus (bucket counts are additive), mass is
+    conserved per band, and bucket_audit_from_cells over the state
+    equals the x53 batch audit — the live half of the LSH sizing loop."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import (
+        _X13_H,
+        bucket_audit_from_cells,
+        lsh_bucket_audit,
+        srp_signatures,
+    )
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_srp_bucket_state,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hp_rows = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.filter(F.col("vec_id") < _X13_H).collect()
+    ]
+
+    stage = str(tmp_path / "stage")
+    n_files = 3
+    hi = emb.agg(F.max("vec_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            emb.filter(
+                (F.col("vec_id") >= b * step) & (F.col("vec_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    state = str(tmp_path / "srp_state")
+    sink_srp_bucket_state(sdf, state, str(tmp_path / "ckpt"), hp_rows)
+
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    sig = srp_signatures(emb, hp)
+    batch_cells = {
+        (r.band, r.key): r.c
+        for r in sig.groupBy("band", "key").count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    folded = {
+        (r.band, r.key): r.c for r in read_state(spark, state).collect()
+    }
+    assert folded == batch_cells
+    n = emb.count()
+    per_band: dict[int, int] = {}
+    for (band, _), c in folded.items():
+        per_band[band] = per_band.get(band, 0) + c
+    assert all(v == n for v in per_band.values())  # mass conservation
+
+    live = {
+        r.band: tuple(r)
+        for r in bucket_audit_from_cells(read_state(spark, state)).collect()
+    }
+    want = {r.band: tuple(r) for r in lsh_bucket_audit(sig).collect()}
+    assert live == want
