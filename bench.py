@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "x47_quality_blend",
     "x49_overlap_matrix",
     "x50_semantic_decontam",
+    # r8-new heavies: quality-canonical election and the IVFADC-R
+    # serving path (both eager-pipeline; construction+collect timing)
+    "x55_quality_canonical_dedup",
+    "x56b_ivfpq_rerank",
 ]
 
 RUNS = 4
