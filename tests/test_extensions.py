@@ -1909,3 +1909,31 @@ def test_x56_ivfpq_recall_and_pruning(spark):
             f"neighbor {r.n_id} of query {r.q_id} came from unprobed "
             f"list {asg[r.n_id]}"
         )
+
+
+def test_x55_removes_exactly_what_x28_removes(spark):
+    """Family accounting: x55 and x28 elect over the SAME components, so
+    the number of non-kept docs is identical (one representative per
+    component either way) — which also ties x55 to x51's dedup-yield
+    forecast (its removable count IS this number).  Only the choice of
+    representative differs, and every x55 canonical is a member of its
+    own x28 component."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    x28 = {
+        r.doc_id: r.canonical
+        for r in QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
+    }
+    x55 = {
+        r.doc_id: (r.canonical, r.kept)
+        for r in QUERIES["x55_quality_canonical_dedup"](spark, SF_SMOKE).collect()
+    }
+    assert set(x28) == set(x55)
+    n_removed_28 = sum(1 for d, c in x28.items() if d != c)
+    n_removed_55 = sum(1 for d, (c, k) in x55.items() if not k)
+    assert n_removed_28 == n_removed_55 > 0
+    # same partition: two docs share an x28 component iff they share an
+    # x55 canonical, and each x55 canonical is inside its component
+    comp_of = x28
+    for d, (c, _) in x55.items():
+        assert comp_of[c] == comp_of[d]
