@@ -66,13 +66,20 @@ def sequence_pack(
     bucket_docs: int = _X14_B,
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    boundaries: bool = False,
 ) -> DataFrame:
     """(chunk_id, id, tok_in_chunk) concat-and-chunk packing map.
 
     ``tokens_col`` names a precomputed per-doc token count; None derives
     whitespace word counts from ``text`` (the x04 convention).  At scale,
     size ``bucket_docs`` so N/bucket_docs (the prefix-level row count)
-    stays in the low thousands."""
+    stays in the low thousands.
+
+    ``boundaries=True`` adds the within-chunk segment positions
+    (seg_start inclusive, seg_end exclusive, 0-based) — the
+    block-diagonal attention-mask table a training loader needs to stop
+    cross-document attention inside a packed sequence (x57); pure
+    column arithmetic on the same stream, no extra exchange."""
     if tokens_col is None:
         t = docs.select(
             id_col,
@@ -119,9 +126,87 @@ def sequence_pack(
                 F.least((F.col("chunk_id") + 1) * s, F.col("off") + F.col("tokens"))
                 - F.greatest(F.col("chunk_id") * s, F.col("off"))
             ).cast("long").alias("tok_in_chunk"),
+            *(
+                [
+                    (
+                        F.greatest(F.col("chunk_id") * s, F.col("off"))
+                        - F.col("chunk_id") * s
+                    ).cast("long").alias("seg_start"),
+                    (
+                        F.least(
+                            (F.col("chunk_id") + 1) * s,
+                            F.col("off") + F.col("tokens"),
+                        )
+                        - F.col("chunk_id") * s
+                    ).cast("long").alias("seg_end"),
+                ]
+                if boundaries
+                else []
+            ),
         )
     )
     return packed
+
+
+# -- x57: packed-sequence attention boundaries ------------------------------
+#
+# The consumer-facing half of packing: concat-and-chunk is only safe
+# for training when the loader masks CROSS-document attention inside
+# each packed sequence (the sample-packing detail every modern
+# pretraining stack carries — block-diagonal masks per packed segment).
+# x57 is that mask's coordinate table: per (chunk, doc) segment, the
+# 0-based [seg_start, seg_end) token span inside the chunk plus the
+# chunk's segment count, derived from the SAME two-level prefix stream
+# as x14 (pure column arithmetic, no extra corpus exchange; the n_segs
+# window runs at output grain).
+
+_X57_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS off
+  FROM t
+), seg AS (
+  SELECT CAST(c AS BIGINT) AS chunk_id, doc_id,
+         greatest(c * {_X14_S}, off) - c * {_X14_S} AS seg_start,
+         least((c + 1) * {_X14_S}, off + tokens) - c * {_X14_S} AS seg_end
+  FROM o, UNNEST(generate_series(off // {_X14_S},
+                                 (off + tokens - 1) // {_X14_S})) AS u(c)
+)
+SELECT chunk_id, doc_id, seg_start, seg_end,
+       CAST(COUNT(*) OVER (PARTITION BY chunk_id) AS BIGINT) AS n_segs
+FROM seg
+ORDER BY chunk_id, doc_id, seg_start, seg_end, n_segs"""
+
+
+@register("x57_pack_boundaries", _X57_ORACLE)
+def x57_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 attention-mask boundary table for x14's packed layout: per
+    (chunk, doc) segment the 0-based [seg_start, seg_end) span within
+    the chunk and the chunk's segment count — what a loader needs to
+    build block-diagonal masks that stop cross-document attention."""
+    from pyspark.sql.window import Window as W
+
+    packed = sequence_pack(
+        load(spark, sf_dir, "documents"), boundaries=True
+    )
+    return (
+        packed.select(
+            "chunk_id",
+            "doc_id",
+            "seg_start",
+            "seg_end",
+            F.count(F.lit(1))
+            .over(W.partitionBy("chunk_id"))
+            .cast("long")
+            .alias("n_segs"),
+        )
+        .orderBy("chunk_id", "doc_id", "seg_start", "seg_end", "n_segs")
+    )
 
 
 @register("x14_sequence_pack", _X14_ORACLE)

@@ -62,7 +62,8 @@ _R8_WINDOW = [
 # x25_funnel, x26_lifecycle, x27_series_similarity), then the r8-new
 # operators for their first driver rows (x34b_sessionize_skewsafe,
 # x52_skew_profile, x53_lsh_bucket_audit, x54_temperature_mixture,
-# x55_quality_canonical_dedup, x56_ivfpq_topk, x56b_ivfpq_rerank —
+# x55_quality_canonical_dedup, x56_ivfpq_topk, x56b_ivfpq_rerank,
+# x57_pack_boundaries —
 # all hash-green at 3 SFs and in SWEEP_r08), then the 50 r06 greens in
 # registration order.
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)

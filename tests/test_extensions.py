@@ -1937,3 +1937,36 @@ def test_x55_removes_exactly_what_x28_removes(spark):
     comp_of = x28
     for d, (c, _) in x55.items():
         assert comp_of[c] == comp_of[d]
+
+
+def test_x57_boundaries_tile_each_chunk(spark):
+    """x57 invariants vs x14: same (chunk, doc) rows; seg lengths equal
+    x14's tok_in_chunk; within every chunk the segments are disjoint,
+    ordered, start at 0 for full chunks, and every non-final chunk is
+    tiled COMPLETELY ([0, seq_len) with no gaps) — the property a
+    block-diagonal attention mask needs."""
+    from cubefs_hadoop_spark.extensions.packing import _X14_S
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    x14 = {
+        (r.chunk_id, r.doc_id): r.tok_in_chunk
+        for r in QUERIES["x14_sequence_pack"](spark, SF_SMOKE).collect()
+    }
+    rows = QUERIES["x57_pack_boundaries"](spark, SF_SMOKE).collect()
+    assert {(r.chunk_id, r.doc_id) for r in rows} == set(x14)
+    by_chunk: dict[int, list] = {}
+    for r in rows:
+        assert r.seg_end - r.seg_start == x14[(r.chunk_id, r.doc_id)]
+        assert 0 <= r.seg_start < r.seg_end <= _X14_S
+        by_chunk.setdefault(r.chunk_id, []).append((r.seg_start, r.seg_end))
+    last_chunk = max(by_chunk)
+    for cid, segs in by_chunk.items():
+        segs.sort()
+        assert segs[0][0] == 0
+        for (s1, e1), (s2, e2) in zip(segs, segs[1:]):
+            assert e1 == s2  # contiguous, no gap, no overlap
+        assert len(segs) == len({s for s, _ in segs})
+        n_segs = {r.n_segs for r in rows if r.chunk_id == cid}
+        assert n_segs == {len(segs)}
+        if cid != last_chunk:
+            assert segs[-1][1] == _X14_S  # full tiling of non-final chunks
