@@ -686,20 +686,34 @@ def temperature_mixture(docs: DataFrame) -> DataFrame:
     quotas from exact integer arithmetic on sqrt-weights, documents
     picked in md5 content-hash order up to quota.  Returns
     (doc_id, source, sel_rank, quota) for the kept set."""
-    g = docs.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # Quotas are computed in PYTHON ints on the collected per-source
+    # counts (driver-sized by definition: one row per source).  ADVICE
+    # r8: the previous in-plan form (n div 2) * w div sw multiplies two
+    # bigints whose product clears int64 around ~7e10 documents — only
+    # ~3x headroom over the 100 TB design point; Python ints are
+    # unbounded, and the per-source weight floor(sqrt(c * 1e6)) stays
+    # bit-identical to the oracle (math.isqrt is exact; IEEE sqrt is
+    # correctly rounded, so both floors agree while c * 1e6 < 2^53,
+    # i.e. to 9e9 docs per source — isqrt keeps the Spark side exact
+    # beyond even that).
+    import math
+
+    per_source = sorted(
+        (r["source"], int(r["c"]))
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
     )
-    w_expr = f"cast(floor(sqrt(c * {_X54_TOP_MILLI})) as bigint)"
-    tots = g.agg(
-        F.sum("c").cast("long").alias("n"),
-        F.sum(F.expr(w_expr)).cast("long").alias("sw"),
-    ).first()
-    n, sw = int(tots["n"]), int(tots["sw"])
-    quotas = g.select(
-        "source",
-        F.least(
-            F.expr(f"({n} div 2) * {w_expr} div {sw}"), F.col("c")
-        ).alias("quota"),
+    n = sum(c for _, c in per_source)
+    weights = {s: math.isqrt(c * _X54_TOP_MILLI) for s, c in per_source}
+    sw = sum(weights.values())
+    spark = docs.sparkSession
+    quotas = spark.createDataFrame(
+        [
+            (s, min((n // 2) * weights[s] // sw, c))
+            for s, c in per_source
+        ],
+        "source string, quota long",
     )
     return (
         hash_rank(docs)

@@ -1044,14 +1044,18 @@ _X43_AGG_DUCK = (
     " p -> p[1] * p[2]))"
 )
 _X43_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings)
-SELECT vec_id,
-       list_transform([{_X43_SIGNS_DUCK}], row ->
-         CAST(CASE WHEN {_X43_AGG_DUCK} < 0
-              THEN -FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
-              ELSE FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
-              END AS BIGINT)) AS proj
-FROM e ORDER BY vec_id"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT vec_id,
+         list_transform([{_X43_SIGNS_DUCK}], row ->
+           CAST(CASE WHEN {_X43_AGG_DUCK} < 0
+                THEN -FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+                ELSE FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+                END AS BIGINT)) AS proj
+  FROM e)
+SELECT vec_id, CAST(d.i - 1 AS BIGINT) AS dim, proj[d.i] AS value_micro
+FROM p, generate_series(1, {_X43_K}) AS d(i)
+ORDER BY vec_id, dim"""
 
 
 @register("x43_jl_project", _X43_ORACLE)
@@ -1059,8 +1063,23 @@ def x43_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X43 JL random projection 64 -> 16 dims (integer micros): the
     dimension-compression pass downstream embedding shuffles ride —
     map-only, frozen Rademacher matrix as plan literals.  See the
-    section comment for the distortion contract and the PQ contrast."""
-    return jl_project(load(spark, sf_dir, "embeddings")).orderBy("vec_id")
+    section comment for the distortion contract and the PQ contrast.
+
+    Declared at (vec_id, dim, value_micro) grain — CORRECTNESS_r08
+    proved the driver's canonicalizer cannot sort a top-level
+    array<bigint> column (pandas factorize on list cells), so the
+    registry entry posexplodes the projection while ``jl_project()``
+    keeps returning the array for API callers.  Still map-only: the
+    explode is a per-row generator, zero shuffles."""
+    return (
+        jl_project(load(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.posexplode("proj").alias("dim", "value_micro"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+        .orderBy("vec_id", "dim")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,58 +15,58 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-8 window per
-# VERDICT r7 item 1: the 27 round-7-new operators lead — they are the
-# only registry entries without a hard driver CORRECTNESS row (all 27
-# were hash-verified by the r7 judge with the driver-identical
-# tools/oracle_check.py and are green in the committed SWEEP_r07.json)
-# — then the 23 stalest displaced entries (last driver hash-green in
-# r05, CORRECTNESS_r05 registration order).  Displaced to r09: the
-# remaining 12 r05 greens (x16_segment_dedup .. x27_series_similarity),
-# the 50 r06 greens, and the 50 r07 greens; every displaced entry still
-# hash-checks against DuckDB in pytest (test_oracle.py) each run and in
-# the committed SWEEP_r{N}.json full sweep.
-_R8_WINDOW = [
-    # round-7-new operators: first-ever driver rows (27 entries)
-    "x37_subword_tokenize", "x37b_subword_tokenize_arrow",
-    "x17b_subword_budget", "x14b_subword_pack", "x35b_blob_inventory",
-    "x12b_semantic_dedup_auto", "x13c_srp_lsh_auto",
-    "x38_dup_spans", "x38b_dup_span_removal",
-    "x39_bpe_train", "x39b_bpe_encode", "x40_bigram_lm_score",
-    "x41_pq_adc", "x41b_pq_rerank",
-    "x42_countmin", "x42b_cms_heavy_hitters",
-    "x43_jl_project", "x44_bloom_probe",
-    "x45_hist_quantiles", "x45b_equidepth_stats",
-    "x46_knn_graph", "x46b_density_downsample",
-    "x47_quality_blend", "x48_source_drift", "x49_overlap_matrix",
-    "x50_semantic_decontam", "x51_dedup_yield",
-    # stalest displaced entries: last driver-checked in r05 (23 of 35,
-    # CORRECTNESS_r05 order)
-    "t09_product_profit", "u01_scalar_pandas_udf",
-    "u06_asof_merge_pandas", "x01_exact_dedup", "x02_minhash_lsh",
-    "x02b_ngram_jaccard", "x02d_edit_distance_dedup",
-    "x02e_incremental_lsh", "x03_topk_cosine", "x03d_ivf_full_probe",
-    "x04b_lang_stats", "x05_quality_filter", "x06_fingerprint",
-    "x07_train_test_split", "x08_redact", "x09_stopword_ratio",
-    "x10_decontaminate", "x11_repetition_ratio", "x12_semantic_dedup",
-    "x13_srp_lsh", "x13b_incremental_srp", "x14_sequence_pack",
-    "x15_source_mixture",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-9 window per
+# VERDICT r8 item 3 (the r8-declared rotation plan, amended to include
+# the fixed x43): the 12 r05 greens the r8 window displaced lead, then
+# the 8 round-8-new operators (first-ever driver rows; all hash-green
+# in SWEEP_r08 and in the r8 judge's driver-identical re-run), then
+# x43_jl_project — driver-RED in CORRECTNESS_r08 (top-level array
+# column vs the driver's pandas canonicalizer), re-declared this round
+# at (vec_id, dim, value_micro) grain and must lead back through the
+# hard signal — then the 29 stalest r06 greens in CORRECTNESS_r06
+# order.  Displaced to r10: the remaining 21 r06 greens
+# (q20b_window_distribution .. q28_date_funcs) and the 50 r07 greens;
+# every displaced entry still hash-checks against DuckDB in pytest
+# (test_oracle.py) each run and in the committed SWEEP_r{N}.json.
+_R9_WINDOW = [
+    # r05 greens displaced by the r8 window (12)
+    "x16_segment_dedup", "x17_token_budget", "x18_curriculum_order",
+    "x19_stratified_sample", "x20_unigram_logprob", "x21_bm25_search",
+    "x22_zorder_key", "x23_gapfill_locf", "x24_range_join",
+    "x25_funnel", "x26_lifecycle", "x27_series_similarity",
+    # round-8-new operators: first driver rows (8)
+    "x34b_sessionize_skewsafe", "x52_skew_profile",
+    "x53_lsh_bucket_audit", "x54_temperature_mixture",
+    "x55_quality_canonical_dedup", "x56_ivfpq_topk",
+    "x56b_ivfpq_rerank", "x57_pack_boundaries",
+    # the r08 driver-red, fixed this round (1)
+    "x43_jl_project",
+    # stalest r06 greens, CORRECTNESS_r06 order (29)
+    "q01_scan_count", "q03_filter_conjunctive", "q05_case_projection",
+    "q06_tpch_q1", "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
+    "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
+    "q22_window_frame", "q25_union_distinct", "q37_pivot",
+    "q37b_unpivot", "t05_local_supplier_volume",
+    "t13_customer_distribution", "t14_promo_revenue", "t15_top_supplier",
+    "t16_supplier_relationship", "t17_small_quantity_revenue",
+    "t18_large_volume_customer", "t19_discounted_revenue",
+    "t20_part_promotion", "t21_waiting_supplier", "x03c_ivf_ann",
+    "q02_projection", "q04_filter_in_like", "q07_count_distinct",
+    "q08_approx_distinct_twin",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r9 rotation plan (stalest-first): lead with the 12 r05 greens this
-# window displaced (x16_segment_dedup, x17_token_budget,
-# x18_curriculum_order, x19_stratified_sample, x20_unigram_logprob,
-# x21_bm25_search, x22_zorder_key, x23_gapfill_locf, x24_range_join,
-# x25_funnel, x26_lifecycle, x27_series_similarity), then the r8-new
-# operators for their first driver rows (x34b_sessionize_skewsafe,
-# x52_skew_profile, x53_lsh_bucket_audit, x54_temperature_mixture,
-# x55_quality_canonical_dedup, x56_ivfpq_topk, x56b_ivfpq_rerank,
-# x57_pack_boundaries —
-# all hash-green at 3 SFs and in SWEEP_r08), then the 50 r06 greens in
-# registration order.
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
-reorder(_R8_WINDOW)
+# r10 rotation plan (stalest-first): the remaining 21 r06 greens
+# (q09_rollup, q09b_cube, q09c_grouping_sets, q10_having, q13_left_join,
+# q14_semi_join, q15_anti_join, q16_theta_join, q17_cross_join,
+# q18_asof_join, q20b_window_distribution, q20c_window_value_funcs,
+# q21_window_lag, q23_sort_limit, q25_union_all, q26_except,
+# q26_intersect, q27_string_funcs, q27b_string_funcs2,
+# q27c_string_funcs3, q28_date_funcs — CORRECTNESS_r06 order), then the
+# 50 r07 greens in CORRECTNESS_r07 order, trimmed to 50 total, plus any
+# r9-new operators first.
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
+reorder(_R9_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]

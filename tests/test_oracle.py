@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from oracle_check import canon_hash
+from oracle_check import (
+    DriverIncompatibleOutput,
+    canon_hash,
+    reject_driver_incompatible,
+)
 from tests.conftest import SF_ORACLE
 
 QUERIES = entry_mod.queries()
@@ -32,16 +36,51 @@ def test_entry_smoke(spark):
     ]
 
 
+def test_guard_rejects_nested_cells():
+    """The replica must FAIL what the driver fails: top-level list /
+    ndarray / dict cells crash the driver's sort_values canonicalizer
+    (x43 was sweep-green / driver-red in r08).  Pin the guard on a
+    fixture frame per nested type, and pin that scalars pass."""
+    import numpy as np
+    import pandas as pd
+
+    for bad in ([1, 2], (1, 2), np.array([1, 2]), {"a": 1}, {1, 2}):
+        pdf = pd.DataFrame({"id": [1, 2], "payload": [bad, None]})
+        with pytest.raises(DriverIncompatibleOutput):
+            reject_driver_incompatible(pdf, "spark")
+    ok = pd.DataFrame(
+        {"id": [1, None], "s": ["a", None], "f": [1.5, float("nan")]}
+    )
+    reject_driver_incompatible(ok, "spark")  # scalars sail through
+
+
+def test_guard_catches_array_valued_query(spark):
+    """An array-valued registry declaration must trip the guard — the
+    exact fixture shape the r08 driver rejected for x43."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import jl_project
+
+    pdf = (
+        jl_project(load(spark, SF_ORACLE, "embeddings"))
+        .limit(3)
+        .toPandas()
+    )
+    with pytest.raises(DriverIncompatibleOutput):
+        reject_driver_incompatible(pdf, "spark")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     # Both sides canonicalize through pandas — the driver-faithful path
     # (DuckDB .df() renders DECIMAL/HUGEINT as float64; see oracle_check).
     sdf = QUERIES[name](spark, SF_ORACLE)
     spdf = sdf.toPandas()
+    reject_driver_incompatible(spdf, "spark")
     if name not in ORACLES:
         assert len(spdf) >= 0  # rows-only contract
         return
     dpdf = duck.sql(ORACLES[name]).df()
+    reject_driver_incompatible(dpdf, "duckdb")
     assert sorted(spdf.columns) == sorted(dpdf.columns), "column sets differ"
     sh, sn = canon_hash(spdf)
     dh, dn = canon_hash(dpdf)

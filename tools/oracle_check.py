@@ -75,6 +75,46 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+class DriverIncompatibleOutput(Exception):
+    """Raised for result shapes the DRIVER's canonicalizer rejects.
+
+    Round-9 change (VERDICT.md round 8, "What's wrong" #1): the driver
+    canonicalizes via ``DataFrame.sort_values`` over ALL columns, and
+    pandas cannot factorize list/ndarray/dict cells — so a query whose
+    output has a top-level array/map/struct column driver-FAILS with
+    ``TypeError: unhashable type`` even though this replica's
+    sorted-canonical-string hashing handles nested cells fine (x43 was
+    sweep-green / driver-red in r08 for exactly this reason).  The
+    replica therefore REJECTS such outputs up front: sweep-green must
+    predict driver-green.
+    """
+
+
+def reject_driver_incompatible(pdf: pd.DataFrame, side: str) -> None:
+    """Fail any frame whose cells the driver's sort_values would choke on.
+
+    Checks every object-dtype column's non-null cells for list / tuple /
+    ndarray / dict / set values (pandas renders BOTH Spark ArrayType/
+    MapType/StructType and DuckDB LIST/MAP/STRUCT as such objects).
+    """
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype != object:
+            continue
+        for v in col:
+            if v is None or v is pd.NaT:
+                continue
+            if isinstance(v, (list, tuple, np.ndarray, dict, set)):
+                raise DriverIncompatibleOutput(
+                    f"{side} column {c!r} holds {type(v).__name__} cells —"
+                    " the driver's pandas sort_values canonicalizer cannot"
+                    " hash nested values; re-declare the query at exploded"
+                    " grain (posexplode / unnest) or join the array to a"
+                    " string"
+                )
+            break  # one non-null cell per column decides the dtype
+
+
 def canon_lines(pdf: pd.DataFrame) -> list[str]:
     cols = sorted(pdf.columns)
     series = [pdf[c] for c in cols]
@@ -129,6 +169,7 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             spdf = sdf.toPandas()
+            reject_driver_incompatible(spdf, "spark")
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1
@@ -142,6 +183,7 @@ def main() -> int:
             continue
         try:
             dpdf = con.sql(oracles[name]).df()
+            reject_driver_incompatible(dpdf, "duckdb")
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
             n_fail += 1
