@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     # serving path (both eager-pipeline; construction+collect timing)
     "x55_quality_canonical_dedup",
     "x56b_ivfpq_rerank",
+    # r9 (VERDICT r8 item 5): the PRODUCTION auto-sized semantic-dedup
+    # and SRP-LSH configs join the regression set — B24/B25 above track
+    # the pinned oracle twins (27x sf1 ratios no user should run) and
+    # are annotated oracle-twin-only in BASELINE.md
+    "x12b_semantic_dedup_auto",
+    "x13c_srp_lsh_auto",
 ]
 
 RUNS = 4

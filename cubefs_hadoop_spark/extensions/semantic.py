@@ -1015,10 +1015,9 @@ def _jl_signs() -> list[list[float]]:
 _JL = _jl_signs()
 
 
-def jl_project(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, proj: array<bigint>) — k=16 integer-micro JL projection
-    of each 64-dim embedding.  One map stage; the matrix rides the plan
-    as literals."""
+def _jl_expr(vec_col: str) -> str:
+    """SQL text of the k=16 integer-micro JL projection of ``vec_col``
+    — the frozen Rademacher matrix rides the plan as literals."""
     signs_sql = ", ".join(
         "array(" + ", ".join(f"CAST({s} AS DOUBLE)" for s in row) + ")"
         for row in _JL
@@ -1027,12 +1026,18 @@ def jl_project(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)),"
         " row, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
     )
-    expr = (
+    return (
         f"transform(array({signs_sql}), row -> "
         f"CAST(CASE WHEN {agg} < 0 THEN -FLOOR(ABS(({agg}) * 1000000.0) + 0.5)"
         f" ELSE FLOOR(ABS(({agg}) * 1000000.0) + 0.5) END AS BIGINT))"
     )
-    return emb.select("vec_id", F.expr(expr).alias("proj"))
+
+
+def jl_project(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, proj: array<bigint>) — k=16 integer-micro JL projection
+    of each 64-dim embedding.  One map stage; the matrix rides the plan
+    as literals."""
+    return emb.select("vec_id", F.expr(_jl_expr(vec_col)).alias("proj"))
 
 
 _X43_SIGNS_DUCK = ", ".join(
@@ -1079,6 +1084,147 @@ def x43_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dim", F.col("dim").cast("long"))
         .orderBy("vec_id", "dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x59 — width-compression recall audit: prefix truncation vs JL projection
+#
+# The decision x43 exists to win, MEASURED: before a pipeline adopts a
+# cheaper embedding width for its shuffles (SemDeDup assignment, LSH
+# banding, kNN candidate gen), the operator answers "how much top-k
+# neighborhood structure does each 4x-narrower representation keep?" —
+# recall@k of (a) naive PREFIX truncation to the first 16 dims and (b)
+# x43's 16-dim JL Rademacher projection, both against the exact 64-dim
+# cosine top-k.  JL mixes every input dim into every output dim
+# (distance preservation is the JL lemma's guarantee); a prefix keeps
+# only whatever variance happens to live in the first coordinates — on
+# isotropic embeddings they tie, on structured ones JL wins.  This is
+# the audit-family shape (x52/x53): a bounded pre-flight pass that
+# prices a representation choice BEFORE the expensive pipeline runs.
+#
+# Scale (100 TB): the query side is a driver-sized sample (Q=25 here)
+# that BROADCASTS; the corpus side is one map-only scan computing all
+# three cosines per candidate in a single pass (one nested-loop against
+# the broadcast, no corpus self-join), then one exchange on q_id (Q
+# keys) and three Q-partition sorts.  At true scale the audit runs the
+# ground-truth pass over a uniform corpus SAMPLE (recall estimation
+# needs a sample, not the full corpus) — the plan shape is unchanged,
+# only the scanned fraction.
+# ---------------------------------------------------------------------------
+
+_X59_Q = 25      # audit query vectors (vec_id < Q)
+_X59_K = 5       # neighborhood size under audit
+_X59_PRE = _X43_K  # prefix width — same 16 dims as the JL target
+
+_X59_JL_DUCK = f"""list_transform([{_X43_SIGNS_DUCK}], row ->
+         CAST(CASE WHEN {_X43_AGG_DUCK} < 0
+              THEN -FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+              ELSE FLOOR(ABS(({_X43_AGG_DUCK}) * 1000000.0) + 0.5)
+              END AS BIGINT))"""
+
+_X59_ORACLE = f"""
+WITH p AS (
+  SELECT vec_id, embedding, {_X59_JL_DUCK} AS jl FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         {_cosine_duck('a.embedding', 'b.embedding')} AS c_full,
+         {_cosine_duck(f'a.embedding[1:{_X59_PRE}]',
+                       f'b.embedding[1:{_X59_PRE}]')} AS c_pre,
+         {_cosine_duck('a.jl', 'b.jl')} AS c_jl
+  FROM p a JOIN p b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {_X59_Q}),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_full DESC, n_id) AS r_full,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_pre DESC, n_id) AS r_pre,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c_jl DESC, n_id) AS r_jl
+  FROM scored)
+SELECT q_id,
+  CAST(ROUND(SUM(CASE WHEN r_pre <= {_X59_K} THEN 1 ELSE 0 END) / {_X59_K}.0,
+             2) AS DECIMAL(18,2)) AS recall_prefix,
+  CAST(ROUND(SUM(CASE WHEN r_jl <= {_X59_K} THEN 1 ELSE 0 END) / {_X59_K}.0,
+             2) AS DECIMAL(18,2)) AS recall_jl
+FROM ranked WHERE r_full <= {_X59_K}
+GROUP BY q_id ORDER BY q_id"""
+
+
+def dim_truncation_recall(
+    emb: DataFrame,
+    q_max: int = _X59_Q,
+    k: int = _X59_K,
+    pre: int = _X59_PRE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, recall_prefix, recall_jl): per audit query, the fraction
+    of its exact full-width cosine top-k recovered by (a) first-``pre``-
+    dims prefix truncation and (b) the x43 JL projection.  One corpus
+    pass computes all three cosines per candidate; the three rank
+    windows share one q_id exchange."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("emb"),
+        F.slice(F.col(vec_col), 1, pre).alias("pre"),
+        F.expr(_jl_expr(vec_col)).alias("jl"),
+    )
+    q = base.filter(F.col("vid") < q_max).select(
+        F.col("vid").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("pre").alias("q_pre"),
+        F.col("jl").alias("q_jl"),
+    )
+    c = widen_for_cpu(base, "vid").select(
+        F.col("vid").alias("n_id"),
+        F.col("emb").alias("n_emb"),
+        F.col("pre").alias("n_pre"),
+        F.col("jl").alias("n_jl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "n_id",
+            _cosine_expr("q_emb", "n_emb").alias("c_full"),
+            _cosine_expr("q_pre", "n_pre").alias("c_pre"),
+            _cosine_expr("q_jl", "n_jl").alias("c_jl"),
+        )
+    )
+
+    def w(col: str) -> Window:
+        return Window.partitionBy("q_id").orderBy(F.desc(col), "n_id")
+
+    ranked = (
+        scored.withColumn("r_full", F.row_number().over(w("c_full")))
+        .withColumn("r_pre", F.row_number().over(w("c_pre")))
+        .withColumn("r_jl", F.row_number().over(w("c_jl")))
+    )
+    kf = float(k)
+    return (
+        ranked.filter(F.col("r_full") <= k)
+        .groupBy("q_id")
+        .agg(
+            r2d(
+                F.sum(F.when(F.col("r_pre") <= k, 1).otherwise(0)) / kf
+            ).alias("recall_prefix"),
+            r2d(
+                F.sum(F.when(F.col("r_jl") <= k, 1).otherwise(0)) / kf
+            ).alias("recall_jl"),
+        )
+    )
+
+
+@register("x59_dim_truncation_recall", _X59_ORACLE)
+def x59_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 width-compression recall audit: recall@5 of 16-dim prefix
+    truncation vs the x43 JL projection against exact 64-dim cosine
+    top-5, per audit query.  The pre-flight measurement behind adopting
+    a narrower embedding for downstream shuffles (the x52/x53 audit
+    family)."""
+    return dim_truncation_recall(load(spark, sf_dir, "embeddings")).orderBy(
+        "q_id"
     )
 
 

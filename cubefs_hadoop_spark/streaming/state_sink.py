@@ -457,3 +457,35 @@ def sink_bloom_state(
         union_state_committer(state_dir, keys, ["pos"]),
         checkpoint_dir,
     )
+
+
+def sink_fertility_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Stream documents into the x58 tokenizer-fertility state (S21):
+    each micro-batch's per-source (n_docs, n_words, n_subwords, n_chars)
+    sums fold into ``state_dir`` exactly once — the counts are plain
+    additive sufficient statistics, so the streamed state bit-equals the
+    batch ``fertility_stats`` over everything ever ingested, and
+    ``tokenize.fertility_from_stats`` serves the live compression/
+    fertility table at any moment (run it per ingest batch and diff the
+    ratios — the x48-style drift loop, in tokenizer space)."""
+    from cubefs_hadoop_spark.extensions.tokenize import fertility_stats
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return fertility_stats(batch, group_col=group_col, text_col=text_col)
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir,
+            stats,
+            [group_col],
+            ["n_docs", "n_words", "n_subwords", "n_chars"],
+        ),
+        checkpoint_dir,
+    )

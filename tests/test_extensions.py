@@ -1485,6 +1485,55 @@ def test_jl_projection_is_map_only_and_stable(spark):
     assert [(i, tuple(p)) for i, p in x] == [(i, tuple(p)) for i, p in y]
 
 
+# -- x59: width-compression recall audit ------------------------------------
+
+
+def test_dim_truncation_recall_bounds_and_self_consistency(spark):
+    """x59 invariants: recalls are multiples of 1/k in [0,1]; a 'prefix'
+    of the FULL width recovers the exact top-k perfectly (recall 1.0 for
+    every query); output is repartition-stable."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import (
+        _X59_K,
+        dim_truncation_recall,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    rows = dim_truncation_recall(emb).collect()
+    assert rows
+    valid = {round(i / _X59_K, 2) for i in range(_X59_K + 1)}
+    for r in rows:
+        assert float(r.recall_prefix) in valid, r
+        assert float(r.recall_jl) in valid, r
+    full = dim_truncation_recall(emb, pre=64).collect()
+    assert all(float(r.recall_prefix) == 1.0 for r in full)
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, dim_truncation_recall(emb.repartition(7)).collect())
+    )
+    assert a == b
+
+
+def test_dim_truncation_recall_plan_is_one_broadcast_pass(spark):
+    """x59 plan gate: the corpus is scanned in ONE broadcast nested-loop
+    pass (queries broadcast, no sort-merge join, no Python), and the
+    three rank windows share the q_id exchange."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.semantic import (
+        dim_truncation_recall,
+    )
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    spark.catalog.clearCache()
+    a = audit_plan(
+        dim_truncation_recall(load(spark, SF_SMOKE, "embeddings")),
+        executed=True,
+    )
+    assert a.sort_merge_joins == 0
+    assert a.broadcast_joins + a.nested_loop_joins == 1
+    assert not a.has_python_eval
+
+
 # -- x46 / x46b: kNN graph + graph-density downsample -----------------------
 
 

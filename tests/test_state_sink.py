@@ -572,3 +572,61 @@ def test_streamed_srp_bucket_state_serves_live_audit(spark, tmp_path):
     }
     want = {r.band: tuple(r) for r in lsh_bucket_audit(sig).collect()}
     assert live == want
+
+
+def test_streamed_fertility_state_equals_batch_stats(spark, tmp_path):
+    """S21: documents arriving as a 3-batch stream fold into the x58
+    tokenizer-fertility state; the folded per-source sums are
+    BIT-identical to the batch fertility_stats over the whole corpus
+    (plain additive merge), and the derived audit table equals the
+    batch x58 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        fertility_from_stats,
+        fertility_stats,
+        tokenizer_fertility,
+    )
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_fertility_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step) & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage, "data"))
+    )
+    state = str(tmp_path / "fert_state")
+    sink_fertility_state(sdf, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        r.source: (r.n_docs, r.n_words, r.n_subwords, r.n_chars)
+        for r in read_state(spark, state).collect()
+    }
+    full = {
+        r.source: (r.n_docs, r.n_words, r.n_subwords, r.n_chars)
+        for r in fertility_stats(docs).collect()
+    }
+    assert folded == full
+
+    live = sorted(
+        map(tuple, fertility_from_stats(read_state(spark, state)).collect())
+    )
+    batch = sorted(map(tuple, tokenizer_fertility(docs).collect()))
+    assert live == batch

@@ -270,6 +270,71 @@ def test_bpe_train_matches_python_reference_on_fixture(spark):
     assert got_syms == ref_syms
 
 
+def test_bpe_batched_matches_sequential_on_fixture(spark):
+    """The batched trainer's merge table and final segmentation are
+    bit-identical to the sequential trainer AND the pure-Python
+    reference on the real sf0.001 corpus — the equivalence witness for
+    the k-merges-per-round optimization (VERDICT r8 item 4)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    seq_merges, seq_syms = bpe_train(docs, n_merges=8)
+    seq = {r.word: tuple(r.syms) for r in seq_syms.collect()}
+    seq_syms.unpersist()
+    for batch in (1, 3, 8):
+        merges, syms = bpe_train_batched(docs, n_merges=8, batch=batch)
+        assert merges == seq_merges, f"batch={batch}"
+        got = {r.word: tuple(r.syms) for r in syms.collect()}
+        syms.unpersist()
+        assert got == seq, f"batch={batch}"
+    ref_merges, _ = _py_bpe(
+        [r.text for r in docs.select("text").collect()], 8
+    )
+    assert seq_merges == ref_merges
+
+
+def test_bpe_batched_tie_corpus_drops_unsafe_accepts(spark):
+    """The corpus where NAIVE prefix-disjoint batching is wrong: after
+    merging ('a','z'), the new pair ('az','q') TIES ('c','d') at count
+    10 and wins the lexical tie-break — so ('c','d') must NOT ride the
+    first batch even though it is disjoint from ('a','z').  Pins the
+    drop-ties-with-the-bound rule in _accept_batch."""
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        _accept_batch,
+        bpe_train_batched,
+    )
+
+    texts = ["azq " * 10 + "az " * 15 + "cd " * 10]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    ref_merges, ref_syms = _py_bpe(texts, 3)
+    # sanity: the reference really does learn (az,q) before (c,d)
+    assert [(m[1], m[2]) for m in ref_merges] == [
+        ("a", "z"), ("az", "q"), ("c", "d")
+    ]
+    merges, syms = bpe_train_batched(df, n_merges=3, batch=3)
+    assert merges == ref_merges
+    got = {r.word: tuple(r.syms) for r in syms.collect()}
+    syms.unpersist()
+    assert got == ref_syms
+    # unit-level: the scan accepts (a,z) and (c,d) prefix-disjoint, then
+    # the conflict (z,q) at count 10 forces (c,d)'s tie to drop
+    cand = [("a", "z", 25), ("c", "d", 10), ("z", "q", 10)]
+    assert _accept_batch(cand, cap=3, complete=True) == [("a", "z", 25)]
+    # and with no tie the disjoint accept survives
+    cand2 = [("a", "z", 25), ("c", "d", 11), ("z", "q", 10)]
+    assert _accept_batch(cand2, cap=3, complete=True) == [
+        ("a", "z", 25), ("c", "d", 11)
+    ]
+    # truncated candidate lists bound by the last collected count
+    assert _accept_batch(
+        [("a", "z", 25), ("c", "d", 11)], cap=3, complete=False
+    ) == [("a", "z", 25)]
+
+
 def test_bpe_overlap_and_repeated_symbol_merges(spark):
     """Left-to-right overlap semantics: 'aaaa' under ('a','a') merges
     positions 1-2 and 3-4 (never 2-3); learned merges on a crafted
@@ -431,3 +496,49 @@ def test_counts_arrow_twin_and_custom_vocab(spark):
     # "the window scan": the + 10 single chars = 11; "zzz x" -> 4;
     # "customer" -> cust|o|m|e|r = 5
     assert custom == {"a": 11, "b": 4, "c": 5}
+
+
+# ---------------------------------------------------------------------------
+# x58 tokenizer fertility audit
+
+
+def test_tokenizer_fertility_conservation(spark):
+    """x58 totals reconcile with the per-doc counting loop: summed
+    n_subwords equals subword_counts over the same docs, n_docs covers
+    every document, and the ratios sit inside the vocabulary's hard
+    bounds (1 <= subwords_per_word; 1 <= chars_per_subword <= max token
+    length)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        _MAXLEN,
+        subword_counts_jvm,
+        tokenizer_fertility,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = tokenizer_fertility(docs).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_sub = sum(r.n_subwords for r in rows)
+    ref = subword_counts_jvm(docs).agg({"n_subwords": "sum"}).first()[0]
+    assert total_sub == ref
+    for r in rows:
+        assert float(r.subwords_per_word) >= 1.0, r
+        assert 1.0 <= float(r.chars_per_subword) <= _MAXLEN + 0.5, r
+
+
+def test_tokenizer_fertility_plan_is_map_plus_one_agg(spark):
+    """x58 plan gate: map-only counting + ONE aggregation exchange — no
+    joins, no Python, no second corpus pass."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import tokenizer_fertility
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    spark.catalog.clearCache()
+    a = audit_plan(
+        tokenizer_fertility(load(spark, SF_SMOKE, "documents")),
+        executed=True,
+    )
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.shuffles <= 1
