@@ -506,31 +506,16 @@ def _micro(c: F.Column) -> F.Column:
     return (sign * F.floor(F.abs(scaled) + F.lit(0.5))).cast("long")
 
 
-def ivf_topk_pinned(
+def _pinned_ivf_assignment(
     spark: SparkSession,
     sf_dir: str,
-    k: int = 5,
-    n_queries: int = 5,
     n_centroids: int = 8,
-    nprobe: int = 4,
     replication: int = 2,
-) -> DataFrame:
-    """IVF ANN top-k whose ENTIRE pipeline — seed selection, one Lloyd
-    sweep, multi-assignment, probe, per-bucket exact scoring — is
-    bit-deterministic and SQL-replicable, so the approximate (nprobe < C)
-    result itself hash-checks against a DuckDB oracle (VERDICT r05 #4;
-    x03d's full probe only proved the degenerate exact case).
-
-    Three determinism substitutions vs ivf_topk, none changing the plan
-    shape or the 100 TB story:
-    - seeds: first C vectors by md5(vec_id-as-string) hex order (DuckDB
-      has md5; xxhash64 it does not) — still TakeOrderedAndProject;
-    - Lloyd mean: per-(cid, dim) SUM of micro-quantized BIGINTs, then
-      one double division — integer addition commutes, so partial-agg
-      shuffle order cannot wobble the centroid, and the oracle's
-      sequential sum lands on the same bits;
-    - every ranking window carries a total-order tiebreak.
-    Cosine itself already bit-matches (the _DOT FP-contract above)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The bit-deterministic IVF BUILD shared by x03c and x60: md5-order
+    seeds, one integer-micro Lloyd sweep, replication-R assignment.
+    Returns (emb as doubles, cents, assigned) — see ivf_topk_pinned's
+    docstring for the three determinism substitutions."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
@@ -584,6 +569,37 @@ def ivf_topk_pinned(
         [(r["cid"], r["cent"]) for r in cent_rows], cent_schema
     )
     assigned = ivf_assign(emb, cents, replication=replication)
+    return emb, cents, assigned
+
+
+def ivf_topk_pinned(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    replication: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k whose ENTIRE pipeline — seed selection, one Lloyd
+    sweep, multi-assignment, probe, per-bucket exact scoring — is
+    bit-deterministic and SQL-replicable, so the approximate (nprobe < C)
+    result itself hash-checks against a DuckDB oracle (VERDICT r05 #4;
+    x03d's full probe only proved the degenerate exact case).
+
+    Three determinism substitutions vs ivf_topk, none changing the plan
+    shape or the 100 TB story:
+    - seeds: first C vectors by md5(vec_id-as-string) hex order (DuckDB
+      has md5; xxhash64 it does not) — still TakeOrderedAndProject;
+    - Lloyd mean: per-(cid, dim) SUM of micro-quantized BIGINTs, then
+      one double division — integer addition commutes, so partial-agg
+      shuffle order cannot wobble the centroid, and the oracle's
+      sequential sum lands on the same bits;
+    - every ranking window carries a total-order tiebreak.
+    Cosine itself already bit-matches (the _DOT FP-contract above)."""
+    emb, cents, assigned = _pinned_ivf_assignment(
+        spark, sf_dir, n_centroids=n_centroids, replication=replication
+    )
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -692,6 +708,79 @@ def x03d_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, n_centroids=8, nprobe=8).orderBy(
         "q_id", "n_id", "cos"
     )
+
+
+# ---------------------------------------------------------------------------
+# x60 — IVF list-balance audit (the ANN family's pre-serving pre-flight)
+#
+# FAISS-style serving economics live or die on LIST BALANCE: a probe
+# scans the lists its query routes to, so one overgrown list (a "magnet"
+# centroid after a bad Lloyd init, or a corpus mode) turns nprobe-of-C
+# pruning back into a near-full scan for every query that touches it,
+# and an empty list is wasted routing capacity.  x60 is the x52/x53
+# audit-family member for IVF: per centroid, the assignment population,
+# its milli share of all assignments, and its load relative to the
+# perfectly-balanced mean (1000 = exactly mean; 2000 = a 2x magnet) —
+# read BEFORE ivf_build_index persists the layout and before x56's
+# residual-PQ tier trains on it.  All-integer outputs, so the audit of
+# the approximate structure is itself hash-exact.
+#
+# Scale (100 TB): the build is x03c's pinned pipeline (broadcast
+# assignment — one corpus pass); the audit adds ONE partial-agg'd
+# groupBy(cid) whose output is C rows.  Nothing new is corpus-sized.
+# ---------------------------------------------------------------------------
+
+_X60_C = 8  # same pinned config as x03c so the audit prices THAT index
+
+_X60_ORACLE = _X03C_ORACLE.split("q AS (")[0] + f"""g AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS pop FROM asg GROUP BY cid),
+t AS (SELECT CAST(SUM(pop) AS BIGINT) AS tot FROM g)
+SELECT CAST(s.cid AS BIGINT) AS cid,
+       COALESCE(g.pop, 0) AS pop,
+       COALESCE(g.pop, 0) * 1000 // t.tot AS share_milli,
+       COALESCE(g.pop, 0) * {_X60_C} * 1000 // t.tot AS load_vs_mean_milli
+FROM seeds s LEFT JOIN g ON s.cid = g.cid CROSS JOIN t
+ORDER BY cid"""
+
+
+def ivf_list_balance(
+    cents: DataFrame, assigned: DataFrame, n_centroids: int
+) -> DataFrame:
+    """(cid, pop, share_milli, load_vs_mean_milli) for every centroid —
+    empty lists included (LEFT join against the centroid frame), integer
+    milli ratios so the audit hash-checks."""
+    g = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("pop")
+    )
+    allc = (
+        cents.select("cid")
+        .join(g, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce("pop", F.lit(0)).cast("long").alias("pop"),
+        )
+    )
+    tot = allc.agg(F.sum("pop").cast("long").alias("tot"))
+    return allc.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "pop",
+        F.expr("pop * 1000 div tot").alias("share_milli"),
+        F.expr(f"pop * {n_centroids} * 1000 div tot").alias(
+            "load_vs_mean_milli"
+        ),
+    )
+
+
+@register("x60_ivf_list_balance", _X60_ORACLE)
+def x60_ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 IVF list-balance audit over x03c's pinned index build: per
+    centroid, assignment population, milli share, and load vs the
+    balanced mean — the pre-serving pre-flight that catches magnet/empty
+    lists before ivf_build_index persists the layout (x52/x53 family)."""
+    _, cents, assigned = _pinned_ivf_assignment(
+        spark, sf_dir, n_centroids=_X60_C, replication=2
+    )
+    return ivf_list_balance(cents, assigned, _X60_C).orderBy("cid")
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,13 @@ _R9_WINDOW = [
     "x56b_ivfpq_rerank", "x57_pack_boundaries",
     # the r08 driver-red, fixed this round (1)
     "x43_jl_project",
-    # stalest r06 greens, CORRECTNESS_r06 order (29)
+    # round-9-new operators: first driver rows in THEIR OWN round, so
+    # the hard signal never lags a new operator again (the r8 verdict's
+    # complaint about x34b/x52-x57); all three hash-green in
+    # SWEEP_r09.json and at sf0.001/sf0.1 (3)
+    "x39c_bpe_train_batched", "x58_tokenizer_fertility",
+    "x59_dim_truncation_recall",
+    # stalest r06 greens, CORRECTNESS_r06 order (26)
     "q01_scan_count", "q03_filter_conjunctive", "q05_case_projection",
     "q06_tpch_q1", "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
     "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
@@ -51,14 +57,16 @@ _R9_WINDOW = [
     "t16_supplier_relationship", "t17_small_quantity_revenue",
     "t18_large_volume_customer", "t19_discounted_revenue",
     "t20_part_promotion", "t21_waiting_supplier", "x03c_ivf_ann",
-    "q02_projection", "q04_filter_in_like", "q07_count_distinct",
-    "q08_approx_distinct_twin",
+    "q02_projection",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r10 rotation plan (stalest-first): the remaining 21 r06 greens
-# (q09_rollup, q09b_cube, q09c_grouping_sets, q10_having, q13_left_join,
+# r10 rotation plan (stalest-first): lead with x60_ivf_list_balance
+# (r9-new after the window froze; judge-verifiable via SWEEP_r09's
+# successor and tools/oracle_check.py), then the remaining 24 r06 greens
+# (q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
+# q09_rollup, q09b_cube, q09c_grouping_sets, q10_having, q13_left_join,
 # q14_semi_join, q15_anti_join, q16_theta_join, q17_cross_join,
 # q18_asof_join, q20b_window_distribution, q20c_window_value_funcs,
 # q21_window_lag, q23_sort_limit, q25_union_all, q26_except,

@@ -1534,6 +1534,31 @@ def test_dim_truncation_recall_plan_is_one_broadcast_pass(spark):
     assert not a.has_python_eval
 
 
+# -- x60: IVF list-balance audit ---------------------------------------------
+
+
+def test_ivf_list_balance_accounting(spark):
+    """x60 invariants: one row per centroid (empty lists included),
+    populations sum to replication*N, milli shares/loads obey their
+    floor-division accounting, and the load column is exactly the share
+    scaled by C."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.similarity import _X60_C
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x60_ivf_list_balance"](spark, SF_SMOKE).collect()
+    assert [r.cid for r in rows] == list(range(1, _X60_C + 1))
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    tot = sum(r.pop for r in rows)
+    assert tot == 2 * n  # replication=2 multi-assignment
+    for r in rows:
+        assert r.share_milli == r.pop * 1000 // tot
+        assert r.load_vs_mean_milli == r.pop * _X60_C * 1000 // tot
+    # shares sum to <= 1000 (floor) and within C of it
+    s = sum(r.share_milli for r in rows)
+    assert 1000 - _X60_C <= s <= 1000
+
+
 # -- x46 / x46b: kNN graph + graph-density downsample -----------------------
 
 
