@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     # are annotated oracle-twin-only in BASELINE.md
     "x12b_semantic_dedup_auto",
     "x13c_srp_lsh_auto",
+    # r9-new operators: fertility audit (Arrow tier), width-recall
+    # audit, IVF balance audit, batched BPE trainer
+    "x58_tokenizer_fertility",
+    "x59_dim_truncation_recall",
+    "x60_ivf_list_balance",
+    "x39c_bpe_train_batched",
 ]
 
 RUNS = 4

@@ -1024,12 +1024,31 @@ def fertility_stats(
     docs: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    tier: str = "auto",
 ) -> DataFrame:
     """(source, n_docs, n_words, n_subwords, n_chars): the ADDITIVE
     sufficient statistics behind the fertility audit — associative+
     commutative sums keyed by source, so micro-batch frames fold into a
     persisted state by plain addition (the S21 streaming twin's merge
-    law, same contract as x31b/x33b)."""
+    law, same contract as x31b/x33b).
+
+    Same tier rule as :func:`subword_tokenize` (default: Arrow — the
+    r9 sf1 probe measured the JVM counting loop at 10.3x/51.8 s on 10x
+    data vs Arrow's batch loop, the same economics that made Arrow the
+    x37 default in r8); the tiers count identically (MaxMatch twin
+    equivalence is test-pinned), so the oracle hash holds for both."""
+    if _resolve_tier(docs, tier) == "arrow":
+        return fertility_stats_arrow(docs, group_col, text_col)
+    return fertility_stats_jvm(docs, group_col, text_col)
+
+
+def fertility_stats_jvm(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """JVM tier: the codegen'd counting HOF rides the scan (zero
+    Python); one partial-agg'd groupBy."""
     words = F.split(F.col(text_col), " ")
     per_doc = docs.select(
         F.col(group_col).alias("grp"),
@@ -1054,6 +1073,64 @@ def fertility_stats(
             F.sum("nc").cast("long").alias("n_chars"),
         )
         .withColumnRenamed("grp", group_col)
+    )
+
+
+def fertility_stats_arrow(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab: tuple[str, ...] | list[str] = SUBWORD_VOCAB,
+) -> DataFrame:
+    """Arrow tier: one ``mapInPandas`` pass emits PER-BATCH per-source
+    partial sums (a hand-rolled map-side combine — each Arrow batch
+    collapses to at most |sources| rows), then one tiny groupBy folds
+    the partials.  Hash-set vocab, O(maxlen) probes per character."""
+    vset = frozenset(vocab)
+    lens = sorted({len(t) for t in vset}, reverse=True)
+    schema = (
+        f"{group_col} string, n_docs long, n_words long,"
+        " n_subwords long, n_chars long"
+    )
+
+    def _count_word(w: str) -> int:
+        cnt, pos, n = 0, 0, len(w)
+        while pos < n:
+            for L in lens:
+                if pos + L <= n and w[pos : pos + L] in vset:
+                    pos += L
+                    break
+            else:
+                pos += 1
+            cnt += 1
+        return cnt
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            acc: dict[str, list[int]] = {}
+            for g, text in zip(pdf[group_col], pdf[text_col]):
+                text = text or ""
+                ws = [w for w in text.split(" ") if w]
+                r = acc.setdefault(g, [0, 0, 0, 0])
+                r[0] += 1
+                r[1] += len(ws)
+                r[2] += sum(_count_word(w) for w in ws)
+                r[3] += len(text)
+            yield pd.DataFrame(
+                [(g, *v) for g, v in acc.items()],
+                columns=[group_col, "n_docs", "n_words", "n_subwords", "n_chars"],
+            )
+
+    return (
+        docs.select(group_col, text_col)
+        .mapInPandas(_batches, schema)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
     )
 
 
@@ -1098,8 +1175,11 @@ def x58_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X58 per-source tokenizer fertility/compression audit over the
     frozen subword vocabulary: the table that prices a tokenizer before
     a run commits to it (fertility skews token-denominated mixtures and
-    packing efficiency).  JVM counting loop pinned for the oracle, like
-    x17b."""
+    packing efficiency).  Runs the library-default tier (Arrow since
+    the r9 sf1 probe — x37b's precedent), which hash-checks against the
+    same recursive-CTE oracle because the tiers count identically
+    (twin equivalence test-pinned; the JVM tier stays gated by the
+    plan-shape test)."""
     return tokenizer_fertility(load(spark, sf_dir, "documents")).orderBy(
         "source"
     )

@@ -528,17 +528,38 @@ def test_tokenizer_fertility_conservation(spark):
 
 
 def test_tokenizer_fertility_plan_is_map_plus_one_agg(spark):
-    """x58 plan gate: map-only counting + ONE aggregation exchange — no
-    joins, no Python, no second corpus pass."""
+    """x58 plan gates, both tiers: no joins, ONE aggregation exchange,
+    no second corpus pass; the JVM tier additionally proves the
+    zero-Python codegen path (the Arrow tier IS a mapInPandas by
+    design)."""
     from cubefs_hadoop_spark.catalog import load
-    from cubefs_hadoop_spark.extensions.tokenize import tokenizer_fertility
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        fertility_stats_arrow,
+        fertility_stats_jvm,
+    )
     from cubefs_hadoop_spark.plans.audit import audit_plan
 
     spark.catalog.clearCache()
-    a = audit_plan(
-        tokenizer_fertility(load(spark, SF_SMOKE, "documents")),
-        executed=True,
-    )
+    docs = load(spark, SF_SMOKE, "documents")
+    j = audit_plan(fertility_stats_jvm(docs), executed=True)
+    assert j.broadcast_joins + j.sort_merge_joins + j.nested_loop_joins == 0
+    assert not j.has_python_eval
+    assert j.shuffles <= 1
+    a = audit_plan(fertility_stats_arrow(docs), executed=True)
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
-    assert not a.has_python_eval
     assert a.shuffles <= 1
+
+
+def test_tokenizer_fertility_tier_twin_equivalence(spark):
+    """The Arrow (library default) and JVM fertility tiers produce
+    bitwise-identical per-source sums on the fixture corpus."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.tokenize import (
+        fertility_stats_arrow,
+        fertility_stats_jvm,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    a = {tuple(r) for r in fertility_stats_arrow(docs).collect()}
+    j = {tuple(r) for r in fertility_stats_jvm(docs).collect()}
+    assert a == j

@@ -53,6 +53,11 @@ SF1_WATCH = [
     "x44_bloom_probe",
     "x47_quality_blend",
     "x37b_subword_tokenize_arrow",
+    # r9-new operators: 100x evidence from first registration
+    "x39c_bpe_train_batched",
+    "x58_tokenizer_fertility",
+    "x59_dim_truncation_recall",
+    "x60_ivf_list_balance",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -126,6 +131,12 @@ PROBE_QUERIES = [
     "x55_quality_canonical_dedup",
     "x56_ivfpq_topk",
     "x56b_ivfpq_rerank",
+    # r9-new operators
+    "x39c_bpe_train_batched",
+    "x57_pack_boundaries",
+    "x58_tokenizer_fertility",
+    "x59_dim_truncation_recall",
+    "x60_ivf_list_balance",
 ]
 
 
