@@ -1108,3 +1108,141 @@ def x51_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# -- x61: LSH quality audit (candidate precision/recall vs exact Jaccard) ---
+#
+# The QUALITY half of the LSH pre-flight pair (x53 prices the COST of
+# the bucketed pair join; x61 prices what the join will be WORTH): on a
+# bounded sample, LSH candidate pairs are scored against ground truth —
+# exact character-8-shingle Jaccard >= tau, the same shingle definition
+# the MinHash signatures estimate — yielding candidate precision (how
+# much of the verify stage's input is junk) and recall (how many true
+# near-dups the banding misses).  This is the measurement behind the
+# (bands, rows) knob: the 3x3 banding's collision curve 1-(1-s^3)^3
+# promises ~recall 0.6 at s=0.5; x61 reports what the corpus actually
+# delivers, BEFORE a full dedup pass commits to the config (same
+# decision shape as x59 for embedding width and x60 for IVF layout).
+#
+# Scale (100 TB): the audit runs on a driver-chosen SAMPLE (doc_id
+# bound here; any deterministic sample works) — exact Jaccard ground
+# truth is only computable on a bounded set, which is precisely why the
+# audit exists as a separate bounded operator while the LSH pipeline
+# itself never computes it.  Within the sample: one inverted-index join
+# on the shingle (intersections via |A|+|B|-|A∩B|, no pairwise set
+# materialization — x02b's pattern) and the standard bucket join; the
+# output is ONE row of integer-milli metrics, hash-exact.
+
+_X61_S = 1000   # sample bound: doc_id < S (all three SFs non-degenerate)
+_X61_TAU = 0.5  # ground-truth Jaccard threshold the banding targets
+
+_X61_ORACLE = (
+    "WITH cand AS (\n"
+    + _X02_ORACLE.replace(
+        "FROM documents", f"FROM documents WHERE doc_id < {_X61_S}"
+    ).replace("ORDER BY da, db", "")
+    + f"""),
+d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
+shx AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text)-7,1)+1),
+                 i -> substr(text, i, 8))) AS s FROM d)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+truth AS (
+  SELECT da, db FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           CAST(COUNT(*) AS DOUBLE)/(MIN(sa.n)+MIN(sb.n)-COUNT(*)) AS jac
+    FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+    JOIN sz sa ON sa.doc_id = a.doc_id
+    JOIN sz sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id)
+  WHERE jac >= {_X61_TAU}),
+hits AS (SELECT COUNT(*) AS c FROM cand JOIN truth USING (da, db)),
+nc AS (SELECT COUNT(*) AS c FROM cand),
+nt AS (SELECT COUNT(*) AS c FROM truth),
+nd AS (SELECT COUNT(*) AS c FROM d)
+SELECT CAST(nd.c AS BIGINT) AS n_docs,
+       CAST(nc.c AS BIGINT) AS n_candidates,
+       CAST(nt.c AS BIGINT) AS n_truth,
+       CAST(hits.c AS BIGINT) AS n_hits,
+       CAST(CASE WHEN nc.c = 0 THEN NULL
+            ELSE hits.c * 1000 // nc.c END AS BIGINT) AS precision_milli,
+       CAST(CASE WHEN nt.c = 0 THEN NULL
+            ELSE hits.c * 1000 // nt.c END AS BIGINT) AS recall_milli
+FROM nd, nc, nt, hits"""
+)
+
+
+def exact_shingle_jaccard_pairs(
+    docs: DataFrame, tau: float = _X61_TAU
+) -> DataFrame:
+    """(da, db) pairs with exact distinct-char-8-shingle Jaccard >= tau,
+    via the inverted-index join (x02b's no-pairwise-sets pattern)."""
+    sh = (
+        docs.select("doc_id", F.explode(_shingles()).alias("s"))
+        .distinct()
+    )
+    sh = barrier(sh, eager=False)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jac",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")),
+        )
+        .filter(F.col("jac") >= tau)
+        .select("da", "db")
+    )
+
+
+def lsh_quality_audit(
+    docs: DataFrame, s_max: int = _X61_S, tau: float = _X61_TAU
+) -> DataFrame:
+    """One-row (n_docs, n_candidates, n_truth, n_hits, precision_milli,
+    recall_milli) audit of the LSH banding against exact shingle Jaccard
+    on the doc_id < s_max sample.  Counts are driver-sized by definition
+    (they ARE the audit); ratios are integer millis, NULL when the
+    denominator set is empty."""
+    sample = docs.filter(F.col("doc_id") < s_max)
+    cand = lsh_candidate_pairs(sample).select("da", "db")
+    truth = exact_shingle_jaccard_pairs(sample, tau=tau)
+    truth = barrier(truth, eager=False)
+    n_docs = sample.count()
+    n_cand = cand.count()
+    n_truth = truth.count()
+    n_hits = cand.join(truth, ["da", "db"]).count()
+    row = (
+        n_docs,
+        n_cand,
+        n_truth,
+        n_hits,
+        (1000 * n_hits // n_cand) if n_cand else None,
+        (1000 * n_hits // n_truth) if n_truth else None,
+    )
+    return docs.sparkSession.createDataFrame(
+        [row],
+        "n_docs long, n_candidates long, n_truth long, n_hits long,"
+        " precision_milli long, recall_milli long",
+    )
+
+
+@register("x61_lsh_quality_audit", _X61_ORACLE)
+def x61_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 LSH quality audit: candidate precision/recall of the 3x3
+    MinHash banding against exact char-8-shingle Jaccard >= 0.5 on the
+    doc_id < 1000 sample — the WORTH half of the LSH pre-flight pair
+    (x53 prices the cost).  One integer-milli row, hash-exact."""
+    return lsh_quality_audit(load(spark, sf_dir, "documents"))

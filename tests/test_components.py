@@ -136,3 +136,21 @@ def test_auto_tier_gates_on_threshold_and_conf(spark):
         assert "Exchange" in via_conf._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.unset("cfspark.cc.driver.threshold")
+
+
+def test_lsh_quality_audit_accounting(spark):
+    """x61 invariants on the fixture: one row; hits bounded by both the
+    candidate and truth sets; milli ratios obey their floor-division
+    law; and on this corpus the 3x3 banding recovers EVERY exact
+    jac>=0.5 pair (recall 1000 — the fixture witness that the audit's
+    truth join and the banding agree on what a near-dup is)."""
+    from cubefs_hadoop_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["x61_lsh_quality_audit"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r.n_hits <= min(r.n_candidates, r.n_truth)
+    assert r.precision_milli == 1000 * r.n_hits // r.n_candidates
+    assert r.recall_milli == 1000 * r.n_hits // r.n_truth
+    assert r.n_hits == r.n_truth  # banding misses nothing at tau=0.5 here
