@@ -471,3 +471,157 @@ def x29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "novelty")
     )
+
+
+# -- x62: quality-filter agreement matrix ------------------------------------
+#
+# Filter stacks are tuned by OVERLAP, not in isolation: if two rules
+# drop the same documents, one of them is redundant cost; if a rule's
+# drops are disjoint from every other's, it is either a unique signal
+# or a bug — either way the pairwise drop-set agreement table is the
+# first thing a curation team reads before reordering or removing a
+# rule (the cheapest rule that subsumes another should run first so
+# later, costlier passes see fewer rows).  x62 scores the family's
+# three row-local gates pairwise: the x05 heuristic band rule, a
+# stopword-ratio floor (x09's signal at sw < 0.03), and a repetition
+# ceiling (x11's signal at rep > 0.02) — per ordered pair, drop counts,
+# intersection, union, and Jaccard millis.
+#
+# Scale (100 TB): ONE corpus scan computes all three boolean flags in
+# codegen (the same row-local expressions the filters themselves use);
+# a single partial-agg'd one-row count aggregate follows, and the
+# 3-row matrix is built from those driver-sized counts.  Adding a
+# fourth filter is one more flag column, not another pass.
+
+_X62_SW_TAU = 0.03   # drop when stopword ratio is BELOW (word salad)
+_X62_REP_TAU = 0.02  # drop when duplicate-3-gram ratio is ABOVE
+
+_X62_ORACLE = f"""
+WITH f AS (
+  SELECT text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT text, ws,
+         list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                        i -> array_to_string(ws[i:i+2], ' ')) AS gm
+  FROM f),
+m AS (
+  SELECT
+    NOT (len(ws) BETWEEN 20 AND 2000
+         AND (length(replace(text, ' ', '')) * 1.0 / len(ws))
+             BETWEEN 2.0 AND 12.0
+         AND (len(list_distinct(ws)) * 1.0 / len(ws)) >= 0.2) AS dq,
+    (len(list_filter(ws, w -> w='the' OR w='a' OR w='of' OR w='and'
+                              OR w='to')) * 1.0 / len(ws))
+        < {_X62_SW_TAU} AS ds,
+    (1 - len(list_distinct(gm)) * 1.0 / len(gm)) > {_X62_REP_TAU} AS dr
+  FROM g),
+c AS (
+  SELECT CAST(COUNT(*) FILTER (dq) AS BIGINT) AS q,
+         CAST(COUNT(*) FILTER (ds) AS BIGINT) AS s,
+         CAST(COUNT(*) FILTER (dr) AS BIGINT) AS r,
+         CAST(COUNT(*) FILTER (dq AND ds) AS BIGINT) AS qs,
+         CAST(COUNT(*) FILTER (dq AND dr) AS BIGINT) AS qr,
+         CAST(COUNT(*) FILTER (ds AND dr) AS BIGINT) AS sr
+  FROM m)
+SELECT * FROM (
+  SELECT 'quality' AS filter_a, 'repetition' AS filter_b,
+         q AS drop_a, r AS drop_b, qr AS drop_both,
+         q + r - qr AS drop_union,
+         CAST(CASE WHEN q + r - qr = 0 THEN NULL
+              ELSE qr * 1000 // (q + r - qr) END AS BIGINT) AS jaccard_milli
+  FROM c
+  UNION ALL
+  SELECT 'quality', 'stopword', q, s, qs, q + s - qs,
+         CAST(CASE WHEN q + s - qs = 0 THEN NULL
+              ELSE qs * 1000 // (q + s - qs) END AS BIGINT) FROM c
+  UNION ALL
+  SELECT 'repetition', 'stopword', r, s, sr, r + s - sr,
+         CAST(CASE WHEN r + s - sr = 0 THEN NULL
+              ELSE sr * 1000 // (r + s - sr) END AS BIGINT) FROM c)
+ORDER BY filter_a, filter_b"""
+
+
+def filter_drop_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(dq, ds, dr): the three gates' per-document DROP booleans in one
+    row-local pass — x05's heuristic band rule, the x09 stopword floor,
+    the x11 repetition ceiling.  All codegen, zero shuffles."""
+    ws = F.split(text_col, " ")
+    words = F.size(ws)
+    mwl = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+        .cast("double")
+        / words
+    )
+    uniq = F.size(F.array_distinct(ws)).cast("double") / words
+    sw = (
+        F.size(
+            F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to"))
+        ).cast("double")
+        / words
+    )
+    gm = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' '))-2, 1)),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    rep = F.lit(1.0) - F.size(F.array_distinct(gm)).cast("double") / F.size(
+        gm
+    )
+    return docs.select(
+        (
+            ~(
+                words.between(20, 2000)
+                & mwl.between(2.0, 12.0)
+                & (uniq >= 0.2)
+            )
+        ).alias("dq"),
+        (sw < _X62_SW_TAU).alias("ds"),
+        (rep > _X62_REP_TAU).alias("dr"),
+    )
+
+
+def filter_agreement(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 3-row pairwise agreement matrix (filter_a, filter_b, drop_a,
+    drop_b, drop_both, drop_union, jaccard_milli) from one corpus scan +
+    one one-row count aggregate; the matrix itself is built from the
+    driver-sized counts."""
+    flags = filter_drop_flags(docs, text_col)
+    c = flags.agg(
+        F.sum(F.col("dq").cast("long")).alias("q"),
+        F.sum(F.col("ds").cast("long")).alias("s"),
+        F.sum(F.col("dr").cast("long")).alias("r"),
+        F.sum((F.col("dq") & F.col("ds")).cast("long")).alias("qs"),
+        F.sum((F.col("dq") & F.col("dr")).cast("long")).alias("qr"),
+        F.sum((F.col("ds") & F.col("dr")).cast("long")).alias("sr"),
+    ).first()
+    q, s, r = int(c["q"]), int(c["s"]), int(c["r"])
+    qs, qr, sr = int(c["qs"]), int(c["qr"]), int(c["sr"])
+
+    def row(fa, fb, a, b, both):
+        union = a + b - both
+        return (
+            fa, fb, a, b, both, union,
+            (1000 * both // union) if union else None,
+        )
+
+    return docs.sparkSession.createDataFrame(
+        [
+            row("quality", "repetition", q, r, qr),
+            row("quality", "stopword", q, s, qs),
+            row("repetition", "stopword", r, s, sr),
+        ],
+        "filter_a string, filter_b string, drop_a long, drop_b long,"
+        " drop_both long, drop_union long, jaccard_milli long",
+    )
+
+
+@register("x62_filter_agreement", _X62_ORACLE)
+def x62_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 quality-filter agreement matrix: pairwise drop-set overlap
+    (counts + Jaccard millis) of the x05 band rule, the x09 stopword
+    floor, and the x11 repetition ceiling — the table that says which
+    rule is redundant and which is a unique signal, from one corpus
+    scan.  Thresholds are fixture-calibrated so every gate drops a
+    non-empty, non-total set at all three SFs."""
+    return filter_agreement(load(spark, sf_dir, "documents")).orderBy(
+        "filter_a", "filter_b"
+    )

@@ -292,3 +292,59 @@ def test_bigram_lm_plan_shape(spark):
     for s in re.findall(r"ReadSchema: struct<([^>]*)>", a.text):
         cols = {c.split(":")[0] for c in s.split(",") if c}
         assert cols <= {"doc_id", "text", "lang"}, cols
+
+
+# ---------------------------------------------------------------------------
+# x62 quality-filter agreement matrix
+
+
+def test_filter_agreement_laws_and_crafted_overlap(spark):
+    """x62 invariants: intersection bounded by both drop counts, union =
+    a + b - both, jaccard = 1000*both//union; and a crafted corpus where
+    the overlaps are hand-computable comes out exactly."""
+    from cubefs_hadoop_spark.extensions.text import (
+        filter_agreement,
+        filter_drop_flags,
+    )
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["x62_filter_agreement"](spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    assert [(r.filter_a, r.filter_b) for r in rows] == [
+        ("quality", "repetition"),
+        ("quality", "stopword"),
+        ("repetition", "stopword"),
+    ]
+    for r in rows:
+        assert r.drop_both <= min(r.drop_a, r.drop_b)
+        assert r.drop_union == r.drop_a + r.drop_b - r.drop_both
+        if r.drop_union:
+            assert r.jaccard_milli == 1000 * r.drop_both // r.drop_union
+        else:
+            assert r.jaccard_milli is None
+    # totals reconcile with the flag pass
+    flags = filter_drop_flags(load(spark, SF_SMOKE, "documents")).collect()
+    assert rows[0].drop_a == sum(1 for f in flags if f.dq)
+    assert rows[2].drop_a == sum(1 for f in flags if f.dr)
+    assert rows[2].drop_b == sum(1 for f in flags if f.ds)
+
+    # crafted: doc A = 3-word salad (quality: words<20 -> drop; stopword:
+    # 0 ratio -> drop; repetition: 1 distinct 3-gram of 1 -> keep);
+    # doc B = the same word 30x (quality drop via uniq, stopword drop,
+    # repetition drop); doc C = 40 distinct words with stopwords (all keep)
+    texts = [
+        ("xx yy zz",),
+        (("w " * 30).strip(),),
+        (" ".join(f"the w{i}" for i in range(20)),),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    m = {
+        (r.filter_a, r.filter_b): r for r in filter_agreement(df).collect()
+    }
+    qr = m[("quality", "repetition")]
+    assert (qr.drop_a, qr.drop_b, qr.drop_both) == (2, 1, 1)
+    qs = m[("quality", "stopword")]
+    assert (qs.drop_a, qs.drop_b, qs.drop_both) == (2, 2, 2)
+    assert qs.jaccard_milli == 1000
