@@ -62,9 +62,11 @@ _R9_WINDOW = [
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r10 rotation plan (stalest-first): lead with x60_ivf_list_balance
-# (r9-new after the window froze; judge-verifiable via SWEEP_r09's
-# successor and tools/oracle_check.py), then the remaining 24 r06 greens
+# r10 rotation plan (stalest-first): lead with x60_ivf_list_balance,
+# x61_lsh_quality_audit, and x62_filter_agreement (r9-new after the
+# window froze; all three hash-green at 3 SFs in SWEEP_r09 and
+# judge-verifiable via tools/oracle_check.py), then the remaining 24
+# r06 greens
 # (q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
 # q09_rollup, q09b_cube, q09c_grouping_sets, q10_having, q13_left_join,
 # q14_semi_join, q15_anti_join, q16_theta_join, q17_cross_join,

@@ -58,6 +58,11 @@ SF1_WATCH = [
     "x58_tokenizer_fertility",
     "x59_dim_truncation_recall",
     "x60_ivf_list_balance",
+    # x61 is sample-bounded BY DESIGN (doc_id < 1000) — its sf1 row
+    # exists to SHOW the flatness the bound promises; x62 is one
+    # corpus scan of codegen flags
+    "x61_lsh_quality_audit",
+    "x62_filter_agreement",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -137,6 +142,8 @@ PROBE_QUERIES = [
     "x58_tokenizer_fertility",
     "x59_dim_truncation_recall",
     "x60_ivf_list_balance",
+    "x61_lsh_quality_audit",
+    "x62_filter_agreement",
 ]
 
 
@@ -152,8 +159,13 @@ def main() -> None:
         cold, warm = {}, {}
         for sf_dir in SFS:
             sf = sf_dir.rsplit("sf", 1)[1]
-            df = QUERIES[name](spark, sf_dir)
+            # construction inside the timer (r9, bench.py's honesty
+            # rule): eager-barrier queries do their real work at
+            # DataFrame construction; collect-only timing undercounted
+            # them (the pre-r9 CAVEAT).  Ratios before r9 used
+            # collect-only timing.
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             df.collect()
             cold[sf] = time.perf_counter() - t0
             t0 = time.perf_counter()
@@ -174,12 +186,13 @@ def main() -> None:
         "  already-materialized shuffle stages, so this isolates the",
         "  FINAL-stage compute (e.g. q22's window runs post-shuffle and",
         "  re-executes; q06's final agg re-reads 6 shuffled rows).",
-        "- CAVEAT — eager-barrier queries (x28, x46, x46b, x47, x49): their",
-        "  pipelines materialize behind `barrier()`/1-row-agg jobs at",
-        "  DataFrame CONSTRUCTION time, before this timer starts, so their",
-        "  rows undercount true cost.  bench.py times construction+collect",
-        "  and carries their honest numbers; the rows here remain",
-        "  methodology-consistent across rounds for ratio comparison.",
+        "- Since r9 the `first` timer INCLUDES DataFrame construction",
+        "  (bench.py's honesty rule): eager-barrier queries (x28, x46,",
+        "  x46b, x47, x49, x54, x61, x62) do their real work behind",
+        "  `barrier()`/count jobs at construction, which the pre-r9",
+        "  collect-only timer undercounted.  Rows from rounds before r9",
+        "  used collect-only timing — compare ratios, not absolutes,",
+        "  across that boundary.",
         "",
         "| query | first 0.001 | first 0.01 | first 0.1 | first 10x ratio | re-exec 0.1 (final stage) |",
         "|---|---|---|---|---|---|",
@@ -197,9 +210,13 @@ def main() -> None:
     if os.path.isdir(sf1_dir):
         sf1 = {}
         for name in SF1_WATCH:
-            df = QUERIES[name](spark, sf1_dir)
+            # construction INSIDE the timer (bench.py's honesty rule):
+            # eager-barrier queries (x28/x54/x61/x62 class) do their real
+            # work at DataFrame construction, so timing collect() alone
+            # would report near-zero for exactly the rows this 100x
+            # section exists to watch
             t0 = time.perf_counter()
-            df.collect()
+            QUERIES[name](spark, sf1_dir).collect()
             sf1[name] = time.perf_counter() - t0
         # x12's registered entry pins C=8 for oracle determinism; the
         # production config grows C with sqrt(N) (auto-C, VERDICT r6
@@ -222,6 +239,28 @@ def main() -> None:
         t0 = time.perf_counter()
         srp_neardup_pairs_auto(_emb).collect()
         sf1["x13 (auto-bits)"] = time.perf_counter() - t0
+        # x46's registered entry rides x13's PINNED config (oracle
+        # determinism) — time the production shape too: auto-sized SRP
+        # pairs, symmetrize, per-source top-k (knn_graph's exact tail)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        t0 = time.perf_counter()
+        _pairs = srp_neardup_pairs_auto(_emb)
+        _sym = _pairs.select(
+            F.col("da").alias("src"), F.col("db").alias("nbr"), "c"
+        ).unionByName(
+            _pairs.select(
+                F.col("db").alias("src"), F.col("da").alias("nbr"), "c"
+            )
+        )
+        _w = Window.partitionBy("src").orderBy(F.desc("c"), F.asc("nbr"))
+        (
+            _sym.withColumn("rank", F.row_number().over(_w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        )
+        sf1["x46 (auto-bits)"] = time.perf_counter() - t0
         lines += [
             "## sf1 probe (100x sf0.01): do the superlinear ratios flatten?",
             "",
@@ -244,11 +283,14 @@ def main() -> None:
                 f"| {name} | {cold['0.1']:.2f}s | {sf1[name]:.2f}s "
                 f"| {r1:.1f}x | {r01:.1f}x |"
             )
-        for label, base in (
-            ("x12 (auto-C production config)", "x12_semantic_dedup"),
-            ("x13 (auto-bits production config)", "x13_srp_lsh"),
+        for label, key, base in (
+            ("x12 (auto-C production config)", "x12 (auto-C)",
+             "x12_semantic_dedup"),
+            ("x13 (auto-bits production config)", "x13 (auto-bits)",
+             "x13_srp_lsh"),
+            ("x46 (auto-bits production config)", "x46 (auto-bits)",
+             "x46_knn_graph"),
         ):
-            key = "x12 (auto-C)" if "x12" in label else "x13 (auto-bits)"
             bcold, _ = by_name[base]
             lines.append(
                 f"| {label} | {bcold['0.1']:.2f}s | {sf1[key]:.2f}s "
@@ -264,8 +306,10 @@ def main() -> None:
             "linearity, not a scaling defect, and on a real cluster it",
             "parallelizes embarrassingly (more executors divide the 10x).",
             "The pinned x12/x13 rows are oracle-twin configs kept for",
-            "regression only; their auto-sized production twins are the",
-            "two rows below them (BASELINE.md B36/B37).",
+            "regression only; x46's row inherits the same pinned SRP",
+            "config through its candidate stage.  The auto-sized",
+            "production twins are the three rows below them",
+            "(x12b/x13c benched as BASELINE.md B36/B37).",
             "",
         ]
 
