@@ -43,11 +43,14 @@ _R9_WINDOW = [
     "x43_jl_project",
     # round-9-new operators: first driver rows in THEIR OWN round, so
     # the hard signal never lags a new operator again (the r8 verdict's
-    # complaint about x34b/x52-x57); all three hash-green in
-    # SWEEP_r09.json and at sf0.001/sf0.1 (3)
+    # complaint about x34b/x52-x57); all seven hash-green in
+    # SWEEP_r09.json and at sf0.001/sf0.1 (7)
     "x39c_bpe_train_batched", "x58_tokenizer_fertility",
-    "x59_dim_truncation_recall",
-    # stalest r06 greens, CORRECTNESS_r06 order (26)
+    "x59_dim_truncation_recall", "x60_ivf_list_balance",
+    "x61_lsh_quality_audit", "x62_filter_agreement",
+    # stalest r06 greens, CORRECTNESS_r06 order (23; x03c stays
+    # in-window because the r9 _pinned_ivf_assignment refactor touches
+    # its code path — the driver should re-prove it)
     "q01_scan_count", "q03_filter_conjunctive", "q05_case_projection",
     "q06_tpch_q1", "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
     "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
@@ -56,26 +59,23 @@ _R9_WINDOW = [
     "t13_customer_distribution", "t14_promo_revenue", "t15_top_supplier",
     "t16_supplier_relationship", "t17_small_quantity_revenue",
     "t18_large_volume_customer", "t19_discounted_revenue",
-    "t20_part_promotion", "t21_waiting_supplier", "x03c_ivf_ann",
-    "q02_projection",
+    "x03c_ivf_ann",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r10 rotation plan (stalest-first): lead with x60_ivf_list_balance,
-# x61_lsh_quality_audit, and x62_filter_agreement (r9-new after the
-# window froze; all three hash-green at 3 SFs in SWEEP_r09 and
-# judge-verifiable via tools/oracle_check.py), then the remaining 24
-# r06 greens
-# (q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
-# q09_rollup, q09b_cube, q09c_grouping_sets, q10_having, q13_left_join,
-# q14_semi_join, q15_anti_join, q16_theta_join, q17_cross_join,
-# q18_asof_join, q20b_window_distribution, q20c_window_value_funcs,
-# q21_window_lag, q23_sort_limit, q25_union_all, q26_except,
-# q26_intersect, q27_string_funcs, q27b_string_funcs2,
-# q27c_string_funcs3, q28_date_funcs — CORRECTNESS_r06 order), then the
-# 50 r07 greens in CORRECTNESS_r07 order, trimmed to 50 total, plus any
-# r9-new operators first.
+# r10 rotation plan (stalest-first): any r10-new operators first, then
+# the remaining 27 r06 greens
+# (q02_projection, q04_filter_in_like, q07_count_distinct,
+# q08_approx_distinct_twin, q09_rollup, q09b_cube, q09c_grouping_sets,
+# q10_having, q13_left_join, q14_semi_join, q15_anti_join,
+# q16_theta_join, q17_cross_join, q18_asof_join,
+# q20b_window_distribution, q20c_window_value_funcs, q21_window_lag,
+# q23_sort_limit, q25_union_all, q26_except, q26_intersect,
+# q27_string_funcs, q27b_string_funcs2, q27c_string_funcs3,
+# q28_date_funcs, t20_part_promotion, t21_waiting_supplier —
+# CORRECTNESS_r06 order), then the 50 r07 greens in CORRECTNESS_r07
+# order, trimmed to 50 total.
 assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 reorder(_R9_WINDOW)
 
