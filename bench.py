@@ -70,11 +70,14 @@ BENCH_QUERIES = [
     "x12b_semantic_dedup_auto",
     "x13c_srp_lsh_auto",
     # r9-new operators: fertility audit (Arrow tier), width-recall
-    # audit, IVF balance audit, batched BPE trainer
+    # audit, IVF balance audit, batched BPE trainer, filter agreement,
+    # LSH quality audit (eager construction+collect timing, like x28)
     "x58_tokenizer_fertility",
     "x59_dim_truncation_recall",
     "x60_ivf_list_balance",
     "x39c_bpe_train_batched",
+    "x62_filter_agreement",
+    "x61_lsh_quality_audit",
 ]
 
 RUNS = 4
