@@ -691,11 +691,16 @@ def temperature_mixture(docs: DataFrame) -> DataFrame:
     # r8: the previous in-plan form (n div 2) * w div sw multiplies two
     # bigints whose product clears int64 around ~7e10 documents — only
     # ~3x headroom over the 100 TB design point; Python ints are
-    # unbounded, and the per-source weight floor(sqrt(c * 1e6)) stays
-    # bit-identical to the oracle (math.isqrt is exact; IEEE sqrt is
-    # correctly rounded, so both floors agree while c * 1e6 < 2^53,
-    # i.e. to 9e9 docs per source — isqrt keeps the Spark side exact
-    # beyond even that).
+    # unbounded, and the per-source weight math.isqrt(c * 1e6) is exact
+    # at any magnitude.  The DuckDB oracle keeps FLOOR(SQRT(c * 1e6))
+    # (float sqrt) and the (n//2)*w int64-prone product: floor of a
+    # correctly-rounded double sqrt(m) can already exceed isqrt(m) once
+    # m > ~2^52, i.e. c ≈ 4.5e9 docs per source (ADVICE r9 — the bound
+    # is 2^52, not 2^53: equality of the floors needs sqrt(m) to be
+    # more than half an ulp from an integer, guaranteed only below
+    # 2^52).  Fixture sources are ~1e2-1e5 docs, far inside the shared
+    # agreement domain; at production scale the Spark side stays exact
+    # while the oracle form would drift first.
     import math
 
     per_source = sorted(

@@ -559,9 +559,11 @@ def filter_drop_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).cast("double")
         / words
     )
-    gm = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' '))-2, 1)),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    # Built from the already-split `ws` so the flag follows text_col
+    # (ADVICE r9: the F.expr form hardcoded the literal column `text`).
+    gm = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
     )
     rep = F.lit(1.0) - F.size(F.array_distinct(gm)).cast("double") / F.size(
         gm

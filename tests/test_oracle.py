@@ -54,6 +54,17 @@ def test_guard_rejects_nested_cells():
     reject_driver_incompatible(ok, "spark")  # scalars sail through
 
 
+def test_guard_scans_past_first_scalar_cell():
+    """ADVICE r9: a mixed-type object column whose FIRST non-null value
+    is scalar but which holds nested cells later must still trip the
+    guard — one cell does not decide an object dtype."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({"id": [1, 2, 3], "payload": ["ok", None, [1, 2]]})
+    with pytest.raises(DriverIncompatibleOutput):
+        reject_driver_incompatible(pdf, "spark")
+
+
 def test_guard_catches_array_valued_query(spark):
     """An array-valued registry declaration must trip the guard — the
     exact fixture shape the r08 driver rejected for x43."""

@@ -348,3 +348,19 @@ def test_filter_agreement_laws_and_crafted_overlap(spark):
     qs = m[("quality", "stopword")]
     assert (qs.drop_a, qs.drop_b, qs.drop_both) == (2, 2, 2)
     assert qs.jaccard_milli == 1000
+
+
+def test_filter_drop_flags_respects_text_col(spark):
+    """ADVICE r9: the repetition 3-gram flag must be computed from
+    text_col, not a hardcoded `text` column — a renamed column gives
+    the identical flag rows."""
+    from cubefs_hadoop_spark.extensions.text import filter_drop_flags
+    from cubefs_hadoop_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    base = filter_drop_flags(docs).collect()
+    renamed = filter_drop_flags(
+        docs.withColumnRenamed("text", "body"), text_col="body"
+    ).collect()
+    assert base == renamed

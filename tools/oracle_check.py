@@ -101,6 +101,9 @@ def reject_driver_incompatible(pdf: pd.DataFrame, side: str) -> None:
         col = pdf[c]
         if col.dtype != object:
             continue
+        # Scan EVERY non-null cell (ADVICE r9): a mixed-type object
+        # column whose first non-null value is scalar can still hold
+        # nested cells later; one cell does not decide an object dtype.
         for v in col:
             if v is None or v is pd.NaT:
                 continue
@@ -112,7 +115,6 @@ def reject_driver_incompatible(pdf: pd.DataFrame, side: str) -> None:
                     " grain (posexplode / unnest) or join the array to a"
                     " string"
                 )
-            break  # one non-null cell per column decides the dtype
 
 
 def canon_lines(pdf: pd.DataFrame) -> list[str]:
