@@ -737,3 +737,102 @@ def x54_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture(load(spark, sf_dir, "documents")).orderBy(
         "source", "sel_rank", "doc_id", "quota"
     )
+
+
+# -- x67: training-shard balance audit (the output-layout pre-flight) --------
+#
+# The last stage of a curation pipeline WRITES: documents land in S
+# training shards (content-hashed so the assignment is stable under
+# re-runs and incremental ingest, like x07's split), and every
+# downstream consumer — data loaders, per-shard shuffle buffers, epoch
+# schedulers — assumes the shards are BALANCED in token mass, not just
+# document count.  x67 prices that assumption before the write: per
+# shard, document count, token mass, byte mass, exact milli share, and
+# the permille deviation from a perfectly uniform shard
+# (1000*S*tokens//total - 1000) — the number that says whether shard 7
+# will finish its epoch 30% after the others.
+#
+# Scale (100 TB): the shard key is row-local codegen (md5 -> 16-bit hex
+# prefix -> mod S); ONE partial-agg'd groupBy on the bounded shard key
+# (S rows) and a window over that S-row frame.  The audit costs one
+# scan; the write it prices costs the full corpus.
+
+_X67_S = 16  # shards in the registered audit (any S: parameter below)
+
+_X67_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % {_X67_S} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk,
+         CAST(n_chars AS BIGINT) AS bytes
+  FROM documents),
+c AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(tk) AS BIGINT) AS tokens,
+         CAST(SUM(bytes) AS BIGINT) AS bytes
+  FROM d GROUP BY shard),
+t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tot FROM c)
+SELECT c.shard, c.n_docs, c.tokens, c.bytes,
+       CAST(1000 * c.tokens // t.tot AS BIGINT) AS share_milli,
+       CAST(1000 * {_X67_S} * c.tokens // t.tot - 1000 AS BIGINT)
+         AS skew_permille
+FROM c CROSS JOIN t
+ORDER BY shard, n_docs, tokens, bytes, share_milli, skew_permille"""
+
+
+def shard_balance(
+    docs: DataFrame,
+    n_shards: int = _X67_S,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, n_docs, tokens, bytes, share_milli, skew_permille): the
+    content-hashed shard assignment's balance audit.  Row-local shard
+    key (md5 of the id, 16-bit hex prefix, mod n_shards — stable under
+    re-runs like x07's split), one bounded groupBy, one S-row window."""
+    s = int(n_shards)
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long") % s
+    )
+    c = (
+        docs.select(
+            shard.alias("shard"),
+            F.size(F.split(F.col(text_col), " ")).cast("long").alias("tk"),
+            F.col("n_chars").cast("long").alias("bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("tokens"),
+            F.sum("bytes").cast("long").alias("bytes"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return c.select(
+        "shard",
+        "n_docs",
+        "tokens",
+        "bytes",
+        F.expr("1000 * tokens div sum(tokens) over ()")
+        .cast("long")
+        .alias("share_milli"),
+        (
+            F.expr(f"1000 * {s} * tokens div sum(tokens) over ()")
+            - F.lit(1000)
+        ).cast("long").alias("skew_permille"),
+    )
+
+
+@register("x67_shard_balance", _X67_ORACLE)
+def x67_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 training-shard balance audit: token/byte mass per
+    content-hashed output shard with exact milli shares and permille
+    deviation from uniform — the pre-flight read before the final
+    sharded write (and the input to choosing S)."""
+    return shard_balance(load(spark, sf_dir, "documents")).orderBy(
+        "shard", "n_docs", "tokens", "bytes", "share_milli",
+        "skew_permille"
+    )

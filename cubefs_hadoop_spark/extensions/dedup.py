@@ -1246,3 +1246,96 @@ def x61_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id < 1000 sample — the WORTH half of the LSH pre-flight pair
     (x53 prices the cost).  One integer-milli row, hash-exact."""
     return lsh_quality_audit(load(spark, sf_dir, "documents"))
+
+
+# -- x69: token-mass dedup yield (x51 in the unit that buys training) --------
+#
+# x51 forecasts dedup yield in DOCUMENTS; training budgets are set in
+# TOKENS, and near-dup clusters are not length-uniform — a corpus of
+# duplicated boilerplate pages loses far more token mass than doc count
+# suggests (and mirror-truncated clusters lose less).  x69 weighs the
+# same cluster-size distribution by token mass under the x28 min-id
+# election: per cluster size, total tokens and the tokens an x28
+# keep-canonical pass deletes.  Σ tokens_removable is the exact token
+# budget the dedup stage refunds.
+#
+# Scale (100 TB): x28's pipeline (bucketed LSH pairs -> size-tiered CC,
+# never all-pairs) plus one corpus-scan token projection, one
+# partial-agg'd groupBy(canonical) over duplicate-sized clusters, and
+# one metadata-scale rollup by size.  The oracle extends x28's
+# recursive closure, hash-checking shingles -> MinHash -> LSH -> CC ->
+# election -> token weighting END TO END.
+
+_X69_ORACLE = _X28_ORACLE.replace(
+    """SELECT node AS doc_id, MIN(lbl) AS canonical
+FROM reach GROUP BY node ORDER BY doc_id""",
+    """, canon AS (
+  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach GROUP BY node),
+tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+       FROM documents),
+cl AS (SELECT c.canonical, CAST(COUNT(*) AS BIGINT) AS sz,
+              CAST(SUM(t.tk) AS BIGINT) AS total_tk,
+              CAST(SUM(CASE WHEN c.doc_id = c.canonical THEN t.tk
+                            ELSE 0 END) AS BIGINT) AS kept_tk
+       FROM canon c JOIN tk t USING (doc_id) GROUP BY c.canonical)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(total_tk) AS BIGINT) AS tokens_total,
+       CAST(SUM(total_tk - kept_tk) AS BIGINT) AS tokens_removable
+FROM cl GROUP BY sz ORDER BY cluster_size""",
+)
+
+
+@register("x69_dedup_token_yield", _X69_ORACLE)
+def x69_dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 token-mass dedup yield: the near-dup cluster-size
+    distribution weighted by token mass under x28's min-id election —
+    (cluster_size, n_clusters, tokens_total, tokens_removable).
+    Σ tokens_removable is the exact token budget a keep-canonical pass
+    refunds; read next to x51 (doc counts) and x17/x54 (budgets spent
+    in tokens)."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
+    )
+    pairs = lsh_candidate_pairs(docs)
+    comps = connected_components_auto(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("canonical"),
+        )
+    )
+    cl = (
+        canon.join(tk, "doc_id")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.sum("tk").cast("long").alias("total_tk"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("canonical"), F.col("tk"))
+                .otherwise(0)
+            ).cast("long").alias("kept_tk"),
+        )
+    )
+    return (
+        cl.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("total_tk").cast("long").alias("tokens_total"),
+            F.sum(F.col("total_tk") - F.col("kept_tk")).cast("long")
+            .alias("tokens_removable"),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "tokens_total",
+            "tokens_removable",
+        )
+        .orderBy("cluster_size")
+    )

@@ -217,3 +217,89 @@ def x14_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window layout exactly (integer arithmetic end to end)."""
     docs = load(spark, sf_dir, "documents")
     return sequence_pack(docs).orderBy("chunk_id", "doc_id", "tok_in_chunk")
+
+
+# -- x65: packing forecast (pad-vs-pack economics before the x14 run) --------
+#
+# The decision x14 automates — concat-and-chunk packing vs pad-to-S
+# batching — has a price that depends only on the corpus LENGTH
+# DISTRIBUTION, so it can be read off a one-scan report before any
+# packing job runs: per length band, how many documents, how much token
+# mass, how many S-token segments a split layout emits, and how much
+# padding a pad-to-S layout would burn.  Σ pad_waste / (tokens + pad)
+# is the exact fraction of a padded batch spent on padding — the number
+# that justifies (or kills) the packing stage at 100 TB.
+#
+# Scale: one corpus scan (row-local integer arithmetic in codegen) into
+# a partial-agg'd groupBy on the bounded band key (<= 9 rows).  The
+# forecast never materializes a layout — it prices one.
+
+_X65_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+  FROM documents),
+b AS (
+  SELECT tk, LEAST(4 * tk // {_X14_S}, 8) AS band FROM d)
+SELECT band,
+       CAST(band * {_X14_S} // 4 AS BIGINT) AS band_lo_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tk) AS BIGINT) AS tokens,
+       CAST(SUM((tk + {_X14_S} - 1) // {_X14_S}) AS BIGINT) AS segments,
+       CAST(SUM(({_X14_S} - tk % {_X14_S}) % {_X14_S}) AS BIGINT)
+         AS pad_waste,
+       CAST(1000 * SUM(({_X14_S} - tk % {_X14_S}) % {_X14_S})
+            // SUM(tk + ({_X14_S} - tk % {_X14_S}) % {_X14_S}) AS BIGINT)
+         AS pad_share_milli
+FROM b GROUP BY band
+ORDER BY band, band_lo_tokens, n_docs, tokens, segments, pad_waste,
+         pad_share_milli"""
+
+
+def packing_forecast(
+    docs: DataFrame, seq_len: int = _X14_S, text_col: str = "text"
+) -> DataFrame:
+    """(band, band_lo_tokens, n_docs, tokens, segments, pad_waste,
+    pad_share_milli) per quarter-context length band (capped at 2x
+    context): the exact integer economics of pad-to-seq_len batching vs
+    x14 packing, from one scan + one bounded groupBy."""
+    s = int(seq_len)
+    tk = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = docs.select(
+        tk.alias("tk"),
+        F.expr(f"least(4 * size(split({text_col}, ' ')) div {s}, 8)")
+        .cast("long")
+        .alias("band"),
+    )
+    pad = F.expr(f"({s} - tk % {s}) % {s}")
+    return (
+        d.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tk").cast("long").alias("tokens"),
+            F.sum(F.expr(f"(tk + {s} - 1) div {s}")).cast("long")
+            .alias("segments"),
+            F.sum(pad).cast("long").alias("pad_waste"),
+        )
+        .select(
+            "band",
+            F.expr(f"band * {s} div 4").cast("long").alias("band_lo_tokens"),
+            "n_docs",
+            "tokens",
+            "segments",
+            "pad_waste",
+            F.expr(
+                "1000 * pad_waste div (tokens + pad_waste)"
+            ).cast("long").alias("pad_share_milli"),
+        )
+    )
+
+
+@register("x65_packing_forecast", _X65_ORACLE)
+def x65_packing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 packing forecast: the pad-vs-pack cost table by length band —
+    prices the x14 packing stage (and the padding it saves) from one
+    corpus scan, before any layout is materialized."""
+    return packing_forecast(load(spark, sf_dir, "documents")).orderBy(
+        "band", "band_lo_tokens", "n_docs", "tokens", "segments",
+        "pad_waste", "pad_share_milli"
+    )

@@ -1462,3 +1462,99 @@ def x56b_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-candidate ADC shortlist — the serving configuration (recall
     gate lives engine-side: test_x56_ivfpq_recall_and_pruning)."""
     return ivfpq_topk(spark, load(spark, sf_dir, "embeddings"), rerank=True)
+
+
+# -- x64: embedding health audit (the vector-table pre-flight) ---------------
+#
+# Every operator in this family assumes its vector column is SANE:
+# one consistent dimensionality, finite cells, non-degenerate norms, no
+# silent exact duplicates (an upstream encoder retry writes the same
+# vector twice and every downstream kNN/centroid/dedup stage quietly
+# double-counts it).  x64 is the audit that checks those assumptions
+# BEFORE a 100 TB ANN build commits to them — the vector-table member
+# of the pre-flight family (x52 shuffles, x53/x61 LSH, x60 IVF).
+#
+# Scale: two partial-agg'd passes over the vector table and nothing
+# else — one scan computing row-local flag aggregates (dimensionality
+# spread, non-finite cells, zero norms, all in codegen higher-order
+# functions), and one groupBy on the vector value itself for exact-dup
+# accounting (group count is corpus-scale, rolled to one row
+# map-side).  Both outputs are single rows; the final frame is their
+# bounded 1x1 join.  No O(n^2) anywhere: exact-dup detection by
+# grouping, never by pairwise comparison.
+
+_X64_ORACLE = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(COUNT(DISTINCT len(embedding)) AS BIGINT) AS n_dims_distinct,
+         CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+         CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+         CAST(COUNT(*) FILTER (
+             len(list_filter(embedding,
+                             x -> isnan(x) OR isinf(x))) > 0)
+           AS BIGINT) AS n_nonfinite,
+         CAST(COUNT(*) FILTER (
+             len(list_filter(embedding, x -> x <> 0)) = 0)
+           AS BIGINT) AS n_zero_norm
+  FROM embeddings),
+g AS (SELECT embedding, COUNT(*) AS c FROM embeddings GROUP BY embedding),
+d AS (SELECT CAST(COUNT(*) FILTER (c > 1) AS BIGINT) AS n_dup_groups,
+             CAST(COALESCE(SUM(c) FILTER (c > 1), 0) AS BIGINT)
+               AS n_dup_vectors
+      FROM g)
+SELECT s.n_vectors, s.n_dims_distinct, s.dim_min, s.dim_max,
+       s.n_nonfinite, s.n_zero_norm, d.n_dup_groups, d.n_dup_vectors,
+       CAST(d.n_dup_vectors - d.n_dup_groups AS BIGINT) AS n_removable,
+       CAST(1000 * (d.n_dup_vectors - d.n_dup_groups) // s.n_vectors
+         AS BIGINT) AS dup_share_milli
+FROM s CROSS JOIN d"""
+
+
+def embedding_health(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row vector-table audit: (n_vectors, n_dims_distinct, dim_min,
+    dim_max, n_nonfinite, n_zero_norm, n_dup_groups, n_dup_vectors,
+    n_removable, dup_share_milli).  Two partial-agg'd passes (row-local
+    flags; groupBy on the vector value for exact dups), joined 1x1."""
+    e = F.col(vec_col)
+    inf = F.lit(float("inf"))
+    scan = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct(F.size(e)).cast("long").alias("n_dims_distinct"),
+        F.min(F.size(e)).cast("long").alias("dim_min"),
+        F.max(F.size(e)).cast("long").alias("dim_max"),
+        F.sum(
+            F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == inf)).cast("long")
+        ).cast("long").alias("n_nonfinite"),
+        F.sum(
+            (F.size(F.filter(e, lambda x: x != 0)) == 0).cast("long")
+        ).cast("long").alias("n_zero_norm"),
+    )
+    dups = (
+        emb.groupBy(vec_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum((F.col("c") > 1).cast("long")).cast("long")
+            .alias("n_dup_groups"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).cast("long").alias("n_dup_vectors"),
+        )
+    )
+    return scan.crossJoin(dups).select(
+        "n_vectors", "n_dims_distinct", "dim_min", "dim_max",
+        "n_nonfinite", "n_zero_norm", "n_dup_groups", "n_dup_vectors",
+        (F.col("n_dup_vectors") - F.col("n_dup_groups")).cast("long")
+        .alias("n_removable"),
+        F.expr(
+            "1000 * (n_dup_vectors - n_dup_groups) div n_vectors"
+        ).cast("long").alias("dup_share_milli"),
+    )
+
+
+@register("x64_embedding_health", _X64_ORACLE)
+def x64_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 embedding health audit: dimensionality consistency, non-finite
+    cells, zero-norm vectors, and exact-duplicate accounting for the
+    embeddings table, in one hash-exact row — the pre-flight every ANN
+    build (x03c/x41/x56) should read before trusting its input."""
+    return embedding_health(load(spark, sf_dir, "embeddings"))

@@ -541,10 +541,13 @@ SELECT * FROM (
 ORDER BY filter_a, filter_b"""
 
 
-def filter_drop_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(dq, ds, dr): the three gates' per-document DROP booleans in one
-    row-local pass — x05's heuristic band rule, the x09 stopword floor,
-    the x11 repetition ceiling.  All codegen, zero shuffles."""
+def filter_drop_flags(
+    docs: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(*keep, dq, ds, dr): the three gates' per-document DROP booleans
+    in one row-local pass — x05's heuristic band rule, the x09 stopword
+    floor, the x11 repetition ceiling — with ``keep`` columns passed
+    through for downstream attribution.  All codegen, zero shuffles."""
     ws = F.split(text_col, " ")
     words = F.size(ws)
     mwl = (
@@ -569,6 +572,7 @@ def filter_drop_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         gm
     )
     return docs.select(
+        *keep,
         (
             ~(
                 words.between(20, 2000)
@@ -626,4 +630,188 @@ def x62_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty, non-total set at all three SFs."""
     return filter_agreement(load(spark, sf_dir, "documents")).orderBy(
         "filter_a", "filter_b"
+    )
+
+
+# -- x63: rejection funnel (first-failing-gate attribution) ------------------
+#
+# x62 reads the filter stack's pairwise OVERLAP; x63 reads its FUNNEL:
+# production curation runs gates in a fixed order (cheapest first) and
+# a document is charged to the FIRST gate that drops it, so the funnel
+# table (source, stage, n_docs, share_milli) is the per-source loss
+# accounting a pipeline owner reads after every ingest — which corpus
+# loses how much to which rule, and how much survives to training.
+# Gate order here is the family's cost order: the x05 quality band
+# (cheap length/width arithmetic), the x09 stopword floor (one array
+# intersect), the x11 repetition ceiling (the 3-gram pass, costliest).
+#
+# Scale (100 TB): ONE corpus scan computes the three codegen flags
+# (filter_drop_flags) plus the attribution CASE; one partial-agg'd
+# groupBy(source, stage) follows (output is metadata-sized: sources x 4
+# rows), and the share window runs on that grouped frame, never on the
+# corpus.  Adding a gate is one more WHEN branch, not another pass.
+
+_X63_ORACLE = f"""
+WITH f AS (
+  SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT source, text, ws,
+         list_transform(range(1, greatest(len(ws)-2, 1)+1),
+                        i -> array_to_string(ws[i:i+2], ' ')) AS gm
+  FROM f),
+m AS (
+  SELECT source,
+    NOT (len(ws) BETWEEN 20 AND 2000
+         AND (length(replace(text, ' ', '')) * 1.0 / len(ws))
+             BETWEEN 2.0 AND 12.0
+         AND (len(list_distinct(ws)) * 1.0 / len(ws)) >= 0.2) AS dq,
+    (len(list_filter(ws, w -> w='the' OR w='a' OR w='of' OR w='and'
+                              OR w='to')) * 1.0 / len(ws))
+        < {_X62_SW_TAU} AS ds,
+    (1 - len(list_distinct(gm)) * 1.0 / len(gm)) > {_X62_REP_TAU} AS dr
+  FROM g),
+s AS (
+  SELECT source,
+         CASE WHEN dq THEN 'quality'
+              WHEN ds THEN 'stopword'
+              WHEN dr THEN 'repetition'
+              ELSE 'kept' END AS stage
+  FROM m),
+c AS (
+  SELECT source, stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY source, stage),
+t AS (
+  SELECT source, CAST(SUM(n_docs) AS BIGINT) AS tot
+  FROM c GROUP BY source)
+SELECT c.source, c.stage, c.n_docs,
+       CAST(1000 * c.n_docs // t.tot AS BIGINT) AS share_milli
+FROM c JOIN t USING (source)
+ORDER BY source, stage, n_docs, share_milli"""
+
+
+def rejection_funnel(
+    docs: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """(by, stage, n_docs, share_milli): documents charged to the FIRST
+    gate that drops them in the fixed quality -> stopword -> repetition
+    order ('kept' = survived all three), with exact integer milli shares
+    of each ``by`` group.  One corpus scan + one partial-agg'd groupBy;
+    the share window runs on the grouped metadata-sized frame."""
+    flags = filter_drop_flags(docs, text_col, keep=(by,))
+    stage = (
+        F.when(F.col("dq"), F.lit("quality"))
+        .when(F.col("ds"), F.lit("stopword"))
+        .when(F.col("dr"), F.lit("repetition"))
+        .otherwise(F.lit("kept"))
+    )
+    counts = (
+        flags.select(by, stage.alias("stage"))
+        .groupBy(by, "stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return counts.select(
+        by,
+        "stage",
+        "n_docs",
+        F.expr(
+            f"1000 * n_docs div sum(n_docs) over (partition by {by})"
+        ).cast("long").alias("share_milli"),
+    )
+
+
+@register("x63_rejection_funnel", _X63_ORACLE)
+def x63_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 curation rejection funnel: per-source loss accounting under
+    the ordered gate stack (quality band -> stopword floor -> repetition
+    ceiling), each document charged to its first failing gate.  The
+    operational twin of x62: agreement says which rules overlap, the
+    funnel says what each source actually loses and what survives."""
+    return rejection_funnel(load(spark, sf_dir, "documents")).orderBy(
+        "source", "stage", "n_docs", "share_milli"
+    )
+
+
+# -- x68: language-tag audit (declared lang vs heuristic lang-ID) ------------
+#
+# Web-crawl language tags are metadata, not measurements — mislabeled
+# documents poison per-language mixtures (x15/x54 quotas key on the
+# tag) and per-language quality thresholds.  x68 scores the corpus's
+# declared `lang` column against the engine's own stopword-ratio
+# language ID (langid_scores) and reports the (lang, lang_pred)
+# confusion table with exact milli shares within each declared tag —
+# the label-noise audit a mixture owner reads before trusting quotas.
+#
+# Determinism: langid_scores' per-language scores share one denominator
+# (distinct word count), so its double-valued argmax is decided by the
+# INTEGER stopword-hit counts; the oracle replays exactly those integer
+# counts with the same en > es > fr > de > zh tie order and the same
+# 'und' rule (no stopword of any language present).
+#
+# Scale (100 TB): the scores and argmax are row-local codegen on the
+# corpus scan; the only shuffle is the partial-agg'd groupBy on the
+# (lang, lang_pred) pair — bounded by |langs|^2 + 'und', metadata-sized.
+
+_X68_ORACLE = """
+WITH w AS (
+  SELECT lang, list_distinct(string_split(text, ' ')) AS ws
+  FROM documents),
+s AS (
+  SELECT lang,
+    len(list_filter(['the','a','of','and','to'],
+                    x -> list_contains(ws, x))) AS c_en,
+    len(list_filter(['el','la','de','y','que'],
+                    x -> list_contains(ws, x))) AS c_es,
+    len(list_filter(['le','la','de','et','que'],
+                    x -> list_contains(ws, x))) AS c_fr,
+    len(list_filter(['der','die','das','und','zu'],
+                    x -> list_contains(ws, x))) AS c_de,
+    len(list_filter(['de','le','shi','bu','wo'],
+                    x -> list_contains(ws, x))) AS c_zh
+  FROM w),
+p AS (
+  SELECT lang,
+         CASE WHEN greatest(c_en, c_es, c_fr, c_de, c_zh) <= 0 THEN 'und'
+              WHEN c_en = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'en'
+              WHEN c_es = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'es'
+              WHEN c_fr = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'fr'
+              WHEN c_de = greatest(c_en, c_es, c_fr, c_de, c_zh) THEN 'de'
+              ELSE 'zh' END AS lang_pred
+  FROM s),
+c AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY lang, lang_pred),
+t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS tot FROM c GROUP BY lang)
+SELECT c.lang, c.lang_pred, c.n_docs,
+       CAST(1000 * c.n_docs // t.tot AS BIGINT) AS share_milli
+FROM c JOIN t USING (lang)
+ORDER BY lang, lang_pred, n_docs, share_milli"""
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, lang_pred, n_docs, share_milli): the declared-tag vs
+    heuristic-ID confusion table with exact milli shares within each
+    declared tag.  Row-local scoring (langid_scores) + one
+    partial-agg'd groupBy on the bounded (lang, lang_pred) pair."""
+    pred = langid_scores(docs, text_col).select("lang", "lang_pred")
+    counts = pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return counts.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        F.expr(
+            "1000 * n_docs div sum(n_docs) over (partition by lang)"
+        ).cast("long").alias("share_milli"),
+    )
+
+
+@register("x68_langid_mismatch", _X68_ORACLE)
+def x68_langid_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 language-tag audit: confusion table of the corpus's declared
+    lang column against the engine's stopword-ratio language ID — the
+    label-noise pre-flight for any per-language mixture or threshold
+    (x15/x54 key on the tag this audits)."""
+    return langid_confusion(load(spark, sf_dir, "documents")).orderBy(
+        "lang", "lang_pred", "n_docs", "share_milli"
     )

@@ -67,6 +67,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
@@ -1197,3 +1198,97 @@ def x39c_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, lhs string, rhs string, merged string, cnt long"
     ).orderBy("rank")
+
+
+# -- x66: vocabulary growth curve (Heaps-law capacity planning) --------------
+#
+# Every vocabulary-scale operator in this family keeps state whose size
+# is the DISTINCT-token count, not the corpus size — x29's novelty
+# owner table, x39's BPE pair stats, the x02 minhash band index.
+# Whether that state stays "a fraction of corpus bytes" at 100 TB is an
+# empirical sublinearity claim (Heaps' law: V(n) ~ K*n^b, b<1), and x66
+# measures it on the corpus itself: the corpus is cut into ten doc_id
+# deciles and each decile reports how many NEVER-SEEN-BEFORE tokens it
+# contributes, plus the running distinct-vocabulary total.  A flat tail
+# means vocab-state plateaus and the operators above scale; a linear
+# tail means unbounded state and they need the sketch tier (x45 HLL).
+#
+# Scale (100 TB): one explode + ONE vocabulary-scale groupBy(token) for
+# first-appearance (min doc_id — partial-agg'd, skew-immune), rolled to
+# a 10-row decile frame; the prefix-sum window runs on those 10 rows.
+# The curve never re-scans a prefix: first-appearance assigns every
+# token to exactly one decile, so ten checkpoints cost one pass.
+
+_X66_ORACLE = """
+WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+       FROM documents),
+ft AS (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY tok),
+td AS (SELECT 10 * fd // (SELECT n FROM nn) + 1 AS decile,
+              CAST(COUNT(*) AS BIGINT) AS new_tokens
+       FROM ft GROUP BY 1),
+dd AS (SELECT 10 * doc_id // (SELECT n FROM nn) + 1 AS decile,
+              CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT CAST(dd.decile AS BIGINT) AS decile, dd.n_docs,
+       CAST(SUM(dd.n_docs) OVER (ORDER BY dd.decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS docs_in_prefix,
+       CAST(COALESCE(td.new_tokens, 0) AS BIGINT) AS new_tokens,
+       CAST(SUM(COALESCE(td.new_tokens, 0))
+            OVER (ORDER BY dd.decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_tokens
+FROM dd LEFT JOIN td USING (decile)
+ORDER BY decile, n_docs, docs_in_prefix, new_tokens, distinct_tokens"""
+
+
+def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(decile, n_docs, docs_in_prefix, new_tokens, distinct_tokens):
+    the Heaps-law vocabulary growth curve over doc_id deciles, from one
+    explode + one vocabulary-scale groupBy (first-appearance min) + a
+    10-row prefix-sum window.  The decile cut uses max(doc_id)+1 as a
+    plan literal (the x52 totals-as-literals pattern)."""
+    n = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    td = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .select((F.expr(f"10 * fd div {n}") + 1).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    dd = (
+        docs.select(
+            (F.expr(f"10 * doc_id div {n}") + 1).cast("long").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dd.join(td, "decile", "left")
+        .na.fill(0, ["new_tokens"])
+        .select(
+            "decile",
+            "n_docs",
+            F.sum("n_docs").over(w).cast("long").alias("docs_in_prefix"),
+            "new_tokens",
+            F.sum("new_tokens").over(w).cast("long").alias("distinct_tokens"),
+        )
+    )
+
+
+@register("x66_vocab_growth", _X66_ORACLE)
+def x66_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 vocabulary growth curve: new and cumulative distinct
+    whitespace tokens per doc_id decile — the Heaps-law probe that says
+    whether vocabulary-scale state (x29/x39/x02-index) plateaus or
+    grows linearly with the corpus."""
+    return vocab_growth(load(spark, sf_dir, "documents")).orderBy(
+        "decile", "n_docs", "docs_in_prefix", "new_tokens",
+        "distinct_tokens"
+    )

@@ -2044,3 +2044,191 @@ def test_x57_boundaries_tile_each_chunk(spark):
         assert n_segs == {len(segs)}
         if cid != last_chunk:
             assert segs[-1][1] == _X14_S  # full tiling of non-final chunks
+
+
+# ---------------------------------------------------------------------------
+# round-10 audits: x64 embedding health, x65 packing forecast,
+# x66 vocab growth, x67 shard balance, x69 token-mass dedup yield
+
+
+def test_x64_embedding_health_crafted(spark):
+    """Crafted vector table with every pathology x64 hunts: a NaN cell,
+    an inf cell, a zero vector, a 3x exact-dup group plus a 2x group,
+    and one odd-dimensioned vector — exact counts come out."""
+    from cubefs_hadoop_spark.extensions.similarity import embedding_health
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 2.0]), (1, [1.0, 2.0]), (2, [1.0, 2.0]),   # 3x dup group
+        (3, [5.0, 6.0]), (4, [5.0, 6.0]),                    # 2x dup group
+        (5, [nan, 1.0]),                                     # NaN
+        (6, [inf, 1.0]),                                     # inf
+        (7, [0.0, 0.0]),                                     # zero norm
+        (8, [1.0, 2.0, 3.0]),                                # odd dim
+        (9, [9.0, 9.0]),                                     # clean singleton
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    h = embedding_health(emb).collect()[0]
+    assert h.n_vectors == 10
+    assert h.n_dims_distinct == 2
+    assert (h.dim_min, h.dim_max) == (2, 3)
+    assert h.n_nonfinite == 2
+    assert h.n_zero_norm == 1
+    assert h.n_dup_groups == 2
+    assert h.n_dup_vectors == 5
+    assert h.n_removable == 3
+    assert h.dup_share_milli == 300
+
+
+def test_x64_fixture_is_clean_except_dups(spark):
+    """The synthetic embeddings fixture must be dimension-consistent and
+    finite — x64's value on it is the dup accounting (and proving the
+    audit reads clean tables as clean)."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    h = QUERIES["x64_embedding_health"](spark, SF_SMOKE).collect()[0]
+    assert h.n_dims_distinct == 1
+    assert h.n_nonfinite == 0
+    assert h.n_zero_norm == 0
+    assert h.n_dup_vectors - h.n_dup_groups == h.n_removable
+
+
+def test_x65_packing_forecast_hand_computed(spark):
+    """Hand-computable corpus at seq_len=64: lengths 1 (band 0, pad 63),
+    64 (band 4, pad 0), 65 (band 4, 2 segments, pad 63), 200 (band 8,
+    4 segments, pad 56)."""
+    from cubefs_hadoop_spark.extensions.packing import packing_forecast
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         enumerate([1, 64, 65, 200])],
+        "doc_id long, text string",
+    )
+    rows = {r.band: r for r in packing_forecast(docs).collect()}
+    assert set(rows) == {0, 4, 8}
+    assert (rows[0].n_docs, rows[0].tokens, rows[0].segments,
+            rows[0].pad_waste) == (1, 1, 1, 63)
+    # band 4 holds both the exact-fit 64 and the straddler 65
+    assert (rows[4].n_docs, rows[4].tokens, rows[4].segments,
+            rows[4].pad_waste) == (2, 129, 3, 63)
+    assert (rows[8].n_docs, rows[8].tokens, rows[8].segments,
+            rows[8].pad_waste) == (1, 200, 4, 56)
+    assert rows[8].band_lo_tokens == 128
+    assert rows[8].pad_share_milli == 1000 * 56 // 256
+
+
+def test_x65_totals_reconcile_with_x14(spark):
+    """Σ segments over the forecast = the chunk-span count x14 would
+    emit IF each doc were packed alone (ceil(tk/S) per doc); Σ tokens
+    matches the corpus token mass."""
+    from cubefs_hadoop_spark.extensions.packing import _X14_S, packing_forecast
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = packing_forecast(docs).collect()
+    tk = [
+        r.tk for r in docs.select(
+            F.size(F.split("text", " ")).alias("tk")
+        ).collect()
+    ]
+    assert sum(r.tokens for r in rows) == sum(tk)
+    assert sum(r.n_docs for r in rows) == len(tk)
+    assert sum(r.segments for r in rows) == sum(
+        (t + _X14_S - 1) // _X14_S for t in tk
+    )
+    assert sum(r.pad_waste for r in rows) == sum(
+        (_X14_S - t % _X14_S) % _X14_S for t in tk
+    )
+
+
+def test_x66_vocab_growth_crafted_and_prefix_law(spark):
+    """Crafted 10-doc corpus with known first appearances; plus the
+    prefix law on the fixture: distinct_tokens at decile d == exact
+    distinct count over the doc_id prefix."""
+    from cubefs_hadoop_spark.extensions.tokenize import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, {0: "a b", 1: "a", 5: "b c", 9: "d"}.get(i, "a b")) for i in
+         range(10)],
+        "doc_id long, text string",
+    )
+    rows = {r.decile: r for r in vocab_growth(docs).collect()}
+    assert len(rows) == 10
+    assert rows[1].new_tokens == 2            # a, b first seen at doc 0
+    assert rows[6].new_tokens == 1            # c first seen at doc 5
+    assert rows[10].new_tokens == 1           # d first seen at doc 9
+    assert rows[10].distinct_tokens == 4
+    assert [rows[d].docs_in_prefix for d in range(1, 11)] == list(
+        range(1, 11)
+    )
+
+    fixture = load(spark, SF_SMOKE, "documents")
+    curve = sorted(vocab_growth(fixture).collect(), key=lambda r: r.decile)
+    n = fixture.agg(F.max("doc_id")).first()[0] + 1
+    for d in (1, 5, 10):
+        row = curve[d - 1]
+        exact = (
+            fixture.filter(10 * F.col("doc_id") / n < d)
+            .select(F.explode(F.split("text", " ")).alias("t"))
+            .agg(F.countDistinct("t"))
+            .first()[0]
+        )
+        assert row.distinct_tokens == exact
+    # monotone, and new_tokens telescopes the cumulative series
+    for a, b in zip(curve, curve[1:]):
+        assert b.distinct_tokens == a.distinct_tokens + b.new_tokens
+
+
+def test_x67_shard_balance_arithmetic(spark):
+    """Shard key replays in Python md5; totals and skew arithmetic are
+    exact; every doc lands in exactly one shard."""
+    import hashlib
+
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X67_S,
+        shard_balance,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = shard_balance(docs).collect()
+    n = docs.count()
+    assert sum(r.n_docs for r in rows) == n
+    tot = sum(r.tokens for r in rows)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expect = {
+        int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % _X67_S
+        for i in ids[:50]
+    }
+    assert expect <= {r.shard for r in rows}
+    for r in rows:
+        assert r.share_milli == 1000 * r.tokens // tot
+        assert r.skew_permille == 1000 * _X67_S * r.tokens // tot - 1000
+
+
+def test_x69_token_yield_reconciles_with_x28_and_x51(spark):
+    """x69's bands carry x51's exact cluster counts; tokens_removable
+    equals the token mass of the docs x28 does NOT keep as canonical —
+    three operators, one accounting identity."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    x51 = {
+        r.cluster_size: r.n_clusters
+        for r in QUERIES["x51_dedup_yield"](spark, SF_SMOKE).collect()
+    }
+    x69 = QUERIES["x69_dedup_token_yield"](spark, SF_SMOKE).collect()
+    assert {r.cluster_size: r.n_clusters for r in x69} == x51
+
+    canon = {
+        r.doc_id: r.canonical
+        for r in QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
+    }
+    tk = {
+        r.doc_id: r.tk
+        for r in load(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("tk"))
+        .collect()
+    }
+    removable = sum(tk[d] for d, c in canon.items() if d != c)
+    assert sum(r.tokens_removable for r in x69) == removable
+    assert sum(r.tokens_total for r in x69) == sum(tk.values())

@@ -364,3 +364,106 @@ def test_filter_drop_flags_respects_text_col(spark):
         docs.withColumnRenamed("text", "body"), text_col="body"
     ).collect()
     assert base == renamed
+
+
+def test_x63_rejection_funnel_first_gate_attribution(spark):
+    """Crafted corpus where each document's FIRST failing gate is known:
+    the 3-word salad and the 30x-repeat both fail quality (charged there,
+    never to later gates they also fail); a 40-word stopword-free text
+    passes quality but fails the stopword floor; a healthy text is kept."""
+    from cubefs_hadoop_spark.extensions.text import rejection_funnel
+
+    healthy = " ".join(f"the w{i}" for i in range(20))
+    no_stop = " ".join(f"word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            ("s1", "xx yy zz"),            # quality (words < 20)
+            ("s1", ("w " * 30).strip()),   # quality (uniq ratio)
+            ("s1", no_stop),               # stopword (passes quality)
+            ("s2", healthy),               # kept
+        ],
+        "source string, text string",
+    )
+    rows = {(r.source, r.stage): r for r in rejection_funnel(docs).collect()}
+    assert rows[("s1", "quality")].n_docs == 2
+    assert rows[("s1", "stopword")].n_docs == 1
+    assert ("s1", "repetition") not in rows   # charged to quality first
+    assert rows[("s2", "kept")].n_docs == 1
+    assert rows[("s1", "quality")].share_milli == 1000 * 2 // 3
+    assert rows[("s2", "kept")].share_milli == 1000
+
+
+def test_x63_funnel_reconciles_with_x62_flags(spark):
+    """Funnel totals per source sum to the source size, and the corpus
+    'quality' charge equals x62's dq drop count (quality is the first
+    gate, so attribution == its raw drop set)."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.text import (
+        filter_drop_flags,
+        rejection_funnel,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = rejection_funnel(docs).collect()
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_docs
+    sizes = {
+        r.source: r.c
+        for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    assert per_source == sizes
+    flags = filter_drop_flags(docs).collect()
+    assert sum(r.n_docs for r in rows if r.stage == "quality") == sum(
+        1 for f in flags if f.dq
+    )
+
+
+def test_x68_langid_confusion_crafted_and_und(spark):
+    """Crafted docs: clear English, clear German, stopword-free -> und;
+    the es/fr shared-stopword tie breaks to 'es' (dict order)."""
+    from cubefs_hadoop_spark.extensions.text import langid_confusion
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "the cat of the house and a dog to go"),
+            ("en", "der hund und die katze das haus zu"),   # mislabeled
+            ("de", "der die das und zu"),
+            ("xx", "word1 word2 word3"),                    # und
+            ("es", "la de que y el"),                       # es stopwords
+        ],
+        "lang string, text string",
+    )
+    m = {(r.lang, r.lang_pred): r.n_docs for r in
+         langid_confusion(docs).collect()}
+    assert m[("en", "en")] == 1
+    assert m[("en", "de")] == 1
+    assert m[("de", "de")] == 1
+    assert m[("xx", "und")] == 1
+    assert m[("es", "es")] == 1
+
+
+def test_x68_shares_and_langid_agreement(spark):
+    """Fixture shares are exact integer millis within each declared tag,
+    and the confusion diagonal reconciles with langid_scores' own
+    per-document predictions."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.text import (
+        langid_confusion,
+        langid_scores,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = langid_confusion(docs).collect()
+    tot = {}
+    for r in rows:
+        tot[r.lang] = tot.get(r.lang, 0) + r.n_docs
+    for r in rows:
+        assert r.share_milli == 1000 * r.n_docs // tot[r.lang]
+    pred = langid_scores(docs).select("lang", "lang_pred").collect()
+    agree = sum(1 for p in pred if p.lang == p.lang_pred)
+    assert sum(r.n_docs for r in rows if r.lang == r.lang_pred) == agree
