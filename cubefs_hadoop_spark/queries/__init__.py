@@ -15,68 +15,48 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  Round-9 window per
-# VERDICT r8 item 3 (the r8-declared rotation plan, amended to include
-# the fixed x43): the 12 r05 greens the r8 window displaced lead, then
-# the 8 round-8-new operators (first-ever driver rows; all hash-green
-# in SWEEP_r08 and in the r8 judge's driver-identical re-run), then
-# x43_jl_project — driver-RED in CORRECTNESS_r08 (top-level array
-# column vs the driver's pandas canonicalizer), re-declared this round
-# at (vec_id, dim, value_micro) grain and must lead back through the
-# hard signal — then the 29 stalest r06 greens in CORRECTNESS_r06
-# order.  Displaced to r10: the remaining 21 r06 greens
-# (q20b_window_distribution .. q28_date_funcs) and the 50 r07 greens;
-# every displaced entry still hash-checks against DuckDB in pytest
-# (test_oracle.py) each run and in the committed SWEEP_r{N}.json.
-_R9_WINDOW = [
-    # r05 greens displaced by the r8 window (12)
-    "x16_segment_dedup", "x17_token_budget", "x18_curriculum_order",
-    "x19_stratified_sample", "x20_unigram_logprob", "x21_bm25_search",
-    "x22_zorder_key", "x23_gapfill_locf", "x24_range_join",
-    "x25_funnel", "x26_lifecycle", "x27_series_similarity",
-    # round-8-new operators: first driver rows (8)
-    "x34b_sessionize_skewsafe", "x52_skew_profile",
-    "x53_lsh_bucket_audit", "x54_temperature_mixture",
-    "x55_quality_canonical_dedup", "x56_ivfpq_topk",
-    "x56b_ivfpq_rerank", "x57_pack_boundaries",
-    # the r08 driver-red, fixed this round (1)
-    "x43_jl_project",
-    # round-9-new operators: first driver rows in THEIR OWN round, so
-    # the hard signal never lags a new operator again (the r8 verdict's
-    # complaint about x34b/x52-x57); all seven hash-green in
-    # SWEEP_r09.json and at sf0.001/sf0.1 (7)
-    "x39c_bpe_train_batched", "x58_tokenizer_fertility",
-    "x59_dim_truncation_recall", "x60_ivf_list_balance",
-    "x61_lsh_quality_audit", "x62_filter_agreement",
-    # stalest r06 greens, CORRECTNESS_r06 order (23; x03c stays
-    # in-window because the r9 _pinned_ivf_assignment refactor touches
-    # its code path — the driver should re-prove it)
-    "q01_scan_count", "q03_filter_conjunctive", "q05_case_projection",
-    "q06_tpch_q1", "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
-    "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
-    "q22_window_frame", "q25_union_distinct", "q37_pivot",
-    "q37b_unpivot", "t05_local_supplier_volume",
-    "t13_customer_distribution", "t14_promo_revenue", "t15_top_supplier",
-    "t16_supplier_relationship", "t17_small_quantity_revenue",
-    "t18_large_volume_customer", "t19_discounted_revenue",
-    "x03c_ivf_ann",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r09 was
+# 50/50 green.  Round-10 window per the r9-declared rotation plan
+# (stalest-first): the 7 round-10-new operators lead (first driver rows
+# in their own round — the standing policy since r9), then the 27
+# stalest r06 greens in CORRECTNESS_r06 order, then the first 16 of
+# the 50 r07 greens in CORRECTNESS_r07 order (7 + 27 + 16 = 50).
+# Displaced to r11: the remaining 34 r07 greens, then the r08/r09
+# windows become the stale pool.  Every displaced entry still
+# hash-checks against DuckDB in pytest (test_oracle.py) each run and
+# in the committed SWEEP_r{N}.json.
+_R10_WINDOW = [
+    # round-10-new operators: first driver rows (7)
+    "x63_rejection_funnel", "x64_embedding_health",
+    "x65_packing_forecast", "x66_vocab_growth", "x67_shard_balance",
+    "x68_langid_mismatch", "x69_dedup_token_yield",
+    # stalest r06 greens, CORRECTNESS_r06 order (27)
+    "q02_projection", "q04_filter_in_like", "q07_count_distinct",
+    "q08_approx_distinct_twin", "q09_rollup", "q09b_cube",
+    "q09c_grouping_sets", "q10_having", "q13_left_join", "q14_semi_join",
+    "q15_anti_join", "q16_theta_join", "q17_cross_join", "q18_asof_join",
+    "q20b_window_distribution", "q20c_window_value_funcs",
+    "q21_window_lag", "q23_sort_limit", "q25_union_all", "q26_except",
+    "q26_intersect", "q27_string_funcs", "q27b_string_funcs2",
+    "q27c_string_funcs3", "q28_date_funcs", "t20_part_promotion",
+    "t21_waiting_supplier",
+    # first 16 of the 50 r07 greens, CORRECTNESS_r07 order (16)
+    "q28b_date_funcs2", "q29_math_funcs", "q30_array_funcs",
+    "q31_explode", "q32_map_funcs", "q33_json_funcs",
+    "q34_conditional_funcs", "q35_distinct", "s03_sliding_window",
+    "s06_dedup_twin", "s07_stream_static_join_twin",
+    "s08_running_max_twin", "s09_interval_join_twin",
+    "s13_dedup_watermark_twin", "t10_returned_items",
+    "t12_priority_shipping",
 ]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# r10 rotation plan (stalest-first): any r10-new operators first, then
-# the remaining 27 r06 greens
-# (q02_projection, q04_filter_in_like, q07_count_distinct,
-# q08_approx_distinct_twin, q09_rollup, q09b_cube, q09c_grouping_sets,
-# q10_having, q13_left_join, q14_semi_join, q15_anti_join,
-# q16_theta_join, q17_cross_join, q18_asof_join,
-# q20b_window_distribution, q20c_window_value_funcs, q21_window_lag,
-# q23_sort_limit, q25_union_all, q26_except, q26_intersect,
-# q27_string_funcs, q27b_string_funcs2, q27c_string_funcs3,
-# q28_date_funcs, t20_part_promotion, t21_waiting_supplier —
-# CORRECTNESS_r06 order), then the 50 r07 greens in CORRECTNESS_r07
-# order, trimmed to 50 total.
-assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
-reorder(_R9_WINDOW)
+# r11 rotation plan (stalest-first): any r11-new operators first, then
+# the remaining 34 r07 greens in CORRECTNESS_r07 order
+# (u02_grouped_map_zscore .. t06_forecast_revenue), trimmed to 50
+# total with the stalest r08 greens (CORRECTNESS_r08 order).
+assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+reorder(_R10_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]
