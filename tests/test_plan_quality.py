@@ -569,3 +569,80 @@ def test_x56_ivfpq_shape(spark):
     assert b.broadcast_joins >= a.broadcast_joins
     assert b.has_window_group_limit
     assert not b.has_python_eval
+
+
+def test_x63_funnel_shape(spark):
+    """x63: flags + attribution are row-local codegen on ONE corpus
+    scan; the only exchanges are the (source, stage) partial-agg'd
+    groupBy, the source-partitioned share window on the grouped
+    metadata-sized frame, and the presentation sort.  No joins, no
+    Python, no SinglePartition funnel."""
+    a = _audit(spark, "x63_rejection_funnel")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.shuffles <= 3
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x64_embedding_health_shape(spark):
+    """x64: two partial-agg'd passes joined 1x1 — the only NLJ is the
+    bounded one-row cross join; the SinglePartition exchanges are the
+    two one-row final aggregates, never the vector table."""
+    a = _audit(spark, "x64_embedding_health")
+    assert a.nested_loop_joins == 1
+    assert a.sort_merge_joins == 0
+    assert a.text.count("SinglePartition") <= 2
+    assert not a.has_python_eval
+
+
+def test_x65_packing_forecast_shape(spark):
+    """x65: one scan, one bounded band groupBy, presentation sort —
+    nothing else.  All arithmetic in codegen."""
+    a = _audit(spark, "x65_packing_forecast")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.shuffles <= 2
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x66_vocab_growth_shape(spark):
+    """x66: ONE vocabulary-scale groupBy (token first-appearance,
+    partial-agg'd) rolled to 10-row decile frames; the decile join is a
+    broadcast and the prefix-sum window's SinglePartition holds 10
+    rows, never the corpus or the vocabulary."""
+    a = _audit(spark, "x66_vocab_growth")
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+    assert a.text.count("SinglePartition") <= 1
+    assert not a.has_python_eval
+
+
+def test_x67_shard_balance_shape(spark):
+    """x67: row-local shard key, one bounded groupBy; the only
+    SinglePartition is the share window over the S-row shard frame."""
+    a = _audit(spark, "x67_shard_balance")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.shuffles <= 2
+    assert a.text.count("SinglePartition") <= 1
+    assert not a.has_python_eval
+
+
+def test_x68_langid_shape(spark):
+    """x68: scoring/argmax row-local in codegen; exchanges are the
+    bounded (lang, lang_pred) groupBy + the lang-partitioned share
+    window + presentation sort.  No joins, no Python."""
+    a = _audit(spark, "x68_langid_mismatch")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.shuffles <= 3
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x69_token_yield_shape(spark):
+    """x69: x28's pipeline plus one token projection — no nested-loop
+    join anywhere (never pairwise), no Python, no SinglePartition; the
+    cluster and band rollups are partial-agg'd groupBys."""
+    a = _audit(spark, "x69_dedup_token_yield")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
