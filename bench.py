@@ -78,6 +78,16 @@ BENCH_QUERIES = [
     "x39c_bpe_train_batched",
     "x62_filter_agreement",
     "x61_lsh_quality_audit",
+    # r10-new audit family: corpus-scan audits (x63/x65/x66/x67/x68),
+    # the vector-table pre-flight (x64), and the token-mass dedup
+    # yield (x69 — full LSH+CC pipeline, construction+collect timing)
+    "x63_rejection_funnel",
+    "x64_embedding_health",
+    "x65_packing_forecast",
+    "x66_vocab_growth",
+    "x67_shard_balance",
+    "x68_langid_mismatch",
+    "x69_dedup_token_yield",
 ]
 
 RUNS = 4
