@@ -63,6 +63,18 @@ SF1_WATCH = [
     # corpus scan of codegen flags
     "x61_lsh_quality_audit",
     "x62_filter_agreement",
+    # r10-new operators: 100x evidence from first registration.  x69
+    # composes x28's full LSH+CC pipeline (the family's known-flat
+    # path) — its row proves the token weighting adds no new growth;
+    # x63 pays the same 3-gram flag scan as x62; x66 is the
+    # vocabulary-scale groupBy whose growth it itself measures.
+    "x63_rejection_funnel",
+    "x64_embedding_health",
+    "x65_packing_forecast",
+    "x66_vocab_growth",
+    "x67_shard_balance",
+    "x68_langid_mismatch",
+    "x69_dedup_token_yield",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -144,6 +156,14 @@ PROBE_QUERIES = [
     "x60_ivf_list_balance",
     "x61_lsh_quality_audit",
     "x62_filter_agreement",
+    # r10-new operators
+    "x63_rejection_funnel",
+    "x64_embedding_health",
+    "x65_packing_forecast",
+    "x66_vocab_growth",
+    "x67_shard_balance",
+    "x68_langid_mismatch",
+    "x69_dedup_token_yield",
 ]
 
 
