@@ -635,3 +635,79 @@ def test_preflight_audited_mixture_pipeline(spark, tmp_path):
     }
     quotas = {r.source: r.quota for r in mix.select("source", "quota").distinct().collect()}
     assert landed == quotas
+
+
+def test_priced_curation_pipeline(spark, tmp_path):
+    """Round-10 composition — every stage is PRICED by its audit before
+    it runs, then the accounting reconciles with what actually landed:
+    the rejection funnel's 'kept' rows ARE the gate stack's survivors;
+    the packing forecast's token mass equals what x14 actually packs,
+    and packing uses no more chunks than the forecast's split-segment
+    bound; the token-yield forecast equals the token mass an x28
+    keep-canonical pass actually deletes; the shard-balance audit's
+    per-shard doc counts equal the partitioned warehouse landing."""
+    from cubefs_hadoop_spark.extensions.curation import (
+        _X67_S,
+        shard_balance,
+    )
+    from cubefs_hadoop_spark.extensions.packing import _X14_S
+    from cubefs_hadoop_spark.extensions.text import filter_drop_flags
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    docs = load(spark, SF_SMOKE, "documents")
+    eng = Engine(spark, str(tmp_path / "wh"))
+
+    # 1. funnel prices the gate stack; its kept count == the survivors
+    funnel = QUERIES["x63_rejection_funnel"](spark, SF_SMOKE).collect()
+    kept_forecast = sum(r.n_docs for r in funnel if r.stage == "kept")
+    flags = filter_drop_flags(docs, keep=("doc_id",))
+    survivors = flags.filter(
+        ~F.col("dq") & ~F.col("ds") & ~F.col("dr")
+    ).select("doc_id")
+    assert survivors.count() == kept_forecast
+
+    # 2. packing forecast vs the actual x14 layout on the full corpus:
+    # token mass reconciles exactly; concat-and-chunk uses no more
+    # chunks than the per-doc split-segment bound the forecast prices
+    fc = QUERIES["x65_packing_forecast"](spark, SF_SMOKE).collect()
+    packed = QUERIES["x14_sequence_pack"](spark, SF_SMOKE)
+    tok_mass = packed.agg(F.sum("tok_in_chunk")).first()[0]
+    assert sum(r.tokens for r in fc) == tok_mass
+    n_chunks = packed.select("chunk_id").distinct().count()
+    assert n_chunks <= sum(r.segments for r in fc)
+    assert n_chunks == (tok_mass + _X14_S - 1) // _X14_S
+
+    # 3. token-yield forecast == what keep-canonical actually deletes
+    yld = QUERIES["x69_dedup_token_yield"](spark, SF_SMOKE).collect()
+    canon = QUERIES["x28_canonical_dedup"](spark, SF_SMOKE)
+    tk = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
+    )
+    deleted = (
+        canon.filter(F.col("doc_id") != F.col("canonical"))
+        .join(tk, "doc_id")
+        .agg(F.sum("tk"))
+        .first()[0]
+    )
+    assert sum(r.tokens_removable for r in yld) == (deleted or 0)
+
+    # 4. shard audit prices the landing; the landed partitions match it
+    audit = {r.shard: r.n_docs for r in shard_balance(docs).collect()}
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+               16, 10).cast("long") % _X67_S
+    )
+    eng.write_table(
+        docs.withColumn("shard", shard),
+        "training_shards",
+        partition_by=["shard"],
+        mode="overwrite",
+    )
+    landed = {
+        r.shard: r.c
+        for r in eng.table("training_shards")
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert landed == audit
