@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "x67_shard_balance",
     "x68_langid_mismatch",
     "x69_dedup_token_yield",
+    # r10 part 2: mirror matrix (pair-frame rollup), banding planner
+    # (sample-bounded S-curve sweep), OOV split audit
+    "x70_mirror_matrix",
+    "x71_banding_planner",
+    "x72_oov_rate",
 ]
 
 RUNS = 4

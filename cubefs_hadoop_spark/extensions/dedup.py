@@ -1172,11 +1172,12 @@ FROM nd, nc, nt, hits"""
 )
 
 
-def exact_shingle_jaccard_pairs(
-    docs: DataFrame, tau: float = _X61_TAU
-) -> DataFrame:
-    """(da, db) pairs with exact distinct-char-8-shingle Jaccard >= tau,
-    via the inverted-index join (x02b's no-pairwise-sets pattern)."""
+def _exact_jaccard_scored(docs: DataFrame) -> DataFrame:
+    """(da, db, i, na, nb): every pair sharing >=1 distinct char-8
+    shingle, with exact intersection and set sizes — the inverted-index
+    join (x02b's no-pairwise-sets pattern).  Shared by the x61 audit
+    (double-jac threshold, unchanged semantics) and the x71 planner
+    (integer-milli Jaccard)."""
     sh = (
         docs.select("doc_id", F.explode(_shingles()).alias("s"))
         .distinct()
@@ -1195,9 +1196,16 @@ def exact_shingle_jaccard_pairs(
     )
     sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return inter.join(sa, "da").join(sb, "db")
+
+
+def exact_shingle_jaccard_pairs(
+    docs: DataFrame, tau: float = _X61_TAU
+) -> DataFrame:
+    """(da, db) pairs with exact distinct-char-8-shingle Jaccard >= tau,
+    via the inverted-index join (x02b's no-pairwise-sets pattern)."""
     return (
-        inter.join(sa, "da")
-        .join(sb, "db")
+        _exact_jaccard_scored(docs)
         .withColumn(
             "jac",
             F.col("i").cast("double")
@@ -1338,4 +1346,215 @@ def x69_dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_removable",
         )
         .orderBy("cluster_size")
+    )
+
+
+# -- x70: cross-source mirror matrix -----------------------------------------
+#
+# WHERE duplication lives is as actionable as how much: a hot
+# (source_a, source_b) cell in the near-dup pair matrix is a mirror
+# site (dedup at the SOURCE level — drop or down-weight the mirror in
+# x54's recipe) while a hot diagonal cell is within-source boilerplate
+# (x16/x38's span removal is the fix, not document dedup).  x70 rolls
+# the x02 candidate pairs up by unordered source pair with exact milli
+# shares — the table that picks WHICH dedup operator to run next.
+#
+# Scale (100 TB): the pair frame is duplicate-sized (never all-pairs —
+# x02's bucket bound); attaching sources is two joins of that frame
+# against the (doc_id, source) projection, then one partial-agg'd
+# groupBy on the |sources|^2-bounded key.  The share window runs on
+# the matrix, not the corpus.
+
+_X70_ORACLE = (
+    "WITH pairs AS (\n"
+    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + """),
+src AS (SELECT doc_id, source FROM documents),
+m AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b
+      FROM pairs
+      JOIN src sa ON sa.doc_id = pairs.da
+      JOIN src sb ON sb.doc_id = pairs.db),
+c AS (SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM m GROUP BY source_a, source_b),
+t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS tot FROM c)
+SELECT c.source_a, c.source_b, c.n_pairs,
+       CAST(1000 * c.n_pairs // t.tot AS BIGINT) AS share_milli
+FROM c CROSS JOIN t
+ORDER BY source_a, source_b, n_pairs, share_milli"""
+)
+
+
+def mirror_matrix(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs, share_milli): the x02 near-dup
+    candidate pairs rolled up by unordered source pair — off-diagonal
+    mass = mirrors (source-level dedup), diagonal mass = within-source
+    boilerplate (span-level dedup)."""
+    pairs = lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
+    c = (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return c.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.expr("1000 * n_pairs div sum(n_pairs) over ()")
+        .cast("long")
+        .alias("share_milli"),
+    )
+
+
+@register("x70_mirror_matrix", _X70_ORACLE)
+def x70_mirror_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 cross-source mirror matrix: near-dup pair mass per unordered
+    source pair with exact milli shares — routes between source-level
+    dedup (hot off-diagonal = mirror site) and span-level dedup (hot
+    diagonal = boilerplate)."""
+    return mirror_matrix(load(spark, sf_dir, "documents")).orderBy(
+        "source_a", "source_b", "n_pairs", "share_milli"
+    )
+
+
+# -- x71: banding planner (collision-curve forecast per (bands, rows)) -------
+#
+# x61 scores the CURRENT banding config after the fact; x71 picks the
+# config BEFORE the run: given the sample's exact pairwise Jaccard
+# distribution, the planner evaluates the S-curve collision probability
+# p(s) = 1 - (1 - s^r)^b for each candidate (bands, rows) layout of the
+# same 9 min-hashes and reports (a) expected recall over the true
+# near-dup pairs (s >= tau) and (b) expected candidate-pair volume over
+# ALL overlapping pairs — the recall-vs-verify-cost frontier, measured
+# on the corpus's own similarity distribution instead of the textbook
+# curve.  (The banded-MinHash S-curve is the standard LSH analysis —
+# Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3.)
+#
+# Determinism: the curve is evaluated in INTEGER MILLI arithmetic —
+# s^k via the iterated rule x_{k+1} = x_k * s_milli div 1000 (every
+# intermediate renormalized to milli, floor at each step), identically
+# generated for Spark (div) and DuckDB (//) — so the forecast of an
+# approximate structure is itself hash-exact, the x60/x61 discipline.
+#
+# Scale: the sample bound is x61's (exact Jaccard needs a bounded set);
+# within it, one inverted-index join + one aggregate row per config.
+
+_X71_CONFIGS = ((9, 1), (3, 3), (1, 9))  # (bands, rows) of 9 min-hashes
+
+
+def _milli_pow(base: str, k: int, div: str) -> str:
+    """Integer-milli power: the iterated x*base div 1000 chain, k-1
+    steps — identical arithmetic text for Spark (div) and DuckDB (//)."""
+    e = base
+    for _ in range(k - 1):
+        e = f"((({e}) * ({base})) {div} 1000)"
+    return e
+
+
+def _collision_milli(jm: str, bands: int, rows: int, div: str) -> str:
+    sr = _milli_pow(jm, rows, div)
+    return f"(1000 - {_milli_pow(f'(1000 - ({sr}))', bands, div)})"
+
+
+def _x71_oracle() -> str:
+    cfg_rows = []
+    for b, r in _X71_CONFIGS:
+        p = _collision_milli("jm", b, r, "//")
+        cfg_rows.append(f"""
+SELECT CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+       CAST(COUNT(*) AS BIGINT) AS n_scored_pairs,
+       CAST(SUM(CASE WHEN jm >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_pairs,
+       CAST(CASE WHEN SUM(CASE WHEN jm >= 500 THEN 1 ELSE 0 END) = 0
+            THEN NULL
+            ELSE SUM(CASE WHEN jm >= 500 THEN {p} ELSE 0 END)
+                 // SUM(CASE WHEN jm >= 500 THEN 1 ELSE 0 END) END
+         AS BIGINT) AS exp_recall_milli,
+       CAST(SUM({p}) AS BIGINT) AS exp_candidates_milli
+FROM scored""")
+    return (
+        f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
+shx AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text)-7,1)+1),
+                 i -> substr(text, i, 8))) AS s FROM d)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+scored AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(1000 * COUNT(*)
+              // (MIN(sa.n) + MIN(sb.n) - COUNT(*)) AS BIGINT) AS jm
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+"""
+        + "\nUNION ALL\n".join(cfg_rows)
+        + "\nORDER BY bands, rows_per_band, n_scored_pairs, n_true_pairs,"
+        " exp_recall_milli, exp_candidates_milli"
+    )
+
+
+def banding_planner(docs: DataFrame, s_max: int = _X61_S) -> DataFrame:
+    """(bands, rows_per_band, n_scored_pairs, n_true_pairs,
+    exp_recall_milli, exp_candidates_milli) per candidate layout of 9
+    min-hashes, from the sample's exact integer-milli Jaccard
+    distribution — the recall-vs-cost frontier read before a dedup
+    pass commits to a banding."""
+    sample = docs.filter(F.col("doc_id") < s_max)
+    scored = _exact_jaccard_scored(sample).select(
+        F.expr("1000 * i div (na + nb - i)").cast("long").alias("jm")
+    )
+    # ONE aggregate evaluates every config's curve in the same pass
+    # (the scored inverted-index join runs once, not once per config);
+    # stack() then melts the single row into one row per config.
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.expr("case when jm >= 500 then 1 else 0 end"))
+        .cast("long")
+        .alias("n_true"),
+    ]
+    for k, (b, r) in enumerate(_X71_CONFIGS):
+        p = _collision_milli("jm", b, r, "div")
+        aggs.append(
+            F.expr(
+                f"case when sum(case when jm >= 500 then 1 else 0 end)"
+                f" = 0 then null else"
+                f" sum(case when jm >= 500 then {p} else 0 end)"
+                f" div sum(case when jm >= 500 then 1 else 0 end) end"
+            ).cast("long").alias(f"rec_{k}")
+        )
+        aggs.append(F.sum(F.expr(p)).cast("long").alias(f"cand_{k}"))
+    one = scored.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({b} AS BIGINT), CAST({r} AS BIGINT), n_scored, n_true,"
+        f" rec_{k}, cand_{k}"
+        for k, (b, r) in enumerate(_X71_CONFIGS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_X71_CONFIGS)}, {stack}) AS (bands, rows_per_band,"
+            " n_scored_pairs, n_true_pairs, exp_recall_milli,"
+            " exp_candidates_milli)"
+        )
+    )
+
+
+@register("x71_banding_planner", _x71_oracle())
+def x71_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 LSH banding planner: the measured S-curve forecast — expected
+    recall over true near-dups and expected candidate volume — for each
+    (bands, rows) layout of the 9 min-hashes, in exact integer-milli
+    arithmetic on the x61 sample.  Read with x53 (cost) and x61
+    (realized quality): x71 chooses the config, x61 confirms it."""
+    return banding_planner(load(spark, sf_dir, "documents")).orderBy(
+        "bands", "rows_per_band", "n_scored_pairs", "n_true_pairs",
+        "exp_recall_milli", "exp_candidates_milli"
     )

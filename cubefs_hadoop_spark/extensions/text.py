@@ -689,14 +689,12 @@ FROM c JOIN t USING (source)
 ORDER BY source, stage, n_docs, share_milli"""
 
 
-def rejection_funnel(
+def funnel_counts(
     docs: DataFrame, text_col: str = "text", by: str = "source"
 ) -> DataFrame:
-    """(by, stage, n_docs, share_milli): documents charged to the FIRST
-    gate that drops them in the fixed quality -> stopword -> repetition
-    order ('kept' = survived all three), with exact integer milli shares
-    of each ``by`` group.  One corpus scan + one partial-agg'd groupBy;
-    the share window runs on the grouped metadata-sized frame."""
+    """(by, stage, n_docs): first-failing-gate attribution counts — the
+    ADDITIVE half of the funnel (plain sums per (by, stage) key, so
+    batches fold: the S22 streaming sink's sufficient statistics)."""
     flags = filter_drop_flags(docs, text_col, keep=(by,))
     stage = (
         F.when(F.col("dq"), F.lit("quality"))
@@ -704,11 +702,17 @@ def rejection_funnel(
         .when(F.col("dr"), F.lit("repetition"))
         .otherwise(F.lit("kept"))
     )
-    counts = (
+    return (
         flags.select(by, stage.alias("stage"))
         .groupBy(by, "stage")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+def funnel_from_counts(counts: DataFrame, by: str = "source") -> DataFrame:
+    """Derive the funnel table (+exact milli shares) from (by, stage,
+    n_docs) counts — batch-built or the S22 streamed state; the window
+    runs on the metadata-sized counts frame."""
     return counts.select(
         by,
         "stage",
@@ -717,6 +721,17 @@ def rejection_funnel(
             f"1000 * n_docs div sum(n_docs) over (partition by {by})"
         ).cast("long").alias("share_milli"),
     )
+
+
+def rejection_funnel(
+    docs: DataFrame, text_col: str = "text", by: str = "source"
+) -> DataFrame:
+    """(by, stage, n_docs, share_milli): documents charged to the FIRST
+    gate that drops them in the fixed quality -> stopword -> repetition
+    order ('kept' = survived all three), with exact integer milli shares
+    of each ``by`` group.  One corpus scan + one partial-agg'd groupBy;
+    the share window runs on the grouped metadata-sized frame."""
+    return funnel_from_counts(funnel_counts(docs, text_col, by), by)
 
 
 @register("x63_rejection_funnel", _X63_ORACLE)
@@ -815,3 +830,114 @@ def x68_langid_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_confusion(load(spark, sf_dir, "documents")).orderBy(
         "lang", "lang_pred", "n_docs", "share_milli"
     )
+
+
+# -- x72: train/test OOV-rate audit ------------------------------------------
+#
+# The x07 content-hash split is stable by construction, but stability
+# is not SUFFICIENCY: a test shard whose vocabulary is poorly covered
+# by the train shard (high out-of-vocabulary rate) measures
+# generalization to unseen TOKENS, not unseen documents — usually an
+# accident of a skewed split or a domain cliff, and always something to
+# know before reading eval numbers.  x72 reports the test shard's OOV
+# rate against the train vocabulary in both units that matter: type
+# rate (distinct unseen tokens — vocabulary coverage) and occurrence
+# rate (token positions that are unseen — what the model actually
+# experiences at eval time).
+#
+# Scale (100 TB): one corpus scan splits and explodes; the train
+# vocabulary is ONE distinct (vocabulary-scale, the x66-measured
+# plateau); OOV accounting is two LEFT ANTI joins keyed on the token
+# (broadcast-able once the vocab plateaus, shuffle-keyed otherwise) and
+# five one-row aggregates joined 1x1.  Never pairwise, never
+# driver-side.
+
+_X72_ORACLE = """
+WITH s AS (
+  SELECT CASE WHEN substr(md5(text), 1, 1) < 'd' THEN 'train'
+              ELSE 'test' END AS split, text
+  FROM documents),
+tk AS (SELECT split, UNNEST(string_split(text, ' ')) AS tok FROM s),
+tv AS (SELECT DISTINCT tok FROM tk WHERE split = 'train'),
+te AS (SELECT tok FROM tk WHERE split = 'test'),
+tt AS (SELECT DISTINCT tok FROM te),
+n AS (SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s WHERE split = 'train')
+    AS n_train_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM s WHERE split = 'test')
+    AS n_test_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tv) AS n_train_types,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tt) AS n_test_types,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM te) AS n_test_occurrences,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM tt
+   WHERE tok NOT IN (SELECT tok FROM tv)) AS oov_types,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM te
+   WHERE tok NOT IN (SELECT tok FROM tv)) AS oov_occurrences)
+SELECT n_train_docs, n_test_docs, n_train_types, n_test_types,
+       n_test_occurrences, oov_types, oov_occurrences,
+       CAST(CASE WHEN n_test_types = 0 THEN NULL
+            ELSE 1000 * oov_types // n_test_types END AS BIGINT)
+         AS oov_type_milli,
+       CAST(CASE WHEN n_test_occurrences = 0 THEN NULL
+            ELSE 1000 * oov_occurrences // n_test_occurrences END
+         AS BIGINT) AS oov_occ_milli
+FROM n"""
+
+
+def oov_rate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row train/test OOV audit under the x07 content-hash split:
+    (n_train_docs, n_test_docs, n_train_types, n_test_types,
+    n_test_occurrences, oov_types, oov_occurrences, oov_type_milli,
+    oov_occ_milli).  One scan + one vocabulary distinct + two anti
+    joins; all counts exact integers."""
+    split = F.when(
+        F.substring(F.md5(text_col), 1, 1) < "d", F.lit("train")
+    ).otherwise(F.lit("test"))
+    toks = docs.select(
+        split.alias("split"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    train_vocab = toks.filter(F.col("split") == "train").select("tok").distinct()
+    test_occ = toks.filter(F.col("split") == "test").select("tok")
+    test_types = test_occ.distinct()
+    d = docs.select(split.alias("split")).agg(
+        F.sum((F.col("split") == "train").cast("long")).cast("long")
+        .alias("n_train_docs"),
+        F.sum((F.col("split") == "test").cast("long")).cast("long")
+        .alias("n_test_docs"),
+    )
+    a = train_vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_types")
+    )
+    b = test_types.agg(F.count(F.lit(1)).cast("long").alias("n_test_types"))
+    c = test_occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_occurrences")
+    )
+    ot = test_types.join(train_vocab, "tok", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("oov_types")
+    )
+    oo = test_occ.join(train_vocab, "tok", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("oov_occurrences")
+    )
+    out = d.crossJoin(a).crossJoin(b).crossJoin(c).crossJoin(ot).crossJoin(oo)
+    return out.select(
+        "n_train_docs", "n_test_docs", "n_train_types", "n_test_types",
+        "n_test_occurrences", "oov_types", "oov_occurrences",
+        F.expr(
+            "case when n_test_types = 0 then null"
+            " else 1000 * oov_types div n_test_types end"
+        ).cast("long").alias("oov_type_milli"),
+        F.expr(
+            "case when n_test_occurrences = 0 then null"
+            " else 1000 * oov_occurrences div n_test_occurrences end"
+        ).cast("long").alias("oov_occ_milli"),
+    )
+
+
+@register("x72_oov_rate", _X72_ORACLE)
+def x72_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 split-coverage audit: the test shard's out-of-vocabulary rate
+    against the train vocabulary (type and occurrence units) under the
+    x07 content-hash split — read before trusting eval numbers from any
+    split, next to x66 (does the vocabulary plateau at all)."""
+    return oov_rate(load(spark, sf_dir, "documents"))

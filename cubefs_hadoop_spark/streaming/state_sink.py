@@ -489,3 +489,32 @@ def sink_fertility_state(
         ),
         checkpoint_dir,
     )
+
+
+def sink_funnel_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    by: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Stream documents into the x63 rejection-funnel state (S22): each
+    micro-batch's first-failing-gate attribution counts per (by, stage)
+    fold into ``state_dir`` exactly once — the counts are plain
+    additive sufficient statistics (the gate attribution is row-local,
+    so slicing the corpus into batches cannot change any document's
+    charged stage), and the streamed state bit-equals the batch
+    ``funnel_counts`` over everything ever ingested.
+    ``text.funnel_from_counts`` serves the live per-source loss table
+    at any moment — the ingest-time curation dashboard, at
+    O(sources x 4) state forever."""
+    from cubefs_hadoop_spark.extensions.text import funnel_counts
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return funnel_counts(batch, text_col=text_col, by=by)
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, [by, "stage"], ["n_docs"]),
+        checkpoint_dir,
+    )

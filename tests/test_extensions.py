@@ -2232,3 +2232,146 @@ def test_x69_token_yield_reconciles_with_x28_and_x51(spark):
     removable = sum(tk[d] for d, c in canon.items() if d != c)
     assert sum(r.tokens_removable for r in x69) == removable
     assert sum(r.tokens_total for r in x69) == sum(tk.values())
+
+
+# ---------------------------------------------------------------------------
+# round-10 part 2: x70 mirror matrix, x71 banding planner, x72 OOV audit
+
+
+def test_x70_mirror_matrix_crafted_and_reconciles(spark):
+    """Crafted corpus: one cross-source near-dup pair and one
+    within-source pair land in the right cells; on the fixture the
+    matrix re-aggregates exactly from the x02 pairs + source map."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        mirror_matrix,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words flow through this other document"
+    docs = spark.createDataFrame(
+        [
+            (0, t1, "a"), (1, t1, "b"),          # cross-source mirror
+            (2, t2, "a"), (3, t2, "a"),          # within-source boilerplate
+            (4, "unique text nothing shares", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    m = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in mirror_matrix(docs).collect()
+    }
+    assert m[("a", "b")] == 1
+    assert m[("a", "a")] == 1
+    assert ("b", "b") not in m
+
+    fixture = load(spark, SF_SMOKE, "documents")
+    rows = mirror_matrix(fixture).collect()
+    pairs = lsh_candidate_pairs(fixture).collect()
+    src = {
+        r.doc_id: r.source
+        for r in fixture.select("doc_id", "source").collect()
+    }
+    want: dict = {}
+    for p in pairs:
+        k = tuple(sorted((src[p.da], src[p.db])))
+        want[k] = want.get(k, 0) + 1
+    assert {(r.source_a, r.source_b): r.n_pairs for r in rows} == want
+    tot = sum(want.values())
+    for r in rows:
+        assert r.share_milli == 1000 * r.n_pairs // tot
+
+
+def test_x71_planner_matches_python_milli_arithmetic(spark):
+    """The planner's integer-milli S-curve replays exactly in Python
+    ints over the sample's jac-milli values, and the frontier laws
+    hold: more rows per band => fewer expected candidates AND no more
+    expected recall; every probability is in [0, 1000]."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        _X61_S,
+        _X71_CONFIGS,
+        _exact_jaccard_scored,
+        banding_planner,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    sample = docs.filter(F.col("doc_id") < _X61_S)
+    jms = [
+        1000 * r.i // (r.na + r.nb - r.i)
+        for r in _exact_jaccard_scored(sample).collect()
+    ]
+
+    def milli_pow(s, k):
+        x = s
+        for _ in range(k - 1):
+            x = (x * s) // 1000
+        return x
+
+    def collide(jm, b, r):
+        return 1000 - milli_pow(1000 - milli_pow(jm, r), b)
+
+    got = {
+        (r.bands, r.rows_per_band): r
+        for r in banding_planner(docs).collect()
+    }
+    true = [j for j in jms if j >= 500]
+    for b, r in _X71_CONFIGS:
+        ps = [collide(j, b, r) for j in jms]
+        assert all(0 <= p <= 1000 for p in ps)
+        row = got[(b, r)]
+        assert row.n_scored_pairs == len(jms)
+        assert row.n_true_pairs == len(true)
+        assert row.exp_candidates_milli == sum(ps)
+        want_recall = (
+            sum(collide(j, b, r) for j in true) // len(true) if true else None
+        )
+        assert row.exp_recall_milli == want_recall
+    # frontier: precision-leaning configs cost less and recall less
+    assert (
+        got[(1, 9)].exp_candidates_milli
+        <= got[(3, 3)].exp_candidates_milli
+        <= got[(9, 1)].exp_candidates_milli
+    )
+    assert (
+        got[(9, 1)].exp_recall_milli
+        >= got[(3, 3)].exp_recall_milli
+        >= got[(1, 9)].exp_recall_milli
+    )
+
+
+def test_x72_oov_rate_matches_python_reference(spark):
+    """Full third-reference replay: split, vocabularies, and OOV counts
+    recomputed in pure Python over the fixture equal the operator's one
+    row exactly."""
+    import hashlib
+
+    from cubefs_hadoop_spark.extensions.text import oov_rate
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = [(r.text,) for r in docs.select("text").collect()]
+    train_v: set = set()
+    test_occ: list = []
+    n_train = n_test = 0
+    for (t,) in rows:
+        toks = t.split(" ")
+        if hashlib.md5(t.encode()).hexdigest()[0] < "d":
+            n_train += 1
+            train_v.update(toks)
+        else:
+            n_test += 1
+            test_occ.extend(toks)
+    test_types = set(test_occ)
+    oov_t = len(test_types - train_v)
+    oov_o = sum(1 for t in test_occ if t not in train_v)
+    got = oov_rate(docs).collect()[0]
+    assert (got.n_train_docs, got.n_test_docs) == (n_train, n_test)
+    assert got.n_train_types == len(train_v)
+    assert got.n_test_types == len(test_types)
+    assert got.n_test_occurrences == len(test_occ)
+    assert (got.oov_types, got.oov_occurrences) == (oov_t, oov_o)
+    assert got.oov_type_milli == (
+        1000 * oov_t // len(test_types) if test_types else None
+    )
+    assert got.oov_occ_milli == (
+        1000 * oov_o // len(test_occ) if test_occ else None
+    )

@@ -646,3 +646,35 @@ def test_x69_token_yield_shape(spark):
     assert a.nested_loop_joins == 0
     assert a.text.count("SinglePartition") == 0
     assert not a.has_python_eval
+
+
+def test_x70_mirror_matrix_shape(spark):
+    """x70: the source rollup attaches sources to the DUPLICATE-SIZED
+    pair frame (joins against the (doc_id, source) projection — the
+    corpus is never self-joined beyond x02's bucket join); the only
+    SinglePartition is the share window over the |sources|^2 matrix."""
+    a = _audit(spark, "x70_mirror_matrix")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") <= 1
+    assert not a.has_python_eval
+
+
+def test_x71_planner_single_pass(spark):
+    """x71: every config's curve is evaluated in ONE aggregate over one
+    scored inverted-index join (the stack() melt adds no exchange) —
+    the config sweep must not re-run the pair pipeline per config."""
+    a = _audit(spark, "x71_banding_planner")
+    assert a.shuffles <= 5
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") <= 1
+    assert not a.has_python_eval
+
+
+def test_x72_oov_shape(spark):
+    """x72: one vocabulary distinct + anti joins keyed on the token; the
+    NLJs are the bounded 1-row count crossJoins, and the SinglePartition
+    exchanges are the one-row final aggregates, never the corpus."""
+    a = _audit(spark, "x72_oov_rate")
+    assert a.sort_merge_joins == 0
+    assert a.nested_loop_joins <= 5
+    assert not a.has_python_eval

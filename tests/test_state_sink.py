@@ -630,3 +630,65 @@ def test_streamed_fertility_state_equals_batch_stats(spark, tmp_path):
     )
     batch = sorted(map(tuple, tokenizer_fertility(docs).collect()))
     assert live == batch
+
+
+def test_streamed_funnel_state_serves_live_loss_table(spark, tmp_path):
+    """S22: documents arriving as a 3-batch stream fold into the x63
+    rejection-funnel state; the folded (source, stage) counts are
+    BIT-identical to batch funnel_counts over the whole corpus (gate
+    attribution is row-local, counts are additive), and the derived
+    live table equals the registered x63 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.text import (
+        funnel_counts,
+        funnel_from_counts,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_funnel_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage_dir = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "funnel_state")
+    sink_funnel_state(sdf, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        (r.source, r.stage): r.n_docs
+        for r in read_state(spark, state).collect()
+    }
+    full = {
+        (r.source, r.stage): r.n_docs
+        for r in funnel_counts(docs).collect()
+    }
+    assert folded == full
+
+    live = sorted(
+        map(tuple, funnel_from_counts(read_state(spark, state)).collect())
+    )
+    batch = sorted(
+        map(tuple, QUERIES["x63_rejection_funnel"](spark, SF_SMOKE).collect())
+    )
+    assert live == batch

@@ -75,6 +75,12 @@ SF1_WATCH = [
     "x67_shard_balance",
     "x68_langid_mismatch",
     "x69_dedup_token_yield",
+    # r10 part 2: the mirror rollup rides the x02 pair frame; the
+    # planner is sample-bounded like x61 (its sf1 row shows the bound's
+    # flatness); the OOV audit's anti joins key on the vocabulary
+    "x70_mirror_matrix",
+    "x71_banding_planner",
+    "x72_oov_rate",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -164,6 +170,9 @@ PROBE_QUERIES = [
     "x67_shard_balance",
     "x68_langid_mismatch",
     "x69_dedup_token_yield",
+    "x70_mirror_matrix",
+    "x71_banding_planner",
+    "x72_oov_rate",
 ]
 
 
@@ -325,6 +334,11 @@ def main() -> None:
             "shuffles) is the canonical case: its ~10x is saturated-CPU",
             "linearity, not a scaling defect, and on a real cluster it",
             "parallelizes embarrassingly (more executors divide the 10x).",
+            "The same reading applies to the flag-scan family (x62/x63:",
+            "the row-local 3-gram repetition expression is the per-row",
+            "cost; their groupBys are metadata-sized) — high single-box",
+            "ratios there are linear CPU, divided by executor count on a",
+            "cluster.",
             "The pinned x12/x13 rows are oracle-twin configs kept for",
             "regression only; x46's row inherits the same pinned SRP",
             "config through its candidate stage.  The auto-sized",
