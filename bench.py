@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "x70_mirror_matrix",
     "x71_banding_planner",
     "x72_oov_rate",
+    "x73_containment_pairs",
 ]
 
 RUNS = 4

@@ -1558,3 +1558,93 @@ def x71_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands", "rows_per_band", "n_scored_pairs", "n_true_pairs",
         "exp_recall_milli", "exp_candidates_milli"
     )
+
+
+# -- x73: containment pairs (the asymmetric near-dup Jaccard misses) ---------
+#
+# Symmetric Jaccard under-scores CONTAINMENT: a short document quoted
+# wholesale inside a long one (news wire inside an aggregator page,
+# README inside a vendored repo) has i = na but i/(na+nb-i) far below
+# any dedup tau when nb >> na — so the pair sails through x02/x61 and
+# the duplicated passage trains twice.  The containment score
+# c = i / min(na, nb) is the standard fix (Broder's containment;
+# RefinedWeb-style pipelines gate on it next to Jaccard): x73 reports
+# sample pairs with high containment but sub-tau Jaccard — exactly the
+# pairs every symmetric pass missed, and the motivating input for
+# x38's span-level removal (the contained span is what it strips).
+#
+# Scale: sample-bounded like x61/x71 (exact set intersections need a
+# bounded set); within the sample it is the SAME inverted-index join
+# x61/x71 pay (shared _exact_jaccard_scored — one implementation,
+# three audits), plus row-local integer arithmetic.  All counts exact
+# milli integers.
+
+_X73_CONT = 800  # library default: >= 80% of the smaller doc contained
+# The synthetic fixture's near-dups are SYMMETRIC (suffixed replicas),
+# so at the production floor the fixture emits zero rows — a vacuous
+# oracle.  The registered query therefore runs at a fixture-calibrated
+# floor (the x62 thresholds discipline) so the hash gate covers real
+# rows at every SF; the crafted witness test pins the production-floor
+# semantics on a corpus that actually contains containment.
+_X73_CONT_FIXTURE = 250
+
+
+def _x73_oracle() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
+shx AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text)-7,1)+1),
+                 i -> substr(text, i, 8))) AS s FROM d)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+scored AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(COUNT(*) AS BIGINT) AS i,
+         CAST(MIN(sa.n) AS BIGINT) AS na, CAST(MIN(sb.n) AS BIGINT) AS nb
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT da, db,
+       CAST(1000 * i // LEAST(na, nb) AS BIGINT) AS containment_milli,
+       CAST(1000 * i // (na + nb - i) AS BIGINT) AS jaccard_milli
+FROM scored
+WHERE 1000 * i // LEAST(na, nb) >= {_X73_CONT_FIXTURE}
+  AND 1000 * i // (na + nb - i) < 500
+ORDER BY da, db, containment_milli, jaccard_milli"""
+
+
+def containment_pairs(
+    docs: DataFrame, s_max: int = _X61_S, cont_milli: int = _X73_CONT
+) -> DataFrame:
+    """(da, db, containment_milli, jaccard_milli): sample pairs where
+    the smaller document is >= cont_milli/1000 contained in the larger
+    but symmetric Jaccard stays below the dedup tau (500 milli) — the
+    asymmetric near-dups every Jaccard-gated pass misses.  Rides the
+    same inverted-index join as x61/x71."""
+    sample = docs.filter(F.col("doc_id") < s_max)
+    return (
+        _exact_jaccard_scored(sample)
+        .select(
+            "da",
+            "db",
+            F.expr("1000 * i div least(na, nb)").cast("long")
+            .alias("containment_milli"),
+            F.expr("1000 * i div (na + nb - i)").cast("long")
+            .alias("jaccard_milli"),
+        )
+        .filter(
+            (F.col("containment_milli") >= int(cont_milli))
+            & (F.col("jaccard_milli") < 500)
+        )
+    )
+
+
+@register("x73_containment_pairs", _x73_oracle())
+def x73_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 containment audit: high-containment / sub-tau-Jaccard pairs
+    on the x61 sample — what a symmetric dedup pass missed and what
+    x38's span removal should be pointed at.  Exact integer millis,
+    shared inverted-index machinery with x61/x71."""
+    return containment_pairs(
+        load(spark, sf_dir, "documents"), cont_milli=_X73_CONT_FIXTURE
+    ).orderBy("da", "db", "containment_milli", "jaccard_milli")

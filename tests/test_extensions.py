@@ -2375,3 +2375,59 @@ def test_x72_oov_rate_matches_python_reference(spark):
     assert got.oov_occ_milli == (
         1000 * oov_o // len(test_occ) if test_occ else None
     )
+
+
+def test_x73_containment_catches_what_jaccard_misses(spark):
+    """Crafted corpus: a short document fully quoted inside a much
+    longer one has containment 1000 but Jaccard far below the dedup
+    tau — x73 at the production floor (800) reports exactly that pair;
+    an unrelated doc never appears; a symmetric near-dup pair (high
+    Jaccard) is excluded by construction."""
+    from cubefs_hadoop_spark.extensions.dedup import containment_pairs
+
+    quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = quoted + " " + " ".join(f"filler{i:03d} pad{i:03d}" for i in range(40))
+    twin_a = "one two three four five six seven eight nine ten " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, quoted),
+            (1, long_doc),
+            (2, "totally unrelated words nothing shared here at all"),
+            (3, twin_a.strip()),
+            (4, twin_a.strip() + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs).collect()  # library floor: 800
+    got = {(r.da, r.db): r for r in rows}
+    assert (0, 1) in got
+    assert got[(0, 1)].containment_milli >= 950
+    assert got[(0, 1)].jaccard_milli < 500
+    # the symmetric twins (3,4) have BOTH high containment and high
+    # jaccard -> excluded (they are x02's job, not x73's)
+    assert (3, 4) not in got
+    assert all(da == 0 and db == 1 for da, db in got)
+
+
+def test_x73_fixture_rows_replay_in_python(spark):
+    """Registered (fixture-calibrated) x73 rows replay exactly from the
+    scored pair frame in Python integer arithmetic."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        _X61_S,
+        _X73_CONT_FIXTURE,
+        _exact_jaccard_scored,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    docs = load(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < _X61_S)
+    want = {}
+    for r in _exact_jaccard_scored(docs).collect():
+        c = 1000 * r.i // min(r.na, r.nb)
+        j = 1000 * r.i // (r.na + r.nb - r.i)
+        if c >= _X73_CONT_FIXTURE and j < 500:
+            want[(r.da, r.db)] = (c, j)
+    got = {
+        (r.da, r.db): (r.containment_milli, r.jaccard_milli)
+        for r in QUERIES["x73_containment_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and len(got) > 0

@@ -678,3 +678,13 @@ def test_x72_oov_shape(spark):
     assert a.sort_merge_joins == 0
     assert a.nested_loop_joins <= 5
     assert not a.has_python_eval
+
+
+def test_x73_containment_shares_the_bounded_join(spark):
+    """x73: the same sample-bounded inverted-index join x61/x71 pay —
+    no NLJ, no Python; the containment/jaccard arithmetic is row-local
+    on the scored frame."""
+    a = _audit(spark, "x73_containment_pairs")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval

@@ -81,6 +81,7 @@ SF1_WATCH = [
     "x70_mirror_matrix",
     "x71_banding_planner",
     "x72_oov_rate",
+    "x73_containment_pairs",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -173,6 +174,7 @@ PROBE_QUERIES = [
     "x70_mirror_matrix",
     "x71_banding_planner",
     "x72_oov_rate",
+    "x73_containment_pairs",
 ]
 
 
