@@ -1225,7 +1225,11 @@ def lsh_quality_audit(
     (they ARE the audit); ratios are integer millis, NULL when the
     denominator set is empty."""
     sample = docs.filter(F.col("doc_id") < s_max)
-    cand = lsh_candidate_pairs(sample).select("da", "db")
+    # barrier BOTH pair frames: each feeds two actions (its count and
+    # the hit join) — without the barrier the LSH candidate pipeline
+    # ran twice per audit (r10 fix; the truth side was already
+    # barriered for the same reason)
+    cand = barrier(lsh_candidate_pairs(sample).select("da", "db"), eager=False)
     truth = exact_shingle_jaccard_pairs(sample, tau=tau)
     truth = barrier(truth, eager=False)
     n_docs = sample.count()

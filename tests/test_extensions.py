@@ -2431,3 +2431,40 @@ def test_x73_fixture_rows_replay_in_python(spark):
         for r in QUERIES["x73_containment_pairs"](spark, SF_SMOKE).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_x71_milli_curve_properties():
+    """Pure-Python hypothesis sweep of the planner's integer-milli
+    S-curve: p always in [0, 1000]; monotone non-decreasing in the
+    similarity; endpoint-exact (s=0 -> 0; s=1000 -> 1000); within the
+    accumulated floor-error budget of the float curve on BOTH sides
+    (the inner chain's floors lower s^r -> p undershoots; the outer
+    chain's floors lower (1-s^r)^b -> p overshoots; each chain floors
+    <= max(r,b)-1 times by < 1 milli, the outer amplified by b)."""
+    from hypothesis import given, strategies as st
+
+    from cubefs_hadoop_spark.extensions.dedup import _X71_CONFIGS
+
+    def milli_pow(s, k):
+        x = s
+        for _ in range(k - 1):
+            x = (x * s) // 1000
+        return x
+
+    def collide(jm, b, r):
+        return 1000 - milli_pow(1000 - milli_pow(jm, r), b)
+
+    @given(st.integers(min_value=0, max_value=1000))
+    def check(jm):
+        for b, r in _X71_CONFIGS:
+            p = collide(jm, b, r)
+            assert 0 <= p <= 1000
+            if jm < 1000:
+                assert p <= collide(jm + 1, b, r) + 0  # monotone
+            exact = 1000 * (1 - (1 - (jm / 1000) ** r) ** b)
+            assert abs(p - exact) <= (r + b) * b + 1
+
+    check()
+    for b, r in _X71_CONFIGS:
+        assert collide(0, b, r) == 0
+        assert collide(1000, b, r) == 1000
