@@ -20,8 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# BASELINE.md bench set: B01-B18 (B16-B18 added round 5 so the newest
-# scale-path operators get per-round regression tracking).
+# BASELINE.md bench set (B01-B55): grown each round so the newest
+# scale-path operators get per-round regression tracking; every name
+# here has a first-measurement baseline row in BASELINE.md.
 BENCH_QUERIES = [
     "q01_scan_count",
     "q03_filter_conjunctive",
@@ -94,6 +95,7 @@ BENCH_QUERIES = [
     "x71_banding_planner",
     "x72_oov_rate",
     "x73_containment_pairs",
+    "x74_retention_cohorts",
 ]
 
 RUNS = 4

@@ -436,3 +436,89 @@ def x34b_sessionize_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_bucketed(load(spark, sf_dir, "events")).orderBy(
         "user_id", "session_idx"
     )
+
+
+# -- x74: retention cohort matrix --------------------------------------------
+#
+# The classic product-analytics rollup this family was missing between
+# the funnel (x25: conversion WITHIN a session-scale window) and the
+# lifecycle table (x26): users grouped by FIRST-SEEN week, each cohort
+# tracked by the share still active k weeks later.  Week indexing is
+# exact integer day arithmetic against the corpus's own min event date
+# (driver literal, the x52 totals-as-literals pattern) — no calendar
+# week-truncation semantics to disagree on across engines.
+#
+# Scale (100 TB of events): one scan projects (user, week); cohorts are
+# one user-grain groupBy (min week — partial-agg'd, skew-immune); the
+# active set is a DISTINCT at (user, week) grain (bounded by users x
+# weeks, and map-side-combined before its exchange); the matrix is a
+# weeks^2 metadata rollup.  No windows, no self-joins, no pairwise —
+# a bot user collapses to one row per week on the map side.
+
+_X74_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+         date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                   CAST(ts AS DATE)) // 7 AS week
+  FROM events),
+c AS (SELECT user_id, MIN(week) AS cw FROM w GROUP BY user_id),
+a AS (SELECT DISTINCT w.user_id, c.cw, w.week - c.cw AS off
+      FROM w JOIN c USING (user_id)),
+n AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM c GROUP BY cw),
+m AS (SELECT cw, off, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM a GROUP BY cw, off)
+SELECT CAST(m.cw AS BIGINT) AS cohort_week,
+       CAST(m.off AS BIGINT) AS week_offset,
+       n.n_cohort, m.n_active,
+       CAST(1000 * m.n_active // n.n_cohort AS BIGINT) AS retention_milli
+FROM m JOIN n USING (cw)
+ORDER BY cohort_week, week_offset, n_cohort, n_active, retention_milli"""
+
+
+def retention_cohorts(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """(cohort_week, week_offset, n_cohort, n_active, retention_milli):
+    users bucketed by first-seen week (exact integer day arithmetic
+    from the corpus's min event date), each cohort's active share per
+    subsequent week in exact millis.  Two partial-agg'd groupBys + one
+    (user, week)-grain distinct; the matrix is metadata-sized."""
+    anchor = (
+        events.agg(F.min(F.col(ts_col).cast("date"))).first()[0].isoformat()
+    )
+    w = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(
+            f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+        ).cast("long").alias("week"),
+    )
+    c = w.groupBy("user_id").agg(F.min("week").alias("cw"))
+    a = (
+        w.join(c, "user_id")
+        .select("user_id", "cw", (F.col("week") - F.col("cw")).alias("off"))
+        .distinct()
+    )
+    n = c.groupBy("cw").agg(F.count(F.lit(1)).cast("long").alias("n_cohort"))
+    m = a.groupBy("cw", "off").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return m.join(n, "cw").select(
+        F.col("cw").cast("long").alias("cohort_week"),
+        F.col("off").cast("long").alias("week_offset"),
+        "n_cohort",
+        "n_active",
+        F.expr("1000 * n_active div n_cohort").cast("long")
+        .alias("retention_milli"),
+    )
+
+
+@register("x74_retention_cohorts", _X74_ORACLE)
+def x74_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 retention cohort matrix over the event stream: first-seen
+    week cohorts x weeks-since-first-seen activity shares — the
+    product-analytics rollup between x25's funnel and x26's lifecycle
+    table, in exact integer arithmetic end to end."""
+    return retention_cohorts(load(spark, sf_dir, "events")).orderBy(
+        "cohort_week", "week_offset", "n_cohort", "n_active",
+        "retention_milli"
+    )

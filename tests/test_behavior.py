@@ -381,3 +381,52 @@ def test_sessionize_bucketed_equals_plain_property(
         ).collect()
     }
     assert got == want
+
+
+def test_x74_retention_crafted_and_laws(spark):
+    """Crafted event log with a hand-computable cohort matrix; plus the
+    fixture laws: offset-0 retention is exactly 1000 (every user is
+    active in their first week by definition), n_active <= n_cohort,
+    and cohort sizes sum to the distinct user count."""
+    from datetime import datetime
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import retention_cohorts
+    from cubefs_hadoop_spark.queries import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    def ev(uid, day):
+        return (uid, datetime(2024, 1, 1 + day, 12, 0, 0))
+
+    # users 1,2 start week 0; user 1 returns weeks 1 and 2, user 2
+    # only week 2; user 3 starts week 1 and never returns
+    rows = [
+        ev(1, 0), ev(1, 7), ev(1, 14),
+        ev(2, 1), ev(2, 15),
+        ev(3, 8),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz"
+    )
+    m = {
+        (r.cohort_week, r.week_offset): (r.n_cohort, r.n_active,
+                                         r.retention_milli)
+        for r in retention_cohorts(events).collect()
+    }
+    assert m[(0, 0)] == (2, 2, 1000)
+    assert m[(0, 1)] == (2, 1, 500)
+    assert m[(0, 2)] == (2, 2, 1000)
+    assert m[(1, 0)] == (1, 1, 1000)
+    assert set(m) == {(0, 0), (0, 1), (0, 2), (1, 0)}
+
+    fixture = load(spark, SF_SMOKE, "events")
+    out = QUERIES["x74_retention_cohorts"](spark, SF_SMOKE).collect()
+    users = fixture.select("user_id").distinct().count()
+    cohort_sizes = {}
+    for r in out:
+        assert r.n_active <= r.n_cohort
+        assert r.retention_milli == 1000 * r.n_active // r.n_cohort
+        if r.week_offset == 0:
+            assert r.retention_milli == 1000
+        cohort_sizes[r.cohort_week] = r.n_cohort
+    assert sum(cohort_sizes.values()) == users

@@ -688,3 +688,15 @@ def test_x73_containment_shares_the_bounded_join(spark):
     assert a.nested_loop_joins == 0
     assert a.text.count("SinglePartition") == 0
     assert not a.has_python_eval
+
+
+def test_x74_retention_shape(spark):
+    """x74: two partial-agg'd groupBys + one (user, week) distinct —
+    no windows, no SinglePartition, no Python; the cohort re-attach is
+    a broadcast of the user-grain frame at fixture scale (any join
+    strategy is fine at 100 TB — the frame is user-grain, not
+    event-grain)."""
+    a = _audit(spark, "x74_retention_cohorts")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval

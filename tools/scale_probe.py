@@ -82,6 +82,7 @@ SF1_WATCH = [
     "x71_banding_planner",
     "x72_oov_rate",
     "x73_containment_pairs",
+    "x74_retention_cohorts",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -175,6 +176,7 @@ PROBE_QUERIES = [
     "x71_banding_planner",
     "x72_oov_rate",
     "x73_containment_pairs",
+    "x74_retention_cohorts",
 ]
 
 
