@@ -430,3 +430,58 @@ def test_x74_retention_crafted_and_laws(spark):
             assert r.retention_milli == 1000
         cohort_sizes[r.cohort_week] = r.n_cohort
     assert sum(cohort_sizes.values()) == users
+
+
+def test_x74_retention_random_logs_match_python_reference(spark):
+    """Property check on pseudo-random (seeded, deterministic) event
+    logs: the cohort matrix equals a brute-force Python reference for
+    several shapes — sparse users, a bot user, single-week corpora."""
+    from datetime import datetime, timedelta
+
+    from cubefs_hadoop_spark.extensions.behavior import retention_cohorts
+
+    def reference(rows):
+        days = {}
+        for uid, ts in rows:
+            days.setdefault(uid, []).append(ts)
+        anchor = min(ts for _, ts in rows).date()
+        week = lambda ts: (ts.date() - anchor).days // 7  # noqa: E731
+        cohort = {u: min(week(t) for t in ts) for u, ts in days.items()}
+        active = {
+            (cohort[u], week(t) - cohort[u])
+            for u, ts in days.items()
+            for t in ts
+        }
+        # (cohort, off) -> n_active over users
+        cells = {}
+        for u, ts in days.items():
+            for off in {week(t) - cohort[u] for t in ts}:
+                cells[(cohort[u], off)] = cells.get((cohort[u], off), 0) + 1
+        sizes = {}
+        for u, cw in cohort.items():
+            sizes[cw] = sizes.get(cw, 0) + 1
+        return {
+            k: (sizes[k[0]], n, 1000 * n // sizes[k[0]])
+            for k, n in cells.items()
+        }
+
+    base = datetime(2024, 3, 1, 6, 0, 0)
+    rng_rows = []
+    # deterministic pseudo-random walk (no RNG): user = i*7 % 13,
+    # day = (i*i) % 40 — covers sparse users, repeats, multi-week spans
+    for i in range(120):
+        rng_rows.append((i * 7 % 13, base + timedelta(days=(i * i) % 40)))
+    shapes = [
+        rng_rows,
+        [(1, base), (1, base + timedelta(days=3))],          # one week
+        [(1, base)] * 5 + [(2, base + timedelta(days=21))],  # bot + late
+    ]
+    for rows in shapes:
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+        got = {
+            (r.cohort_week, r.week_offset): (
+                r.n_cohort, r.n_active, r.retention_milli
+            )
+            for r in retention_cohorts(df).collect()
+        }
+        assert got == reference(rows)
