@@ -808,9 +808,6 @@ def shard_balance(
             F.sum("bytes").cast("long").alias("bytes"),
         )
     )
-    w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     return c.select(
         "shard",
         "n_docs",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.oracle_compat import r2d
@@ -653,7 +654,8 @@ def x62_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X63_ORACLE = f"""
 WITH f AS (
-  SELECT source, text, string_split(text, ' ') AS ws FROM documents),
+  SELECT COALESCE(source, '(null)') AS source, text,
+         string_split(text, ' ') AS ws FROM documents),
 g AS (
   SELECT source, text, ws,
          list_transform(range(1, greatest(len(ws)-2, 1)+1),
@@ -702,8 +704,15 @@ def funnel_counts(
         .when(F.col("dr"), F.lit("repetition"))
         .otherwise(F.lit("kept"))
     )
+    # NULL tags normalize to a literal '(null)' group on BOTH engines —
+    # a NULL group key would survive Spark's PARTITION BY but vanish in
+    # the oracle's JOIN USING (NULL never equi-joins), a latent hash
+    # divergence (r10 self-review)
     return (
-        flags.select(by, stage.alias("stage"))
+        flags.select(
+            F.coalesce(F.col(by), F.lit("(null)")).alias(by),
+            stage.alias("stage"),
+        )
         .groupBy(by, "stage")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -768,7 +777,8 @@ def x63_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X68_ORACLE = """
 WITH w AS (
-  SELECT lang, list_distinct(string_split(text, ' ')) AS ws
+  SELECT COALESCE(lang, '(null)') AS lang,
+         list_distinct(string_split(text, ' ')) AS ws
   FROM documents),
 s AS (
   SELECT lang,
@@ -807,7 +817,11 @@ def langid_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
     heuristic-ID confusion table with exact milli shares within each
     declared tag.  Row-local scoring (langid_scores) + one
     partial-agg'd groupBy on the bounded (lang, lang_pred) pair."""
-    pred = langid_scores(docs, text_col).select("lang", "lang_pred")
+    # same NULL-tag normalization as x63 (see funnel_counts)
+    pred = langid_scores(docs, text_col).select(
+        F.coalesce(F.col("lang"), F.lit("(null)")).alias("lang"),
+        "lang_pred",
+    )
     counts = pred.groupBy("lang", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -893,12 +907,21 @@ def oov_rate(docs: DataFrame, text_col: str = "text") -> DataFrame:
     split = F.when(
         F.substring(F.md5(text_col), 1, 1) < "d", F.lit("train")
     ).otherwise(F.lit("test"))
+    # barrier both sides: train_vocab feeds three branches and test_occ
+    # two in the single assembled plan — without the barrier the corpus
+    # scan + split + explode re-executes per branch (r10 self-review;
+    # the same two-consumers fix as x61's candidate frame)
     toks = docs.select(
         split.alias("split"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     )
-    train_vocab = toks.filter(F.col("split") == "train").select("tok").distinct()
-    test_occ = toks.filter(F.col("split") == "test").select("tok")
+    train_vocab = barrier(
+        toks.filter(F.col("split") == "train").select("tok").distinct(),
+        eager=False,
+    )
+    test_occ = barrier(
+        toks.filter(F.col("split") == "test").select("tok"), eager=False
+    )
     test_types = test_occ.distinct()
     d = docs.select(split.alias("split")).agg(
         F.sum((F.col("split") == "train").cast("long")).cast("long")

@@ -467,3 +467,20 @@ def test_x68_shares_and_langid_agreement(spark):
     pred = langid_scores(docs).select("lang", "lang_pred").collect()
     agree = sum(1 for p in pred if p.lang == p.lang_pred)
     assert sum(r.n_docs for r in rows if r.lang == r.lang_pred) == agree
+
+
+def test_x63_null_source_normalizes(spark):
+    """A NULL source tag lands in the '(null)' group instead of
+    silently diverging between Spark's window and the oracle's join
+    (r10 self-review fix)."""
+    from cubefs_hadoop_spark.extensions.text import rejection_funnel
+
+    docs = spark.createDataFrame(
+        [(None, " ".join(f"the w{i}" for i in range(20))),
+         ("s1", "xx yy zz")],
+        "source string, text string",
+    )
+    rows = {(r.source, r.stage): r.n_docs
+            for r in rejection_funnel(docs).collect()}
+    assert rows[("(null)", "kept")] == 1
+    assert rows[("s1", "quality")] == 1
