@@ -483,9 +483,15 @@ def retention_cohorts(
     from the corpus's min event date), each cohort's active share per
     subsequent week in exact millis.  Two partial-agg'd groupBys + one
     (user, week)-grain distinct; the matrix is metadata-sized."""
-    anchor = (
-        events.agg(F.min(F.col(ts_col).cast("date"))).first()[0].isoformat()
-    )
+    anchor_date = events.agg(F.min(F.col(ts_col).cast("date"))).first()[0]
+    if anchor_date is None:
+        # an empty (or all-NULL-ts) event frame has no week-0 anchor —
+        # fail with the reason, not an AttributeError on None (ADVICE r10)
+        raise ValueError(
+            "retention_cohorts: no events (or all-NULL timestamps) — "
+            "cannot derive the first-seen-week anchor"
+        )
+    anchor = anchor_date.isoformat()
     w = events.select(
         F.col(user_col).alias("user_id"),
         F.expr(

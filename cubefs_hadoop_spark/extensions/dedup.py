@@ -56,6 +56,24 @@ MH_B = [378892469, 814586871, 133461553, 946392329, 558228521,
         622152523, 495813251, 270700861, 731246117]
 
 
+def _sql_sub(base: str, old: str, new: str) -> str:
+    """``str.replace`` that FAILS AT IMPORT if the anchor text drifted.
+
+    Several oracles below are derived from a base oracle by textual
+    substitution (x02e/x51/x61/x69/x70 extend x02/x28's SQL); a later
+    edit to the base text would make a plain ``.replace`` silently
+    no-op and register the BASE oracle under the derived name — caught
+    only at the next sweep as a hash mismatch (ADVICE r10).  Guarding
+    the substitution turns that one-round-late failure into an
+    ImportError at the edit itself."""
+    out = base.replace(old, new)
+    if out == base:
+        raise AssertionError(
+            f"oracle substitution no-op — anchor drifted: {old[:70]!r}"
+        )
+    return out
+
+
 @register(
     "x01_exact_dedup",
     """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
@@ -294,7 +312,8 @@ def x02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Incremental probe oracle: the delta = every full-corpus candidate pair
 # whose NEWER side (db, since da < db and corpus ids precede batch ids)
 # is in the batch.
-_X02E_ORACLE = _X02_ORACLE.replace(
+_X02E_ORACLE = _sql_sub(
+    _X02_ORACLE,
     "AND a.doc_id < b.doc_id\nORDER BY da, db",
     "AND a.doc_id < b.doc_id\nWHERE b.doc_id >= 400\nORDER BY da, db",
 )
@@ -556,7 +575,7 @@ def x02d_edit_distance_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X28_ORACLE = (
     "WITH RECURSIVE pairs AS (\n"
-    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
     + """),
 edges AS (
   SELECT da AS a, db AS b FROM pairs
@@ -614,7 +633,7 @@ def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X55_ORACLE = (
     "WITH RECURSIVE pairs AS (\n"
-    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
     + """),
 edges AS (
   SELECT da AS a, db AS b FROM pairs
@@ -1058,7 +1077,8 @@ def x38b_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the forecast is hash-checked through the ENTIRE pipeline (shingles ->
 # MinHash -> LSH buckets -> CC -> sizes), not just the last stage.
 
-_X51_ORACLE = _X28_ORACLE.replace(
+_X51_ORACLE = _sql_sub(
+    _X28_ORACLE,
     """SELECT node AS doc_id, MIN(lbl) AS canonical
 FROM reach GROUP BY node ORDER BY doc_id""",
     """, canon AS (
@@ -1138,9 +1158,15 @@ _X61_TAU = 0.5  # ground-truth Jaccard threshold the banding targets
 
 _X61_ORACLE = (
     "WITH cand AS (\n"
-    + _X02_ORACLE.replace(
-        "FROM documents", f"FROM documents WHERE doc_id < {_X61_S}"
-    ).replace("ORDER BY da, db", "")
+    + _sql_sub(
+        _sql_sub(
+            _X02_ORACLE,
+            "FROM documents",
+            f"FROM documents WHERE doc_id < {_X61_S}",
+        ),
+        "ORDER BY da, db",
+        "",
+    )
     + f"""),
 d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
 shx AS (SELECT DISTINCT doc_id, s FROM (
@@ -1278,7 +1304,8 @@ def x61_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recursive closure, hash-checking shingles -> MinHash -> LSH -> CC ->
 # election -> token weighting END TO END.
 
-_X69_ORACLE = _X28_ORACLE.replace(
+_X69_ORACLE = _sql_sub(
+    _X28_ORACLE,
     """SELECT node AS doc_id, MIN(lbl) AS canonical
 FROM reach GROUP BY node ORDER BY doc_id""",
     """, canon AS (
@@ -1371,9 +1398,10 @@ def x69_dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X70_ORACLE = (
     "WITH pairs AS (\n"
-    + _X02_ORACLE.replace("ORDER BY da, db", "")
+    + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
     + """),
-src AS (SELECT doc_id, source FROM documents),
+src AS (SELECT doc_id, COALESCE(source, '(null)') AS source
+        FROM documents),
 m AS (SELECT LEAST(sa.source, sb.source) AS source_a,
              GREATEST(sa.source, sb.source) AS source_b
       FROM pairs
@@ -1395,7 +1423,15 @@ def mirror_matrix(docs: DataFrame) -> DataFrame:
     mass = mirrors (source-level dedup), diagonal mass = within-source
     boilerplate (span-level dedup)."""
     pairs = lsh_candidate_pairs(docs)
-    src = docs.select("doc_id", "source")
+    # NULL tags normalize to a literal '(null)' group BEFORE the
+    # least/greatest rollup (ADVICE r10): both engines' least/greatest
+    # skip NULLs, so a mirror pair with one untagged side would silently
+    # collapse onto the tagged source's diagonal — engine-consistent,
+    # hence invisible to the hash gate, but wrong.  Same normalization
+    # as x63 funnel_counts / x68 langid_confusion.
+    src = docs.select(
+        "doc_id", F.coalesce("source", F.lit("(null)")).alias("source")
+    )
     sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
     c = (

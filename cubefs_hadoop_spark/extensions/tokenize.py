@@ -1248,7 +1248,15 @@ def vocab_growth(docs: DataFrame, text_col: str = "text") -> DataFrame:
     explode + one vocabulary-scale groupBy (first-appearance min) + a
     10-row prefix-sum window.  The decile cut uses max(doc_id)+1 as a
     plan literal (the x52 totals-as-literals pattern)."""
-    n = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        # empty corpus: no decile cut exists — fail with the reason, not
+        # a TypeError on int(None) (ADVICE r10, x74's twin)
+        raise ValueError(
+            "vocab_growth: empty documents frame — no doc_id range to cut"
+            " into deciles"
+        )
+    n = int(hi) + 1
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

@@ -432,6 +432,23 @@ def test_x74_retention_crafted_and_laws(spark):
     assert sum(cohort_sizes.values()) == users
 
 
+def test_x74_empty_events_raises_value_error(spark):
+    """ADVICE r10: an empty (or all-NULL-ts) event frame must fail with
+    the reason, not an AttributeError on the None anchor."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.behavior import retention_cohorts
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp_ntz")
+    with _pytest.raises(ValueError, match="no events"):
+        retention_cohorts(empty)
+    all_null = spark.createDataFrame(
+        [(1, None)], "user_id long, ts timestamp_ntz"
+    )
+    with _pytest.raises(ValueError, match="no events"):
+        retention_cohorts(all_null)
+
+
 def test_x74_retention_random_logs_match_python_reference(spark):
     """Property check on pseudo-random (seeded, deterministic) event
     logs: the cohort matrix equals a brute-force Python reference for

@@ -2282,6 +2282,50 @@ def test_x70_mirror_matrix_crafted_and_reconciles(spark):
         assert r.share_milli == 1000 * r.n_pairs // tot
 
 
+def test_x66_empty_documents_raises_value_error(spark):
+    """ADVICE r10: an empty documents frame must fail with the reason,
+    not a TypeError on int(None) for the decile literal."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.tokenize import vocab_growth
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty documents"):
+        vocab_growth(empty)
+
+
+def test_x70_null_source_normalizes_to_null_group(spark):
+    """ADVICE r10: a mirror pair with ONE untagged side must land in
+    the ('(null)', tag) cell — not silently collapse onto the tagged
+    source's diagonal via NULL-skipping least/greatest (an
+    engine-consistent miscount the hash gate cannot see)."""
+    from cubefs_hadoop_spark.extensions.dedup import mirror_matrix
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, t1, None), (1, t1, "web")],
+        "doc_id long, text string, source string",
+    )
+    m = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in mirror_matrix(docs).collect()
+    }
+    assert m == {("(null)", "web"): 1}
+
+
+def test_sql_sub_guards_anchor_drift():
+    """ADVICE r10: a derived oracle's textual substitution must fail
+    loudly when the anchor text is absent (a silent no-op would
+    register the BASE oracle under the derived name)."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.dedup import _sql_sub
+
+    assert _sql_sub("SELECT a FROM t", "FROM t", "FROM u") == "SELECT a FROM u"
+    with _pytest.raises(AssertionError, match="anchor drifted"):
+        _sql_sub("SELECT a FROM t", "FROM missing", "FROM u")
+
+
 def test_x71_planner_matches_python_milli_arithmetic(spark):
     """The planner's integer-milli S-curve replays exactly in Python
     ints over the sample's jac-milli values, and the frontier laws
