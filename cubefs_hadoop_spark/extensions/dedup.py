@@ -1226,12 +1226,15 @@ def _exact_jaccard_scored(docs: DataFrame) -> DataFrame:
 
 
 def exact_shingle_jaccard_pairs(
-    docs: DataFrame, tau: float = _X61_TAU
+    docs: DataFrame, tau: float = _X61_TAU, scored: DataFrame | None = None
 ) -> DataFrame:
     """(da, db) pairs with exact distinct-char-8-shingle Jaccard >= tau,
-    via the inverted-index join (x02b's no-pairwise-sets pattern)."""
+    via the inverted-index join (x02b's no-pairwise-sets pattern).
+    ``scored`` short-circuits the join with a pre-materialized
+    ``_exact_jaccard_scored`` frame (the x75 preflight shares one across
+    the three audits)."""
     return (
-        _exact_jaccard_scored(docs)
+        (_exact_jaccard_scored(docs) if scored is None else scored)
         .withColumn(
             "jac",
             F.col("i").cast("double")
@@ -1243,20 +1246,24 @@ def exact_shingle_jaccard_pairs(
 
 
 def lsh_quality_audit(
-    docs: DataFrame, s_max: int = _X61_S, tau: float = _X61_TAU
+    docs: DataFrame,
+    s_max: int = _X61_S,
+    tau: float = _X61_TAU,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """One-row (n_docs, n_candidates, n_truth, n_hits, precision_milli,
     recall_milli) audit of the LSH banding against exact shingle Jaccard
     on the doc_id < s_max sample.  Counts are driver-sized by definition
     (they ARE the audit); ratios are integer millis, NULL when the
-    denominator set is empty."""
+    denominator set is empty.  ``scored`` = pre-materialized
+    ``_exact_jaccard_scored`` frame (shared by the x75 preflight)."""
     sample = docs.filter(F.col("doc_id") < s_max)
     # barrier BOTH pair frames: each feeds two actions (its count and
     # the hit join) — without the barrier the LSH candidate pipeline
     # ran twice per audit (r10 fix; the truth side was already
     # barriered for the same reason)
     cand = barrier(lsh_candidate_pairs(sample).select("da", "db"), eager=False)
-    truth = exact_shingle_jaccard_pairs(sample, tau=tau)
+    truth = exact_shingle_jaccard_pairs(sample, tau=tau, scored=scored)
     truth = barrier(truth, eager=False)
     n_docs = sample.count()
     n_cand = cand.count()
@@ -1542,14 +1549,18 @@ scored AS (
     )
 
 
-def banding_planner(docs: DataFrame, s_max: int = _X61_S) -> DataFrame:
+def banding_planner(
+    docs: DataFrame, s_max: int = _X61_S, scored: DataFrame | None = None
+) -> DataFrame:
     """(bands, rows_per_band, n_scored_pairs, n_true_pairs,
     exp_recall_milli, exp_candidates_milli) per candidate layout of 9
     min-hashes, from the sample's exact integer-milli Jaccard
     distribution — the recall-vs-cost frontier read before a dedup
-    pass commits to a banding."""
-    sample = docs.filter(F.col("doc_id") < s_max)
-    scored = _exact_jaccard_scored(sample).select(
+    pass commits to a banding.  ``scored`` = pre-materialized
+    ``_exact_jaccard_scored`` frame (shared by the x75 preflight)."""
+    if scored is None:
+        scored = _exact_jaccard_scored(docs.filter(F.col("doc_id") < s_max))
+    scored = scored.select(
         F.expr("1000 * i div (na + nb - i)").cast("long").alias("jm")
     )
     # ONE aggregate evaluates every config's curve in the same pass
@@ -1654,16 +1665,21 @@ ORDER BY da, db, containment_milli, jaccard_milli"""
 
 
 def containment_pairs(
-    docs: DataFrame, s_max: int = _X61_S, cont_milli: int = _X73_CONT
+    docs: DataFrame,
+    s_max: int = _X61_S,
+    cont_milli: int = _X73_CONT,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(da, db, containment_milli, jaccard_milli): sample pairs where
     the smaller document is >= cont_milli/1000 contained in the larger
     but symmetric Jaccard stays below the dedup tau (500 milli) — the
     asymmetric near-dups every Jaccard-gated pass misses.  Rides the
-    same inverted-index join as x61/x71."""
-    sample = docs.filter(F.col("doc_id") < s_max)
+    same inverted-index join as x61/x71 (``scored`` shares one
+    materialized frame across the three audits — x75)."""
+    if scored is None:
+        scored = _exact_jaccard_scored(docs.filter(F.col("doc_id") < s_max))
     return (
-        _exact_jaccard_scored(sample)
+        scored
         .select(
             "da",
             "db",
@@ -1688,3 +1704,234 @@ def x73_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         load(spark, sf_dir, "documents"), cont_milli=_X73_CONT_FIXTURE
     ).orderBy("da", "db", "containment_milli", "jaccard_milli")
+
+
+# -- x73b: containment at the PRODUCTION threshold, hash-gated ---------------
+#
+# ADVICE r10: the registered x73 runs at the fixture-calibrated floor
+# (250 milli) because the synthetic corpus's near-dups are symmetric —
+# at the production floor (800) it returns zero rows, so the production
+# threshold semantics only rode a crafted pytest witness, never the
+# cross-engine hash gate.  x73b closes that: both engines derive the
+# SAME augmented corpus — the x61 sample plus, for every long document,
+# a planted 120-char PREFIX doc at doc_id + 100000 (every char-8
+# shingle of a prefix is a shingle of the full text, so containment of
+# the planted doc in its parent is exactly 1000 milli while Jaccard
+# stays low) — and run the production-floor filter on it.  The planted
+# rows make the 800-milli branch non-vacuous at every SF, so the
+# production threshold is now hash-checked end to end.
+
+_X73B_OFFSET = 100000   # planted doc_id namespace (disjoint from corpus)
+_X73B_PREFIX = 120      # planted prefix length (113 shingles)
+_X73B_MINLEN = 480      # parents must be long enough for low Jaccard
+
+
+def _x73b_oracle() -> str:
+    planted_d = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
+d AS (SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + {_X73B_OFFSET} AS doc_id,
+             substr(text, 1, {_X73B_PREFIX}) AS text
+      FROM base WHERE length(text) >= {_X73B_MINLEN})"""
+    out = _sql_sub(
+        _x73_oracle(),
+        f"\nWITH d AS (SELECT doc_id, text FROM documents"
+        f" WHERE doc_id < {_X61_S})",
+        planted_d,
+    )
+    return _sql_sub(
+        out,
+        f"LEAST(na, nb) >= {_X73_CONT_FIXTURE}",
+        f"LEAST(na, nb) >= {_X73_CONT}",
+    )
+
+
+def planted_containment_corpus(docs: DataFrame, s_max: int = _X61_S) -> DataFrame:
+    """The x61 sample plus a planted prefix doc per long document — the
+    deterministic containment fixture both engines derive identically."""
+    base = docs.filter(F.col("doc_id") < s_max).select("doc_id", "text")
+    planted = base.filter(F.length("text") >= _X73B_MINLEN).select(
+        (F.col("doc_id") + _X73B_OFFSET).alias("doc_id"),
+        F.substring("text", 1, _X73B_PREFIX).alias("text"),
+    )
+    return base.unionByName(planted)
+
+
+@register("x73b_containment_production", _x73b_oracle())
+def x73b_containment_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73b containment audit at the PRODUCTION floor (800 milli) on
+    the planted-prefix corpus — the production threshold's semantics
+    under the cross-engine hash gate (ADVICE r10; the registered x73
+    covers the fixture floor on the raw corpus)."""
+    aug = planted_containment_corpus(load(spark, sf_dir, "documents"))
+    return containment_pairs(
+        aug, s_max=2 * _X73B_OFFSET, cont_milli=_X73_CONT
+    ).orderBy("da", "db", "containment_milli", "jaccard_milli")
+
+
+# -- x75: composed LSH preflight (cost + worth + containment, ONE join) ------
+#
+# VERDICT r10 #3: x61 (quality), x71 (banding forecast) and x73
+# (containment) all pay the identical sample-bounded exact-Jaccard
+# inverted-index join (~6 s each at sf0.1) — a session running the full
+# pre-flight paid it three times.  x75 is the composed audit: the
+# scored frame materializes ONCE (eager barrier) and all three audits
+# read the checkpointed blocks, so the combined pass costs ~1x the
+# single join (BASELINE.md bench row; plan gate pins the sharing).
+# Output is one tall hash-exact (section, metric, value) table — the
+# whole go/no-go dashboard a dedup run reads before committing to a
+# banding config.
+
+_X75_QUALITY_METRICS = (
+    "n_docs", "n_candidates", "n_truth", "n_hits",
+    "precision_milli", "recall_milli",
+)
+_X75_BANDING_METRICS = (
+    "n_scored_pairs", "n_true_pairs",
+    "exp_recall_milli", "exp_candidates_milli",
+)
+
+
+def _x75_oracle() -> str:
+    cand_sql = _sql_sub(
+        _sql_sub(
+            _X02_ORACLE,
+            "FROM documents",
+            f"FROM documents WHERE doc_id < {_X61_S}",
+        ),
+        "ORDER BY da, db",
+        "",
+    )
+    sections = [
+        "SELECT 'quality' AS section, 'n_docs' AS metric,"
+        " CAST(c AS BIGINT) AS value FROM nd",
+        "SELECT 'quality', 'n_candidates', CAST(c AS BIGINT) FROM ncd",
+        "SELECT 'quality', 'n_truth', CAST(c AS BIGINT) FROM nt",
+        "SELECT 'quality', 'n_hits', CAST(c AS BIGINT) FROM nh",
+        "SELECT 'quality', 'precision_milli',"
+        " CAST(CASE WHEN ncd.c = 0 THEN NULL"
+        " ELSE nh.c * 1000 // ncd.c END AS BIGINT) FROM ncd, nh",
+        "SELECT 'quality', 'recall_milli',"
+        " CAST(CASE WHEN nt.c = 0 THEN NULL"
+        " ELSE nh.c * 1000 // nt.c END AS BIGINT) FROM nt, nh",
+    ]
+    for b, r in _X71_CONFIGS:
+        sec = f"'banding_{b}x{r}'"
+        p = _collision_milli("jm", b, r, "//")
+        tru = "SUM(CASE WHEN jm >= 500 THEN 1 ELSE 0 END)"
+        sections += [
+            f"SELECT {sec}, 'n_scored_pairs', CAST(COUNT(*) AS BIGINT)"
+            " FROM jmv",
+            f"SELECT {sec}, 'n_true_pairs', CAST({tru} AS BIGINT) FROM jmv",
+            f"SELECT {sec}, 'exp_recall_milli',"
+            f" CAST(CASE WHEN {tru} = 0 THEN NULL"
+            f" ELSE SUM(CASE WHEN jm >= 500 THEN {p} ELSE 0 END) // {tru}"
+            " END AS BIGINT) FROM jmv",
+            f"SELECT {sec}, 'exp_candidates_milli', CAST(SUM({p}) AS BIGINT)"
+            " FROM jmv",
+        ]
+    flagged = f"cm >= {_X73_CONT_FIXTURE} AND jmm < 500"
+    sections += [
+        "SELECT 'containment', 'n_pairs',"
+        f" CAST(SUM(CASE WHEN {flagged} THEN 1 ELSE 0 END) AS BIGINT)"
+        " FROM cont",
+        "SELECT 'containment', 'max_containment_milli',"
+        f" CAST(MAX(CASE WHEN {flagged} THEN cm ELSE NULL END) AS BIGINT)"
+        " FROM cont",
+    ]
+    return (
+        f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < {_X61_S}),
+shx AS (SELECT DISTINCT doc_id, s FROM (
+  SELECT doc_id, UNNEST(list_transform(range(1, greatest(length(text)-7,1)+1),
+                 i -> substr(text, i, 8))) AS s FROM d)),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY doc_id),
+scored AS (
+  SELECT a.doc_id AS da, b.doc_id AS db,
+         CAST(COUNT(*) AS BIGINT) AS i,
+         CAST(MIN(sa.n) AS BIGINT) AS na, CAST(MIN(sb.n) AS BIGINT) AS nb
+  FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN sz sa ON sa.doc_id = a.doc_id
+  JOIN sz sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+cand AS (
+"""
+        + cand_sql
+        + """),
+truth AS (SELECT da, db FROM scored
+          WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5),
+nd AS (SELECT COUNT(*) AS c FROM d),
+ncd AS (SELECT COUNT(*) AS c FROM cand),
+nt AS (SELECT COUNT(*) AS c FROM truth),
+nh AS (SELECT COUNT(*) AS c FROM cand JOIN truth USING (da, db)),
+jmv AS (SELECT CAST(1000 * i // (na + nb - i) AS BIGINT) AS jm FROM scored),
+cont AS (SELECT CAST(1000 * i // LEAST(na, nb) AS BIGINT) AS cm,
+                CAST(1000 * i // (na + nb - i) AS BIGINT) AS jmm FROM scored)
+"""
+        + "\nUNION ALL\n".join(sections)
+        + "\nORDER BY section, metric, value"
+    )
+
+
+def lsh_preflight(
+    docs: DataFrame,
+    s_max: int = _X61_S,
+    tau: float = _X61_TAU,
+    cont_milli: int = _X73_CONT_FIXTURE,
+) -> DataFrame:
+    """The combined LSH pre-flight dashboard: x61's quality audit,
+    x71's banding forecast, and x73's containment summary as one tall
+    (section, metric, value) table — the exact-Jaccard inverted-index
+    join they share materializes ONCE (eager barrier) instead of three
+    times.  All values are exact long integers (NULL when a denominator
+    set is empty), so the composed audit stays hash-exact."""
+    sample = docs.filter(F.col("doc_id") < s_max)
+    # the ONE expensive frame: every downstream audit reads these
+    # checkpointed blocks (plan gate: no Generate/shingle-join below it)
+    scored = barrier(_exact_jaccard_scored(sample), eager=True)
+    q_tall = lsh_quality_audit(docs, s_max=s_max, tau=tau, scored=scored).selectExpr(
+        "'quality' AS section",
+        "stack(6, "
+        + ", ".join(f"'{m}', {m}" for m in _X75_QUALITY_METRICS)
+        + ") AS (metric, value)",
+    )
+    b_tall = banding_planner(docs, s_max=s_max, scored=scored).selectExpr(
+        "concat('banding_', bands, 'x', rows_per_band) AS section",
+        "stack(4, "
+        + ", ".join(f"'{m}', {m}" for m in _X75_BANDING_METRICS)
+        + ") AS (metric, value)",
+    )
+    c_tall = (
+        containment_pairs(
+            docs, s_max=s_max, cont_milli=cont_milli, scored=scored
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("containment_milli").cast("long")
+            .alias("max_containment_milli"),
+        )
+        .selectExpr(
+            "'containment' AS section",
+            "stack(2, 'n_pairs', n_pairs,"
+            " 'max_containment_milli', max_containment_milli)"
+            " AS (metric, value)",
+        )
+    )
+    return (
+        q_tall.unionByName(b_tall)
+        .unionByName(c_tall)
+        .select("section", "metric", F.col("value").cast("long"))
+    )
+
+
+@register("x75_lsh_preflight", _x75_oracle())
+def x75_lsh_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 composed LSH preflight: quality + banding forecast +
+    containment summary over ONE materialized exact-Jaccard frame
+    (VERDICT r10 #3 — the x61/x71/x73 trio paid the identical join
+    three times).  One tall hash-exact (section, metric, value) table;
+    ~1x the single join's cost instead of 3x."""
+    return lsh_preflight(load(spark, sf_dir, "documents")).orderBy(
+        "section", "metric", "value"
+    )

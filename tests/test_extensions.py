@@ -2326,6 +2326,72 @@ def test_sql_sub_guards_anchor_drift():
         _sql_sub("SELECT a FROM t", "FROM missing", "FROM u")
 
 
+def test_x75_preflight_matches_standalone_audits_and_shares_one_join(
+    spark, monkeypatch
+):
+    """VERDICT r10 #3: the composed preflight must (a) build the
+    exact-Jaccard scored frame exactly ONCE for all three audits and
+    (b) reproduce the standalone x61/x71/x73 outputs value-for-value."""
+    import cubefs_hadoop_spark.extensions.dedup as dd
+
+    calls = []
+    orig = dd._exact_jaccard_scored
+
+    def spy(docs):
+        calls.append(1)
+        return orig(docs)
+
+    monkeypatch.setattr(dd, "_exact_jaccard_scored", spy)
+    docs = load(spark, SF_SMOKE, "documents")
+    out = {
+        (r.section, r.metric): r.value
+        for r in dd.lsh_preflight(docs).collect()
+    }
+    assert calls == [1], "the scored join must be built exactly once"
+
+    q = dd.lsh_quality_audit(docs).first()
+    for m in dd._X75_QUALITY_METRICS:
+        assert out[("quality", m)] == q[m], m
+    for r in dd.banding_planner(docs).collect():
+        sec = f"banding_{r.bands}x{r.rows_per_band}"
+        for m in dd._X75_BANDING_METRICS:
+            assert out[(sec, m)] == r[m], (sec, m)
+    c = dd.containment_pairs(docs, cont_milli=dd._X73_CONT_FIXTURE).collect()
+    assert out[("containment", "n_pairs")] == len(c)
+    assert out[("containment", "max_containment_milli")] == max(
+        (r.containment_milli for r in c), default=None
+    )
+
+
+def test_x73b_planted_prefixes_are_fully_contained(spark):
+    """The planted-prefix corpus guarantees the production-floor branch
+    is non-vacuous: every (parent, planted-prefix) pair scores exactly
+    1000 milli containment (a prefix's char-8 shingles are a subset of
+    its parent's) with sub-tau Jaccard."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        _X73B_MINLEN,
+        _X73B_OFFSET,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    rows = QUERIES["x73b_containment_production"](spark, SF_SMOKE).collect()
+    assert rows, "planted corpus must emit production-floor rows"
+    planted_pairs = [
+        r for r in rows
+        if r.db >= _X73B_OFFSET and r.da == r.db - _X73B_OFFSET
+    ]
+    assert planted_pairs, "at least one (parent, planted-prefix) pair"
+    for r in planted_pairs:
+        assert r.containment_milli == 1000
+        assert r.jaccard_milli < 500
+    n_long = (
+        load(spark, SF_SMOKE, "documents")
+        .filter((F.col("doc_id") < 1000) & (F.length("text") >= _X73B_MINLEN))
+        .count()
+    )
+    assert len(planted_pairs) == n_long
+
+
 def test_x71_planner_matches_python_milli_arithmetic(spark):
     """The planner's integer-milli S-curve replays exactly in Python
     ints over the sample's jac-milli values, and the frontier laws

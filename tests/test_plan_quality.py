@@ -700,3 +700,27 @@ def test_x74_retention_shape(spark):
     assert a.nested_loop_joins == 0
     assert a.text.count("SinglePartition") == 0
     assert not a.has_python_eval
+
+
+def test_x75_preflight_reads_checkpointed_scored_frame(spark):
+    """x75: the composed preflight's returned plan must contain NO
+    shingle-explode Generate and no shingle self-join — the expensive
+    scored frame materialized once behind the eager barrier, so every
+    audit section reads checkpointed RDD blocks (the cand pipeline is
+    likewise behind its lazy barrier).  No Python anywhere."""
+    a = _audit(spark, "x75_lsh_preflight")
+    # the only Generates are the stack() melts — a shingle explode in
+    # the final plan would mean an audit rebuilt the join past the barrier
+    assert "explode" not in a.text, "shingle explode leaked past the barrier"
+    assert a.sort_merge_joins == 0
+    assert not a.has_python_eval
+    assert "Scan ExistingRDD" in a.text  # the checkpointed scored/cand blocks
+
+
+def test_x73b_production_floor_shape(spark):
+    """x73b: same bounded inverted-index join as x73, over the planted
+    corpus — the union adds a projection, not a join; no NLJ, no
+    Python."""
+    a = _audit(spark, "x73b_containment_production")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
