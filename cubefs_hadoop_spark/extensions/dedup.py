@@ -1441,7 +1441,17 @@ def mirror_matrix(docs: DataFrame) -> DataFrame:
     )
     sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
-    c = (
+    return mirror_from_counts(mirror_pair_cells(pairs, src))
+
+
+def mirror_pair_cells(pairs: DataFrame, src: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs) cells from a (da, db) pair frame
+    and a normalized (doc_id, source) map — the ADDITIVE sufficient
+    statistic the S23 streaming sink folds (pair attribution is
+    pair-local, so batch slicing cannot change any pair's cell)."""
+    sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
+    return (
         pairs.join(sa, "da")
         .join(sb, "db")
         .select(
@@ -1451,10 +1461,16 @@ def mirror_matrix(docs: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
-    return c.select(
+
+
+def mirror_from_counts(counts: DataFrame) -> DataFrame:
+    """Serve the x70 mirror table from folded (source_a, source_b,
+    n_pairs) cells: exact milli shares over the matrix (the matrix is
+    |sources|^2-bounded, so the share window is metadata-scale)."""
+    return counts.select(
         "source_a",
         "source_b",
-        "n_pairs",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
         F.expr("1000 * n_pairs div sum(n_pairs) over ()")
         .cast("long")
         .alias("share_milli"),

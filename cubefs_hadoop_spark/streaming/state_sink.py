@@ -518,3 +518,121 @@ def sink_funnel_state(
         additive_state_committer(state_dir, stats, [by, "stage"], ["n_docs"]),
         checkpoint_dir,
     )
+
+def _mirror_batch_cells(
+    batch: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    source_col: str,
+    text_col: str,
+) -> DataFrame:
+    """One micro-batch's (source_a, source_b, n_pairs) cells: the x02e
+    incremental probe (new-vs-index + within-batch candidate pairs —
+    each full-corpus pair is emitted exactly once, in the batch where
+    its LATER-arriving member lands), attributed through the persisted
+    (doc_id, source) map.  Publishes this batch's bands and source rows
+    under per-batch overwrite subdirectories, so a replayed batch
+    re-publishes identical files instead of appending duplicates (the
+    fold itself is skipped by the ledger watermark)."""
+    import os as _os
+
+    from cubefs_hadoop_spark.extensions.dedup import (
+        lsh_bands,
+        minhash_signature,
+        mirror_pair_cells,
+    )
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    spark = batch.sparkSession
+    bands_dir = _os.path.join(index_dir, "bands")
+    src_dir = _os.path.join(index_dir, "sources")
+    new_bands = barrier(
+        lsh_bands(minhash_signature(batch.select("doc_id", text_col))),
+        eager=False,
+    )
+    new_src = batch.select(
+        "doc_id", F.coalesce(source_col, F.lit("(null)")).alias("source")
+    )
+
+    within = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    src_all = new_src
+    pairs = within
+    if _os.path.exists(bands_dir):
+        idx = spark.read.parquet(bands_dir).select("band", "key", "doc_id")
+        cross = (
+            idx.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("da"),
+                F.greatest("a.doc_id", "b.doc_id").alias("db"),
+            )
+        )
+        pairs = cross.unionByName(within)
+        src_all = (
+            spark.read.parquet(src_dir)
+            .select("doc_id", "source")  # drop the batch= partition column
+            .unionByName(new_src)
+        )
+    # materialize the pair delta BEFORE publishing this batch's bands —
+    # otherwise the lazy cross join could list the just-written files at
+    # execution time (the union-distinct would still dedupe them, but
+    # the ordering should not rely on that)
+    pairs = barrier(pairs.distinct(), eager=True)
+    cells = mirror_pair_cells(pairs, src_all)
+    new_bands.write.mode("overwrite").parquet(
+        _os.path.join(bands_dir, f"batch={batch_id}")
+    )
+    new_src.write.mode("overwrite").parquet(
+        _os.path.join(src_dir, f"batch={batch_id}")
+    )
+    return cells
+
+
+def sink_mirror_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Stream documents into the x70 mirror-matrix state (S23): each
+    micro-batch probes the persisted LSH band index for the candidate
+    pairs its arrival creates (the x02e incremental delta — every
+    full-corpus pair surfaces exactly once, when its later member
+    arrives), attributes them by unordered source pair, and folds the
+    (source_a, source_b, n_pairs) cells into ``state_dir`` exactly once
+    under the shared ledger protocol.  The streamed counts bit-equal a
+    batch ``mirror_matrix`` rollup over everything ever ingested, and
+    ``dedup.mirror_from_counts`` serves the live mirror table (exact
+    milli shares) at any moment — the ingest-time answer to "which
+    source pairs are mirroring each other RIGHT NOW".  State is
+    O(|sources|^2) cells forever; per batch the work is one batch-scale
+    signature pass + one probe join against the band index (a fraction
+    of corpus bytes), never a corpus re-scan."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        def stats(batch: DataFrame) -> DataFrame:
+            return _mirror_batch_cells(
+                batch, index_dir, int(batch_id), source_col, text_col
+            )
+
+        additive_state_committer(
+            state_dir, stats, ["source_a", "source_b"], ["n_pairs"]
+        )(batch_df, batch_id)
+
+    _drain(sdf, commit, checkpoint_dir)

@@ -692,3 +692,60 @@ def test_streamed_funnel_state_serves_live_loss_table(spark, tmp_path):
         map(tuple, QUERIES["x63_rejection_funnel"](spark, SF_SMOKE).collect())
     )
     assert live == batch
+
+
+def test_streamed_mirror_state_bit_equals_batch_matrix(spark, tmp_path):
+    """S23: documents arriving as a 3-batch stream fold into the x70
+    mirror-matrix state via the x02e incremental probe (each candidate
+    pair surfaces exactly once, when its later member arrives); the
+    folded (source_a, source_b, n_pairs) cells are BIT-identical to a
+    batch mirror_matrix rollup over the whole corpus, and the derived
+    live table equals the registered x70 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.dedup import mirror_from_counts
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_mirror_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage_dir = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "mirror_state")
+    sink_mirror_state(
+        sdf, state, str(tmp_path / "ckpt"), str(tmp_path / "lsh_index")
+    )
+
+    folded = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in read_state(spark, state).collect()
+    }
+    batch_rows = QUERIES["x70_mirror_matrix"](spark, SF_SMOKE).collect()
+    full = {(r.source_a, r.source_b): r.n_pairs for r in batch_rows}
+    assert folded == full
+
+    live = sorted(
+        map(tuple, mirror_from_counts(read_state(spark, state)).collect())
+    )
+    assert live == sorted(map(tuple, batch_rows))
