@@ -96,6 +96,15 @@ BENCH_QUERIES = [
     "x72_oov_rate",
     "x73_containment_pairs",
     "x74_retention_cohorts",
+    # r11-new: the composed preflight (must bench ~1x the single shared
+    # join, not 3x — VERDICT r10 #3), the production-floor containment
+    # variant, and the three new audits (split balance, cluster purity,
+    # collocations)
+    "x75_lsh_preflight",
+    "x73b_containment_production",
+    "x76_stratified_eval_split",
+    "x77_cluster_purity",
+    "x78_collocation_lift",
 ]
 
 RUNS = 4

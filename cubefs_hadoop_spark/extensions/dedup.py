@@ -1951,3 +1951,88 @@ def x75_lsh_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_preflight(load(spark, sf_dir, "documents")).orderBy(
         "section", "metric", "value"
     )
+
+
+# -- x77: near-dup cluster source purity -------------------------------------
+#
+# x70 locates duplication by SOURCE PAIR at pair grain; x77 asks the
+# cluster-grain question: when near-dup clusters form, do they stay
+# inside one source (boilerplate — x16/x38's span removal is the fix)
+# or span several (mirror networks — drop whole feeds in x54's recipe)?
+# The rollup is the distribution of multi-doc clusters by their
+# distinct-source count: (n_sources, n_clusters, n_docs).  A corpus
+# whose dup mass sits at n_sources >= 2 dedups best at the source
+# level; n_sources = 1 mass points at template stripping.
+#
+# Scale (100 TB): x28's pipeline (bucketed LSH pairs -> size-tiered CC,
+# never all-pairs), one join of the duplicate-sized canon frame against
+# the (doc_id, source) projection, one partial-agg'd per-cluster
+# count-distinct (clusters are duplicate-sized), one metadata rollup.
+# The oracle extends x28's recursive closure end to end.
+
+_X77_ORACLE = _sql_sub(
+    _X28_ORACLE,
+    """SELECT node AS doc_id, MIN(lbl) AS canonical
+FROM reach GROUP BY node ORDER BY doc_id""",
+    """, canon AS (
+  SELECT node AS doc_id, MIN(lbl) AS canonical FROM reach GROUP BY node),
+src AS (SELECT doc_id, COALESCE(source, '(null)') AS source
+        FROM documents),
+cl AS (SELECT c.canonical, CAST(COUNT(*) AS BIGINT) AS sz,
+              CAST(COUNT(DISTINCT s.source) AS BIGINT) AS n_sources
+       FROM canon c JOIN src s USING (doc_id) GROUP BY c.canonical)
+SELECT n_sources, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM cl WHERE sz >= 2 GROUP BY n_sources
+ORDER BY n_sources, n_clusters, n_docs""",
+)
+
+
+def cluster_source_purity(docs: DataFrame) -> DataFrame:
+    """(n_sources, n_clusters, n_docs): multi-doc near-dup clusters
+    (x28's components) distributed by how many distinct sources they
+    span — 1 = within-source boilerplate, >= 2 = mirror networks."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    pairs = lsh_candidate_pairs(docs)
+    comps = connected_components_auto(pairs)
+    src = docs.select(
+        "doc_id", F.coalesce("source", F.lit("(null)")).alias("source")
+    )
+    canon = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("canonical")
+        )
+    )
+    cl = (
+        canon.join(src, "doc_id")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sz"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    return (
+        cl.filter(F.col("sz") >= 2)
+        .groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+    )
+
+
+@register("x77_cluster_purity", _X77_ORACLE)
+def x77_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 near-dup cluster source purity: the multi-doc cluster
+    distribution by distinct-source count, through x28's full
+    shingle -> MinHash -> LSH -> CC pipeline (oracle replays it as the
+    recursive closure) — routes between span-level and source-level
+    dedup at cluster grain, complementing x70's pair grain."""
+    return cluster_source_purity(load(spark, sf_dir, "documents")).orderBy(
+        "n_sources", "n_clusters", "n_docs"
+    )

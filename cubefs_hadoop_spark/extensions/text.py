@@ -964,3 +964,79 @@ def x72_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     x07 content-hash split — read before trusting eval numbers from any
     split, next to x66 (does the vocabulary plateau at all)."""
     return oov_rate(load(spark, sf_dir, "documents"))
+
+
+# -- x76: stratified split audit (per-source split balance) ------------------
+#
+# x07 assigns splits by content hash and x72 audits vocabulary coverage;
+# what neither answers is whether the hash split is BALANCED WITHIN each
+# stratum — the failure mode of any global split over a source-skewed
+# corpus (a source contributing 0.1% of docs can easily land 100%-train
+# by chance, silently dropping it from eval).  x76 is that audit: a
+# deterministic three-way content-hash split (train 12/16, val 2/16,
+# test 2/16 by the first md5 hex digit — x07's family, so the train
+# shard is a superset-compatible assignment) rolled up per (source,
+# split) with exact within-source milli shares.  Sources whose val/test
+# share collapses toward 0 are the alert rows.
+#
+# Scale (100 TB): the split is row-local codegen (one md5 per doc, no
+# shuffle); the rollup is one partial-agg'd groupBy on the bounded
+# (sources x 3) key; shares are a window over the metadata-sized
+# matrix.  Content-addressing keeps the assignment stable under
+# repartitioning, re-runs, and incremental ingest — rand(seed) is not.
+
+_X76_ORACLE = """
+WITH s AS (
+  SELECT COALESCE(source, '(null)') AS source,
+         CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+c AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM s GROUP BY source, split)
+SELECT source, split, n_docs,
+       CAST(1000 * n_docs // SUM(n_docs) OVER (PARTITION BY source)
+            AS BIGINT) AS share_milli
+FROM c
+ORDER BY source, split, n_docs, share_milli"""
+
+
+def stratified_split_audit(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, split, n_docs, share_milli): the x07-family three-way
+    content-hash split (md5 hex digit: <'c' train, <'e' val, else test)
+    audited per stratum — exact within-stratum milli shares over the
+    bounded (strata x 3) matrix."""
+    d = F.substring(F.md5(text_col), 1, 1)
+    c = (
+        docs.select(
+            F.coalesce(by, F.lit("(null)")).alias("source"),
+            F.when(d < "c", F.lit("train"))
+            .when(d < "e", F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return c.select(
+        "source",
+        "split",
+        "n_docs",
+        F.expr("1000 * n_docs div sum(n_docs) over (partition by source)")
+        .cast("long")
+        .alias("share_milli"),
+    )
+
+
+@register("x76_stratified_eval_split", _X76_ORACLE)
+def x76_stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76 stratified split audit: per-(source, split) counts and exact
+    within-source milli shares under the deterministic three-way
+    content-hash split — the "did any stratum lose its eval shard?"
+    check a source-skewed corpus needs before trusting per-source eval
+    numbers (reads next to x07's assignment and x72's OOV coverage)."""
+    return stratified_split_audit(load(spark, sf_dir, "documents")).orderBy(
+        "source", "split", "n_docs", "share_milli"
+    )

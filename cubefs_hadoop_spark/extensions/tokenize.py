@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 
@@ -1300,3 +1301,117 @@ def x66_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_docs", "docs_in_prefix", "new_tokens",
         "distinct_tokens"
     )
+
+
+# -- x78: collocation mining (top-k bigram lift) -----------------------------
+#
+# The multiword-expression miner between x39 (subword merges: which
+# CHARACTER pairs fuse) and x14b (packing: how sequences fill): which
+# WORD pairs co-occur far above chance.  Association is lift
+# P(w1 w2) / (P(w1) P(w2)) in exact integer millis —
+# 1000 * n_pair * n_tokens // (c1 * c2), the PMI exponent without the
+# log, so the score is hash-exact cross-engine (the x71 discipline:
+# forecasts of statistical structures are themselves integer-exact).
+# Top-k with a full deterministic tie order (lift desc, n_pair desc,
+# w1, w2) and a count floor against rare-word noise.  In production
+# the output seeds tokenizer vocab candidates ("new york",
+# "machine learning") and x38-style span templates.
+#
+# Scale (100 TB): bigram explode is corpus-token-sized but map-local;
+# counts are partial-agg'd groupBys on vocabulary-scale keys; the two
+# unigram attachments are vocab x vocab-pair joins (broadcastable
+# vocabularies in practice); the top-k is TakeOrderedAndProject, never
+# a global sort.  n_tokens rides as a plan literal (x52 pattern).
+
+_X78_K = 50
+_X78_MIN_PAIR = 5
+
+_X78_ORACLE = f"""
+WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+bg AS (SELECT UNNEST(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i+1])) AS b FROM ws),
+pc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY b),
+ug AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY w),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ug)
+SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, n_pair,
+       CAST(1000 * n_pair * nt.n // (u1.c * u2.c) AS BIGINT) AS lift_milli
+FROM pc
+JOIN ug u1 ON u1.w = split_part(b, ' ', 1)
+JOIN ug u2 ON u2.w = split_part(b, ' ', 2)
+CROSS JOIN nt
+WHERE n_pair >= {_X78_MIN_PAIR}
+ORDER BY lift_milli DESC, n_pair DESC, w1, w2
+LIMIT {_X78_K}"""
+
+
+def collocation_lift(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = _X78_K,
+    min_pair: int = _X78_MIN_PAIR,
+) -> DataFrame:
+    """(w1, w2, n_pair, lift_milli): the top-k adjacent word pairs by
+    integer-milli lift (co-occurrence over independence), deterministic
+    tie order, count floor ``min_pair``."""
+    ws = docs.select(F.split(text_col, " ").alias("ws"))
+    bg = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat_ws(' ', element_at(ws, i),"
+                    " element_at(ws, i + 1)))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pair))
+    )
+    ug = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ug = barrier(ug, eager=False)  # feeds the total AND both attachments
+    n_tokens = int(ug.agg(F.sum("c")).first()[0] or 0)
+    if n_tokens == 0:
+        raise ValueError("collocation_lift: empty documents frame")
+    u1 = ug.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = ug.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bg.select(
+            F.expr("split_part(b, ' ', 1)").alias("w1"),
+            F.expr("split_part(b, ' ', 2)").alias("w2"),
+            "n_pair",
+        )
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.expr(f"1000 * n_pair * {n_tokens} div (c1 * c2)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy(
+            F.col("lift_milli").desc(),
+            F.col("n_pair").desc(),
+            "w1",
+            "w2",
+        )
+        .limit(int(k))
+    )
+
+
+@register("x78_collocation_lift", _X78_ORACLE)
+def x78_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 collocation mining: top-50 adjacent word pairs by exact
+    integer-milli lift over independence (count floor 5, full
+    deterministic tie order) — the multiword-expression / vocab-seed
+    pass, TakeOrderedAndProject at the top, never a global sort."""
+    return collocation_lift(load(spark, sf_dir, "documents"))

@@ -2578,3 +2578,95 @@ def test_x71_milli_curve_properties():
     for b, r in _X71_CONFIGS:
         assert collide(0, b, r) == 0
         assert collide(1000, b, r) == 1000
+
+
+# round-11: x76 stratified split audit, x77 cluster purity, x78 collocations
+
+
+def test_x76_stratified_split_matches_python_reference(spark):
+    """The per-(source, split) counts replay exactly from hashlib md5 in
+    Python, splits partition the corpus, and within-source shares are
+    exact integer millis."""
+    import hashlib
+
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = QUERIES["x76_stratified_eval_split"](spark, SF_SMOKE).collect()
+    want: dict = {}
+    for r in docs.select("source", "text").collect():
+        d = hashlib.md5(r.text.encode()).hexdigest()[0]
+        split = "train" if d < "c" else ("val" if d < "e" else "test")
+        k = (r.source if r.source is not None else "(null)", split)
+        want[k] = want.get(k, 0) + 1
+    got = {(r.source, r.split): r.n_docs for r in rows}
+    assert got == want
+    assert sum(got.values()) == docs.count()
+    per_src: dict = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rs in per_src.items():
+        tot = sum(r.n_docs for r in rs)
+        for r in rs:
+            assert r.share_milli == 1000 * r.n_docs // tot, src
+
+
+def test_x77_cluster_purity_crafted(spark):
+    """Crafted corpus: one 2-doc within-source cluster and one 3-doc
+    two-source cluster land in the right purity cells; singletons are
+    excluded."""
+    from cubefs_hadoop_spark.extensions.dedup import cluster_source_purity
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words flow through this other document now"
+    docs = spark.createDataFrame(
+        [
+            (0, t1, "a"), (1, t1, "a"),
+            (2, t2, "a"), (3, t2, "b"), (4, t2, "b"),
+            (5, "unique text nothing shares with anyone", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.n_sources: (r.n_clusters, r.n_docs)
+        for r in cluster_source_purity(docs).collect()
+    }
+    assert got == {1: (1, 2), 2: (1, 3)}
+
+
+def test_x78_collocations_match_python_reference(spark):
+    """Top-k collocations replay exactly from a brute-force Python
+    reference with the same integer-milli lift and tie order."""
+    from cubefs_hadoop_spark.extensions.tokenize import collocation_lift
+
+    texts = [
+        "new york is a big city",
+        "new york has tall towers",
+        "a big city is new york",
+        "big towers in new york",
+        "the city has a big park",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.w1, r.w2, r.n_pair, r.lift_milli)
+        for r in collocation_lift(docs, k=10, min_pair=2).collect()
+    ]
+    ug: dict = {}
+    pc: dict = {}
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            ug[w] = ug.get(w, 0) + 1
+        for i in range(len(ws) - 1):
+            pc[(ws[i], ws[i + 1])] = pc.get((ws[i], ws[i + 1]), 0) + 1
+    n = sum(ug.values())
+    ref = [
+        (w1, w2, c, 1000 * c * n // (ug[w1] * ug[w2]))
+        for (w1, w2), c in pc.items()
+        if c >= 2
+    ]
+    ref.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
+    assert got == ref[:10]
+    assert ("new", "york") in {(g[0], g[1]) for g in got}

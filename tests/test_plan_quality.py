@@ -724,3 +724,33 @@ def test_x73b_production_floor_shape(spark):
     a = _audit(spark, "x73b_containment_production")
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x76_split_audit_shape(spark):
+    """x76: row-local md5 split in codegen, one bounded groupBy, the
+    share window partitioned by source (no SinglePartition over data) —
+    no joins, no Python."""
+    a = _audit(spark, "x76_stratified_eval_split")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x77_cluster_purity_shape(spark):
+    """x77: x28's pipeline + one duplicate-sized source attach + one
+    per-cluster count-distinct — no NLJ (never pairwise), no Python,
+    no SinglePartition."""
+    a = _audit(spark, "x77_cluster_purity")
+    assert a.nested_loop_joins == 0
+    assert a.text.count("SinglePartition") == 0
+    assert not a.has_python_eval
+
+
+def test_x78_collocations_topk_shape(spark):
+    """x78: partial-agg'd bigram/unigram counts, vocab-scale
+    attachments, and a TakeOrderedAndProject top-k — never a global
+    sort; no Python."""
+    a = _audit(spark, "x78_collocation_lift")
+    assert a.has_take_ordered
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
