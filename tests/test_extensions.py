@@ -2670,3 +2670,33 @@ def test_x78_collocations_match_python_reference(spark):
     ref.sort(key=lambda r: (-r[3], -r[2], r[0], r[1]))
     assert got == ref[:10]
     assert ("new", "york") in {(g[0], g[1]) for g in got}
+
+
+def test_hot_source_mirror_witness_rollups_stay_bounded(spark):
+    """VERDICT r10 #7 witness: a mirror-site corpus (one doc + 3 copies
+    under a 'mirror' tag) produces exactly the bounded cells the sf1
+    hot-source probe relies on — x70's hot off-diagonal + within-mirror
+    counts, x77's one 2-source cluster — and output stays matrix-sized
+    however hot the source."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        cluster_source_purity,
+        mirror_matrix,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(0, t1, "a")] + [(i, t1, "mirror") for i in (1, 2, 3)]
+    rows += [(9, "totally unrelated text nobody copies anywhere", "b")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    m = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in mirror_matrix(docs).collect()
+    }
+    # 4-doc cluster = 6 pairs: 3 cross (a x each mirror), 3 within-mirror
+    assert m == {("a", "mirror"): 3, ("mirror", "mirror"): 3}
+    p = {
+        r.n_sources: (r.n_clusters, r.n_docs)
+        for r in cluster_source_purity(docs).collect()
+    }
+    assert p == {2: (1, 4)}

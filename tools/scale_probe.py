@@ -83,6 +83,18 @@ SF1_WATCH = [
     "x72_oov_rate",
     "x73_containment_pairs",
     "x74_retention_cohorts",
+    # r11-new operators: 100x evidence from first registration.  x75
+    # composes the sample-bounded x61/x71/x73 trio over ONE shared
+    # join, so its sf1 row must show both the bound's flatness and the
+    # ~1x-not-3x sharing; x73b is the same bounded join over the
+    # planted corpus; x77 rides x28's known-flat LSH+CC path; x76 is
+    # one corpus scan + bounded groupBy; x78's growth is vocabulary-
+    # scale (its unigram/bigram counts), not corpus-scale.
+    "x73b_containment_production",
+    "x75_lsh_preflight",
+    "x76_stratified_eval_split",
+    "x77_cluster_purity",
+    "x78_collocation_lift",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -177,6 +189,12 @@ PROBE_QUERIES = [
     "x72_oov_rate",
     "x73_containment_pairs",
     "x74_retention_cohorts",
+    # r11-new operators
+    "x73b_containment_production",
+    "x75_lsh_preflight",
+    "x76_stratified_eval_split",
+    "x77_cluster_purity",
+    "x78_collocation_lift",
 ]
 
 
@@ -400,6 +418,82 @@ def main() -> None:
             "|---|---|",
             f"| x34 sessionize (single user-keyed window) | {t_plain:.2f}s |",
             f"| x34b sessionize_bucketed (user, day) + stitch | {t_bkt:.2f}s |",
+            "",
+        ]
+
+        # hot-source mirror probe (VERDICT r10 item 7): x69 rides x28's
+        # CC and x70 rides the x02 pair frame — both were only probed on
+        # the uniform sfprobe1.  Derive a MIRROR-SITE shape: every 10th
+        # document of the alphabetically-first source re-appears 4x under
+        # one new source tag ('mirror0', disjoint doc_id namespaces), so
+        # the pair frame gains bounded 5-doc clusters (10 pairs each),
+        # the x70 matrix gains one hot off-diagonal cell, and x69's
+        # groupBy(canonical) sees the hot clusters.  The derived table is
+        # probe-only evidence, never a fixture.
+        sk_doc = os.path.join(skew_dir, "documents.parquet")
+        if not os.path.isdir(sk_doc):
+            from pyspark.sql import functions as F
+
+            dc = spark.read.parquet(os.path.join(sf1_dir, "documents.parquet"))
+            first_src = dc.agg(F.min("source")).first()[0]
+            base = dc.where(
+                (F.col("source") == first_src) & (F.col("doc_id") % 10 == 0)
+            )
+            hi = int(dc.agg(F.max("doc_id")).first()[0]) + 1
+            copies = [
+                base.select(
+                    (F.col("doc_id") + (k + 1) * hi).alias("doc_id"),
+                    "text",
+                    "lang",
+                    F.lit("mirror0").alias("source"),
+                    "n_chars",
+                )
+                for k in range(4)
+            ]
+            out = dc
+            for c in copies:
+                out = out.unionByName(c)
+            out.write.mode("overwrite").parquet(sk_doc)
+        import shutil as _shutil
+
+        for t in ("embeddings", "events"):
+            dst = os.path.join(skew_dir, f"{t}.parquet")
+            if not os.path.exists(dst):
+                src = os.path.join(sf1_dir, f"{t}.parquet")
+                if os.path.isdir(src):
+                    _shutil.copytree(src, dst)
+                else:
+                    _shutil.copy(src, dst)
+        hot_rows = []
+        for name in ("x69_dedup_token_yield", "x70_mirror_matrix",
+                     "x77_cluster_purity"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).collect()
+            t_uni = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_out = len(QUERIES[name](spark, skew_dir).collect())
+            t_hot = time.perf_counter() - t0
+            hot_rows.append(
+                f"| {name} | {t_uni:.2f}s | {t_hot:.2f}s |"
+                f" {t_hot / max(t_uni, 1e-9):.1f}x | {n_out} |"
+            )
+        lines += [
+            "### hot-source mirror probe (x69/x70/x77 at sf1)",
+            "",
+            f"`{sk_doc}`: sfprobe1 documents plus 4 mirror copies of",
+            "every 10th doc of the first source under one new 'mirror0'",
+            "tag (disjoint doc_id namespaces) — the mirror-site shape.",
+            "Pair growth is bounded by construction (5-doc clusters, 10",
+            "pairs each — duplicate-sized, never quadratic in the",
+            "source), so the dedup-audit rollups must stay metadata-",
+            "sized: output rows stay O(sources^2)/O(sizes) and runtime",
+            "stays in family with the uniform probe.",
+            "",
+            "| query | uniform sf1 | hot-source sf1 | ratio | out rows |",
+            "|---|---|---|---|---|",
+            *hot_rows,
             "",
         ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
