@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "x76_stratified_eval_split",
     "x77_cluster_purity",
     "x78_collocation_lift",
+    # r11 late additions (separate single-protocol baselines B61/B62)
+    "x79_ngram_dup_curve",
+    "x80_label_separation",
 ]
 
 RUNS = 4

@@ -1532,3 +1532,121 @@ def x53_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_audit(srp_signatures(emb, hp)).orderBy(
         "band", "n_buckets", "max_bucket", "cand_pairs", "top_share_milli"
     )
+
+
+# -- x80: label separation audit (Fisher-style, sufficient statistics) -------
+#
+# The GEOMETRY pre-flight for everything that trusts labels in
+# embedding space (x31 centroids, x32 prototypes, x36 NCM inference,
+# S16's streamed centroid state): are the label clusters actually
+# separable, or is NCM about to classify noise?  Per label, the
+# within-cluster scatter (mean squared distance to own centroid) and
+# the between term (squared distance of the label centroid to the
+# global centroid), plus their Fisher-style ratio in exact integer
+# millis.  Labels whose ratio ~ 0 sit inside the global blob —
+# pseudo-labeling on them is wishful thinking.
+#
+# Everything derives from the (label, dim) sufficient statistics
+# (Σ em, Σ em², n) — ONE partial-agg'd corpus pass at O(labels x dims)
+# state, the x31 milli discipline (floor(v*1000) vectors,
+# floor-division centroids), so the audit of the float structure is
+# itself hash-exact.  within = Σ_d (s2 - 2·c·s1 + n·c²) div n uses the
+# INTEGER centroid c, identically in both engines — no FP anywhere.
+
+_X80_ORACLE = """
+WITH ex AS (
+  SELECT label,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS em,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings),
+per AS (
+  SELECT label, dim, CAST(SUM(em) AS BIGINT) AS s1,
+         CAST(SUM(em*em) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ex GROUP BY label, dim),
+gl AS (
+  SELECT dim, CAST(FLOOR(CAST(SUM(em) AS DOUBLE)/COUNT(*)) AS BIGINT) AS g
+  FROM ex GROUP BY dim),
+lc AS (
+  SELECT p.label, p.dim, p.s1, p.s2, p.n,
+         CAST(FLOOR(CAST(p.s1 AS DOUBLE)/p.n) AS BIGINT) AS c, g.g
+  FROM per p JOIN gl g ON p.dim = g.dim),
+agg AS (
+  SELECT label, CAST(MAX(n) AS BIGINT) AS n_vectors,
+         CAST(SUM(s2 - 2*c*s1 + n*c*c) // MAX(n) AS BIGINT)
+             AS within_mmicro,
+         CAST(SUM((c - g)*(c - g)) AS BIGINT) AS sep_mmicro
+  FROM lc GROUP BY label)
+SELECT label, n_vectors, within_mmicro, sep_mmicro,
+       CAST(CASE WHEN within_mmicro = 0 THEN NULL
+            ELSE 1000 * sep_mmicro // within_mmicro END AS BIGINT)
+           AS fisher_milli
+FROM agg ORDER BY label, n_vectors, within_mmicro, sep_mmicro,
+         fisher_milli"""
+
+
+def label_separation(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, n_vectors, within_mmicro, sep_mmicro, fisher_milli):
+    within-cluster scatter vs centroid-to-global separation per label,
+    all from one (label, dim) sufficient-statistic pass in exact
+    integer milli arithmetic."""
+    ex = emb.select(
+        label_col, F.posexplode(_milli_expr(vec_col)).alias("dim", "em")
+    )
+    ex = barrier(ex, eager=False)  # feeds the per-label AND global aggs
+    per = ex.groupBy(label_col, "dim").agg(
+        F.sum("em").cast("long").alias("s1"),
+        F.sum(F.col("em") * F.col("em")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    gl = (
+        ex.groupBy("dim")
+        .agg(
+            F.floor(
+                F.sum("em").cast("double") / F.count(F.lit(1))
+            ).cast("long").alias("g")
+        )
+    )
+    lc = per.select(
+        label_col,
+        "dim",
+        "s1",
+        "s2",
+        "n",
+        F.floor(F.col("s1").cast("double") / F.col("n"))
+        .cast("long")
+        .alias("c"),
+    ).join(F.broadcast(gl), "dim")
+    agg = lc.groupBy(label_col).agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.expr("sum(s2 - 2*c*s1 + n*c*c) div max(n)")
+        .cast("long")
+        .alias("within_mmicro"),
+        F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))
+        .cast("long")
+        .alias("sep_mmicro"),
+    )
+    return agg.select(
+        label_col,
+        "n_vectors",
+        "within_mmicro",
+        "sep_mmicro",
+        F.expr(
+            "case when within_mmicro = 0 then null"
+            " else 1000 * sep_mmicro div within_mmicro end"
+        ).cast("long").alias("fisher_milli"),
+    )
+
+
+@register("x80_label_separation", _X80_ORACLE)
+def x80_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 label-geometry audit: per-label within-scatter, separation
+    from the global centroid, and their Fisher-style milli ratio — read
+    before trusting x36 NCM inference or x31-centroid pseudo-labeling.
+    One sufficient-statistic pass, O(labels x dims) state, hash-exact
+    integer arithmetic end to end."""
+    return label_separation(load(spark, sf_dir, "embeddings")).orderBy(
+        "label", "n_vectors", "within_mmicro", "sep_mmicro", "fisher_milli"
+    )

@@ -1040,3 +1040,106 @@ def x76_stratified_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_split_audit(load(spark, sf_dir, "documents")).orderBy(
         "source", "split", "n_docs", "share_milli"
     )
+
+
+# -- x79: duplicate n-gram curve (repetition mass per granularity) -----------
+#
+# x29 scores per-DOC novelty at one n; x38 finds exact 16-word spans;
+# what neither shows is the CORPUS-level repetition profile: at each
+# granularity n, what fraction of all n-gram occurrences are repeats of
+# an earlier occurrence — 1 - distinct/total.  The curve's shape is the
+# diagnostic: high dup mass at n=1 is just Zipf (every corpus repeats
+# words); dup mass that stays high out to n=8 is template/boilerplate
+# text, exactly what x16/x38 remove.  Reading the curve BEFORE a dedup
+# pass says which granularity the pipeline should attack (the
+# RefinedWeb/Gopher-style "repetition fractions" table, corpus-grain).
+#
+# Scale (100 TB): per n one explode (map-local, rides the scan) and one
+# vocabulary-scale distinct-count groupBy — the same shape as x66's
+# first-appearance pass; output is one row per n.  The four n values
+# share nothing but the scan, so a combined pass is a union of four
+# independent partial-agg'd aggregates (Spark schedules them as one
+# job per action; at cluster scale they pipeline off one cached scan).
+
+_X79_NS = (1, 2, 4, 8)
+
+
+def _x79_oracle() -> str:
+    parts = []
+    for n in _X79_NS:
+        if n == 1:
+            grams = "SELECT UNNEST(string_split(text, ' ')) AS gm FROM documents"
+        else:
+            grams = (
+                "SELECT UNNEST(list_transform("
+                f"range(1, greatest(len(ws) - {n} + 1, 0) + 1),"
+                f" i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS gm"
+                " FROM (SELECT string_split(text, ' ') AS ws FROM documents)"
+            )
+        parts.append(
+            f"""SELECT CAST({n} AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+       CAST(COUNT(DISTINCT gm) AS BIGINT) AS distinct_ngrams,
+       CAST(CASE WHEN COUNT(*) = 0 THEN NULL
+            ELSE 1000 * (COUNT(*) - COUNT(DISTINCT gm)) // COUNT(*) END
+         AS BIGINT) AS dup_milli
+FROM ({grams})"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY n, total_ngrams, distinct_ngrams, dup_milli"
+
+
+def ngram_dup_curve(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(n, total_ngrams, distinct_ngrams, dup_milli) for n in 1/2/4/8:
+    the corpus repetition profile — what fraction of n-gram occurrences
+    are repeats, per granularity."""
+    spark = docs.sparkSession
+    outs = []
+    for n in _X79_NS:
+        if n == 1:
+            gm = docs.select(
+                F.explode(F.split(text_col, " ")).alias("gm")
+            )
+        else:
+            gm = (
+                docs.select(F.split(text_col, " ").alias("ws"))
+                .select(
+                    F.explode(
+                        F.expr(
+                            f"case when size(ws) >= {n} then"
+                            f" transform(sequence(1, size(ws) - {n} + 1),"
+                            f" i -> concat_ws(' ', slice(ws, i, {n})))"
+                            " else array() end"
+                        )
+                    ).alias("gm")
+                )
+            )
+        outs.append(
+            gm.agg(
+                F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+                F.countDistinct("gm").cast("long").alias("distinct_ngrams"),
+            ).select(
+                F.lit(n).cast("long").alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                F.expr(
+                    "case when total_ngrams = 0 then null else"
+                    " 1000 * (total_ngrams - distinct_ngrams)"
+                    " div total_ngrams end"
+                ).cast("long").alias("dup_milli"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register("x79_ngram_dup_curve", _x79_oracle())
+def x79_ngram_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 corpus repetition profile: duplicate n-gram mass at n =
+    1/2/4/8 — Zipf-only corpora decay fast with n, template-heavy
+    corpora stay high out to n=8 (x16/x38's target).  One explode +
+    one vocabulary-scale distinct per n, one row per n."""
+    return ngram_dup_curve(load(spark, sf_dir, "documents")).orderBy(
+        "n", "total_ngrams", "distinct_ngrams", "dup_milli"
+    )

@@ -29,7 +29,8 @@ _R11_NEW = [
     # round-11-new operators: first driver rows
     "x73b_containment_production", "x75_lsh_preflight",
     "x76_stratified_eval_split", "x77_cluster_purity",
-    "x78_collocation_lift",
+    "x78_collocation_lift", "x79_ngram_dup_curve",
+    "x80_label_separation",
 ]
 _R07_REMAINING = [
     # the 39 r07 greens displaced from the r10 window, r07 order

@@ -2700,3 +2700,114 @@ def test_hot_source_mirror_witness_rollups_stay_bounded(spark):
         for r in cluster_source_purity(docs).collect()
     }
     assert p == {2: (1, 4)}
+
+
+def test_x79_dup_curve_matches_python_reference(spark):
+    """The repetition curve replays exactly from brute-force Python
+    n-gram counting, and the curve laws hold (distinct <= total,
+    dup_milli = floor ratio)."""
+    from cubefs_hadoop_spark.extensions.text import ngram_dup_curve
+
+    texts = [
+        "a b c a b c a b",
+        "a b c d e f g h",
+        "x",
+        "a b",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.n: (r.total_ngrams, r.distinct_ngrams, r.dup_milli)
+        for r in ngram_dup_curve(docs).collect()
+    }
+    for n in (1, 2, 4, 8):
+        grams = []
+        for t in texts:
+            ws = t.split(" ")
+            grams += [
+                " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+            ]
+        tot, dis = len(grams), len(set(grams))
+        want = (tot, dis, 1000 * (tot - dis) // tot if tot else None)
+        assert got[n] == want, n
+    fixture = load(spark, SF_SMOKE, "documents")
+    rows = sorted(ngram_dup_curve(fixture).collect(), key=lambda r: r.n)
+    assert [r.n for r in rows] == [1, 2, 4, 8]
+    for r in rows:
+        assert r.distinct_ngrams <= r.total_ngrams
+        assert r.dup_milli == 1000 * (
+            r.total_ngrams - r.distinct_ngrams
+        ) // r.total_ngrams
+    # repetition mass cannot grow with n on any corpus where longer
+    # repeats imply shorter ones (our fixtures): weak monotone check
+    assert rows[0].dup_milli >= rows[-1].dup_milli
+
+
+def test_x80_label_separation_crafted_and_replay(spark):
+    """Two tight, far-apart labels score high fisher ratios; a label
+    sitting inside the global blob scores near zero; values replay
+    exactly in Python floor-milli arithmetic."""
+    import math
+
+    from cubefs_hadoop_spark.extensions.semantic import label_separation
+
+    rows = []
+    # label 0: tight cluster at (+1, 0); label 1: tight at (-1, 0);
+    # label 2: spread across both (the blob)
+    pts = {
+        0: [(1.0, 0.01), (1.0, -0.01), (0.99, 0.0)],
+        1: [(-1.0, 0.01), (-1.0, -0.01), (-0.99, 0.0)],
+        2: [(0.9, 0.0), (-0.9, 0.0), (0.0, 0.9), (0.0, -0.9)],
+    }
+    i = 0
+    for lbl, vs in pts.items():
+        for v in vs:
+            rows.append((i, list(v), lbl))
+            i += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.label: (r.n_vectors, r.within_mmicro, r.sep_mmicro,
+                  r.fisher_milli)
+        for r in label_separation(emb).collect()
+    }
+
+    # Python replay with the exact floor-milli arithmetic; values
+    # round-trip through float32 first (the column is array<float>, so
+    # Spark and DuckDB both see the float32-quantized values)
+    import numpy as np
+
+    em = {
+        lbl: [
+            [math.floor(float(np.float32(x)) * 1000) for x in v]
+            for v in vs
+        ]
+        for lbl, vs in pts.items()
+    }
+    alldims = 2
+    gsum = [0] * alldims
+    gn = 0
+    for vs in em.values():
+        for v in vs:
+            for d in range(alldims):
+                gsum[d] += v[d]
+            gn += 1
+    g = [math.floor(gsum[d] / gn) for d in range(alldims)]
+    for lbl, vs in em.items():
+        n = len(vs)
+        s1 = [sum(v[d] for v in vs) for d in range(alldims)]
+        s2 = [sum(v[d] * v[d] for v in vs) for d in range(alldims)]
+        c = [math.floor(s1[d] / n) for d in range(alldims)]
+        within_sum = sum(
+            s2[d] - 2 * c[d] * s1[d] + n * c[d] * c[d]
+            for d in range(alldims)
+        )
+        within = within_sum // n
+        sep = sum((c[d] - g[d]) ** 2 for d in range(alldims))
+        fisher = (1000 * sep // within) if within else None
+        assert got[lbl] == (n, within, sep, fisher), lbl
+    # the geometry reads correctly: tight+far labels separate, blob not
+    assert got[0][3] > 100 * max(got[2][3], 1)
+    assert got[1][3] > 100 * max(got[2][3], 1)

@@ -754,3 +754,22 @@ def test_x78_collocations_topk_shape(spark):
     assert a.has_take_ordered
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x79_dup_curve_shape(spark):
+    """x79: four independent partial-agg'd count/distinct aggregates
+    riding the scan — no joins, no Python; the only SinglePartition
+    frames are the four 1-row final aggregates."""
+    a = _audit(spark, "x79_ngram_dup_curve")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x80_label_separation_shape(spark):
+    """x80: one sufficient-statistic pass; the global-centroid attach
+    is a 64-row broadcast (never SMJ); no Python, no NLJ."""
+    a = _audit(spark, "x80_label_separation")
+    assert a.broadcast_joins >= 1
+    assert a.sort_merge_joins == 0
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval

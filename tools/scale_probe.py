@@ -95,6 +95,8 @@ SF1_WATCH = [
     "x76_stratified_eval_split",
     "x77_cluster_purity",
     "x78_collocation_lift",
+    "x79_ngram_dup_curve",
+    "x80_label_separation",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -195,6 +197,8 @@ PROBE_QUERIES = [
     "x76_stratified_eval_split",
     "x77_cluster_purity",
     "x78_collocation_lift",
+    "x79_ngram_dup_curve",
+    "x80_label_separation",
 ]
 
 
