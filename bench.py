@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     # r11 late additions (separate single-protocol baselines B61/B62)
     "x79_ngram_dup_curve",
     "x80_label_separation",
+    "x81_neardup_pagerank",
 ]
 
 RUNS = 4

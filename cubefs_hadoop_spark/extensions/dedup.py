@@ -2036,3 +2036,101 @@ def x77_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_source_purity(load(spark, sf_dir, "documents")).orderBy(
         "n_sources", "n_clusters", "n_docs"
     )
+
+
+# -- x81: PageRank centrality over the near-dup graph ------------------------
+#
+# The ITERATIVE-GRAPH member of the dedup family: x28 answers "which
+# docs are the same" (components), x46 gives local adjacency; x81 ranks
+# nodes by global graph centrality — standard PageRank power iteration
+# over the symmetrized x02 candidate graph.  High-centrality nodes are
+# the HUBS of duplication (the template a hundred pages embed, the
+# origin a mirror network radiates from): a centrality-aware canonical
+# election keeps the hub (x55's quality signal swapped for pr_milli),
+# and centrality ranks which cluster to audit first.
+#
+# Determinism: the whole iteration runs in INTEGER MILLI arithmetic —
+# p_0 = 1000; p_{k+1}(v) = 150 + 850 * (Σ_{u->v} p_k(u) div deg(u))
+# div 1000 — floor at every step, identical expression text in both
+# engines (the x71 discipline for iterative structures).  The iteration
+# count is FIXED (8), so the oracle simply UNROLLS it as chained CTEs —
+# no recursive-aggregate support needed from either engine.
+#
+# Scale (100 TB): the edge frame is duplicate-sized (x02's bucket
+# bound, never corpus^2); each iteration is ONE equi-join of the edge
+# frame against the O(nodes) rank frame + one partial-agg'd groupBy —
+# the standard distributed PageRank shape; lineage is cut per
+# iteration (barrier), the x28/components discipline, so 8 iterations
+# never build an 8-deep join tree.  Symmetrized edges mean no dangling
+# nodes (every node has in- and out-degree >= 1).
+
+_X81_ITERS = 8
+
+
+def _x81_oracle() -> str:
+    head = (
+        "WITH pairs AS (\n"
+        + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
+        + """),
+ed AS (SELECT da AS s, db AS d FROM pairs
+       UNION ALL SELECT db AS s, da AS d FROM pairs),
+dg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY s),
+pr0 AS (SELECT s AS doc_id, CAST(1000 AS BIGINT) AS p FROM dg)"""
+    )
+    cte = []
+    for k in range(1, _X81_ITERS + 1):
+        cte.append(
+            f""",
+c{k} AS (SELECT ed.d AS doc_id, SUM(pr{k - 1}.p // dg.deg) AS sm
+        FROM ed JOIN dg ON dg.s = ed.s
+        JOIN pr{k - 1} ON pr{k - 1}.doc_id = ed.s
+        GROUP BY ed.d),
+pr{k} AS (SELECT doc_id, CAST(150 + (850 * sm) // 1000 AS BIGINT) AS p
+         FROM c{k})"""
+        )
+    return (
+        head
+        + "".join(cte)
+        + f"\nSELECT doc_id, p AS pr_milli FROM pr{_X81_ITERS}"
+        " ORDER BY doc_id, pr_milli"
+    )
+
+
+def neardup_pagerank(docs: DataFrame, iters: int = _X81_ITERS) -> DataFrame:
+    """(doc_id, pr_milli): integer-milli PageRank (teleport 0.15, fixed
+    ``iters`` power iterations) over the symmetrized x02 candidate
+    graph — duplication-hub centrality for paired documents."""
+    pairs = lsh_candidate_pairs(docs)
+    fwd = pairs.select(F.col("da").alias("s"), F.col("db").alias("d"))
+    rev = pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
+    ed = fwd.unionByName(rev)
+    dg = ed.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    e2 = barrier(ed.join(dg, "s"), eager=False)  # (s, d, deg), reused 8x
+    pr = dg.select(F.col("s").alias("doc_id"), F.lit(1000).cast("long").alias("p"))
+    for _ in range(int(iters)):
+        contrib = (
+            e2.join(pr.withColumnRenamed("doc_id", "s"), "s")
+            .select("d", F.expr("p div deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("sm"))
+        )
+        pr = contrib.select(
+            F.col("d").alias("doc_id"),
+            (F.lit(150) + F.expr("850 * sm div 1000")).cast("long").alias("p"),
+        )
+        # cut lineage per iteration — 8 power steps must not stack into
+        # one 8-deep join tree (the x28/components discipline)
+        pr = barrier(pr, eager=False)
+    return pr.select("doc_id", F.col("p").alias("pr_milli"))
+
+
+@register("x81_neardup_pagerank", _x81_oracle())
+def x81_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 duplication-hub centrality: 8 integer-milli PageRank power
+    iterations over the symmetrized LSH candidate graph, oracle-
+    replayed as unrolled CTEs — hubs are the templates/origins a
+    centrality-aware canonical election should keep (swap pr_milli
+    into x55's election) and the clusters to audit first."""
+    return neardup_pagerank(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "pr_milli"
+    )

@@ -2811,3 +2811,43 @@ def test_x80_label_separation_crafted_and_replay(spark):
     # the geometry reads correctly: tight+far labels separate, blob not
     assert got[0][3] > 100 * max(got[2][3], 1)
     assert got[1][3] > 100 * max(got[2][3], 1)
+
+
+def test_x81_pagerank_matches_python_power_iteration(spark):
+    """The integer-milli PageRank replays exactly in Python over a
+    crafted graph (a 3-clique plus an attached pendant through shared
+    text), and the centrality reads correctly: the hub node out-ranks
+    the pendant."""
+    from cubefs_hadoop_spark.extensions.dedup import (
+        _X81_ITERS,
+        lsh_candidate_pairs,
+        neardup_pagerank,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, t1), (1, t1), (2, t1), (3, t1 + " extra trailing suffix")],
+        "doc_id long, text string",
+    )
+    pairs = [(r.da, r.db) for r in lsh_candidate_pairs(docs).collect()]
+    assert pairs, "crafted corpus must produce candidate pairs"
+    got = {
+        r.doc_id: r.pr_milli for r in neardup_pagerank(docs).collect()
+    }
+
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    p = {v: 1000 for v in adj}
+    for _ in range(_X81_ITERS):
+        s = {v: 0 for v in adj}
+        for u, nbrs in adj.items():
+            share = p[u] // len(nbrs)
+            for v in nbrs:
+                s[v] += share
+        p = {v: 150 + (850 * s[v]) // 1000 for v in adj}
+    assert got == p
+    # if node 3 is only weakly attached, clique members out-rank it
+    if len(adj.get(3, [])) < 3:
+        assert got[0] >= got[3]

@@ -773,3 +773,14 @@ def test_x80_label_separation_shape(spark):
     assert a.sort_merge_joins == 0
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x81_pagerank_iterations_are_lineage_cut(spark):
+    """x81: the returned plan reads the LAST iteration's checkpointed
+    frame — no 8-deep join tree, no explode, no Python; the final
+    projection is one RDD scan."""
+    a = _audit(spark, "x81_neardup_pagerank")
+    assert "Scan ExistingRDD" in a.text
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins <= 1
+    assert "explode" not in a.text
+    assert not a.has_python_eval

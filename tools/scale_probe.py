@@ -97,6 +97,7 @@ SF1_WATCH = [
     "x78_collocation_lift",
     "x79_ngram_dup_curve",
     "x80_label_separation",
+    "x81_neardup_pagerank",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -199,6 +200,7 @@ PROBE_QUERIES = [
     "x78_collocation_lift",
     "x79_ngram_dup_curve",
     "x80_label_separation",
+    "x81_neardup_pagerank",
 ]
 
 
