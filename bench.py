@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "x79_ngram_dup_curve",
     "x80_label_separation",
     "x81_neardup_pagerank",
+    "x82_centrality_canonical",
 ]
 
 RUNS = 4

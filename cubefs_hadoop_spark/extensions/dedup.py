@@ -2099,29 +2099,10 @@ pr{k} AS (SELECT doc_id, CAST(150 + (850 * sm) // 1000 AS BIGINT) AS p
 def neardup_pagerank(docs: DataFrame, iters: int = _X81_ITERS) -> DataFrame:
     """(doc_id, pr_milli): integer-milli PageRank (teleport 0.15, fixed
     ``iters`` power iterations) over the symmetrized x02 candidate
-    graph — duplication-hub centrality for paired documents."""
-    pairs = lsh_candidate_pairs(docs)
-    fwd = pairs.select(F.col("da").alias("s"), F.col("db").alias("d"))
-    rev = pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
-    ed = fwd.unionByName(rev)
-    dg = ed.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    e2 = barrier(ed.join(dg, "s"), eager=False)  # (s, d, deg), reused 8x
-    pr = dg.select(F.col("s").alias("doc_id"), F.lit(1000).cast("long").alias("p"))
-    for _ in range(int(iters)):
-        contrib = (
-            e2.join(pr.withColumnRenamed("doc_id", "s"), "s")
-            .select("d", F.expr("p div deg").alias("c"))
-            .groupBy("d")
-            .agg(F.sum("c").alias("sm"))
-        )
-        pr = contrib.select(
-            F.col("d").alias("doc_id"),
-            (F.lit(150) + F.expr("850 * sm div 1000")).cast("long").alias("p"),
-        )
-        # cut lineage per iteration — 8 power steps must not stack into
-        # one 8-deep join tree (the x28/components discipline)
-        pr = barrier(pr, eager=False)
-    return pr.select("doc_id", F.col("p").alias("pr_milli"))
+    graph — duplication-hub centrality for paired documents.  Delegates
+    to ``neardup_pagerank_from_pairs`` (defined with x82, which shares
+    one barriered pair frame between CC and rank)."""
+    return neardup_pagerank_from_pairs(lsh_candidate_pairs(docs), iters)
 
 
 @register("x81_neardup_pagerank", _x81_oracle())
@@ -2133,4 +2114,151 @@ def x81_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     into x55's election) and the clusters to audit first."""
     return neardup_pagerank(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "pr_milli"
+    )
+
+
+# -- x82: centrality-canonical election (keep the HUB copy) ------------------
+#
+# The composition x81 was built for: x28 keeps the FIRST copy (min id),
+# x55 the BEST copy (quality argmax); x82 keeps the most CENTRAL copy —
+# per near-dup component, canonical = argmax PageRank (doc_id
+# tiebreak).  In a mirror network the origin everything radiates from
+# accumulates centrality, so the election keeps origins and drops
+# mirrors — provenance-aware dedup without any provenance metadata.
+# Election mechanics are x55's (one max-of-struct partial agg per
+# component, never a per-component corpus sort); the score column is
+# x81's pr_milli (isolated docs score -1 and elect themselves).
+#
+# The oracle composes x28's recursive closure with x81's unrolled
+# power iterations over the SAME pairs CTE — the full shingle ->
+# MinHash -> LSH -> CC -> PageRank -> election pipeline hash-checked
+# end to end.
+
+def _x82_oracle() -> str:
+    head = (
+        "WITH RECURSIVE pairs AS (\n"
+        + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
+        + """),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db AS a, da AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+canon AS (SELECT node AS doc_id, MIN(lbl) AS comp FROM reach GROUP BY node),
+ed AS (SELECT da AS s, db AS d FROM pairs
+       UNION ALL SELECT db AS s, da AS d FROM pairs),
+dg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY s),
+pr0 AS (SELECT s AS doc_id, CAST(1000 AS BIGINT) AS p FROM dg)"""
+    )
+    cte = []
+    for k in range(1, _X81_ITERS + 1):
+        cte.append(
+            f""",
+c{k} AS (SELECT ed.d AS doc_id, SUM(pr{k - 1}.p // dg.deg) AS sm
+        FROM ed JOIN dg ON dg.s = ed.s
+        JOIN pr{k - 1} ON pr{k - 1}.doc_id = ed.s
+        GROUP BY ed.d),
+pr{k} AS (SELECT doc_id, CAST(150 + (850 * sm) // 1000 AS BIGINT) AS p
+         FROM c{k})"""
+        )
+    return (
+        head
+        + "".join(cte)
+        + f""",
+cn AS (SELECT c.doc_id, c.comp, COALESCE(pr{_X81_ITERS}.p, -1) AS p
+       FROM canon c LEFT JOIN pr{_X81_ITERS}
+         ON pr{_X81_ITERS}.doc_id = c.doc_id),
+win AS (SELECT comp, doc_id AS canonical FROM (
+          SELECT comp, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                                    ORDER BY p DESC, doc_id) AS rn
+          FROM cn) WHERE rn = 1)
+SELECT cn.doc_id, w.canonical,
+       cn.doc_id = w.canonical AS kept
+FROM cn JOIN win w USING (comp)
+ORDER BY doc_id, canonical, kept"""
+    )
+
+
+def centrality_canonical(docs: DataFrame) -> DataFrame:
+    """(doc_id, canonical, kept): per near-dup component, canonical =
+    the member with max x81 PageRank (doc_id tiebreak; isolated docs
+    elect themselves) — keep origins, drop mirrors."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    pairs = barrier(lsh_candidate_pairs(docs), eager=False)  # feeds CC + pr
+    comps = connected_components_auto(pairs)
+    pr = neardup_pagerank_from_pairs(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .join(pr, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("comp"),
+            F.coalesce("pr_milli", F.lit(-1)).cast("long").alias("p"),
+        )
+    )
+    elect = (
+        labeled.groupBy("comp")
+        .agg(
+            F.max(
+                F.struct(F.col("p"), (-F.col("doc_id")).alias("nid"))
+            ).alias("best")
+        )
+        .select("comp", (-F.col("best.nid")).cast("long").alias("canonical"))
+    )
+    return labeled.join(elect, "comp").select(
+        "doc_id",
+        "canonical",
+        (F.col("doc_id") == F.col("canonical")).alias("kept"),
+    )
+
+
+def neardup_pagerank_from_pairs(
+    pairs: DataFrame, iters: int = _X81_ITERS
+) -> DataFrame:
+    """x81's power iteration over a pre-built (da, db) pair frame —
+    shared by the registered x81 (which builds pairs itself) and x82's
+    composition (which reuses one barriered pair frame for CC + rank)."""
+    fwd = pairs.select(F.col("da").alias("s"), F.col("db").alias("d"))
+    rev = pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
+    ed = fwd.unionByName(rev)
+    dg = ed.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    e2 = barrier(ed.join(dg, "s"), eager=False)
+    pr = dg.select(
+        F.col("s").alias("doc_id"), F.lit(1000).cast("long").alias("p")
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            e2.join(pr.withColumnRenamed("doc_id", "s"), "s")
+            .select("d", F.expr("p div deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("sm"))
+        )
+        pr = contrib.select(
+            F.col("d").alias("doc_id"),
+            (F.lit(150) + F.expr("850 * sm div 1000"))
+            .cast("long")
+            .alias("p"),
+        )
+        pr = barrier(pr, eager=False)
+    return pr.select("doc_id", F.col("p").alias("pr_milli"))
+
+
+@register("x82_centrality_canonical", _x82_oracle())
+def x82_centrality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 centrality-canonical election: every document -> the highest-
+    PageRank member of its near-dup component (x81's centrality, x55's
+    max-of-struct election) — the provenance-aware keep-the-origin
+    dedup pass, hash-checked through the ENTIRE shingle -> LSH -> CC ->
+    PageRank -> election pipeline."""
+    return centrality_canonical(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "canonical", "kept"
     )

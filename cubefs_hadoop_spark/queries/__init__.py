@@ -31,6 +31,7 @@ _R11_NEW = [
     "x76_stratified_eval_split", "x77_cluster_purity",
     "x78_collocation_lift", "x79_ngram_dup_curve",
     "x80_label_separation", "x81_neardup_pagerank",
+    "x82_centrality_canonical",
 ]
 _R07_REMAINING = [
     # the 39 r07 greens displaced from the r10 window, r07 order

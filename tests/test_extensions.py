@@ -2851,3 +2851,50 @@ def test_x81_pagerank_matches_python_power_iteration(spark):
     # if node 3 is only weakly attached, clique members out-rank it
     if len(adj.get(3, [])) < 3:
         assert got[0] >= got[3]
+
+
+def test_x82_election_is_argmax_pagerank_per_component(spark):
+    """On the fixture, x82's canonical is exactly the argmax of
+    (pr_milli, -doc_id) within each x28 component (isolated docs elect
+    themselves, scored -1), and kept marks canonical membership."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+    from cubefs_hadoop_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        neardup_pagerank_from_pairs,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    docs = load(spark, SF_SMOKE, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = {
+        r.doc_id: r.comp for r in connected_components_auto(pairs).collect()
+    }
+    pr = {
+        r.doc_id: r.pr_milli
+        for r in neardup_pagerank_from_pairs(pairs).collect()
+    }
+    members: dict = {}
+    for r in docs.select("doc_id").collect():
+        c = comp.get(r.doc_id, r.doc_id)
+        members.setdefault(c, []).append(r.doc_id)
+    want = {}
+    for c, ms in members.items():
+        winner = max(ms, key=lambda d: (pr.get(d, -1), -d))
+        for d in ms:
+            want[d] = winner
+    out = QUERIES["x82_centrality_canonical"](spark, SF_SMOKE).collect()
+    got = {r.doc_id: r.canonical for r in out}
+    assert got == want
+    for r in out:
+        assert r.kept == (r.doc_id == r.canonical)
+    # the election differs from min-id somewhere on this fixture iff
+    # any component's hub is not its min id — verify consistency either
+    # way against x28
+    x28 = {
+        r.doc_id: r.canonical
+        for r in QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
+    }
+    for d, c in got.items():
+        assert comp.get(c, c) == comp.get(x28[d], x28[d])  # same component

@@ -784,3 +784,13 @@ def test_x81_pagerank_iterations_are_lineage_cut(spark):
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins <= 1
     assert "explode" not in a.text
     assert not a.has_python_eval
+
+
+def test_x82_centrality_election_shape(spark):
+    """x82: CC + PageRank share ONE barriered pair frame; the election
+    is a max-of-struct partial agg (never a per-component corpus
+    sort); no explode past the barriers, no Python."""
+    a = _audit(spark, "x82_centrality_canonical")
+    assert "explode" not in a.text
+    assert not a.has_python_eval
+    assert a.nested_loop_joins == 0

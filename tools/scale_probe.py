@@ -98,6 +98,7 @@ SF1_WATCH = [
     "x79_ngram_dup_curve",
     "x80_label_separation",
     "x81_neardup_pagerank",
+    "x82_centrality_canonical",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -201,6 +202,7 @@ PROBE_QUERIES = [
     "x79_ngram_dup_curve",
     "x80_label_separation",
     "x81_neardup_pagerank",
+    "x82_centrality_canonical",
 ]
 
 
