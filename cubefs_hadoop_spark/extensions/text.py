@@ -1001,15 +1001,14 @@ FROM c
 ORDER BY source, split, n_docs, share_milli"""
 
 
-def stratified_split_audit(
+def split_counts(
     docs: DataFrame, by: str = "source", text_col: str = "text"
 ) -> DataFrame:
-    """(source, split, n_docs, share_milli): the x07-family three-way
-    content-hash split (md5 hex digit: <'c' train, <'e' val, else test)
-    audited per stratum — exact within-stratum milli shares over the
-    bounded (strata x 3) matrix."""
+    """(source, split, n_docs): the x76 sufficient statistic — split
+    assignment is row-local (content hash), so the counts are additive
+    and fold per micro-batch (S24)."""
     d = F.substring(F.md5(text_col), 1, 1)
-    c = (
+    return (
         docs.select(
             F.coalesce(by, F.lit("(null)")).alias("source"),
             F.when(d < "c", F.lit("train"))
@@ -1020,14 +1019,30 @@ def stratified_split_audit(
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    return c.select(
+
+
+def split_audit_from_counts(counts: DataFrame) -> DataFrame:
+    """Serve the x76 audit table from folded (source, split, n_docs)
+    cells — exact within-stratum milli shares over the bounded
+    (strata x 3) matrix."""
+    return counts.select(
         "source",
         "split",
-        "n_docs",
+        F.col("n_docs").cast("long").alias("n_docs"),
         F.expr("1000 * n_docs div sum(n_docs) over (partition by source)")
         .cast("long")
         .alias("share_milli"),
     )
+
+
+def stratified_split_audit(
+    docs: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """(source, split, n_docs, share_milli): the x07-family three-way
+    content-hash split (md5 hex digit: <'c' train, <'e' val, else test)
+    audited per stratum — counts + shares via the SAME code path the
+    S24 streamed state is served through."""
+    return split_audit_from_counts(split_counts(docs, by=by, text_col=text_col))
 
 
 @register("x76_stratified_eval_split", _X76_ORACLE)

@@ -636,3 +636,34 @@ def sink_mirror_state(
         )(batch_df, batch_id)
 
     _drain(sdf, commit, checkpoint_dir)
+
+
+def sink_split_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    by: str = "source",
+    text_col: str = "text",
+) -> None:
+    """Stream documents into the x76 stratified-split state (S24): each
+    micro-batch's (source, split, n_docs) counts fold into
+    ``state_dir`` exactly once — split assignment is a row-local
+    content hash, so batch slicing cannot change any document's split,
+    the counts are plain additive sufficient statistics, and the
+    streamed state bit-equals the batch ``split_counts`` over
+    everything ever ingested.  ``text.split_audit_from_counts`` serves
+    the live per-stratum balance table at any moment — the ingest-time
+    "did a stratum lose its eval shard?" dashboard at
+    O(strata x 3) state forever."""
+    from cubefs_hadoop_spark.extensions.text import split_counts
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return split_counts(batch, by=by, text_col=text_col)
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir, stats, [by, "split"], ["n_docs"]
+        ),
+        checkpoint_dir,
+    )

@@ -749,3 +749,67 @@ def test_streamed_mirror_state_bit_equals_batch_matrix(spark, tmp_path):
         map(tuple, mirror_from_counts(read_state(spark, state)).collect())
     )
     assert live == sorted(map(tuple, batch_rows))
+
+
+def test_streamed_split_state_serves_live_balance_table(spark, tmp_path):
+    """S24: documents arriving as a 3-batch stream fold into the x76
+    stratified-split state; the folded (source, split) counts are
+    BIT-identical to batch split_counts over the whole corpus (split
+    assignment is a row-local content hash), and the derived live
+    table equals the registered x76 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.text import (
+        split_audit_from_counts,
+        split_counts,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_split_state,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    stage_dir = str(tmp_path / "stage")
+    n_files = 3
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "split_state")
+    sink_split_state(sdf, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        (r.source, r.split): r.n_docs
+        for r in read_state(spark, state).collect()
+    }
+    full = {
+        (r.source, r.split): r.n_docs for r in split_counts(docs).collect()
+    }
+    assert folded == full
+
+    live = sorted(
+        map(tuple, split_audit_from_counts(read_state(spark, state)).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            QUERIES["x76_stratified_eval_split"](spark, SF_SMOKE).collect(),
+        )
+    )
+    assert live == batch
