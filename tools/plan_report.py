@@ -110,6 +110,16 @@ REPORT_QUERIES = [
     "x72_oov_rate",
     "x73_containment_pairs",
     "x74_retention_cohorts",
+    # r11-new operators
+    "x73b_containment_production",
+    "x75_lsh_preflight",
+    "x76_stratified_eval_split",
+    "x77_cluster_purity",
+    "x78_collocation_lift",
+    "x79_ngram_dup_curve",
+    "x80_label_separation",
+    "x81_neardup_pagerank",
+    "x82_centrality_canonical",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",
