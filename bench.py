@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "x80_label_separation",
     "x81_neardup_pagerank",
     "x82_centrality_canonical",
+    "x83_tfidf_keywords",
+    "x84_source_vocabulary",
 ]
 
 RUNS = 4

@@ -522,3 +522,193 @@ def x40_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale shape."""
     docs = load(spark, sf_dir, "documents")
     return bigram_lm_score(docs, F.col("lang") == "en").orderBy("doc_id")
+
+
+# -- x83: TF-IDF keyword extraction ------------------------------------------
+#
+# The per-document KEYWORD view completing the lexical-relevance family
+# (x21 ranks DOCS for a query; x83 ranks TERMS for a doc): top-3 terms
+# per document by tf x rarity, where rarity is the integer-milli
+# inverse document frequency 1000·N//df — the IDF ratio without the
+# log, so the score is hash-exact cross-engine (monotone in the same
+# ordering for a fixed tf, which is all a top-k needs).  Downstream:
+# cheap doc labels for mixture design (x15/x54 want topical balance,
+# not just source balance), dedup-cluster naming, and retrieval-index
+# enrichment next to BM25.
+#
+# Scale (100 TB): tf is one explode + (doc, w) partial-agg'd groupBy;
+# df one (w) groupBy off the distinct projection; the rarity attach is
+# a vocabulary-scale equi-join (broadcastable vocabularies in
+# practice); the per-doc top-3 is a WindowGroupLimit partial top-k —
+# never a global sort.  N rides as a plan literal (x52 pattern).
+
+_X83_K = 3
+
+_X83_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tf GROUP BY w),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf,
+         CAST(tf.tf * (1000 * nd.n // df.df) AS BIGINT) AS score
+  FROM tf JOIN df ON df.w = tf.w CROSS JOIN nd)
+SELECT doc_id, w, tf, score, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, w) AS rn FROM scored)
+WHERE rn <= {_X83_K}
+ORDER BY doc_id, rank, w, tf, score"""
+
+
+def tfidf_keywords(
+    docs: DataFrame, text_col: str = "text", k: int = _X83_K
+) -> DataFrame:
+    """(doc_id, w, tf, score, rank): top-k terms per document by
+    tf x integer-milli rarity (1000·N//df), deterministic tie order."""
+    from pyspark.sql.window import Window as _W
+
+    tf = (
+        docs.select("doc_id", F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    tf = barrier(tf, eager=False)  # feeds df AND the scored join
+    df = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = int(docs.count())
+    scored = tf.join(df, "w").select(
+        "doc_id",
+        "w",
+        "tf",
+        (F.col("tf") * F.expr(f"1000 * {n} div df")).cast("long")
+        .alias("score"),
+    )
+    w = _W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("doc_id", "w", "tf", "score", "rank")
+    )
+
+
+@register("x83_tfidf_keywords", _X83_ORACLE)
+def x83_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 per-document keywords: top-3 terms by tf x integer-milli
+    rarity (IDF ratio, log-free and hash-exact) — doc labels for
+    mixture design, cluster naming, and retrieval enrichment; partial
+    top-k per doc (WindowGroupLimit), never a global sort."""
+    return tfidf_keywords(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "rank", "w", "tf", "score"
+    )
+
+
+# -- x84: source-distinctive vocabulary ---------------------------------------
+#
+# The SOURCE-grain twin of x83 (and x78's lift at (source, word)
+# grain): which terms does each source use far above the corpus rate —
+# the "what is this feed about" profile read next to x48 (is its
+# LENGTH distribution drifting) and x15/x54 (how much of it to take).
+# Distinctiveness is integer-milli lift: (1000·c_sw·N) // (c_w·N_s)
+# (term share within the source over its corpus share); top-5 per
+# source with an occurrence floor against rare-term noise.
+#
+# Scale: two partial-agg'd count frames — (source, w) and (w) — one
+# vocab-scale equi-join between them, a per-source WindowGroupLimit.
+
+_X84_K = 5
+_X84_MIN = 5
+
+_X84_ORACLE = f"""
+WITH sw AS (
+  SELECT COALESCE(source, '(null)') AS source, w,
+         CAST(COUNT(*) AS BIGINT) AS c_sw FROM (
+    SELECT source, doc_id, UNNEST(string_split(text, ' ')) AS w
+    FROM documents)
+  GROUP BY 1, 2),
+cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
+       FROM sw GROUP BY source),
+nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
+scored AS (
+  SELECT sw.source, sw.w, sw.c_sw,
+         CAST((1000 * sw.c_sw * nt.n) // (cw.c_w * ns.n_s) AS BIGINT)
+             AS lift_milli
+  FROM sw JOIN cw ON cw.w = sw.w JOIN ns ON ns.source = sw.source
+  CROSS JOIN nt
+  WHERE sw.c_sw >= {_X84_MIN})
+SELECT source, w, c_sw, lift_milli, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        ORDER BY lift_milli DESC, c_sw DESC, w) AS rn FROM scored)
+WHERE rn <= {_X84_K}
+ORDER BY source, rank, w, c_sw, lift_milli"""
+
+
+def source_vocabulary_profile(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    k: int = _X84_K,
+    min_count: int = _X84_MIN,
+) -> DataFrame:
+    """(source, w, c_sw, lift_milli, rank): each stratum's top-k most
+    over-represented terms by integer-milli lift over the corpus rate
+    (occurrence floor ``min_count``)."""
+    from pyspark.sql.window import Window as _W
+
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    sw = (
+        docs.select(
+            F.coalesce(by, F.lit("(null)")).alias("source"),
+            F.explode(F.split(text_col, " ")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    )
+    sw = barrier(sw, eager=False)  # feeds cw, ns AND the scored join
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    ns = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("n_s")
+    )
+    n = int(
+        docs.select(F.explode(F.split(text_col, " "))).count()
+    )
+    scored = (
+        sw.filter(F.col("c_sw") >= int(min_count))
+        .join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            "w",
+            "c_sw",
+            F.expr(f"(1000 * c_sw * {n}) div (c_w * n_s)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+    )
+    w = _W.partitionBy("source").orderBy(
+        F.col("lift_milli").desc(), F.col("c_sw").desc(), F.col("w")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select("source", "w", "c_sw", "lift_milli", "rank")
+    )
+
+
+@register("x84_source_vocabulary", _X84_ORACLE)
+def x84_source_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 source-distinctive vocabulary: per source, the top-5 terms
+    most over-represented vs the corpus rate (integer-milli lift,
+    occurrence floor 5) — the topical profile read next to x48's
+    drift alarm and x15/x54's mixture knobs; per-source partial top-k,
+    never a global sort."""
+    return source_vocabulary_profile(load(spark, sf_dir, "documents")).orderBy(
+        "source", "rank", "w", "c_sw", "lift_milli"
+    )

@@ -31,7 +31,8 @@ _R11_NEW = [
     "x76_stratified_eval_split", "x77_cluster_purity",
     "x78_collocation_lift", "x79_ngram_dup_curve",
     "x80_label_separation", "x81_neardup_pagerank",
-    "x82_centrality_canonical",
+    "x82_centrality_canonical", "x83_tfidf_keywords",
+    "x84_source_vocabulary",
 ]
 _R07_REMAINING = [
     # the 39 r07 greens displaced from the r10 window, r07 order

@@ -2898,3 +2898,71 @@ def test_x82_election_is_argmax_pagerank_per_component(spark):
     }
     for d, c in got.items():
         assert comp.get(c, c) == comp.get(x28[d], x28[d])  # same component
+
+
+def test_x83_keywords_match_python_reference(spark):
+    """Top-3 tf-idf keywords replay exactly from a brute-force Python
+    reference with the same integer-milli rarity and tie order."""
+    from cubefs_hadoop_spark.extensions.search import tfidf_keywords
+
+    texts = [
+        "apple apple banana cherry",
+        "banana cherry cherry date",
+        "apple date date date",
+        "unique words only here",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.doc_id, r.w, r.tf, r.score, r.rank)
+        for r in tfidf_keywords(docs)
+        .orderBy("doc_id", "rank", "w")
+        .collect()
+    ]
+    n = len(texts)
+    tf: dict = {}
+    df: dict = {}
+    for i, t in enumerate(texts):
+        seen = set()
+        for w in t.split(" "):
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+            if w not in seen:
+                seen.add(w)
+                df[w] = df.get(w, 0) + 1
+    ref = []
+    for i in range(n):
+        rows = [
+            (w, c, c * (1000 * n // df[w]))
+            for (d, w), c in tf.items()
+            if d == i
+        ]
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        for rank, (w, c, s) in enumerate(rows[:3], 1):
+            ref.append((i, w, c, s, rank))
+    assert got == ref
+
+
+def test_x84_source_vocabulary_crafted(spark):
+    """A source spamming one term far above the corpus rate surfaces
+    that term at rank 1 with lift >> 1000; a uniformly-used term lifts
+    ~1000 and cannot out-rank it."""
+    from cubefs_hadoop_spark.extensions.search import (
+        source_vocabulary_profile,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "common " * 9 + "spamword", "spammy"))
+    for i in range(10, 20):
+        rows.append((i, "common " * 10, "plain"))
+    docs = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows],
+        "doc_id long, text string, source string",
+    )
+    out = source_vocabulary_profile(docs, k=2, min_count=5).collect()
+    top = {r.source: r for r in out if r.rank == 1}
+    assert top["spammy"].w == "spamword"
+    assert top["spammy"].lift_milli > 1500
+    assert top["plain"].w == "common"
+    assert top["plain"].lift_milli <= 1100

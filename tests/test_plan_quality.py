@@ -794,3 +794,23 @@ def test_x82_centrality_election_shape(spark):
     assert "explode" not in a.text
     assert not a.has_python_eval
     assert a.nested_loop_joins == 0
+
+
+def test_x83_keywords_partial_topk(spark):
+    """x83: the per-doc top-3 must be a WindowGroupLimit partial top-k
+    (never a global sort of the (doc, term) frame); no NLJ, no
+    Python."""
+    a = _audit(spark, "x83_tfidf_keywords")
+    assert a.has_window_group_limit
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x84_source_vocabulary_shape(spark):
+    """x84: two partial-agg'd count frames, the per-source stats attach
+    broadcast, per-source WindowGroupLimit top-k; no NLJ, no Python."""
+    a = _audit(spark, "x84_source_vocabulary")
+    assert a.has_window_group_limit
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins >= 1
+    assert not a.has_python_eval

@@ -120,6 +120,8 @@ REPORT_QUERIES = [
     "x80_label_separation",
     "x81_neardup_pagerank",
     "x82_centrality_canonical",
+    "x83_tfidf_keywords",
+    "x84_source_vocabulary",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",

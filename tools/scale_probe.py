@@ -99,6 +99,8 @@ SF1_WATCH = [
     "x80_label_separation",
     "x81_neardup_pagerank",
     "x82_centrality_canonical",
+    "x83_tfidf_keywords",
+    "x84_source_vocabulary",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -203,6 +205,8 @@ PROBE_QUERIES = [
     "x80_label_separation",
     "x81_neardup_pagerank",
     "x82_centrality_canonical",
+    "x83_tfidf_keywords",
+    "x84_source_vocabulary",
 ]
 
 
