@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "x82_centrality_canonical",
     "x83_tfidf_keywords",
     "x84_source_vocabulary",
+    "x85_event_transitions",
+    "x86_pair_arrival_curve",
 ]
 
 RUNS = 4

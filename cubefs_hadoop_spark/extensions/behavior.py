@@ -528,3 +528,74 @@ def x74_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week", "week_offset", "n_cohort", "n_active",
         "retention_milli"
     )
+
+
+# -- x85: event-type transition matrix ----------------------------------------
+#
+# The MARKOV view of the event stream, between x25 (one fixed funnel)
+# and x74 (when users return): for every ordered pair of event types,
+# how often one follows the other within a user's stream, with exact
+# per-from-type milli probabilities — the empirical transition matrix
+# that surfaces EVERY hot path (not just the funnel you thought to
+# ask about: a fat error->signup cell is an onboarding bug, a
+# purchase->error cell a checkout bug).
+#
+# Scale (100 TB of events): ONE lead(1) window per user (event-grain
+# key, the x34 shape — a bot user funnels through one task's sort;
+# x34b's bucketing applies if that ever binds) + one partial-agg'd
+# groupBy on the |types|^2-bounded key; the probability window runs on
+# the matrix, not the stream.  Deterministic order within ties via
+# (ts, event_id).
+
+_X85_ORACLE = """
+WITH s AS (
+  SELECT event_type AS ft,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS tt
+  FROM events),
+c AS (SELECT ft, tt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE tt IS NOT NULL GROUP BY ft, tt)
+SELECT ft AS from_type, tt AS to_type, n,
+       CAST(1000 * n // SUM(n) OVER (PARTITION BY ft) AS BIGINT) AS p_milli
+FROM c
+ORDER BY from_type, to_type, n, p_milli"""
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(from_type, to_type, n, p_milli): the empirical within-user
+    event-type transition matrix with exact per-row milli
+    probabilities."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(user_col).orderBy(ts_col, "event_id")
+    s = events.select(
+        F.col(type_col).alias("ft"),
+        F.lead(type_col).over(w).alias("tt"),
+    ).filter(F.col("tt").isNotNull())
+    c = s.groupBy("ft", "tt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return c.select(
+        F.col("ft").alias("from_type"),
+        F.col("tt").alias("to_type"),
+        "n",
+        F.expr("1000 * n div sum(n) over (partition by ft)")
+        .cast("long")
+        .alias("p_milli"),
+    )
+
+
+@register("x85_event_transitions", _X85_ORACLE)
+def x85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 event-type transition matrix: within-user next-event
+    frequencies and exact milli probabilities — the Markov table that
+    surfaces every hot path (x25 checks ONE funnel; x85 shows them
+    all).  One lead(1) window + a |types|^2-bounded rollup."""
+    return event_transitions(load(spark, sf_dir, "events")).orderBy(
+        "from_type", "to_type", "n", "p_milli"
+    )

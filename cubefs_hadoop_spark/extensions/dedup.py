@@ -2262,3 +2262,71 @@ def x82_centrality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centrality_canonical(load(spark, sf_dir, "documents")).orderBy(
         "doc_id", "canonical", "kept"
     )
+
+
+# -- x86: pair-arrival curve (dedup debt over ingest order) -------------------
+#
+# The TELEMETRY row completing the incremental-dedup story: x02e gives
+# the mechanism (probe the index with each batch), x86 measures the
+# RATE — bucketing the corpus by ingest order (doc_id deciles, the x66
+# cut), how many candidate pairs ARRIVE with each bucket, i.e. are
+# created the moment their LATER member lands (exactly the pairs the
+# x02e probe of that batch emits).  A flat curve = steady boilerplate
+# rate; a superlinear tail = the corpus is converging on duplicates
+# (mirrors of mirrors) and the dedup pass is overdue — the curve is
+# the "dedup debt" burn-down chart an ingest owner watches next to
+# x63's funnel.
+#
+# Scale: the pair frame is duplicate-sized (x02 bucket bound); the
+# curve is a 10-row rollup + prefix window over it.  Decile cut uses
+# max(doc_id)+1 as a plan literal (x52/x66 pattern).
+
+def _x86_oracle() -> str:
+    return (
+        "WITH pairs AS (\n"
+        + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
+        + """),
+nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+b AS (SELECT 10 * db // (SELECT n FROM nn) + 1 AS decile FROM pairs),
+c AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_pairs
+      FROM b GROUP BY decile)
+SELECT CAST(decile AS BIGINT) AS decile, n_new_pairs,
+       CAST(SUM(n_new_pairs) OVER (ORDER BY decile
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+FROM c ORDER BY decile, n_new_pairs, n_cum"""
+    )
+
+
+def pair_arrival_curve(docs: DataFrame) -> DataFrame:
+    """(decile, n_new_pairs, n_cum): candidate pairs bucketed by the
+    ingest decile of their LATER member — the rate at which an
+    incremental probe (x02e) would emit them."""
+    from pyspark.sql.window import Window as _W
+
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    if hi is None:
+        raise ValueError("pair_arrival_curve: empty documents frame")
+    n = int(hi) + 1
+    c = (
+        lsh_candidate_pairs(docs)
+        .select((F.expr(f"10 * db div {n}") + 1).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_pairs"))
+    )
+    w = _W.orderBy("decile").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    return c.select(
+        "decile",
+        "n_new_pairs",
+        F.sum("n_new_pairs").over(w).cast("long").alias("n_cum"),
+    )
+
+
+@register("x86_pair_arrival_curve", _x86_oracle())
+def x86_pair_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 dedup-debt burn-down: candidate-pair arrivals per ingest
+    decile (a pair arrives when its later member lands — exactly the
+    x02e probe's emission) with the cumulative curve; superlinear
+    tails say the dedup pass is overdue."""
+    return pair_arrival_curve(load(spark, sf_dir, "documents")).orderBy(
+        "decile", "n_new_pairs", "n_cum"
+    )

@@ -502,3 +502,50 @@ def test_x74_retention_random_logs_match_python_reference(spark):
             for r in retention_cohorts(df).collect()
         }
         assert got == reference(rows)
+
+
+def test_x85_transitions_match_python_reference(spark):
+    """The transition matrix replays exactly from a brute-force Python
+    reference (per-user ordered streams, lead-1 pairs, per-from-type
+    milli shares)."""
+    from datetime import datetime
+
+    from cubefs_hadoop_spark.extensions.behavior import event_transitions
+
+    rows = [
+        (0, datetime(2024, 1, 1, 10, 0), 1, "view"),
+        (1, datetime(2024, 1, 1, 10, 5), 1, "click"),
+        (2, datetime(2024, 1, 1, 10, 9), 1, "purchase"),
+        (3, datetime(2024, 1, 1, 11, 0), 2, "view"),
+        (4, datetime(2024, 1, 1, 11, 2), 2, "view"),
+        (5, datetime(2024, 1, 1, 11, 4), 2, "click"),
+        (6, datetime(2024, 1, 1, 12, 0), 3, "error"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_milli)
+        for r in event_transitions(events).collect()
+    }
+    # user 1: view->click, click->purchase; user 2: view->view,
+    # view->click; user 3: no transition
+    assert got == {
+        ("view", "click"): (2, 666),
+        ("view", "view"): (1, 333),
+        ("click", "purchase"): (1, 1000),
+    }
+
+    fixture = load(spark, SF_SMOKE, "events")
+    out = event_transitions(fixture).collect()
+    per_from: dict = {}
+    for r in out:
+        per_from.setdefault(r.from_type, []).append(r)
+    n_events = fixture.count()
+    n_users = fixture.select("user_id").distinct().count()
+    assert sum(r.n for r in out) == n_events - n_users
+    for ft, rs in per_from.items():
+        tot = sum(r.n for r in rs)
+        for r in rs:
+            assert r.p_milli == 1000 * r.n // tot, ft

@@ -2966,3 +2966,34 @@ def test_x84_source_vocabulary_crafted(spark):
     assert top["spammy"].lift_milli > 1500
     assert top["plain"].w == "common"
     assert top["plain"].lift_milli <= 1100
+
+
+def test_x86_pair_arrival_accounts_for_all_pairs(spark):
+    """The arrival curve's cumulative total equals the full candidate
+    pair count, buckets replay from the pairs themselves, and the
+    empty-frame guard raises."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.dedup import (
+        lsh_candidate_pairs,
+        pair_arrival_curve,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    pairs = [(r.da, r.db) for r in lsh_candidate_pairs(docs).collect()]
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    want: dict = {}
+    for _, db in pairs:
+        d = 10 * db // n + 1
+        want[d] = want.get(d, 0) + 1
+    rows = sorted(pair_arrival_curve(docs).collect(), key=lambda r: r.decile)
+    assert {r.decile: r.n_new_pairs for r in rows} == want
+    assert rows[-1].n_cum == len(pairs)
+    cum = 0
+    for r in rows:
+        cum += r.n_new_pairs
+        assert r.n_cum == cum
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty documents"):
+        pair_arrival_curve(empty)

@@ -814,3 +814,20 @@ def test_x84_source_vocabulary_shape(spark):
     assert a.nested_loop_joins == 0
     assert a.broadcast_joins >= 1
     assert not a.has_python_eval
+
+
+def test_x85_transitions_shape(spark):
+    """x85: one lead(1) window + a |types|^2-bounded groupBy; the
+    probability window runs on the matrix — no joins, no Python."""
+    a = _audit(spark, "x85_event_transitions")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x86_pair_arrival_shape(spark):
+    """x86: the x02 bucket join + a 10-row rollup; the prefix window's
+    SinglePartition holds 10 rows, never the corpus; no NLJ, no
+    Python."""
+    a = _audit(spark, "x86_pair_arrival_curve")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval

@@ -122,6 +122,8 @@ REPORT_QUERIES = [
     "x82_centrality_canonical",
     "x83_tfidf_keywords",
     "x84_source_vocabulary",
+    "x85_event_transitions",
+    "x86_pair_arrival_curve",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",

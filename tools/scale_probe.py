@@ -101,6 +101,8 @@ SF1_WATCH = [
     "x82_centrality_canonical",
     "x83_tfidf_keywords",
     "x84_source_vocabulary",
+    "x85_event_transitions",
+    "x86_pair_arrival_curve",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -207,6 +209,8 @@ PROBE_QUERIES = [
     "x82_centrality_canonical",
     "x83_tfidf_keywords",
     "x84_source_vocabulary",
+    "x85_event_transitions",
+    "x86_pair_arrival_curve",
 ]
 
 
