@@ -64,9 +64,14 @@ _R11_WINDOW = (_R11_NEW + _R07_REMAINING + _R08_STALEST)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
+# NOTE: with 13 r11-new operators the [:50] trim displaces the last
+# two r07 entries (t22_sales_opportunity, t06_forecast_revenue) AND
+# the whole r08 top-up pool — all still sweep-green in SWEEP_r11.json.
+#
 # r12 rotation plan (stalest-first): any r12-new operators first, then
-# the remaining r08 greens in CORRECTNESS_r08 order (from wherever this
-# round's top-up stopped), then the r09 window becomes the stale pool.
+# t22_sales_opportunity + t06_forecast_revenue (displaced here), then
+# the r08 greens in CORRECTNESS_r08 order, then the r09 window becomes
+# the stale pool.
 assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
 reorder(_R11_WINDOW)
 
