@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "x84_source_vocabulary",
     "x85_event_transitions",
     "x86_pair_arrival_curve",
+    "x87_rfm_segments",
 ]
 
 RUNS = 4

@@ -599,3 +599,103 @@ def x85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load(spark, sf_dir, "events")).orderBy(
         "from_type", "to_type", "n", "p_milli"
     )
+
+
+# -- x87: RFM segmentation -----------------------------------------------------
+#
+# The SEGMENTATION capstone of the event-analytics family (x25 funnel,
+# x26 lifecycle, x74 cohorts, x85 transitions): every user scored on
+# Recency (days since last event, against the corpus max date), 
+# Frequency (event count), and Monetary (purchase value in exact
+# integer cents), each cut into rank-based terciles — NTILE(3) with a
+# full deterministic order (metric, user_id tiebreak), identical
+# semantics in both engines.  1-1-1 users are the retention core,
+# 3-x-x the churn risks — the table a lifecycle-marketing query reads.
+#
+# Scale (100 TB of events): the metric frame is ONE partial-agg'd
+# groupBy(user) — user-grain, orders of magnitude below event grain —
+# then three rank windows over it.  NTILE is a global sort of the USER
+# frame; at extreme user counts swap the tercile cut for x45's
+# histogram-quantile boundaries (O(bins) state, no sort) — documented
+# trade, rank-exact here.  Money is CAST(ROUND(value*100) AS BIGINT)
+# cents: 2-decimal inputs are never half-way in binary, so both
+# engines round identically and every sum is exact integers.
+
+_X87_ORACLE = """
+WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
+u AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                        (SELECT d FROM mx)) AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       CAST(NTILE(3) OVER (ORDER BY recency_days, user_id) AS BIGINT)
+           AS r_bucket,
+       CAST(NTILE(3) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+           AS f_bucket,
+       CAST(NTILE(3) OVER (ORDER BY monetary_cents DESC, user_id)
+            AS BIGINT) AS m_bucket
+FROM u
+ORDER BY user_id, recency_days, frequency, monetary_cents,
+         r_bucket, f_bucket, m_bucket"""
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary_cents, r_bucket,
+    f_bucket, m_bucket): rank-exact RFM terciles over the user-grain
+    metric frame (bucket 1 = best on every axis)."""
+    anchor = events.agg(F.max(F.col(ts_col).cast("date"))).first()[0]
+    if anchor is None:
+        raise ValueError(
+            "rfm_segments: no events (or all-NULL timestamps) — no"
+            " recency anchor"
+        )
+    u = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.datediff(
+            F.lit(anchor.isoformat()).cast("date"),
+            F.max(F.col(ts_col).cast("date")),
+        ).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.when(
+                F.col(type_col) == purchase_type,
+                F.round(F.col(value_col) * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("monetary_cents"),
+    )
+    wr = Window.orderBy("recency_days", "user_id")
+    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(3).over(wr).cast("long").alias("r_bucket"),
+        F.ntile(3).over(wf).cast("long").alias("f_bucket"),
+        F.ntile(3).over(wm).cast("long").alias("m_bucket"),
+    )
+
+
+@register("x87_rfm_segments", _X87_ORACLE)
+def x87_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 RFM segmentation: rank-exact recency/frequency/monetary
+    terciles per user (deterministic NTILE, exact integer cents) — the
+    lifecycle-marketing segmentation table capping the event-analytics
+    family; user-grain windows, with x45 histogram boundaries as the
+    documented no-sort alternative at extreme user counts."""
+    return rfm_segments(load(spark, sf_dir, "events")).orderBy(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        "r_bucket", "f_bucket", "m_bucket"
+    )

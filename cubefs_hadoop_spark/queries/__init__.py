@@ -33,7 +33,7 @@ _R11_NEW = [
     "x80_label_separation", "x81_neardup_pagerank",
     "x82_centrality_canonical", "x83_tfidf_keywords",
     "x84_source_vocabulary", "x85_event_transitions",
-    "x86_pair_arrival_curve",
+    "x86_pair_arrival_curve", "x87_rfm_segments",
 ]
 _R07_REMAINING = [
     # the 39 r07 greens displaced from the r10 window, r07 order

@@ -549,3 +549,62 @@ def test_x85_transitions_match_python_reference(spark):
         tot = sum(r.n for r in rs)
         for r in rs:
             assert r.p_milli == 1000 * r.n // tot, ft
+
+
+def test_x87_rfm_crafted_and_laws(spark):
+    """Crafted users with hand-computable RFM metrics land in the right
+    terciles; fixture laws: buckets are 1..3 with near-equal sizes,
+    monetary sums only purchase value, empty events raise."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.behavior import rfm_segments
+
+    rows = [
+        # user 1: recent, frequent, big spender -> 1-1-1
+        (0, datetime(2024, 1, 9, 12, 0), 1, "purchase", 100.00),
+        (1, datetime(2024, 1, 9, 13, 0), 1, "purchase", 50.50),
+        (2, datetime(2024, 1, 9, 14, 0), 1, "view", 999.0),
+        # user 2: mid everything
+        (3, datetime(2024, 1, 5, 12, 0), 2, "purchase", 20.00),
+        (4, datetime(2024, 1, 5, 13, 0), 2, "view", 0.0),
+        # user 3: stale, one free event -> 3-3-3
+        (5, datetime(2024, 1, 1, 12, 0), 3, "view", 500.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r.user_id: (
+            r.recency_days, r.frequency, r.monetary_cents,
+            r.r_bucket, r.f_bucket, r.m_bucket,
+        )
+        for r in rfm_segments(events).collect()
+    }
+    assert got[1] == (0, 3, 15050, 1, 1, 1)
+    assert got[2] == (4, 2, 2000, 2, 2, 2)
+    assert got[3] == (8, 1, 0, 3, 3, 3)
+
+    from cubefs_hadoop_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    out = rfm_segments(load(spark, SF_SMOKE, "events")).collect()
+    n = len(out)
+    for axis in ("r_bucket", "f_bucket", "m_bucket"):
+        sizes: dict = {}
+        for r in out:
+            b = getattr(r, axis)
+            assert 1 <= b <= 3
+            sizes[b] = sizes.get(b, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, axis
+    assert sum(1 for r in out if r.recency_days == 0) >= 1
+
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double"
+    )
+    with _pytest.raises(ValueError, match="no events"):
+        rfm_segments(empty)

@@ -831,3 +831,14 @@ def test_x86_pair_arrival_shape(spark):
     a = _audit(spark, "x86_pair_arrival_curve")
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x87_rfm_shape(spark):
+    """x87: ONE partial-agg'd groupBy(user) then rank windows over the
+    USER-grain frame — no joins, no Python; the global NTILE sorts are
+    user-grain by design (documented x45 alternative at extreme user
+    counts)."""
+    a = _audit(spark, "x87_rfm_segments")
+    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "HashAggregate" in a.text

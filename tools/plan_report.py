@@ -124,6 +124,7 @@ REPORT_QUERIES = [
     "x84_source_vocabulary",
     "x85_event_transitions",
     "x86_pair_arrival_curve",
+    "x87_rfm_segments",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",

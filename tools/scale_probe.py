@@ -103,6 +103,7 @@ SF1_WATCH = [
     "x84_source_vocabulary",
     "x85_event_transitions",
     "x86_pair_arrival_curve",
+    "x87_rfm_segments",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -211,6 +212,7 @@ PROBE_QUERIES = [
     "x84_source_vocabulary",
     "x85_event_transitions",
     "x86_pair_arrival_curve",
+    "x87_rfm_segments",
 ]
 
 
