@@ -711,3 +711,59 @@ def test_priced_curation_pipeline(spark, tmp_path):
         .collect()
     }
     assert landed == audit
+
+
+def test_preflight_to_centrality_election_pipeline(spark, tmp_path):
+    """Round-11 composition — the dedup go/no-go loop end to end: the
+    composed preflight (x75) reads quality + banding frontier +
+    containment off ONE materialized join and its numbers reconcile
+    with the standalone audits; the election then runs
+    centrality-aware (x82) and its removal accounting ties exactly to
+    the min-id election (x28), the doc-yield forecast (x51), and the
+    token-yield forecast (x69); the kept canonicals land in the
+    warehouse with one row per component."""
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    docs = load(spark, SF_SMOKE, "documents")
+
+    # 1. the preflight dashboard: one pass, sections reconcile with the
+    # standalone audits the driver hash-gates separately
+    pre = {
+        (r.section, r.metric): r.value
+        for r in QUERIES["x75_lsh_preflight"](spark, SF_SMOKE).collect()
+    }
+    q = QUERIES["x61_lsh_quality_audit"](spark, SF_SMOKE).first()
+    assert pre[("quality", "recall_milli")] == q.recall_milli
+    assert pre[("quality", "n_candidates")] == q.n_candidates
+    for r in QUERIES["x71_banding_planner"](spark, SF_SMOKE).collect():
+        sec = f"banding_{r.bands}x{r.rows_per_band}"
+        assert pre[(sec, "exp_recall_milli")] == r.exp_recall_milli
+
+    # 2. proceed iff the current banding's measured recall clears the
+    # policy line (the fixture's does) — then elect canonicals by
+    # centrality; removal accounting must tie across elections and
+    # forecasts: x82 and x28 drop the SAME number of docs (one keeper
+    # per component), which equals x51's n_removable total
+    assert pre[("quality", "recall_milli")] >= 500
+    x82 = QUERIES["x82_centrality_canonical"](spark, SF_SMOKE).collect()
+    dropped_82 = sum(1 for r in x82 if not r.kept)
+    x28 = QUERIES["x28_canonical_dedup"](spark, SF_SMOKE).collect()
+    dropped_28 = sum(1 for r in x28 if r.doc_id != r.canonical)
+    assert dropped_82 == dropped_28
+    yld = QUERIES["x51_dedup_yield"](spark, SF_SMOKE).collect()
+    assert dropped_82 == sum(r.n_removable for r in yld)
+    # token forecast covers every multi-doc cluster's mass exactly
+    tok = QUERIES["x69_dedup_token_yield"](spark, SF_SMOKE).collect()
+    assert sum(r.n_clusters for r in tok) == sum(r.n_clusters for r in yld)
+
+    # 3. land the deduped corpus: exactly one kept doc per component,
+    # corpus minus removable rows survive
+    kept_ids = [r.doc_id for r in x82 if r.kept]
+    deduped = docs.filter(F.col("doc_id").isin(kept_ids))
+    eng.write_table(deduped, "deduped_corpus", mode="overwrite")
+    n_total = docs.count()
+    assert eng.table("deduped_corpus").count() == n_total - dropped_82
+    # canonical set is a transversal: one per component
+    comp_of = {r.doc_id: r.canonical for r in x82}
+    assert len({comp_of[d] for d in kept_ids}) == len(kept_ids)
