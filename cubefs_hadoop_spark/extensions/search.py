@@ -676,9 +676,11 @@ def source_vocabulary_profile(
     ns = sw.groupBy("source").agg(
         F.sum("c_sw").cast("long").alias("n_s")
     )
-    n = int(
-        docs.select(F.explode(F.split(text_col, " "))).count()
-    )
+    # total-token literal off the BARRIERED count frame — not a second
+    # corpus scan (r11 self-review; the oracle's nt = SUM(c_w) equally)
+    n = int(sw.agg(F.sum("c_sw")).first()[0] or 0)
+    if n == 0:
+        raise ValueError("source_vocabulary_profile: empty documents frame")
     scored = (
         sw.filter(F.col("c_sw") >= int(min_count))
         .join(cw, "w")
