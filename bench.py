@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "x85_event_transitions",
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
+    "x88_value_percentiles",
 ]
 
 RUNS = 4

@@ -699,3 +699,92 @@ def x87_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "recency_days", "frequency", "monetary_cents",
         "r_bucket", "f_bucket", "m_bucket"
     )
+
+
+# -- x88: per-type value percentile profile -----------------------------------
+#
+# Exact ORDER STATISTICS at group grain, completing the quantile family
+# (x45/x45b are corpus-grain sketch/equi-depth; x88 is the exact
+# per-event-type profile): n, total, discrete p50/p90 of the value
+# column in exact integer cents — the revenue-distribution table read
+# next to x85 (which paths are hot) and x87 (who spends).  The
+# percentile definition is the discrete lower order statistic (rank
+# 1 + (n-1)·q//100 with a (value, event_id) total order), identical
+# integer arithmetic in both engines — no interpolation semantics to
+# disagree on.
+#
+# Scale: one row_number window per type + one partial-agg'd count
+# frame; per-type windows sort event-grain partitions — at extreme
+# volumes swap for x45's histogram ranks (O(bins), no sort), the same
+# documented trade as x87.
+
+_X88_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c, event_id
+  FROM events WHERE value IS NOT NULL),
+r AS (SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, event_id) AS rn
+      FROM v),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS total_cents
+      FROM v GROUP BY event_type)
+SELECT event_type, n, total_cents,
+       CAST(MAX(CASE WHEN rn = 1 + (n - 1) * 50 // 100
+                     THEN c END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = 1 + (n - 1) * 90 // 100
+                     THEN c END) AS BIGINT) AS p90_cents
+FROM r JOIN n USING (event_type)
+GROUP BY event_type, n, total_cents
+ORDER BY event_type, n, total_cents, p50_cents, p90_cents"""
+
+
+def value_percentiles(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, n, total_cents, p50_cents, p90_cents): exact
+    discrete per-type order statistics of the value column in integer
+    cents (rank 1 + (n-1)·q//100, (value, event_id) total order)."""
+    v = events.filter(F.col(value_col).isNotNull()).select(
+        F.col(type_col).alias("event_type"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = v.withColumn("rn", F.row_number().over(w))
+    n = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total_cents"),
+    )
+    return (
+        r.join(n, "event_type")
+        .groupBy("event_type", "n", "total_cents")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == 1 + F.expr("(n - 1) * 50 div 100"),
+                    F.col("c"),
+                )
+            ).cast("long").alias("p50_cents"),
+            F.max(
+                F.when(
+                    F.col("rn") == 1 + F.expr("(n - 1) * 90 div 100"),
+                    F.col("c"),
+                )
+            ).cast("long").alias("p90_cents"),
+        )
+    )
+
+
+@register("x88_value_percentiles", _X88_ORACLE)
+def x88_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 per-type value percentile profile: exact discrete p50/p90 +
+    totals in integer cents per event type — the revenue-distribution
+    table next to x85's hot paths and x87's spenders; one per-type
+    rank window + one partial-agg'd count frame (x45 histogram ranks
+    are the documented no-sort alternative)."""
+    return value_percentiles(load(spark, sf_dir, "events")).orderBy(
+        "event_type", "n", "total_cents", "p50_cents", "p90_cents"
+    )

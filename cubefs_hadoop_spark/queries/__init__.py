@@ -34,6 +34,7 @@ _R11_NEW = [
     "x82_centrality_canonical", "x83_tfidf_keywords",
     "x84_source_vocabulary", "x85_event_transitions",
     "x86_pair_arrival_curve", "x87_rfm_segments",
+    "x88_value_percentiles",
 ]
 _R07_REMAINING = [
     # the 39 r07 greens displaced from the r10 window, r07 order

@@ -608,3 +608,54 @@ def test_x87_rfm_crafted_and_laws(spark):
     )
     with _pytest.raises(ValueError, match="no events"):
         rfm_segments(empty)
+
+
+def test_x88_percentiles_match_python_reference(spark):
+    """Per-type order statistics replay exactly from sorted Python
+    lists (discrete rank 1 + (n-1)·q//100), NULL values excluded,
+    totals exact in cents."""
+    from datetime import datetime
+
+    from cubefs_hadoop_spark.extensions.behavior import value_percentiles
+
+    base = datetime(2024, 1, 1, 12, 0)
+    vals = {
+        "purchase": [10.00, 20.00, 30.00, 40.00, 50.00],
+        "view": [1.25, 2.50],
+        "error": [7.77],
+    }
+    rows = []
+    i = 0
+    for t, vs in vals.items():
+        for v in vs:
+            rows.append((i, base, 1, t, v))
+            i += 1
+    rows.append((i, base, 1, "view", None))  # NULL excluded
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+    got = {
+        r.event_type: (r.n, r.total_cents, r.p50_cents, r.p90_cents)
+        for r in value_percentiles(events).collect()
+    }
+    want = {}
+    for t, vs in vals.items():
+        cs = sorted(round(v * 100) for v in vs)
+        n = len(cs)
+        want[t] = (
+            n,
+            sum(cs),
+            cs[(n - 1) * 50 // 100],
+            cs[(n - 1) * 90 // 100],
+        )
+    assert got == want
+
+    from cubefs_hadoop_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    out = value_percentiles(load(spark, SF_SMOKE, "events")).collect()
+    for r in out:
+        assert r.p50_cents <= r.p90_cents
+        assert r.p90_cents * r.n >= r.total_cents // r.n  # sanity scale

@@ -842,3 +842,11 @@ def test_x87_rfm_shape(spark):
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
     assert not a.has_python_eval
     assert "HashAggregate" in a.text
+
+
+def test_x88_percentiles_shape(spark):
+    """x88: one per-type rank window + one partial-agg'd count frame —
+    no NLJ, no Python; the rank join is type-keyed equi."""
+    a = _audit(spark, "x88_value_percentiles")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval

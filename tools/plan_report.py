@@ -125,6 +125,7 @@ REPORT_QUERIES = [
     "x85_event_transitions",
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
+    "x88_value_percentiles",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",

@@ -104,6 +104,7 @@ SF1_WATCH = [
     "x85_event_transitions",
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
+    "x88_value_percentiles",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -213,6 +214,7 @@ PROBE_QUERIES = [
     "x85_event_transitions",
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
+    "x88_value_percentiles",
 ]
 
 
