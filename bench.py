@@ -155,7 +155,16 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # also persist the full object: the driver captures only a stdout
+    # tail, which truncated BENCH_r11.json past parseability (VERDICT
+    # r11 item 5) — the file artifact is always complete
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_out.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
 

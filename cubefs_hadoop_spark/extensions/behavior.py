@@ -566,13 +566,16 @@ def event_transitions(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """(from_type, to_type, n, p_milli): the empirical within-user
     event-type transition matrix with exact per-row milli
-    probabilities."""
+    probabilities.  ``id_col`` is the deterministic tiebreak for
+    equal timestamps (ADVICE r11: previously hardcoded, so a
+    differently-shaped event frame couldn't use the verb)."""
     from pyspark.sql.window import Window as _W
 
-    w = _W.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = _W.partitionBy(user_col).orderBy(ts_col, id_col)
     s = events.select(
         F.col(type_col).alias("ft"),
         F.lead(type_col).over(w).alias("tt"),

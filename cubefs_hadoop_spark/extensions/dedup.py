@@ -1439,8 +1439,6 @@ def mirror_matrix(docs: DataFrame) -> DataFrame:
     src = docs.select(
         "doc_id", F.coalesce("source", F.lit("(null)")).alias("source")
     )
-    sa = src.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
-    sb = src.select(F.col("doc_id").alias("db"), F.col("source").alias("sb"))
     return mirror_from_counts(mirror_pair_cells(pairs, src))
 
 

@@ -39,6 +39,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.intmath import (
+    duck_exact_floordiv,
+    spark_exact_floordiv,
+)
 from cubefs_hadoop_spark.oracle_compat import r2d
 from cubefs_hadoop_spark.registry import register
 
@@ -554,7 +558,8 @@ df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.w, tf.tf,
-         CAST(tf.tf * (1000 * nd.n // df.df) AS BIGINT) AS score
+         CAST(CAST(tf.tf AS HUGEINT) * (1000 * nd.n // df.df) AS BIGINT)
+             AS score
   FROM tf JOIN df ON df.w = tf.w CROSS JOIN nd)
 SELECT doc_id, w, tf, score, CAST(rn AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -582,12 +587,18 @@ def tfidf_keywords(
         F.countDistinct("doc_id").cast("long").alias("df")
     )
     n = int(docs.count())
+    # the outer multiply rides DECIMAL(38,0): with df=1 the int64 form
+    # is tf * 1000 * N, over 2^63 for tf ~1e4 at ~1e12 docs (same
+    # overflow family as x78/x84, ADVICE r11).  The inner 1000*N stays
+    # int64 — exact while N < 9.2e15 documents, far above any corpus.
     scored = tf.join(df, "w").select(
         "doc_id",
         "w",
         "tf",
-        (F.col("tf") * F.expr(f"1000 * {n} div df")).cast("long")
-        .alias("score"),
+        F.expr(
+            f"CAST(CAST(tf AS DECIMAL(38,0)) * (1000 * {n} div df)"
+            " AS BIGINT)"
+        ).alias("score"),
     )
     w = _W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
     return (
@@ -637,7 +648,8 @@ ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s
 nt AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n FROM cw),
 scored AS (
   SELECT sw.source, sw.w, sw.c_sw,
-         CAST((1000 * sw.c_sw * nt.n) // (cw.c_w * ns.n_s) AS BIGINT)
+         {duck_exact_floordiv(["1000", "sw.c_sw", "nt.n"],
+                              ["cw.c_w", "ns.n_s"])}
              AS lift_milli
   FROM sw JOIN cw ON cw.w = sw.w JOIN ns ON ns.source = sw.source
   CROSS JOIN nt
@@ -689,9 +701,13 @@ def source_vocabulary_profile(
             "source",
             "w",
             "c_sw",
-            F.expr(f"(1000 * c_sw * {n}) div (c_w * n_s)")
-            .cast("long")
-            .alias("lift_milli"),
+            # DECIMAL(38,0) product — the int64 triple product overflows
+            # at 100 TB corpus token counts (ADVICE r11); exact to 1e38
+            F.expr(
+                spark_exact_floordiv(
+                    [1000, "c_sw", n], ["c_w", "n_s"]
+                )
+            ).alias("lift_milli"),
         )
     )
     w = _W.partitionBy("source").orderBy(

@@ -70,6 +70,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.extensions.intmath import (
+    duck_exact_floordiv,
+    spark_exact_floordiv,
+)
 from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
@@ -1336,7 +1340,8 @@ ug AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
        GROUP BY w),
 nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ug)
 SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, n_pair,
-       CAST(1000 * n_pair * nt.n // (u1.c * u2.c) AS BIGINT) AS lift_milli
+       {duck_exact_floordiv(["1000", "n_pair", "nt.n"], ["u1.c", "u2.c"])}
+           AS lift_milli
 FROM pc
 JOIN ug u1 ON u1.w = split_part(b, ' ', 1)
 JOIN ug u2 ON u2.w = split_part(b, ' ', 2)
@@ -1394,9 +1399,14 @@ def collocation_lift(
             "w1",
             "w2",
             "n_pair",
-            F.expr(f"1000 * n_pair * {n_tokens} div (c1 * c2)")
-            .cast("long")
-            .alias("lift_milli"),
+            # DECIMAL(38,0) product: at 100 TB the int64 form overflows
+            # (ANSI Spark raises, DuckDB raises — ADVICE r11); exact to
+            # 1e38, see extensions/intmath.py
+            F.expr(
+                spark_exact_floordiv(
+                    [1000, "n_pair", n_tokens], ["c1", "c2"]
+                )
+            ).alias("lift_milli"),
         )
         .orderBy(
             F.col("lift_milli").desc(),

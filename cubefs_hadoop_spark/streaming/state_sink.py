@@ -531,9 +531,18 @@ def _mirror_batch_cells(
     each full-corpus pair is emitted exactly once, in the batch where
     its LATER-arriving member lands), attributed through the persisted
     (doc_id, source) map.  Publishes this batch's bands and source rows
-    under per-batch overwrite subdirectories, so a replayed batch
-    re-publishes identical files instead of appending duplicates (the
-    fold itself is skipped by the ledger watermark)."""
+    under per-batch overwrite subdirectories.
+
+    Crash-replay contract (ADVICE r11): a batch the ledger has already
+    committed is skipped entirely by ``_ledger_committer`` — stats_fn
+    never re-runs, so the overwrite path is only reached when the
+    process died BETWEEN publishing this batch's files and committing
+    the ledger.  On that replay the index reads would see attempt 1's
+    own ``batch=N`` files, so both reads partition-prune to
+    ``batch < batch_id`` (free — no data scanned) before unioning this
+    batch's rows: without the source-map prune, pair attribution would
+    join a doubled (doc_id, source) map and inflate every cell 2-4x,
+    breaking the exactly-once / bit-equals-batch contract."""
     import os as _os
 
     from cubefs_hadoop_spark.extensions.dedup import (
@@ -567,7 +576,16 @@ def _mirror_batch_cells(
     src_all = new_src
     pairs = within
     if _os.path.exists(bands_dir):
-        idx = spark.read.parquet(bands_dir).select("band", "key", "doc_id")
+        # read only PRIOR batches' files: on a crash-replay (died after
+        # publishing attempt 1's batch=N files but before the ledger
+        # commit) the directory already holds THIS batch's rows — the
+        # partition filter prunes them (free: no data read), so the
+        # index never double-counts the replaying batch (ADVICE r11)
+        idx = (
+            spark.read.parquet(bands_dir)
+            .filter(F.col("batch") < F.lit(int(batch_id)))
+            .select("band", "key", "doc_id")
+        )
         cross = (
             idx.alias("a")
             .join(
@@ -584,6 +602,12 @@ def _mirror_batch_cells(
         pairs = cross.unionByName(within)
         src_all = (
             spark.read.parquet(src_dir)
+            # same crash-replay partition prune as the band index: the
+            # source map must not contain this batch's rows twice, or
+            # pair attribution joins a doubled map and inflates every
+            # cell 2-4x (ADVICE r11 — pairs survive replay via
+            # .distinct(); the source map is guarded here)
+            .filter(F.col("batch") < F.lit(int(batch_id)))
             .select("doc_id", "source")  # drop the batch= partition column
             .unionByName(new_src)
         )

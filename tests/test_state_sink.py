@@ -751,6 +751,46 @@ def test_streamed_mirror_state_bit_equals_batch_matrix(spark, tmp_path):
     assert live == sorted(map(tuple, batch_rows))
 
 
+def test_mirror_batch_replay_cells_bit_equal_first_attempt(spark, tmp_path):
+    """ADVICE r11 (medium): a micro-batch that crashed AFTER publishing
+    its batch=N band/source files but BEFORE the ledger commit is
+    replayed with its own attempt-1 files already on disk.  The index
+    reads partition-prune to batch < N, so the replay's source map and
+    pair frame are identical to attempt 1's and the emitted cells are
+    bit-equal — without the prune, the doubled (doc_id, source) map
+    inflated every cell 2-4x."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import _mirror_batch_cells
+
+    docs = load(spark, SF_SMOKE, "documents")
+    mid = docs.agg(F.max("doc_id")).first()[0] // 2
+    b0 = docs.filter(F.col("doc_id") <= mid)
+    b1 = docs.filter(F.col("doc_id") > mid)
+    index_dir = str(tmp_path / "lsh_index")
+
+    cells0 = _mirror_batch_cells(b0, index_dir, 0, "source", "text")
+    first0 = sorted(map(tuple, cells0.collect()))
+    # batch 0's own replay (index already holds batch=0): must bit-equal
+    replay0 = sorted(
+        map(
+            tuple,
+            _mirror_batch_cells(b0, index_dir, 0, "source", "text").collect(),
+        )
+    )
+    assert replay0 == first0
+
+    cells1 = _mirror_batch_cells(b1, index_dir, 1, "source", "text")
+    first1 = sorted(map(tuple, cells1.collect()))
+    assert first1  # the witness is vacuous if no cross/within pairs exist
+    replay1 = sorted(
+        map(
+            tuple,
+            _mirror_batch_cells(b1, index_dir, 1, "source", "text").collect(),
+        )
+    )
+    assert replay1 == first1
+
+
 def test_streamed_split_state_serves_live_balance_table(spark, tmp_path):
     """S24: documents arriving as a 3-batch stream fold into the x76
     stratified-split state; the folded (source, split) counts are
