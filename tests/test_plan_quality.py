@@ -834,19 +834,29 @@ def test_x86_pair_arrival_shape(spark):
 
 
 def test_x87_rfm_shape(spark):
-    """x87: ONE partial-agg'd groupBy(user) then rank windows over the
-    USER-grain frame — no joins, no Python; the global NTILE sorts are
-    user-grain by design (documented x45 alternative at extreme user
-    counts)."""
+    """x87 (VERDICT r11 #2 closed): all three terciles ride ONE exact
+    distributed rank over the stacked (user, metric, value) frame —
+    NO SinglePartition exchange anywhere (even the band-totals prefix
+    partitions by metric), every window over user-grain data partitions
+    by (metric, value, id-band), so no task ever sorts the user frame.
+    No NLJ, no Python."""
     a = _audit(spark, "x87_rfm_segments")
-    assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
+    assert a.nested_loop_joins == 0
     assert not a.has_python_eval
-    assert "HashAggregate" in a.text
+    assert "SinglePartition" not in a.text
+    # every user-grain rank window is (value, id-band)-partitioned
+    assert "_dr_ub" in a.text
 
 
 def test_x88_percentiles_shape(spark):
-    """x88: one per-type rank window + one partial-agg'd count frame —
-    no NLJ, no Python; the rank join is type-keyed equi."""
+    """x88 (VERDICT r11 #3 closed): the event stream reduces to one
+    partial-agg'd (type, cents) counts frame and banded cumulative
+    counts — NO SinglePartition exchange anywhere, no window keyed on
+    the bare ~6-value type over event-grain rows (the only per-type
+    window runs over the (type x bands) metadata frame), no NLJ, no
+    Python."""
     a = _audit(spark, "x88_value_percentiles")
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+    assert "HashAggregate" in a.text

@@ -1,0 +1,117 @@
+"""Witnesses for the skew-proof exact distributed rank
+(extensions/ranking.py — the VERDICT r11 #2/#3 de-funnel machinery).
+
+The crafted corpus is tie-heavy by construction (60% of rows share one
+value — the monetary_cents=0 shape that defeats naive value banding)
+and the band widths are forced tiny so every code path (multiple value
+bands, multiple id bands inside one tie class, band offsets, tie
+offsets) is exercised rather than collapsing into a single band."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cubefs_hadoop_spark.extensions.ranking import (
+    distributed_rank,
+    ntile_from_rank,
+)
+
+_ROWS = [
+    (i * 37 + 5, (0 if random.Random(i).random() < 0.6 else
+                  random.Random(i * 31 + 7).randint(-500, 500)))
+    for i in range(2000)
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(_ROWS, "uid long, val long")
+
+
+def _expected(descending: bool) -> dict[int, int]:
+    key = (lambda t: (-t[0], t[1])) if descending else (lambda t: t)
+    return {
+        u: k + 1
+        for k, (v, u) in enumerate(
+            sorted(((v, u) for u, v in _ROWS), key=key)
+        )
+    }
+
+
+def test_rank_exact_both_directions_with_heavy_ties(spark):
+    df = _df(spark)
+    for desc in (False, True):
+        got = {
+            r.uid: r.rank
+            for r in distributed_rank(
+                df, "val", "uid", descending=desc,
+                value_band=64, id_band=1024,
+            ).collect()
+        }
+        assert got == _expected(desc), f"descending={desc}"
+
+
+def test_rank_grouped_matches_per_group_sort(spark):
+    g = _df(spark).withColumn("grp", (F.col("uid") % 3).cast("long"))
+    got = {
+        r.uid: r.rank
+        for r in distributed_rank(
+            g, "val", "uid", group_cols=["grp"],
+            value_band=64, id_band=512,
+        ).collect()
+    }
+    exp = {}
+    by_grp: dict[int, list] = {}
+    for u, v in _ROWS:
+        by_grp.setdefault(u % 3, []).append((v, u))
+    for lst in by_grp.values():
+        for k, (v, u) in enumerate(sorted(lst)):
+            exp[u] = k + 1
+    assert got == exp
+
+
+def test_ntile_from_rank_matches_sparks_ntile(spark):
+    df = _df(spark)
+    ranked = distributed_rank(df, "val", "uid", value_band=64, id_band=1024)
+    for k in (3, 7):
+        got = {
+            r.uid: r.b
+            for r in ranked.select(
+                "uid", ntile_from_rank("rank", len(_ROWS), k).alias("b")
+            ).collect()
+        }
+        exp = {
+            r.uid: r.b
+            for r in df.select(
+                "uid",
+                F.ntile(k).over(Window.orderBy("val", "uid")).alias("b"),
+            ).collect()
+        }
+        assert got == exp, f"k={k}"
+
+
+def test_ntile_from_rank_fewer_rows_than_buckets(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "uid long, val long")
+    ranked = distributed_rank(df, "val", "uid")
+    got = sorted(
+        (r.uid, r.b)
+        for r in ranked.select(
+            "uid", ntile_from_rank("rank", 2, 3).alias("b")
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 2)]  # NTILE(3) over 2 rows = bucket = rank
+
+
+def test_rank_plan_has_no_single_partition_exchange(spark):
+    """The scale contract: with group columns present, not even the
+    band-totals prefix sum funnels — and the per-row window partitions
+    by (group, value, id-band)."""
+    from cubefs_hadoop_spark.plans.audit import audit_plan
+
+    g = _df(spark).withColumn("grp", (F.col("uid") % 3).cast("long"))
+    a = audit_plan(distributed_rank(g, "val", "uid", group_cols=["grp"]))
+    assert "SinglePartition" not in a.text
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
