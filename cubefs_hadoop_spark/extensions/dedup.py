@@ -591,6 +591,91 @@ FROM reach GROUP BY node ORDER BY doc_id"""
 )
 
 
+def elect_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score: "F.Column | DataFrame | None" = None,
+    keep_flag: bool = True,
+    default_score: int = -1,
+) -> DataFrame:
+    """THE canonical-election verb (VERDICT r11 #8): near-dup ``pairs``
+    -> connected components -> per-component argmax by (score DESC,
+    doc_id ASC) -> every document mapped to its component's winner.
+    x28/x55/x82 are thin wrappers over this; the next election policy
+    (recency, source trust, ...) is one ``score`` argument.
+
+    ``score`` selects the policy:
+      * ``None`` — min doc_id.  The CC label IS the min id by
+        construction (components.py), so no aggregation runs at all.
+      * a ``Column`` — evaluated over ``docs`` (x55 passes the token
+        count: keep the longest copy).
+      * a ``DataFrame`` of (doc_id, <score col>) — left-joined, missing
+        docs default to ``default_score`` (x82 passes the PageRank
+        frame, which only covers docs on pairs).
+
+    The election is ONE max-of-struct partial aggregation per component
+    (components are duplicate-sized; struct comparison is lexicographic,
+    so max(struct(s, -doc_id)) is argmax-by-score with min-id tiebreak)
+    — never a per-component sort.  ``keep_flag`` appends
+    ``kept = (doc_id == canonical)``."""
+    from cubefs_hadoop_spark.extensions.components import (
+        connected_components_auto,
+    )
+
+    comps = connected_components_auto(pairs)
+    if score is None:
+        out = (
+            docs.select("doc_id")
+            .join(comps, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("comp", F.col("doc_id")).alias("canonical"),
+            )
+        )
+    else:
+        if isinstance(score, DataFrame):
+            s_col = [c for c in score.columns if c != "doc_id"][0]
+            base = (
+                docs.select("doc_id")
+                .join(score, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(s_col, F.lit(int(default_score)))
+                    .cast("long")
+                    .alias("s"),
+                )
+            )
+        else:
+            base = docs.select("doc_id", score.cast("long").alias("s"))
+        labeled = (
+            base.join(comps, "doc_id", "left")
+            .select(
+                "doc_id",
+                "s",
+                F.coalesce("comp", F.col("doc_id")).alias("comp"),
+            )
+        )
+        elect = (
+            labeled.groupBy("comp")
+            .agg(
+                F.max(
+                    F.struct(F.col("s"), (-F.col("doc_id")).alias("nid"))
+                ).alias("best")
+            )
+            .select(
+                "comp", (-F.col("best.nid")).cast("long").alias("canonical")
+            )
+        )
+        out = labeled.join(elect, "comp").select("doc_id", "canonical")
+    if keep_flag:
+        out = out.select(
+            "doc_id",
+            "canonical",
+            (F.col("doc_id") == F.col("canonical")).alias("kept"),
+        )
+    return out
+
+
 @register("x28_canonical_dedup", _X28_ORACLE)
 def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 canonical-doc election: every document -> min doc_id of its
@@ -600,22 +685,10 @@ def x28_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count fits ``cfspark.cc.driver.threshold`` (pair graphs are
     duplicate-sized, not corpus-sized), large/small-star rounds above it
     — identical labels either way (tests pin the equality)."""
-    from cubefs_hadoop_spark.extensions.components import (
-        connected_components_auto,
-    )
-
     docs = load(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(docs)
-    comps = connected_components_auto(pairs)
-    return (
-        docs.select("doc_id")
-        .join(comps, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("comp", F.col("doc_id")).alias("canonical"),
-        )
-        .orderBy("doc_id")
-    )
+    return elect_canonical(
+        docs, lsh_candidate_pairs(docs), score=None, keep_flag=False
+    ).orderBy("doc_id")
 
 
 # -- x55: quality-canonical dedup (keep the BEST copy, not the first) -------
@@ -663,40 +736,14 @@ def x55_quality_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X55 quality-canonical election: every document -> the LONGEST
     member of its near-dup component (token count, doc_id tiebreak);
     kept = (doc == canonical).  Same pair/CC machinery as x28; the
-    election is a max-of-struct partial aggregation per component —
-    never a per-component sort of the corpus."""
-    from cubefs_hadoop_spark.extensions.components import (
-        connected_components_auto,
-    )
-
+    election is elect_canonical's max-of-struct partial aggregation per
+    component — never a per-component sort of the corpus."""
     docs = load(spark, sf_dir, "documents")
-    comps = connected_components_auto(lsh_candidate_pairs(docs))
-    labeled = (
-        docs.select(
-            "doc_id", F.size(F.split("text", " ")).cast("long").alias("tk")
-        )
-        .join(comps, "doc_id", "left")
-        .select(
-            "doc_id", "tk", F.coalesce("comp", F.col("doc_id")).alias("comp")
-        )
-    )
-    # argmax by (tokens desc, doc_id asc) as one max-of-struct: struct
-    # comparison is lexicographic, so (tk, -doc_id) maxes to the longest
-    # copy with the smallest id among ties
-    elect = labeled.groupBy("comp").agg(
-        F.max(F.struct(F.col("tk"), (-F.col("doc_id")).alias("nid"))).alias(
-            "best"
-        )
-    ).select("comp", (-F.col("best.nid")).cast("long").alias("canonical"))
-    return (
-        labeled.join(elect, "comp")
-        .select(
-            "doc_id",
-            "canonical",
-            (F.col("doc_id") == F.col("canonical")).alias("kept"),
-        )
-        .orderBy("doc_id", "canonical", "kept")
-    )
+    return elect_canonical(
+        docs,
+        lsh_candidate_pairs(docs),
+        score=F.size(F.split("text", " ")),
+    ).orderBy("doc_id", "canonical", "kept")
 
 
 # -- x38: exact duplicated-substring spans (Lee et al. 2022) ---------------
@@ -2185,37 +2232,12 @@ ORDER BY doc_id, canonical, kept"""
 def centrality_canonical(docs: DataFrame) -> DataFrame:
     """(doc_id, canonical, kept): per near-dup component, canonical =
     the member with max x81 PageRank (doc_id tiebreak; isolated docs
-    elect themselves) — keep origins, drop mirrors."""
-    from cubefs_hadoop_spark.extensions.components import (
-        connected_components_auto,
-    )
-
+    elect themselves) — keep origins, drop mirrors.  elect_canonical
+    with the PageRank frame as the score; the barriered pair frame
+    feeds both CC and the power iteration."""
     pairs = barrier(lsh_candidate_pairs(docs), eager=False)  # feeds CC + pr
-    comps = connected_components_auto(pairs)
-    pr = neardup_pagerank_from_pairs(pairs)
-    labeled = (
-        docs.select("doc_id")
-        .join(comps, "doc_id", "left")
-        .join(pr, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("comp", F.col("doc_id")).alias("comp"),
-            F.coalesce("pr_milli", F.lit(-1)).cast("long").alias("p"),
-        )
-    )
-    elect = (
-        labeled.groupBy("comp")
-        .agg(
-            F.max(
-                F.struct(F.col("p"), (-F.col("doc_id")).alias("nid"))
-            ).alias("best")
-        )
-        .select("comp", (-F.col("best.nid")).cast("long").alias("canonical"))
-    )
-    return labeled.join(elect, "comp").select(
-        "doc_id",
-        "canonical",
-        (F.col("doc_id") == F.col("canonical")).alias("kept"),
+    return elect_canonical(
+        docs, pairs, score=neardup_pagerank_from_pairs(pairs)
     )
 
 
