@@ -561,6 +561,45 @@ FROM c
 ORDER BY from_type, to_type, n, p_milli"""
 
 
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(ft, tt, n): within-user next-event transition counts — the
+    ADDITIVE sufficient statistic (each transition is a property of two
+    adjacent events, so per-batch counts sum, which is what the S25
+    streaming sink folds).  ``id_col`` is the deterministic tiebreak
+    for equal timestamps (ADVICE r11: previously hardcoded, so a
+    differently-shaped event frame couldn't use the verb)."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(user_col).orderBy(ts_col, id_col)
+    s = events.select(
+        F.col(type_col).alias("ft"),
+        F.lead(type_col).over(w).alias("tt"),
+    ).filter(F.col("tt").isNotNull())
+    return s.groupBy("ft", "tt").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def transitions_from_counts(counts: DataFrame) -> DataFrame:
+    """Serve the x85 matrix from folded (ft, tt, n) cells: exact milli
+    probabilities over the |types|^2-bounded frame (the share window is
+    metadata-scale)."""
+    return counts.select(
+        F.col("ft").alias("from_type"),
+        F.col("tt").alias("to_type"),
+        "n",
+        F.expr("1000 * n div sum(n) over (partition by ft)")
+        .cast("long")
+        .alias("p_milli"),
+    )
+
+
 def event_transitions(
     events: DataFrame,
     user_col: str = "user_id",
@@ -570,26 +609,9 @@ def event_transitions(
 ) -> DataFrame:
     """(from_type, to_type, n, p_milli): the empirical within-user
     event-type transition matrix with exact per-row milli
-    probabilities.  ``id_col`` is the deterministic tiebreak for
-    equal timestamps (ADVICE r11: previously hardcoded, so a
-    differently-shaped event frame couldn't use the verb)."""
-    from pyspark.sql.window import Window as _W
-
-    w = _W.partitionBy(user_col).orderBy(ts_col, id_col)
-    s = events.select(
-        F.col(type_col).alias("ft"),
-        F.lead(type_col).over(w).alias("tt"),
-    ).filter(F.col("tt").isNotNull())
-    c = s.groupBy("ft", "tt").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    return c.select(
-        F.col("ft").alias("from_type"),
-        F.col("tt").alias("to_type"),
-        "n",
-        F.expr("1000 * n div sum(n) over (partition by ft)")
-        .cast("long")
-        .alias("p_milli"),
+    probabilities."""
+    return transitions_from_counts(
+        transition_counts(events, user_col, type_col, ts_col, id_col)
     )
 
 

@@ -38,6 +38,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 LEDGER = "ledger.json"
 
@@ -658,6 +659,148 @@ def sink_mirror_state(
         additive_state_committer(
             state_dir, stats, ["source_a", "source_b"], ["n_pairs"]
         )(batch_df, batch_id)
+
+    _drain(sdf, commit, checkpoint_dir)
+
+
+def _latest_snapshot_batch(snap_dir: str, before: int) -> int | None:
+    """Highest committed ``batch=K`` subdirectory with K < before, or
+    None.  Listing the filesystem (not reading data) keeps the replay
+    contract exact: a crashed batch's own attempt-1 snapshot (K ==
+    before) is never its own input."""
+    import os as _os
+
+    if not _os.path.isdir(snap_dir):
+        return None
+    best = None
+    for name in _os.listdir(snap_dir):
+        if not name.startswith("batch="):
+            continue
+        try:
+            k = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if k < before and (best is None or k > best):
+            best = k
+    return best
+
+
+def _transition_batch_cells(
+    batch: DataFrame,
+    last_dir: str,
+    batch_id: int,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One micro-batch's (ft, tt, n) transition cells: within-batch
+    adjacencies (a lead window over BATCH rows, never the corpus) plus
+    the cross-batch BOUNDARY transition from each user's persisted last
+    event to their first event in this batch.  Publishes the merged
+    per-user last-event snapshot under ``last_dir/batch=N`` (overwrite,
+    so the crash-replay of a batch that died pre-ledger re-publishes
+    identical files and reads only batch < N — the S23 prune
+    contract)."""
+    import os as _os
+
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("y"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "i")
+    s = ev.select(
+        "u",
+        "t",
+        "i",
+        "y",
+        F.lead("y").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    within = s.filter(F.col("nxt").isNotNull()).select(
+        F.col("y").alias("ft"), F.col("nxt").alias("tt")
+    )
+    prior = _latest_snapshot_batch(last_dir, int(batch_id))
+    pairs = within
+    last_in = ev.groupBy("u").agg(
+        F.max(F.struct("t", "i", "y")).alias("last")
+    )
+    merged = last_in.select("u", "last")
+    if prior is not None:
+        prev = spark.read.parquet(
+            _os.path.join(last_dir, f"batch={prior}")
+        ).select("u", "last")
+        first = s.filter(F.col("rn") == 1).select(
+            "u", F.col("y").alias("ftt")
+        )
+        boundary = prev.join(first, "u").select(
+            F.col("last.y").alias("ft"), F.col("ftt").alias("tt")
+        )
+        pairs = within.unionByName(boundary)
+        merged = (
+            prev.unionByName(last_in.select("u", "last"))
+            .groupBy("u")
+            .agg(F.max("last").alias("last"))
+        )
+    cells = barrier(
+        pairs.groupBy("ft", "tt").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        eager=True,
+    )
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(last_dir, f"batch={batch_id}")
+    )
+    return cells
+
+
+def sink_transition_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    last_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Stream events into the x85 transition-matrix state (S25): each
+    micro-batch folds its within-batch transition counts PLUS the
+    cross-batch boundary transitions (persisted per-user last event ->
+    the user's first event this batch) into ``state_dir`` exactly once
+    under the shared ledger, and advances the per-user last-event
+    snapshot in ``last_dir``.  ``behavior.transitions_from_counts``
+    serves the live matrix (exact milli shares) at any moment — the
+    ingest-time answer to "which paths are hot RIGHT NOW".
+
+    Contract: per-user event-TIME order must be non-decreasing across
+    batches (the append-log case — a user's batch-N events all follow
+    their batch-<N events); within a batch order is free (the lead
+    window sorts).  Under that contract the folded counts bit-equal a
+    batch ``transition_counts`` over everything ever ingested,
+    boundary transitions included.  State: |types|^2 cells + one row
+    per user seen (user-grain, orders below event grain)."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        def stats(batch: DataFrame) -> DataFrame:
+            return _transition_batch_cells(
+                batch,
+                last_dir,
+                int(batch_id),
+                user_col,
+                type_col,
+                ts_col,
+                id_col,
+            )
+
+        additive_state_committer(state_dir, stats, ["ft", "tt"], ["n"])(
+            batch_df, batch_id
+        )
 
     _drain(sdf, commit, checkpoint_dir)
 

@@ -791,6 +791,110 @@ def test_mirror_batch_replay_cells_bit_equal_first_attempt(spark, tmp_path):
     assert replay1 == first1
 
 
+def test_streamed_transition_state_bit_equals_batch_x85(spark, tmp_path):
+    """S25: events arriving as a 3-batch event-time-ordered stream fold
+    into the x85 transition-matrix state; the folded (ft, tt, n) cells
+    — cross-batch BOUNDARY transitions included — are BIT-identical to
+    a batch transition_counts over the whole corpus, and the derived
+    live table equals the registered x85 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import (
+        transition_counts,
+        transitions_from_counts,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_transition_state,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    # slice by event time (the sink's append-log contract): percentile
+    # cuts put every user's later events in later batches
+    lo, hi = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.33)"),
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.66)"),
+    ).first()
+    stage_dir = str(tmp_path / "stage")
+    slices = [
+        ev.filter(F.col("ts").cast("timestamp").cast("double") <= lo),
+        ev.filter(
+            (F.col("ts").cast("timestamp").cast("double") > lo)
+            & (F.col("ts").cast("timestamp").cast("double") <= hi)
+        ),
+        ev.filter(F.col("ts").cast("timestamp").cast("double") > hi),
+    ]
+    for b, part in enumerate(slices):
+        (
+            part.coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "trans_state")
+    last_dir = str(tmp_path / "last_event")
+    sink_transition_state(sdf, state, str(tmp_path / "ckpt"), last_dir)
+
+    folded = {
+        (r.ft, r.tt): r.n for r in read_state(spark, state).collect()
+    }
+    full = {(r.ft, r.tt): r.n for r in transition_counts(ev).collect()}
+    assert folded == full
+    # the witness is vacuous unless some transition actually crosses a
+    # batch boundary: within-batch counts alone must NOT reproduce it
+    within_only = {}
+    for part in slices:
+        for r in transition_counts(part).collect():
+            k = (r.ft, r.tt)
+            within_only[k] = within_only.get(k, 0) + r.n
+    assert within_only != full
+
+    live = sorted(
+        map(tuple, transitions_from_counts(read_state(spark, state)).collect())
+    )
+    batch_rows = QUERIES["x85_event_transitions"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch_rows))
+
+
+def test_transition_batch_replay_cells_bit_equal_first_attempt(
+    spark, tmp_path
+):
+    """S25 crash-replay: re-running a batch whose last-event snapshot
+    was already published (died pre-ledger) reads only batch < N state,
+    so the replayed cells bit-equal attempt 1's."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _transition_batch_cells,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    mid = ev.agg(F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")).first()[0]
+    b0 = ev.filter(F.col("ts").cast("timestamp").cast("double") <= mid)
+    b1 = ev.filter(F.col("ts").cast("timestamp").cast("double") > mid)
+    last_dir = str(tmp_path / "last_event")
+
+    args = ("user_id", "event_type", "ts", "event_id")
+    first0 = sorted(
+        map(tuple, _transition_batch_cells(b0, last_dir, 0, *args).collect())
+    )
+    replay0 = sorted(
+        map(tuple, _transition_batch_cells(b0, last_dir, 0, *args).collect())
+    )
+    assert replay0 == first0
+    first1 = sorted(
+        map(tuple, _transition_batch_cells(b1, last_dir, 1, *args).collect())
+    )
+    assert first1
+    replay1 = sorted(
+        map(tuple, _transition_batch_cells(b1, last_dir, 1, *args).collect())
+    )
+    assert replay1 == first1
+
+
 def test_streamed_split_state_serves_live_balance_table(spark, tmp_path):
     """S24: documents arriving as a 3-batch stream fold into the x76
     stratified-split state; the folded (source, split) counts are
