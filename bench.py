@@ -116,6 +116,12 @@ BENCH_QUERIES = [
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
     "x88_value_percentiles",
+    # r12 additions (first-measurement baselines B71-B75)
+    "x89_type_share_drift",
+    "x90_session_percentiles",
+    "x91_purchase_interarrival",
+    "x92_revenue_concentration",
+    "x93_doclen_percentiles",
 ]
 
 RUNS = 4

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
+from cubefs_hadoop_spark.plans.materialize import barrier
 from cubefs_hadoop_spark.registry import register
 
 _X25_STEPS = ("view", "click", "purchase")
@@ -130,6 +131,30 @@ def x26_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _X34_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
+
+def _epoch_us(events: DataFrame, ts_col: str) -> F.Column:
+    """Exact integer epoch-microseconds for gap arithmetic.  An NTZ
+    column only converts through an LTZ cast that interprets wall time
+    in the SESSION timezone — under a DST-shifting zone that cast warps
+    gaps across transitions (spring-forward inflates a 15-min gap past
+    75 min), so refuse anything but a fixed-at-zero offset rather than
+    mis-compute (shared by sessionize and x91)."""
+    from pyspark.sql import types as T
+
+    ts_type = events.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampNTZType):
+        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"column {ts_col!r} is TIMESTAMP_NTZ and the session "
+                f"timezone is {tz!r}; epoch arithmetic on NTZ wall time "
+                "is only gap-safe under UTC — set "
+                "spark.sql.session.timeZone=UTC or pass a TIMESTAMP (ltz) "
+                "column"
+            )
+        return F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    return F.unix_micros(F.col(ts_col))
+
 _X34_ORACLE = f"""
 WITH o AS (
   SELECT user_id, event_id, ts,
@@ -171,28 +196,8 @@ def sessionize(
     satisfied by the window's hash partitioning on user (no second
     exchange; the plan gate pins exactly one).  State per user is one
     row, never a collected event array."""
-    from pyspark.sql import types as T
-
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    ts_type = events.schema[ts_col].dataType
-    if isinstance(ts_type, T.TimestampNTZType):
-        # an NTZ column only converts to epoch micros through an LTZ cast
-        # that interprets wall time in the SESSION timezone — under a
-        # DST-shifting zone that cast warps gaps across transitions
-        # (spring-forward inflates a 15-min gap past 75 min), so refuse
-        # anything but a fixed-at-zero offset rather than mis-sessionize
-        tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
-            raise ValueError(
-                f"sessionize: column {ts_col!r} is TIMESTAMP_NTZ and the "
-                f"session timezone is {tz!r}; epoch arithmetic on NTZ wall "
-                "time is only gap-safe under UTC — set "
-                "spark.sql.session.timeZone=UTC or pass a TIMESTAMP (ltz) "
-                "column"
-            )
-        us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    else:
-        us = F.unix_micros(F.col(ts_col))
+    us = _epoch_us(events, ts_col)
     flag = F.when(
         F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
     ).otherwise(0)
@@ -671,7 +676,7 @@ ORDER BY user_id, recency_days, frequency, monetary_cents,
          r_bucket, f_bucket, m_bucket"""
 
 
-def rfm_segments(
+def rfm_metric_frame(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
@@ -679,20 +684,12 @@ def rfm_segments(
     value_col: str = "value",
     purchase_type: str = "purchase",
 ) -> DataFrame:
-    """(user_id, recency_days, frequency, monetary_cents, r_bucket,
-    f_bucket, m_bucket): rank-exact RFM terciles over the user-grain
-    metric frame (bucket 1 = best on every axis)."""
-    anchor = events.agg(F.max(F.col(ts_col).cast("date"))).first()[0]
-    if anchor is None:
-        raise ValueError(
-            "rfm_segments: no events (or all-NULL timestamps) — no"
-            " recency anchor"
-        )
-    u = events.groupBy(F.col(user_col).alias("user_id")).agg(
-        F.datediff(
-            F.lit(anchor.isoformat()).cast("date"),
-            F.max(F.col(ts_col).cast("date")),
-        ).cast("long").alias("recency_days"),
+    """(user_id, last_day, frequency, monetary_cents): the ADDITIVE
+    per-user RFM sufficient statistics — max of dates, sum of counts,
+    sum of cents, so per-batch frames merge (the S26 streaming fold's
+    merge law) and fold(state, batch) == full recompute."""
+    return events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(F.col(ts_col).cast("date")).alias("last_day"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(
             F.when(
@@ -700,6 +697,27 @@ def rfm_segments(
                 F.round(F.col(value_col) * 100).cast("long"),
             ).otherwise(F.lit(0))
         ).cast("long").alias("monetary_cents"),
+    )
+
+
+def rfm_from_metrics(metrics: DataFrame) -> DataFrame:
+    """Serve the x87 segmentation from a (user_id, last_day, frequency,
+    monetary_cents) metric frame (batch-built or the S26 streamed
+    state): recency anchors on the frame's max last_day, terciles ride
+    the stacked distributed rank."""
+    anchor = metrics.agg(F.max("last_day")).first()[0]
+    if anchor is None:
+        raise ValueError(
+            "rfm_from_metrics: empty metric frame (or all-NULL dates) —"
+            " no recency anchor"
+        )
+    u = metrics.select(
+        "user_id",
+        F.datediff(F.lit(anchor.isoformat()).cast("date"), F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
     )
     # NTILE without the funnel (VERDICT r11 #2): the r10/r11 shape ran
     # three SinglePartition sorts of the user frame; here each tercile
@@ -754,6 +772,25 @@ def rfm_segments(
             "r_bucket",
             "f_bucket",
             "m_bucket",
+        )
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary_cents, r_bucket,
+    f_bucket, m_bucket): rank-exact RFM terciles over the user-grain
+    metric frame (bucket 1 = best on every axis) — metric_frame +
+    from_metrics, the same halves the S26 streaming fold serves."""
+    return rfm_from_metrics(
+        rfm_metric_frame(
+            events, user_col, ts_col, type_col, value_col, purchase_type
         )
     )
 
@@ -834,66 +871,38 @@ def value_percentiles(
     many events share them.  Totals ride DECIMAL(38,0) (c*cnt products
     overflow int64 at 100 TB event counts — same family as the x78/x84
     lift fix)."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
     v = events.filter(F.col(value_col).isNotNull()).select(
         F.col(type_col).alias("event_type"),
         F.round(F.col(value_col) * 100).cast("long").alias("c"),
     )
-    vc = (
-        v.groupBy("event_type", "c")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .withColumn(
-            "vb", F.floor(F.col("c") / F.lit(int(value_band))).cast("long")
-        )
-    )
-    band_prior = Window.partitionBy("event_type").orderBy("vb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    bt = (
-        vc.groupBy("event_type", "vb")
-        .agg(F.sum("cnt").cast("long").alias("bcnt"))
-        .select(
-            "event_type",
-            "vb",
-            F.coalesce(F.sum("bcnt").over(band_prior), F.lit(0))
-            .cast("long")
-            .alias("boff"),
-        )
-    )
-    in_band = Window.partitionBy("event_type", "vb").orderBy("c").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = (
-        vc.withColumn("wcum", F.sum("cnt").over(in_band).cast("long"))
-        .join(F.broadcast(bt), ["event_type", "vb"])
-        .select(
-            "event_type",
-            "c",
-            (F.col("boff") + F.col("wcum")).cast("long").alias("cum"),
-        )
-    )
-    n = vc.groupBy("event_type").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * cnt) AS BIGINT)").alias(
-            "total_cents"
+    # ONE event-grain scan: the (type, c) counts frame feeds both the
+    # percentile machinery and the totals (in DECIMAL — c*cnt products
+    # overflow int64 at 100 TB event counts, the x78/x84 family)
+    vc = barrier(
+        v.groupBy("event_type", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
         ),
+        eager=False,
     )
-    return (
-        cum.join(F.broadcast(n), "event_type")
-        .groupBy("event_type", "n", "total_cents")
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cum") >= 1 + F.expr("(n - 1) * 50 div 100"),
-                    F.col("c"),
-                )
-            ).cast("long").alias("p50_cents"),
-            F.min(
-                F.when(
-                    F.col("cum") >= 1 + F.expr("(n - 1) * 90 div 100"),
-                    F.col("c"),
-                )
-            ).cast("long").alias("p90_cents"),
-        )
+    pct = grouped_exact_percentiles(
+        vc, "c", group_cols=["event_type"], quantiles=(50, 90),
+        value_band=value_band, counts_col="cnt",
+    )
+    totals = vc.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CAST(c AS DECIMAL(38,0)) * cnt) AS BIGINT)"
+        ).alias("total_cents")
+    )
+    return pct.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n",
+        "total_cents",
+        F.col("p50").alias("p50_cents"),
+        F.col("p90").alias("p90_cents"),
     )
 
 
@@ -906,4 +915,328 @@ def x88_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-grain sort and no window keyed on the ~6-value type."""
     return value_percentiles(load(spark, sf_dir, "events")).orderBy(
         "event_type", "n", "total_cents", "p50_cents", "p90_cents"
+    )
+
+
+# -- x89: event-type mix drift (weekly shares) ---------------------------------
+#
+# The TIME axis of the event-type family: x85 shows which paths are hot
+# over all time; x89 shows how the TYPE MIX moves week to week — the
+# drift alarm an event-pipeline owner reads next to x48's length-drift
+# (documents) and x63's rejection funnel.  Week = exact integer day
+# arithmetic from the corpus min date (the x74 convention — no
+# date_trunc semantics to disagree on); share = exact milli over the
+# week's total.
+#
+# Scale: one partial-agg'd groupBy((week, type)) over the event stream;
+# the share window runs over the (weeks x types) metadata frame.
+
+_X89_ORACLE = """
+WITH w AS (
+  SELECT date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                   CAST(ts AS DATE)) // 7 AS week, event_type
+  FROM events),
+c AS (SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2)
+SELECT CAST(week AS BIGINT) AS week, event_type, n,
+       CAST(1000 * n // SUM(n) OVER (PARTITION BY week) AS BIGINT)
+           AS share_milli
+FROM c ORDER BY week, event_type, n, share_milli"""
+
+
+def type_share_drift(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(week, event_type, n, share_milli): each week's event-type mix in
+    exact millis — flat shares = stable instrumentation; a moving mix =
+    product or pipeline drift."""
+    anchor_date = events.agg(F.min(F.col(ts_col).cast("date"))).first()[0]
+    if anchor_date is None:
+        raise ValueError(
+            "type_share_drift: no events (or all-NULL timestamps) — no"
+            " week-0 anchor"
+        )
+    anchor = anchor_date.isoformat()
+    c = (
+        events.select(
+            F.expr(
+                f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+            ).cast("long").alias("week"),
+            F.col(type_col).alias("event_type"),
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return c.select(
+        "week",
+        "event_type",
+        "n",
+        F.expr("1000 * n div sum(n) over (partition by week)")
+        .cast("long")
+        .alias("share_milli"),
+    )
+
+
+@register("x89_type_share_drift", _X89_ORACLE)
+def x89_type_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 weekly event-type mix: exact milli shares per (week, type) —
+    the drift alarm on the event stream's composition; one partial-agg'd
+    groupBy, share window over the metadata-sized matrix."""
+    return type_share_drift(load(spark, sf_dir, "events")).orderBy(
+        "week", "event_type", "n", "share_milli"
+    )
+
+
+# -- x90: session-duration percentile profile ----------------------------------
+#
+# The engagement summary over x34's session table: exact discrete
+# p50/p90 of session duration (integer microseconds) + the session
+# count — "how long is a visit" next to x26's lifecycle and x34's raw
+# sessions.  Same rank-target definition as x88 (rank 1+(n-1)q//100,
+# ascending duration), served by the shared banded-cumulative-counts
+# machinery — the session frame is session-grain (far below event
+# grain) and even it is never sorted in one task.
+
+_X90_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_X34_GAP_US}
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o),
+d AS (SELECT CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS dur
+      FROM s GROUP BY user_id, sess),
+r AS (SELECT dur, ROW_NUMBER() OVER (ORDER BY dur) AS rn FROM d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM d)
+SELECT n.n_sessions,
+       CAST(MAX(CASE WHEN rn = 1 + (n_sessions - 1) * 50 // 100
+                     THEN dur END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = 1 + (n_sessions - 1) * 90 // 100
+                     THEN dur END) AS BIGINT) AS p90_us
+FROM r CROSS JOIN n
+GROUP BY n.n_sessions
+ORDER BY n_sessions, p50_us, p90_us"""
+
+
+def session_duration_percentiles(
+    events: DataFrame, gap_us: int = _X34_GAP_US
+) -> DataFrame:
+    """(n_sessions, p50_us, p90_us): exact discrete session-duration
+    order statistics over the x34 session table."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    d = sessionize(events, gap_us=gap_us).select("duration_us")
+    return grouped_exact_percentiles(
+        d, "duration_us", group_cols=(), quantiles=(50, 90)
+    ).select(
+        F.col("n").alias("n_sessions"),
+        F.col("p50").alias("p50_us"),
+        F.col("p90").alias("p90_us"),
+    )
+
+
+@register("x90_session_percentiles", _X90_ORACLE)
+def x90_session_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 session-duration profile: exact discrete p50/p90 microsecond
+    durations over x34's sessions — the engagement summary; the session
+    frame reduces to duration counts + banded cumulative sums, never a
+    single-task sort."""
+    return session_duration_percentiles(load(spark, sf_dir, "events")).orderBy(
+        "n_sessions", "p50_us", "p90_us"
+    )
+
+
+# -- x91: purchase inter-arrival percentiles -----------------------------------
+#
+# The REPEAT-PURCHASE cadence: per user, gaps between consecutive
+# purchases (integer seconds); globally, the exact discrete p50/p90 of
+# those gaps + the gap count — the replenishment-cycle number a
+# lifecycle team reads next to x87's segments (who spends) and x74's
+# cohorts (who returns).  Gap arithmetic on exact epoch seconds, same
+# rank-target percentile definition as x88/x90.
+#
+# Scale: the purchase stream is type-filtered AT THE SCAN; the lead
+# window keys on user over purchase-grain rows; the percentile rides
+# the shared banded-cumulative machinery.
+
+_X91_ORACLE = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+g AS (
+  SELECT CAST((epoch_us(LEAD(ts) OVER w) - epoch_us(ts)) // 1000000
+              AS BIGINT) AS gap_s
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+d AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL),
+r AS (SELECT gap_s, ROW_NUMBER() OVER (ORDER BY gap_s) AS rn FROM d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps FROM d)
+SELECT n.n_gaps,
+       CAST(MAX(CASE WHEN rn = 1 + (n_gaps - 1) * 50 // 100
+                     THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rn = 1 + (n_gaps - 1) * 90 // 100
+                     THEN gap_s END) AS BIGINT) AS p90_s
+FROM r CROSS JOIN n
+GROUP BY n.n_gaps
+ORDER BY n_gaps, p50_s, p90_s"""
+
+
+def purchase_interarrival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(n_gaps, p50_s, p90_s): exact discrete percentiles of the
+    per-user consecutive-purchase gap in integer seconds."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    p = events.filter(F.col(type_col) == purchase_type)
+    us = _epoch_us(events, ts_col)  # same NTZ/UTC guard as sessionize
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    g = (
+        p.select((F.lead(us).over(w) - us).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select(F.expr("gap_us div 1000000").cast("long").alias("gap_s"))
+    )
+    return grouped_exact_percentiles(
+        g, "gap_s", group_cols=(), quantiles=(50, 90)
+    ).select(
+        F.col("n").alias("n_gaps"),
+        F.col("p50").alias("p50_s"),
+        F.col("p90").alias("p90_s"),
+    )
+
+
+@register("x91_purchase_interarrival", _X91_ORACLE)
+def x91_purchase_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 repeat-purchase cadence: exact discrete p50/p90 of the
+    per-user gap between consecutive purchases (integer seconds) — the
+    replenishment-cycle profile; purchases filtered at the scan, gaps
+    via one user-keyed lead window at purchase grain, percentiles via
+    the shared no-sort machinery."""
+    return purchase_interarrival(load(spark, sf_dir, "events")).orderBy(
+        "n_gaps", "p50_s", "p90_s"
+    )
+
+
+# -- x92: revenue concentration (top-share curve) -------------------------------
+#
+# The PARETO view over x87's monetary axis: what fraction of total
+# purchase revenue comes from the top 1% / 10% / 50% of users — the
+# whale-dependence number a growth team reads next to x87 (who the
+# whales are) and x91 (how often they return).  Tier membership is by
+# exact rank (cents DESC, user_id tiebreak — the x87 total order) over
+# the skew-proof distributed rank, tier size = n_users*k//1000 (floor),
+# and shares are exact millis computed in 128-bit (1000*revenue
+# overflows int64 at 100 TB totals — the x78/x84 family).
+#
+# Scale: user-grain metric frame + ONE distributed rank + one
+# conditional aggregation; no task ever sorts the user frame.
+
+_X92_TIERS = (10, 100, 500)  # milli: top 1%, 10%, 50%
+
+_X92_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cents
+  FROM events GROUP BY user_id),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rn
+      FROM u),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(cents) AS BIGINT)
+          AS tot FROM u),
+t AS (SELECT UNNEST([10, 100, 500]) AS tier_milli),
+j AS (SELECT t.tier_milli, n.nu, n.tot,
+             CAST(COALESCE(SUM(CASE WHEN r.rn <= n.nu * t.tier_milli // 1000
+                                    THEN r.cents END), 0) AS BIGINT)
+                 AS revenue_cents
+      FROM t CROSS JOIN n CROSS JOIN r
+      GROUP BY 1, 2, 3)
+SELECT CAST(tier_milli AS BIGINT) AS tier_milli,
+       CAST(nu * tier_milli // 1000 AS BIGINT) AS users,
+       revenue_cents,
+       CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(1000 AS HUGEINT) * revenue_cents // tot
+                      AS BIGINT) END AS share_milli
+FROM j ORDER BY tier_milli, users, revenue_cents, share_milli"""
+
+
+def revenue_concentration(
+    events: DataFrame,
+    tiers: tuple = _X92_TIERS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(tier_milli, users, revenue_cents, share_milli): exact revenue
+    share of the top-``tier_milli``/1000 fraction of users by purchase
+    cents (rank cut on the distributed rank; floor tier sizes)."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+    from cubefs_hadoop_spark.extensions.ranking import distributed_rank
+
+    u = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sum(
+            F.when(
+                F.col(type_col) == purchase_type,
+                F.round(F.col(value_col) * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("cents")
+    )
+    u = barrier(u, eager=False)  # feeds the totals AND the rank
+    n_users, total = u.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("cents"), F.lit(0))
+    ).first()
+    ranked = distributed_rank(u, "cents", "user_id", descending=True)
+    cuts = {k: (int(n_users) * int(k)) // 1000 for k in tiers}
+    agg = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= cuts[k], F.col("cents"))),
+                F.lit(0),
+            ).cast("long").alias(f"c{k}")
+            for k in tiers
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({int(k)} AS BIGINT), CAST({cuts[k]} AS BIGINT), c{k}"
+        for k in tiers
+    )
+    rows = agg.selectExpr(
+        f"stack({len(tiers)}, {stack})"
+        " AS (tier_milli, users, revenue_cents)"
+    )
+    share = (
+        F.lit(0).cast("long")
+        if int(total) == 0
+        else F.expr(
+            spark_exact_floordiv([1000, "revenue_cents"], [int(total)])
+        )
+    )
+    return rows.select(
+        "tier_milli", "users", "revenue_cents", share.alias("share_milli")
+    )
+
+
+@register("x92_revenue_concentration", _X92_ORACLE)
+def x92_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 revenue concentration: exact milli share of purchase revenue
+    held by the top 1%/10%/50% of users (rank-exact tiers over the
+    skew-proof distributed rank, 128-bit share arithmetic) — the Pareto
+    table next to x87's segments; never a single-task sort."""
+    return revenue_concentration(load(spark, sf_dir, "events")).orderBy(
+        "tier_milli", "users", "revenue_cents", "share_milli"
     )

@@ -142,6 +142,93 @@ def distributed_rank(
     )
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    quantiles: Sequence[int] = (50, 90),
+    value_band: int = _VALUE_BAND,
+    counts_col: str | None = None,
+) -> DataFrame:
+    """Exact discrete order statistics per group without any row-grain
+    sort: (group_cols..., n, p<q>...) where ``p<q>`` is the value of
+    rank ``1 + (n-1)*q//100`` in ascending order — the x88 machinery,
+    extracted (r12) so every percentile profile shares it.
+
+    The rank-target order statistic needs only CUMULATIVE COUNTS: the
+    rn-th smallest value is ``min(v : cum(v) >= rn)`` regardless of tie
+    order, so the data reduces to one partial-agg'd (group, value)
+    counts frame cumulated by banded prefix sums — band totals are a
+    (groups x bands) metadata frame; within-band cumulation partitions
+    by (group, band) and holds at most ``value_band`` DISTINCT values
+    however many rows share them.  ``value_col`` must be integral.
+
+    ``counts_col``: when the caller already holds the (group, value,
+    count) frame (e.g. to derive totals off the same single scan), pass
+    its count column name and ``df`` is taken at that grain instead of
+    row grain."""
+    g = list(group_cols)
+    if counts_col is None:
+        v = df.select(*g, F.col(value_col).cast("long").alias("_gp_v"))
+        vc = v.groupBy(*g, "_gp_v").agg(
+            F.count(F.lit(1)).cast("long").alias("_gp_cnt")
+        )
+    else:
+        vc = df.select(
+            *g,
+            F.col(value_col).cast("long").alias("_gp_v"),
+            F.col(counts_col).cast("long").alias("_gp_cnt"),
+        )
+    vc = vc.withColumn(
+        "_gp_vb",
+        F.floor(F.col("_gp_v") / F.lit(int(value_band))).cast("long"),
+    )
+    band_prior = Window.partitionBy(*g).orderBy("_gp_vb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bt = (
+        vc.groupBy(*g, "_gp_vb")
+        .agg(F.sum("_gp_cnt").cast("long").alias("_gp_bcnt"))
+        .select(
+            *g,
+            "_gp_vb",
+            F.coalesce(F.sum("_gp_bcnt").over(band_prior), F.lit(0))
+            .cast("long")
+            .alias("_gp_boff"),
+        )
+    )
+    in_band = Window.partitionBy(*g, "_gp_vb").orderBy("_gp_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        vc.withColumn(
+            "_gp_wcum", F.sum("_gp_cnt").over(in_band).cast("long")
+        )
+        .join(F.broadcast(bt), [*g, "_gp_vb"])
+        .select(
+            *g,
+            "_gp_v",
+            (F.col("_gp_boff") + F.col("_gp_wcum")).cast("long").alias(
+                "_gp_cum"
+            ),
+        )
+    )
+    n = vc.groupBy(*g).agg(F.sum("_gp_cnt").cast("long").alias("n"))
+    j = cum.join(F.broadcast(n), g) if g else cum.crossJoin(F.broadcast(n))
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_gp_cum") >= 1 + F.expr(f"(n - 1) * {int(q)} div 100"),
+                F.col("_gp_v"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{int(q)}")
+        for q in quantiles
+    ]
+    return j.groupBy(*g, "n").agg(*aggs)
+
+
 def ntile_from_rank(rank_col: str, n_rows: int, k: int) -> F.Column:
     """The bucket ``NTILE(k)`` assigns to a row of exact rank
     ``rank_col`` in a frame of ``n_rows``: the first ``n_rows mod k``

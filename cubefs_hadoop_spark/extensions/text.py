@@ -1158,3 +1158,66 @@ def x79_ngram_dup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_dup_curve(load(spark, sf_dir, "documents")).orderBy(
         "n", "total_ngrams", "distinct_ngrams", "dup_milli"
     )
+
+
+# -- x93: per-source document-length percentiles -------------------------------
+#
+# The documents-table twin of x88 (and the exact companion to x48's
+# sketch-based drift alarm): per source, exact discrete p50/p90 of
+# n_chars + the doc count — "is this feed suddenly shipping stubs or
+# megadocs" read in exact order statistics, not approximations.  Rides
+# the shared banded-cumulative-counts machinery (extensions/ranking.py)
+# — one partial-agg'd (source, n_chars) counts frame, no row-grain
+# sort, no window keyed on the bare source over doc-grain rows.
+
+_X93_ORACLE = """
+WITH v AS (
+  SELECT COALESCE(source, '(null)') AS source,
+         CAST(n_chars AS BIGINT) AS c
+  FROM documents),
+r AS (SELECT source, c,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY c) AS rn
+      FROM v),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM v GROUP BY source)
+SELECT source, n_docs,
+       CAST(MAX(CASE WHEN rn = 1 + (n_docs - 1) * 50 // 100
+                     THEN c END) AS BIGINT) AS p50_chars,
+       CAST(MAX(CASE WHEN rn = 1 + (n_docs - 1) * 90 // 100
+                     THEN c END) AS BIGINT) AS p90_chars
+FROM r JOIN n USING (source)
+GROUP BY source, n_docs
+ORDER BY source, n_docs, p50_chars, p90_chars"""
+
+
+def doclen_percentiles(
+    docs: DataFrame, by: str = "source", len_col: str = "n_chars"
+) -> DataFrame:
+    """(source, n_docs, p50_chars, p90_chars): exact discrete per-source
+    length order statistics (rank 1+(n-1)q//100, ascending)."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    v = docs.select(
+        F.coalesce(F.col(by), F.lit("(null)")).alias("source"),
+        F.col(len_col).cast("long").alias("c"),
+    )
+    return grouped_exact_percentiles(
+        v, "c", group_cols=["source"], quantiles=(50, 90)
+    ).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("p50").alias("p50_chars"),
+        F.col("p90").alias("p90_chars"),
+    )
+
+
+@register("x93_doclen_percentiles", _X93_ORACLE)
+def x93_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 per-source length profile: exact discrete p50/p90 n_chars per
+    source — the exact drift companion to x48; shared no-sort percentile
+    machinery, NULL sources normalized to '(null)'."""
+    return doclen_percentiles(load(spark, sf_dir, "documents")).orderBy(
+        "source", "n_docs", "p50_chars", "p90_chars"
+    )

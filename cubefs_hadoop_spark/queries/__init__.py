@@ -15,65 +15,63 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r10 was
-# 50/50 green.  Round-11 window per the r10-declared rotation plan
-# (stalest-first): the round-11-new operators lead (first driver rows
-# in their own round — the standing policy since r9), then the
-# remaining 39 r07 greens in CORRECTNESS_r07 order (the stalest pool:
-# their last driver rows are 4 rounds old), topped up to 50 with the
-# stalest r08 greens in CORRECTNESS_r08 order.  Displaced to r12: the
-# rest of the r08 window, then r09/r10.  Every displaced entry still
-# hash-checks against DuckDB in pytest (test_oracle.py) each run and
-# in the committed SWEEP_r{N}.json.
-_R11_NEW = [
-    # round-11-new operators: first driver rows
-    "x73b_containment_production", "x75_lsh_preflight",
-    "x76_stratified_eval_split", "x77_cluster_purity",
-    "x78_collocation_lift", "x79_ngram_dup_curve",
-    "x80_label_separation", "x81_neardup_pagerank",
-    "x82_centrality_canonical", "x83_tfidf_keywords",
-    "x84_source_vocabulary", "x85_event_transitions",
-    "x86_pair_arrival_curve", "x87_rfm_segments",
-    "x88_value_percentiles",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r11 was
+# 50/50 green.  Round-12 window per the r11-declared rotation plan
+# (stalest-first), with the ADVICE r11 correction: _R11_NEW had 15
+# operators (not 13), so the r11 [:50] trim displaced the last FOUR
+# r07 entries (t07_volume_shipping, t08_market_share,
+# t22_sales_opportunity, t06_forecast_revenue) — all four re-enter
+# here.  Every displaced entry still hash-checks against DuckDB in
+# pytest (test_oracle.py) each run and in the committed SWEEP_r{N}.json.
+_R12_NEW = [
+    # round-12-new operators: first driver rows
+    "x89_type_share_drift", "x90_session_percentiles",
+    "x91_purchase_interarrival", "x92_revenue_concentration",
+    "x93_doclen_percentiles",
+    # r12 PLAN CHANGES (VERDICT r11 #2/#3 de-funnels): fresh driver
+    # rows for the new plans even though their r11 rows were green
+    "x87_rfm_segments", "x88_value_percentiles",
 ]
-_R07_REMAINING = [
-    # the 39 r07 greens displaced from the r10 window, r07 order
-    "s08_running_max_twin", "s09_interval_join_twin",
-    "s13_dedup_watermark_twin", "t10_returned_items",
-    "t12_priority_shipping", "u02_grouped_map_zscore",
-    "u03_grouped_agg_mean", "u04_udtf_wordsplit", "u04b_python_udtf",
-    "u05_row_udf", "x02c_simhash", "x03b_embedding_neardup",
-    "x03e_int8_ann", "x04_text_stats", "x28_canonical_dedup",
-    "x29_ngram_novelty", "x30_chunk_documents", "x31_label_centroids",
-    "x31b_incremental_centroids", "x32_prototype_selection",
-    "x33_dsir_weights", "x33b_incremental_dsir", "x34_sessionize",
-    "x35_binary_metadata", "x36_ncm_classify", "q19_correlated_subquery",
-    "q19b_correlated_sql", "q36_sample_twin", "q30b_array_funcs2",
-    "q29b_bitwise_funcs", "q30c_collect_sorted", "q30d_higher_order_funcs",
-    "s02_tumbling_window", "s04_sessionization", "t04_order_priority",
-    "t07_volume_shipping", "t08_market_share", "t22_sales_opportunity",
-    "t06_forecast_revenue",
+_R07_DISPLACED = [
+    # the four r07 greens the r11 trim displaced (ADVICE r11: the old
+    # note undercounted — all four, not just the last two)
+    "t07_volume_shipping", "t08_market_share",
+    "t22_sales_opportunity", "t06_forecast_revenue",
 ]
 _R08_STALEST = [
-    # stalest r08 greens, CORRECTNESS_r08 order (top-up pool)
+    # stalest r08 greens, CORRECTNESS_r08 order
     "x37_subword_tokenize", "x37b_subword_tokenize_arrow",
     "x17b_subword_budget", "x14b_subword_pack", "x35b_blob_inventory",
     "x12b_semantic_dedup_auto", "x13c_srp_lsh_auto", "x38_dup_spans",
     "x38b_dup_span_removal", "x39_bpe_train", "x39b_bpe_encode",
 ]
-_R11_WINDOW = (_R11_NEW + _R07_REMAINING + _R08_STALEST)[:50]
+_R09_STALEST = [
+    # the r09 window becomes the stale pool (last driver rows 3 rounds
+    # old), CORRECTNESS_r09 order
+    "x16_segment_dedup", "x17_token_budget", "x18_curriculum_order",
+    "x19_stratified_sample", "x20_unigram_logprob", "x21_bm25_search",
+    "x22_zorder_key", "x23_gapfill_locf", "x24_range_join",
+    "x25_funnel", "x26_lifecycle", "x27_series_similarity",
+    "x34b_sessionize_skewsafe", "x52_skew_profile",
+    "x53_lsh_bucket_audit", "x54_temperature_mixture",
+    "x55_quality_canonical_dedup", "x56_ivfpq_topk", "x56b_ivfpq_rerank",
+    "x57_pack_boundaries", "x43_jl_project", "x39c_bpe_train_batched",
+    "x58_tokenizer_fertility", "x59_dim_truncation_recall",
+    "x60_ivf_list_balance", "x61_lsh_quality_audit",
+    "x62_filter_agreement", "q01_scan_count",
+]
+_R12_WINDOW = (_R12_NEW + _R07_DISPLACED + _R08_STALEST + _R09_STALEST)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# NOTE: with 13 r11-new operators the [:50] trim displaces the last
-# two r07 entries (t22_sales_opportunity, t06_forecast_revenue) AND
-# the whole r08 top-up pool — all still sweep-green in SWEEP_r11.json.
+# Composition: 7 (r12-new + replanned) + 4 (r07 tail) + 11 (r08) + 28
+# (r09 head) = 50 exactly — nothing trimmed this round.
 #
-# r12 rotation plan (stalest-first): any r12-new operators first, then
-# t22_sales_opportunity + t06_forecast_revenue (displaced here), then
-# the r08 greens in CORRECTNESS_r08 order, then the r09 window becomes
-# the stale pool.
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
-reorder(_R11_WINDOW)
+# r13 rotation plan (stalest-first): any r13-new operators first, then
+# the remaining 22 r09 entries (q03_filter_conjunctive onward in
+# CORRECTNESS_r09 order), then the r10 window becomes the stale pool.
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+assert len(set(_R12_WINDOW)) == 50, "duplicate entry in the driver window"
+reorder(_R12_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]

@@ -805,6 +805,49 @@ def sink_transition_state(
     _drain(sdf, commit, checkpoint_dir)
 
 
+def sink_rfm_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> None:
+    """Stream events into the x87 RFM metric state (S26): each
+    micro-batch's per-user (last_day, frequency, monetary_cents)
+    sufficient statistics fold into ``state_dir`` exactly once under
+    the shared ledger — the merge law is (MAX date, SUM, SUM), all
+    associative+commutative, so the folded state bit-equals the batch
+    ``rfm_metric_frame`` over everything ever ingested REGARDLESS of
+    how the stream sliced events into batches (no ordering contract,
+    unlike S25).  ``behavior.rfm_from_metrics`` serves the live
+    segmentation (rank-exact terciles) at any moment — the ingest-time
+    "who are the whales RIGHT NOW" table.  State: one row per user
+    seen, user-grain forever."""
+    from cubefs_hadoop_spark.extensions.behavior import rfm_metric_frame
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return rfm_metric_frame(
+            batch, user_col, ts_col, type_col, value_col, purchase_type
+        )
+
+    def merge(prev: DataFrame | None, batch_stats: DataFrame) -> DataFrame:
+        both = (
+            prev.unionByName(batch_stats.select(*prev.columns))
+            if prev is not None
+            else batch_stats
+        )
+        return both.groupBy("user_id").agg(
+            F.max("last_day").alias("last_day"),
+            F.sum("frequency").cast("long").alias("frequency"),
+            F.sum("monetary_cents").cast("long").alias("monetary_cents"),
+        )
+
+    _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)
+
+
 def sink_split_state(
     sdf: DataFrame,
     state_dir: str,

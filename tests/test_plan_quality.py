@@ -860,3 +860,59 @@ def test_x88_percentiles_shape(spark):
     assert not a.has_python_eval
     assert "SinglePartition" not in a.text
     assert "HashAggregate" in a.text
+
+
+def test_x89_drift_shape(spark):
+    """x89: one partial-agg'd groupBy((week, type)); the share window
+    partitions by week over the metadata-sized matrix — no
+    SinglePartition, no NLJ, no Python."""
+    a = _audit(spark, "x89_type_share_drift")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+    assert "HashAggregate" in a.text
+
+
+def test_x90_session_percentiles_shape(spark):
+    """x90: x34's one user-keyed session window, then the shared
+    banded-cumulative percentile machinery — the session frame is never
+    sorted in one task; the only NLJ is the 1-row global-count
+    broadcast cross join, the only SinglePartition exchanges are
+    driver-scale (band totals + the 1-row count)."""
+    a = _audit(spark, "x90_session_percentiles")
+    assert a.nested_loop_joins <= 1  # the broadcast 1-row n frame
+    assert not a.has_python_eval
+    assert "_gp_vb" in a.text  # banded cumulation, not a global sort
+
+
+def test_x91_interarrival_shape(spark):
+    """x91: purchase filter pushed to the scan, one user-keyed lead
+    window at purchase grain, shared no-sort percentile machinery."""
+    a = _audit(spark, "x91_purchase_interarrival")
+    assert a.nested_loop_joins <= 1  # the broadcast 1-row n frame
+    assert not a.has_python_eval
+    assert "_gp_vb" in a.text
+    # the type filter reaches the scan
+    assert "purchase" in " ".join(a.pushed_filters)
+
+
+def test_x92_concentration_shape(spark):
+    """x92: user-grain metric frame + ONE distributed rank (no
+    SinglePartition window over the user frame — the rank machinery's
+    band-totals prefix is the only unpartitioned exchange family) + one
+    conditional aggregation; no Python."""
+    a = _audit(spark, "x92_revenue_concentration")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "_dr_ub" in a.text  # the skew-proof rank, not a sort
+
+
+def test_x93_doclen_percentiles_shape(spark):
+    """x93: one partial-agg'd (source, n_chars) counts frame + banded
+    cumulative counts — no SinglePartition anywhere, no doc-grain
+    sort."""
+    a = _audit(spark, "x93_doclen_percentiles")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+    assert "_gp_vb" in a.text

@@ -957,3 +957,72 @@ def test_streamed_split_state_serves_live_balance_table(spark, tmp_path):
         )
     )
     assert live == batch
+
+
+def test_streamed_rfm_state_bit_equals_batch_x87(spark, tmp_path):
+    """S26: events arriving as a 3-batch stream (sliced by event_id —
+    users INTERLEAVE across batches; the RFM stats are additive with no
+    ordering contract) fold into the per-user metric state; the folded
+    frame bit-equals the batch rfm_metric_frame, and the served
+    segmentation equals the registered x87 output row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import (
+        rfm_from_metrics,
+        rfm_metric_frame,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_rfm_state,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    stage_dir = str(tmp_path / "stage")
+    n_files = 3
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "rfm_state")
+    sink_rfm_state(sdf, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        r.user_id: (r.last_day, r.frequency, r.monetary_cents)
+        for r in read_state(spark, state).collect()
+    }
+    full = {
+        r.user_id: (r.last_day, r.frequency, r.monetary_cents)
+        for r in rfm_metric_frame(ev).collect()
+    }
+    assert folded == full
+    # users must actually interleave across batches, or the merge law
+    # was never exercised beyond disjoint unions
+    per_batch_users = []
+    for b in range(n_files):
+        part = ev.filter(
+            (F.col("event_id") >= b * step)
+            & (F.col("event_id") < (b + 1) * step)
+        )
+        per_batch_users.append(
+            {r.user_id for r in part.select("user_id").distinct().collect()}
+        )
+    assert per_batch_users[0] & per_batch_users[1]
+
+    live = sorted(
+        map(tuple, rfm_from_metrics(read_state(spark, state)).collect())
+    )
+    batch_rows = QUERIES["x87_rfm_segments"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch_rows))

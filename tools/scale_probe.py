@@ -516,6 +516,68 @@ def main() -> None:
             *hot_rows,
             "",
         ]
+
+        # event-analytics skew probe (VERDICT r11 item 7): x85/x87/x88
+        # key on user_id / event_type.  Two shapes: (a) the x34 hot-user
+        # table (skew_dir events: ~10% of events on one bot user) — the
+        # user-grain frames must stay bounded (the bot is ONE user row
+        # in x87's metric frame; x85's lead window gives the bot to one
+        # task, the regime x34b insures); (b) a hot-TYPE table (~55% of
+        # events remapped onto 'purchase') — the shape that funneled the
+        # pre-r12 x88 (rank window partitioned by type); the de-funneled
+        # plans must hold because no operator keys a task on the bare
+        # type over event-grain rows.  Probe-only evidence, never a
+        # fixture.
+        ht_dir = sf1_dir.rstrip("/") + "_hottype"
+        ht_ev = os.path.join(ht_dir, "events.parquet")
+        if not os.path.isdir(ht_ev):
+            from pyspark.sql import functions as F
+
+            ev = spark.read.parquet(os.path.join(sf1_dir, "events.parquet"))
+            ev.withColumn(
+                "event_type",
+                F.when(
+                    F.col("event_id") % 2 == 0, F.lit("purchase")
+                ).otherwise(F.col("event_type")),
+            ).write.mode("overwrite").parquet(ht_ev)
+        ea_rows = []
+        for name in ("x85_event_transitions", "x87_rfm_segments",
+                     "x88_value_percentiles"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).collect()
+            t_uni = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_hu = len(QUERIES[name](spark, skew_dir).collect())
+            t_hu = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_ht = len(QUERIES[name](spark, ht_dir).collect())
+            t_ht = time.perf_counter() - t0
+            ea_rows.append(
+                f"| {name} | {t_uni:.2f}s | {t_hu:.2f}s"
+                f" ({t_hu / max(t_uni, 1e-9):.1f}x, {n_hu}) |"
+                f" {t_ht:.2f}s ({t_ht / max(t_uni, 1e-9):.1f}x, {n_ht}) |"
+            )
+        lines += [
+            "### event-analytics skew probe (x85/x87/x88 at sf1)",
+            "",
+            f"Hot-user = `{os.path.join(skew_dir, 'events.parquet')}`",
+            "(~10% of events on one bot user, the x34 table); hot-type =",
+            f"`{ht_ev}` (~55% of events on 'purchase').  x87's metric",
+            "frame stays user-grain under both (the bot is one row);",
+            "x88 has no per-type task since r12 (banded cumulative",
+            "counts); x85's per-user lead window gives the bot to one",
+            "task — linear in the bot's events, the documented regime",
+            "where an x34b-style day-bucketed variant takes over.",
+            "",
+            "| query | uniform sf1 | hot-user (ratio, rows) |"
+            " hot-type (ratio, rows) |",
+            "|---|---|---|---|",
+            *ea_rows,
+            "",
+        ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
