@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "x91_purchase_interarrival",
     "x92_revenue_concentration",
     "x93_doclen_percentiles",
+    "x94_copurchase_affinity",
 ]
 
 RUNS = 4

@@ -708,8 +708,8 @@ def rfm_from_metrics(metrics: DataFrame) -> DataFrame:
     anchor = metrics.agg(F.max("last_day")).first()[0]
     if anchor is None:
         raise ValueError(
-            "rfm_from_metrics: empty metric frame (or all-NULL dates) —"
-            " no recency anchor"
+            "rfm_from_metrics: empty metric frame — no events folded"
+            " (or all-NULL timestamps); no recency anchor"
         )
     u = metrics.select(
         "user_id",
@@ -1240,3 +1240,124 @@ def x92_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_concentration(load(spark, sf_dir, "events")).orderBy(
         "tier_milli", "users", "revenue_cents", "share_milli"
     )
+
+
+# -- x94: co-purchase affinity (market-basket lift) -----------------------------
+#
+# The BASKET view of the event stream — x78's collocation lift at item
+# grain: which catalog items are bought by the same users far above
+# chance.  Items come from the events ``props`` JSON (``$.k``, the
+# catalog-id payload — the first operator to exercise the JSON column),
+# baskets are per-user distinct item sets, association is exact
+# integer-milli lift P(a,b)/(P(a)P(b)) = 1000·n_pair·n_users //
+# (n_a·n_b) in 128-bit (the x78/x84 overflow family), top-k with a
+# full deterministic tie order and a support floor.
+#
+# Scale (100 TB): the basket frame is (user, item)-distinct — bounded
+# by users x CATALOG, not by events; the pair join is user-keyed with
+# per-user item sets bounded by the catalog (document the contract: a
+# per-user item cap is the knob if the catalog is huge); item counts
+# are catalog-grain; the top-k is TakeOrderedAndProject.  n_users rides
+# as a plan literal (x52 pattern).
+
+_X94_K = 30
+_X94_MIN_PAIR = 2
+
+_X94_ORACLE = f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE event_type = 'purchase' AND props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM p GROUP BY k),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM p),
+pr AS (SELECT a.k AS item_a, b.k AS item_b, CAST(COUNT(*) AS BIGINT)
+           AS n_pair
+       FROM p a JOIN p b ON a.user_id = b.user_id AND a.k < b.k
+       GROUP BY 1, 2)
+SELECT item_a, item_b, n_pair,
+       CAST(CAST(1000 AS HUGEINT) * n_pair * nu.n
+            // (CAST(ca.n_k AS HUGEINT) * cb.n_k) AS BIGINT) AS lift_milli
+FROM pr JOIN c ca ON ca.k = item_a JOIN c cb ON cb.k = item_b CROSS JOIN nu
+WHERE n_pair >= {_X94_MIN_PAIR}
+ORDER BY lift_milli DESC, n_pair DESC, item_a, item_b
+LIMIT {_X94_K}"""
+
+
+def copurchase_affinity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    props_col: str = "props",
+    item_path: str = "$.k",
+    purchase_type: str = "purchase",
+    k: int = _X94_K,
+    min_pair: int = _X94_MIN_PAIR,
+) -> DataFrame:
+    """(item_a, item_b, n_pair, lift_milli): top-k co-purchased catalog
+    item pairs by exact integer-milli lift over independence (support
+    floor ``min_pair``; items parsed from the props JSON)."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+
+    p = (
+        events.filter(
+            (F.col(type_col) == purchase_type)
+            & F.col(props_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("u"),
+            F.get_json_object(props_col, item_path).cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    p = barrier(p, eager=False)  # feeds counts, the literal AND the join
+    c = p.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    n_users = int(p.select("u").distinct().count())
+    if n_users == 0:
+        raise ValueError("copurchase_affinity: no purchases with items")
+    pr = (
+        p.alias("a")
+        .join(
+            p.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.k") < F.col("b.k")),
+        )
+        .select(F.col("a.k").alias("item_a"), F.col("b.k").alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= int(min_pair))
+    )
+    ca = c.select(F.col("k").alias("item_a"), F.col("n_k").alias("na"))
+    cb = c.select(F.col("k").alias("item_b"), F.col("n_k").alias("nb"))
+    return (
+        pr.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.expr(
+                spark_exact_floordiv(
+                    [1000, "n_pair", n_users], ["na", "nb"]
+                )
+            ).alias("lift_milli"),
+        )
+        .orderBy(
+            F.col("lift_milli").desc(),
+            F.col("n_pair").desc(),
+            "item_a",
+            "item_b",
+        )
+        .limit(int(k))
+    )
+
+
+@register("x94_copurchase_affinity", _X94_ORACLE)
+def x94_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 market-basket affinity: top-30 co-purchased item pairs by
+    exact integer-milli lift (support floor 2, items from the props
+    JSON payload — the JSON-column operator) — x78's collocation miner
+    at catalog grain; user-keyed pair join over catalog-bounded
+    baskets, TakeOrderedAndProject top-k, 128-bit lift."""
+    return copurchase_affinity(load(spark, sf_dir, "events"))

@@ -916,3 +916,35 @@ def test_x93_doclen_percentiles_shape(spark):
     assert not a.has_python_eval
     assert "SinglePartition" not in a.text
     assert "_gp_vb" in a.text
+
+
+def test_x94_affinity_shape(spark):
+    """x94: basket frame (user, item)-distinct off a scan-pushed
+    purchase filter; the pair join is a user-keyed equi-join (never a
+    nested loop over items); item-count attachments broadcast; top-k is
+    TakeOrderedAndProject, never a global sort."""
+    a = _audit(spark, "x94_copurchase_affinity")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.has_take_ordered
+    assert a.broadcast_joins >= 2  # the two item-count attachments
+    # the purchase-filter pushdown sits BELOW the basket barrier
+    # (localCheckpoint cuts the visible lineage), so assert it on the
+    # un-barriered basket frame instead
+    from cubefs_hadoop_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, SF_SMOKE, "events")
+    basket = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("props").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    ab = audit_plan(basket)
+    assert "purchase" in " ".join(ab.pushed_filters)
