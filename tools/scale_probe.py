@@ -105,6 +105,14 @@ SF1_WATCH = [
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
     "x88_value_percentiles",
+    # r12-new operators (and the de-funneled x87/x88 get fresh rows
+    # under their new plans via the entries above)
+    "x89_type_share_drift",
+    "x90_session_percentiles",
+    "x91_purchase_interarrival",
+    "x92_revenue_concentration",
+    "x93_doclen_percentiles",
+    "x94_copurchase_affinity",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -215,6 +223,18 @@ PROBE_QUERIES = [
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
     "x88_value_percentiles",
+    # r12-new operators: 100x evidence from first registration.  x89's
+    # matrix is (weeks x types); x90 rides x34's one user-keyed window;
+    # x91 is purchase-grain; x92 is ONE stacked distributed rank over
+    # the user frame; x93/x94 are source/catalog-bounded rollups.  The
+    # r12 de-funneled x87/x88 plans get fresh rows under their new
+    # shapes (banded rank / banded cumulative counts).
+    "x89_type_share_drift",
+    "x90_session_percentiles",
+    "x91_purchase_interarrival",
+    "x92_revenue_concentration",
+    "x93_doclen_percentiles",
+    "x94_copurchase_affinity",
 ]
 
 
