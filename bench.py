@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "x92_revenue_concentration",
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
+    "x95_weekly_revenue",
 ]
 
 RUNS = 4

@@ -871,23 +871,42 @@ def value_percentiles(
     many events share them.  Totals ride DECIMAL(38,0) (c*cnt products
     overflow int64 at 100 TB event counts — same family as the x78/x84
     lift fix)."""
+    return value_percentiles_from_counts(
+        barrier(value_cents_counts(events, type_col, value_col), eager=False),
+        value_band=value_band,
+    )
+
+
+def value_cents_counts(
+    events: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, c, cnt): the per-(type, cents) counts frame — the
+    ADDITIVE sufficient statistic behind x88 (per-batch counts sum,
+    which is what the S27 streaming sink folds)."""
+    return (
+        events.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def value_percentiles_from_counts(
+    vc: DataFrame, value_band: int = _X88_BAND
+) -> DataFrame:
+    """Serve the x88 profile from a folded (event_type, c, cnt) counts
+    frame (batch-built or the S27 streamed state): percentiles via the
+    shared banded machinery, totals in DECIMAL (c*cnt products overflow
+    int64 at 100 TB event counts — the x78/x84 family)."""
     from cubefs_hadoop_spark.extensions.ranking import (
         grouped_exact_percentiles,
     )
 
-    v = events.filter(F.col(value_col).isNotNull()).select(
-        F.col(type_col).alias("event_type"),
-        F.round(F.col(value_col) * 100).cast("long").alias("c"),
-    )
-    # ONE event-grain scan: the (type, c) counts frame feeds both the
-    # percentile machinery and the totals (in DECIMAL — c*cnt products
-    # overflow int64 at 100 TB event counts, the x78/x84 family)
-    vc = barrier(
-        v.groupBy("event_type", "c").agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        ),
-        eager=False,
-    )
     pct = grouped_exact_percentiles(
         vc, "c", group_cols=["event_type"], quantiles=(50, 90),
         value_band=value_band, counts_col="cnt",
@@ -1361,3 +1380,101 @@ def x94_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at catalog grain; user-keyed pair join over catalog-bounded
     baskets, TakeOrderedAndProject top-k, 128-bit lift."""
     return copurchase_affinity(load(spark, sf_dir, "events"))
+
+
+# -- x95: weekly revenue trend ---------------------------------------------------
+#
+# The REVENUE time series next to x89's mix drift: purchase revenue per
+# week (exact integer cents, x74's week convention) with the
+# week-over-week growth in exact millis — the topline an event-pipeline
+# owner reads first.  One partial-agg'd groupBy(week); the lag window
+# runs over the weeks-count frame (driver-scale).  Growth is
+# 1000*(rev - prev) // prev with TRUNCATION-toward-zero semantics on
+# negative numerators (DuckDB's native //; the Spark side reconstructs
+# it with % — remainder, dividend's sign — in DECIMAL), NULL for the
+# first week or a zero-revenue previous week.
+
+_X95_ORACLE = """
+WITH w AS (
+  SELECT date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                   CAST(ts AS DATE)) // 7 AS week,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+r AS (SELECT week, CAST(SUM(c) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+      FROM w GROUP BY week),
+g AS (SELECT week, n_purchases, revenue_cents,
+             LAG(revenue_cents) OVER (ORDER BY week) AS prev
+      FROM r)
+SELECT CAST(week AS BIGINT) AS week, n_purchases, revenue_cents,
+       CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+                 ELSE CAST(1000 AS HUGEINT) * (revenue_cents - prev)
+                      // prev END AS BIGINT) AS wow_milli
+FROM g ORDER BY week, n_purchases, revenue_cents, wow_milli"""
+
+
+def weekly_revenue_trend(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(week, n_purchases, revenue_cents, wow_milli): weekly purchase
+    revenue in exact cents + week-over-week growth in exact millis
+    (NULL for the first week / a zero-revenue previous week)."""
+    anchor_date = events.agg(F.min(F.col(ts_col).cast("date"))).first()[0]
+    if anchor_date is None:
+        raise ValueError(
+            "weekly_revenue_trend: no events (or all-NULL timestamps) —"
+            " no week-0 anchor"
+        )
+    anchor = anchor_date.isoformat()
+    r = (
+        events.filter(
+            (F.col(type_col) == purchase_type)
+            & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.expr(
+                f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+            ).cast("long").alias("week"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("week")
+        .agg(
+            F.sum("c").cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        )
+    )
+    w = Window.orderBy("week")  # weeks-count frame: driver-scale
+    g = r.withColumn("prev", F.lag("revenue_cents").over(w))
+    # integer division with a possibly-NEGATIVE numerator: DuckDB's //
+    # TRUNCATES toward zero (-7 // 2 = -3), so the Spark side uses %
+    # (remainder with the dividend's sign — NOT pmod, which would
+    # floor) to reconstruct the same truncation exactly; DECIMAL(38,0)
+    # keeps it overflow-safe at 100 TB revenue totals
+    growth = F.expr(
+        "CAST(CASE WHEN prev IS NULL OR prev = 0 THEN NULL ELSE"
+        " (CAST(1000 AS DECIMAL(38,0)) * (revenue_cents - prev)"
+        " - (CAST(1000 AS DECIMAL(38,0)) * (revenue_cents - prev))"
+        " % CAST(prev AS DECIMAL(38,0)))"
+        " / CAST(prev AS DECIMAL(38,0)) END AS BIGINT)"
+    )
+    return g.select(
+        "week",
+        "n_purchases",
+        "revenue_cents",
+        growth.alias("wow_milli"),
+    )
+
+
+@register("x95_weekly_revenue", _X95_ORACLE)
+def x95_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 weekly revenue trend: exact integer-cent weekly purchase
+    revenue + week-over-week growth millis — the topline time series
+    next to x89's mix drift; one partial-agg'd groupBy(week), the lag
+    window over the driver-scale weeks frame."""
+    return weekly_revenue_trend(load(spark, sf_dir, "events")).orderBy(
+        "week", "n_purchases", "revenue_cents", "wow_milli"
+    )

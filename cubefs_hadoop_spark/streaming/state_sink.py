@@ -848,6 +848,36 @@ def sink_rfm_state(
     _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)
 
 
+def sink_value_counts_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Stream events into the x88 value-profile state (S27): each
+    micro-batch's (event_type, cents, cnt) counts fold into
+    ``state_dir`` exactly once — plain additive counters, no ordering
+    contract — and ``behavior.value_percentiles_from_counts`` serves
+    the live EXACT per-type p50/p90/total profile at any moment (the
+    percentile machinery runs on the folded counts, so the streamed
+    profile bit-equals the batch x88 over everything ever ingested).
+    State: one row per (type, distinct cent value) seen — bounded by
+    the value space, not the event count."""
+    from cubefs_hadoop_spark.extensions.behavior import value_cents_counts
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return value_cents_counts(batch, type_col, value_col)
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir, stats, [type_col, "c"], ["cnt"]
+        ),
+        checkpoint_dir,
+    )
+
+
 def sink_split_state(
     sdf: DataFrame,
     state_dir: str,

@@ -948,3 +948,15 @@ def test_x94_affinity_shape(spark):
     )
     ab = audit_plan(basket)
     assert "purchase" in " ".join(ab.pushed_filters)
+
+
+def test_x95_weekly_revenue_shape(spark):
+    """x95: purchase filter pushed to the scan, one partial-agg'd
+    groupBy(week); the lag window is SinglePartition BY DESIGN over the
+    weeks-count frame (driver-scale — the only unpartitioned exchange),
+    no NLJ, no Python."""
+    a = _audit(spark, "x95_weekly_revenue")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "HashAggregate" in a.text
+    assert "purchase" in " ".join(a.pushed_filters)

@@ -1026,3 +1026,64 @@ def test_streamed_rfm_state_bit_equals_batch_x87(spark, tmp_path):
     )
     batch_rows = QUERIES["x87_rfm_segments"](spark, SF_SMOKE).collect()
     assert live == sorted(map(tuple, batch_rows))
+
+
+def test_streamed_value_counts_state_serves_live_x88(spark, tmp_path):
+    """S27: events arriving as a 3-batch stream fold into the x88
+    (type, cents) counts state — plain additive counters, no ordering
+    contract; the folded counts bit-equal the batch value_cents_counts,
+    and the served percentile profile equals the registered x88 output
+    row-for-row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import (
+        value_cents_counts,
+        value_percentiles_from_counts,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_value_counts_state,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    stage_dir = str(tmp_path / "stage")
+    n_files = 3
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = hi // n_files + 1
+    for b in range(n_files):
+        (
+            ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(os.path.join(stage_dir, "data"))
+        )
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stage_dir, "data"))
+    )
+    state = str(tmp_path / "vc_state")
+    sink_value_counts_state(sdf, state, str(tmp_path / "ckpt"))
+
+    folded = {
+        (r.event_type, r.c): r.cnt
+        for r in read_state(spark, state).collect()
+    }
+    full = {
+        (r.event_type, r.c): r.cnt for r in value_cents_counts(ev).collect()
+    }
+    assert folded == full
+
+    live = sorted(
+        map(
+            tuple,
+            value_percentiles_from_counts(
+                read_state(spark, state)
+            ).collect(),
+        )
+    )
+    batch_rows = QUERIES["x88_value_percentiles"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch_rows))

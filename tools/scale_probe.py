@@ -113,6 +113,7 @@ SF1_WATCH = [
     "x92_revenue_concentration",
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
+    "x95_weekly_revenue",  # r12 late addition (first probe in r13)
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -235,6 +236,7 @@ PROBE_QUERIES = [
     "x92_revenue_concentration",
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
+    "x95_weekly_revenue",  # r12 late addition (first probe in r13)
 ]
 
 
