@@ -126,6 +126,14 @@ REPORT_QUERIES = [
     "x86_pair_arrival_curve",
     "x87_rfm_segments",
     "x88_value_percentiles",
+    # r12-new operators
+    "x89_type_share_drift",
+    "x90_session_percentiles",
+    "x91_purchase_interarrival",
+    "x92_revenue_concentration",
+    "x93_doclen_percentiles",
+    "x94_copurchase_affinity",
+    "x95_weekly_revenue",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",
