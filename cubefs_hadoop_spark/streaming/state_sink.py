@@ -736,10 +736,31 @@ def _transition_batch_cells(
             _os.path.join(last_dir, f"batch={prior}")
         ).select("u", "last")
         first = s.filter(F.col("rn") == 1).select(
-            "u", F.col("y").alias("ftt")
+            "u", F.col("t").alias("ftt_t"), F.col("y").alias("ftt")
         )
-        boundary = prev.join(first, "u").select(
-            F.col("last.y").alias("ft"), F.col("ftt").alias("tt")
+        # ENFORCE the append-log contract in-plan: a batch event older
+        # than the user's persisted last event means arrival order
+        # broke event-time order — the boundary transition (and the
+        # counts already folded) would be wrong, so fail the batch
+        # loudly BEFORE the ledger commits (exactly-once preserved)
+        # instead of silently folding a corrupt matrix.  assert_true
+        # returns NULL on success, so the filter keeps every valid row
+        # and the optimizer cannot prune the check.
+        boundary = (
+            prev.join(first, "u")
+            .filter(
+                F.assert_true(
+                    F.col("last.t") <= F.col("ftt_t"),
+                    F.lit(
+                        "sink_transition_state: out-of-order arrival —"
+                        " a batch holds an event older than its user's"
+                        " persisted last event; the append-log contract"
+                        " (per-user event-time order across batches) is"
+                        " violated"
+                    ),
+                ).isNull()
+            )
+            .select(F.col("last.y").alias("ft"), F.col("ftt").alias("tt"))
         )
         pairs = within.unionByName(boundary)
         merged = (

@@ -1087,3 +1087,29 @@ def test_streamed_value_counts_state_serves_live_x88(spark, tmp_path):
     )
     batch_rows = QUERIES["x88_value_percentiles"](spark, SF_SMOKE).collect()
     assert live == sorted(map(tuple, batch_rows))
+
+
+def test_transition_sink_refuses_out_of_order_arrival(spark, tmp_path):
+    """S25 contract enforcement: a batch carrying an event OLDER than
+    its user's persisted last event (arrival order broke event-time
+    order) must fail loudly before the ledger commits — never silently
+    fold a corrupt transition matrix."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _transition_batch_cells,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    mid = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).first()[0]
+    late = ev.filter(F.col("ts").cast("timestamp").cast("double") > mid)
+    early = ev.filter(F.col("ts").cast("timestamp").cast("double") <= mid)
+    last_dir = str(tmp_path / "last_event")
+    args = ("user_id", "event_type", "ts", "event_id")
+    # batch 0 = the LATE half; batch 1 = the EARLY half -> violation
+    _transition_batch_cells(late, last_dir, 0, *args).collect()
+    with _pytest.raises(Exception, match="out-of-order arrival"):
+        _transition_batch_cells(early, last_dir, 1, *args).collect()
