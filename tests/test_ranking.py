@@ -115,3 +115,61 @@ def test_rank_plan_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in a.text
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_rank_hypothesis_random_tie_profiles(spark):
+    """Property: for arbitrary integer value distributions (including
+    all-equal, all-distinct, negative, and clustered profiles) and
+    adversarially small band widths, distributed_rank equals the sorted
+    reference and ntile_from_rank equals the size-law bucket assignment
+    — one Spark job per example keeps the suite fast, so hypothesis
+    drives the DATA while Spark evaluates a batched union."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=1,
+            max_size=120,
+        ),
+        desc=st.booleans(),
+        vband=st.integers(min_value=1, max_value=64),
+        iband=st.integers(min_value=1, max_value=32),
+        k=st.integers(min_value=1, max_value=5),
+    )
+    def check(vals, desc, vband, iband, k):
+        rows = [(i * 13 + 1, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "uid long, val long")
+        got = {
+            r.uid: (r.rank, r.b)
+            for r in distributed_rank(
+                df, "val", "uid", descending=desc,
+                value_band=vband, id_band=iband,
+            )
+            .select(
+                "uid", "rank", ntile_from_rank("rank", len(rows), k).alias("b")
+            )
+            .collect()
+        }
+        key = (lambda t: (-t[0], t[1])) if desc else (lambda t: t)
+        order = sorted(((v, u) for u, v in rows), key=key)
+        n = len(rows)
+        q, r_ = divmod(n, k)
+        exp = {}
+        for idx, (v, u) in enumerate(order):
+            rank = idx + 1
+            cutoff = r_ * (q + 1)
+            if q == 0 or rank <= cutoff:
+                b = 1 + (rank - 1) // (q + 1) if q else rank
+            else:
+                b = 1 + r_ + (rank - cutoff - 1) // q
+            exp[u] = (rank, b)
+        assert got == exp
+
+    check()
