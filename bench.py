@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
     "x95_weekly_revenue",
+    "x96_dup_quality_interaction",
 ]
 
 RUNS = 4

@@ -2350,3 +2350,104 @@ def x86_pair_arrival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_arrival_curve(load(spark, sf_dir, "documents")).orderBy(
         "decile", "n_new_pairs", "n_cum"
     )
+
+
+# -- x96: duplication-quality interaction ---------------------------------------
+#
+# The CURATION-DECISION table composing the dedup and quality families:
+# do near-duplicated documents differ from canonicals?  Every document
+# classed 'canonical' (it wins its x28 min-id election — isolated docs
+# included) or 'duplicate', then per class: doc count, exact mean
+# tokens and chars in integer millis (1000·Σ // n, hash-exact).  If
+# duplicates skew short/low-quality the x28 keep-canonical pass is also
+# a quality pass; if they skew LONG the min-id election is discarding
+# better copies and x55/x82's elections should run instead — this
+# table is how that call gets made with evidence.
+#
+# Scale: the x28 label path (duplicate-sized pair frame -> CC) + one
+# doc-grain projection + a 2-row aggregation; sums ride DECIMAL(38,0)
+# (1000·Σtokens overflows int64 at 100 TB corpora — the x78/x84
+# family).
+
+_X96_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
+    + """),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db AS a, da AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical
+        FROM reach GROUP BY node),
+t AS (SELECT CASE WHEN l.doc_id = l.canonical THEN 'canonical'
+                  ELSE 'duplicate' END AS cls,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tk,
+             CAST(d.n_chars AS BIGINT) AS ch
+      FROM lab l JOIN documents d USING (doc_id))
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(1000 AS HUGEINT) * SUM(tk) // COUNT(*) AS BIGINT)
+           AS mean_tokens_milli,
+       CAST(CAST(1000 AS HUGEINT) * SUM(ch) // COUNT(*) AS BIGINT)
+           AS mean_chars_milli
+FROM t GROUP BY cls
+ORDER BY cls, n_docs, mean_tokens_milli, mean_chars_milli"""
+)
+
+
+def dup_quality_interaction(docs: DataFrame) -> DataFrame:
+    """(cls, n_docs, mean_tokens_milli, mean_chars_milli): canonical-vs-
+    duplicate profile over the x28 election — the evidence table for
+    choosing between min-id (x28), quality (x55), and centrality (x82)
+    elections."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+
+    labeled = elect_canonical(docs, lsh_candidate_pairs(docs))
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("tk"),
+        F.col("n_chars").cast("long").alias("ch"),
+    ).join(labeled, "doc_id")
+    return (
+        t.select(
+            F.when(F.col("kept"), F.lit("canonical"))
+            .otherwise(F.lit("duplicate"))
+            .alias("cls"),
+            "tk",
+            "ch",
+        )
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("CAST(SUM(CAST(tk AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+            .alias("_stk"),
+            F.expr("CAST(SUM(CAST(ch AS DECIMAL(38,0))) AS DECIMAL(38,0))")
+            .alias("_sch"),
+        )
+        .select(
+            "cls",
+            "n_docs",
+            F.expr(
+                spark_exact_floordiv([1000, "_stk"], ["n_docs"])
+            ).alias("mean_tokens_milli"),
+            F.expr(
+                spark_exact_floordiv([1000, "_sch"], ["n_docs"])
+            ).alias("mean_chars_milli"),
+        )
+    )
+
+
+@register("x96_dup_quality_interaction", _X96_ORACLE)
+def x96_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 duplication-quality interaction: canonical-vs-duplicate mean
+    tokens/chars in exact integer millis over the x28 election — the
+    evidence table for choosing the election policy (min-id vs quality
+    vs centrality); duplicate-sized pair frame + one doc-grain
+    projection + a 2-row aggregate, 128-bit means."""
+    return dup_quality_interaction(load(spark, sf_dir, "documents")).orderBy(
+        "cls", "n_docs", "mean_tokens_milli", "mean_chars_milli"
+    )

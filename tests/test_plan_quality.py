@@ -960,3 +960,13 @@ def test_x95_weekly_revenue_shape(spark):
     assert not a.has_python_eval
     assert "HashAggregate" in a.text
     assert "purchase" in " ".join(a.pushed_filters)
+
+
+def test_x96_dup_quality_shape(spark):
+    """x96: the x28 label path (duplicate-sized pair frame -> CC) + one
+    doc-grain join + a 2-row aggregate — no NLJ, no Python, no
+    SinglePartition beyond the final 2-row aggregate exchange."""
+    a = _audit(spark, "x96_dup_quality_interaction")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "HashAggregate" in a.text
