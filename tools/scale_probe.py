@@ -114,6 +114,7 @@ SF1_WATCH = [
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
     "x95_weekly_revenue",  # r12 late addition (first probe in r13)
+    "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -237,6 +238,7 @@ PROBE_QUERIES = [
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
     "x95_weekly_revenue",  # r12 late addition (first probe in r13)
+    "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
 ]
 
 
