@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "x94_copurchase_affinity",
     "x95_weekly_revenue",
     "x96_dup_quality_interaction",
+    "x97_funnel_rates",
+    "x98_event_path_trigrams",
 ]
 
 RUNS = 4

@@ -1478,3 +1478,166 @@ def x95_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_revenue_trend(load(spark, sf_dir, "events")).orderBy(
         "week", "n_purchases", "revenue_cents", "wow_milli"
     )
+
+
+# -- x97: funnel conversion rates ------------------------------------------------
+#
+# The SUMMARY over x25's per-user funnel timestamps — the three-line
+# table a growth review actually reads: per step, how many users
+# reached it, the exact milli conversion from the funnel start, and
+# from the previous step.  Pure rollup of the x25 frame (user-grain);
+# rates are exact integer millis with a zero-denominator guard.
+
+_X97_ORACLE = """
+WITH a AS (SELECT user_id, MIN(ts) AS ta FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+b AS (SELECT e.user_id, MIN(e.ts) AS tb FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > a.ta
+        AND e.ts <= a.ta + INTERVAL 1 HOUR GROUP BY e.user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM events e JOIN b USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > b.tb
+        AND e.ts <= b.tb + INTERVAL 1 HOUR GROUP BY e.user_id),
+f AS (SELECT a.user_id, a.ta, b.tb, c.tc
+      FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)),
+n AS (SELECT CAST(COUNT(ta) AS BIGINT) AS n1,
+             CAST(COUNT(tb) AS BIGINT) AS n2,
+             CAST(COUNT(tc) AS BIGINT) AS n3 FROM f),
+s AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+          AS v(step, step_name))
+SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+       CAST(CASE s.step WHEN 1 THEN n.n1 WHEN 2 THEN n.n2
+                        ELSE n.n3 END AS BIGINT) AS n_users,
+       CAST(CASE WHEN n.n1 = 0 THEN NULL
+                 ELSE 1000 * (CASE s.step WHEN 1 THEN n.n1
+                              WHEN 2 THEN n.n2 ELSE n.n3 END) // n.n1
+            END AS BIGINT) AS conv_from_start_milli,
+       CAST(CASE s.step
+              WHEN 1 THEN 1000
+              WHEN 2 THEN CASE WHEN n.n1 = 0 THEN NULL
+                               ELSE 1000 * n.n2 // n.n1 END
+              ELSE CASE WHEN n.n2 = 0 THEN NULL
+                        ELSE 1000 * n.n3 // n.n2 END
+            END AS BIGINT) AS conv_from_prev_milli
+FROM s CROSS JOIN n
+ORDER BY step, step_name, n_users, conv_from_start_milli,
+         conv_from_prev_milli"""
+
+
+def funnel_conversion_rates(
+    events: DataFrame,
+    steps: tuple = _X25_STEPS,
+    window: str = _X25_WINDOW,
+) -> DataFrame:
+    """(step, step_name, n_users, conv_from_start_milli,
+    conv_from_prev_milli): the exact-milli conversion summary over the
+    x25 per-user funnel (NULL rates when the denominator step had no
+    users; step 1 converts from itself at 1000)."""
+    f = funnel(events, steps=steps, window=window)
+    counts = f.agg(
+        *[
+            F.count(f"t{i}").cast("long").alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    ).first()
+    ns = [int(counts[f"n{i}"]) for i in range(len(steps))]
+    rows = []
+    for i, name in enumerate(steps):
+        start = None if ns[0] == 0 else 1000 * ns[i] // ns[0]
+        if i == 0:
+            prev = 1000
+        else:
+            prev = None if ns[i - 1] == 0 else 1000 * ns[i] // ns[i - 1]
+        rows.append((i + 1, name, ns[i], start, prev))
+    return events.sparkSession.createDataFrame(
+        rows,
+        "step long, step_name string, n_users long,"
+        " conv_from_start_milli long, conv_from_prev_milli long",
+    )
+
+
+@register("x97_funnel_rates", _X97_ORACLE)
+def x97_funnel_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 funnel conversion summary: per step the user count and exact
+    milli conversion from start / from the previous step — the 3-row
+    table over x25's user-grain funnel (the rollup is a driver-scale
+    literal frame; the funnel itself is the scale path)."""
+    return funnel_conversion_rates(load(spark, sf_dir, "events")).orderBy(
+        "step", "step_name", "n_users", "conv_from_start_milli",
+        "conv_from_prev_milli"
+    )
+
+
+# -- x98: top event-path trigrams ------------------------------------------------
+#
+# SEQUENCE mining over the event stream: the most common 3-step
+# within-user paths (x85 is the 1-step Markov matrix; x98 surfaces the
+# actual multi-step journeys — 'view->click->purchase' vs
+# 'view->error->view' is the difference between a checkout flow and a
+# broken page).  Two lead windows over the same user-keyed spec (one
+# shuffle), a |types|^3-bounded rollup, exact milli share over all
+# trigrams, top-k with full deterministic tie order.
+
+_X98_K = 20
+
+_X98_ORACLE = f"""
+WITH s AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n FROM s
+      WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY a, b, c),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g)
+SELECT a AS t1, b AS t2, c AS t3, n,
+       CAST(1000 * n // t.tot AS BIGINT) AS share_milli
+FROM g CROSS JOIN t
+ORDER BY n DESC, t1, t2, t3
+LIMIT {_X98_K}"""
+
+
+def event_path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    k: int = _X98_K,
+) -> DataFrame:
+    """(t1, t2, t3, n, share_milli): the top-k within-user 3-step event
+    paths with exact milli shares over all trigrams."""
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy(user_col).orderBy(ts_col, id_col)
+    g = (
+        events.select(
+            F.col(type_col).alias("t1"),
+            F.lead(type_col, 1).over(w).alias("t2"),
+            F.lead(type_col, 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # the share window runs over the |types|^3-bounded trigram frame
+    return (
+        g.select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("1000 * n div sum(n) over ()").cast("long")
+            .alias("share_milli"),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(int(k))
+    )
+
+
+@register("x98_event_path_trigrams", _X98_ORACLE)
+def x98_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 top event-path trigrams: the 20 most common within-user
+    3-step journeys with exact milli shares — the sequence-mining view
+    over x85's one-step matrix; two leads on ONE user-keyed window
+    spec, a types^3-bounded rollup, TakeOrdered top-k."""
+    return event_path_trigrams(load(spark, sf_dir, "events"))

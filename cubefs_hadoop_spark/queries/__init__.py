@@ -29,6 +29,7 @@ _R12_NEW = [
     "x91_purchase_interarrival", "x92_revenue_concentration",
     "x93_doclen_percentiles", "x94_copurchase_affinity",
     "x95_weekly_revenue", "x96_dup_quality_interaction",
+    "x97_funnel_rates", "x98_event_path_trigrams",
     # r12 PLAN CHANGES (VERDICT r11 #2/#3 de-funnels): fresh driver
     # rows for the new plans even though their r11 rows were green
     "x87_rfm_segments", "x88_value_percentiles",
@@ -65,15 +66,16 @@ _R12_WINDOW = (_R12_NEW + _R07_DISPLACED + _R08_STALEST + _R09_STALEST)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 10 (8 r12-new + 2 replanned) + 4 (r07 tail) + 11 (r08)
-# + 28 (r09 head) = 53 -> the [:50] trim displaces THREE r09 entries:
-# x61_lsh_quality_audit, x62_filter_agreement, and q01_scan_count (all
+# Composition: 12 (10 r12-new + 2 replanned) + 4 (r07 tail) + 11 (r08)
+# + 28 (r09 head) = 55 -> the [:50] trim displaces FIVE r09 entries:
+# x59_dim_truncation_recall, x60_ivf_list_balance,
+# x61_lsh_quality_audit, x62_filter_agreement, q01_scan_count (all
 # still sweep-green every round).
 #
 # r13 rotation plan (stalest-first): any r13-new operators first, then
-# x61_lsh_quality_audit + x62_filter_agreement + q01_scan_count + the
-# remaining 22 r09 entries (q03_filter_conjunctive onward in
-# CORRECTNESS_r09 order), then the r10 window becomes the stale pool.
+# the five displaced r09 entries above, then the remaining 22 r09
+# entries (q03_filter_conjunctive onward in CORRECTNESS_r09 order),
+# then the r10 window becomes the stale pool.
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 assert len(set(_R12_WINDOW)) == 50, "duplicate entry in the driver window"
 reorder(_R12_WINDOW)

@@ -970,3 +970,31 @@ def test_x96_dup_quality_shape(spark):
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
     assert "HashAggregate" in a.text
+
+
+def test_x97_funnel_rates_shape(spark):
+    """x97: the scale path is x25's shrinking user-keyed funnel; the
+    3-row rate table is a driver-scale literal frame by design — the
+    gate pins the funnel computation (scan-pushed step filters) via the
+    underlying x25 plan."""
+    a = _audit(spark, "x25_funnel")
+    assert a.nested_loop_joins == 0
+    assert "view" in " ".join(a.pushed_filters)
+    out = QUERIES["x97_funnel_rates"](spark, SF_SMOKE).collect()
+    assert [r.step for r in out] == [1, 2, 3]
+    assert out[0].conv_from_prev_milli == 1000
+    # monotone: each step's users are a subset of the previous step's
+    assert out[0].n_users >= out[1].n_users >= out[2].n_users
+
+
+def test_x98_trigrams_shape(spark):
+    """x98: two leads share ONE user-keyed window spec (a single
+    user-grain shuffle), the rollup is types^3-bounded, the top-k is
+    TakeOrderedAndProject; the share window's SinglePartition exchange
+    runs over the metadata-sized trigram frame by design."""
+    a = _audit(spark, "x98_event_path_trigrams")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.has_take_ordered
+    # one user-keyed exchange feeds both leads + the final ordering
+    assert a.shuffles <= 3

@@ -115,6 +115,8 @@ SF1_WATCH = [
     "x94_copurchase_affinity",
     "x95_weekly_revenue",  # r12 late addition (first probe in r13)
     "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
+    "x97_funnel_rates",  # r12 late addition (first probe in r13)
+    "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -239,6 +241,8 @@ PROBE_QUERIES = [
     "x94_copurchase_affinity",
     "x95_weekly_revenue",  # r12 late addition (first probe in r13)
     "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
+    "x97_funnel_rates",  # r12 late addition (first probe in r13)
+    "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
 ]
 
 
