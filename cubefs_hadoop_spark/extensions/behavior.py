@@ -1219,6 +1219,14 @@ def revenue_concentration(
     n_users, total = u.agg(
         F.count(F.lit(1)), F.coalesce(F.sum("cents"), F.lit(0))
     ).first()
+    if int(n_users) == 0:
+        # ADVICE r12: the oracle's CROSS JOIN against an empty ranked
+        # frame yields zero rows; match it instead of emitting zeros.
+        return events.sparkSession.createDataFrame(
+            [],
+            "tier_milli long, users long, revenue_cents long,"
+            " share_milli long",
+        )
     ranked = distributed_rank(u, "cents", "user_id", descending=True)
     cuts = {k: (int(n_users) * int(k)) // 1000 for k in tiers}
     agg = ranked.agg(
@@ -1313,10 +1321,23 @@ def copurchase_affinity(
     purchase_type: str = "purchase",
     k: int = _X94_K,
     min_pair: int = _X94_MIN_PAIR,
+    basket_cap: int | None = None,
 ) -> DataFrame:
     """(item_a, item_b, n_pair, lift_milli): top-k co-purchased catalog
     item pairs by exact integer-milli lift over independence (support
-    floor ``min_pair``; items parsed from the props JSON)."""
+    floor ``min_pair``; items parsed from the props JSON).
+
+    ``basket_cap`` (VERDICT r12 #2 — the production knob): cap each
+    user's basket at N items by deterministic (md5(item), item) order
+    BEFORE the pair join.  Uncapped, the pair stage is Σ basket² — one
+    bot user with a 10k-item basket contributes ~50M rows to a single
+    join group, and AQE skew-splitting cannot change that sum.  The cap
+    bounds every user at C(C-1)/2 pairs; the md5 order is a seedless
+    uniform sample of the basket (the x17/x19 convention), so the
+    capped lift table is a deterministic, reproducible estimate.  All
+    downstream counts (n_k, n_users, n_pair) are computed over the
+    CAPPED frame — the capped basket table IS the dataset, so lift
+    semantics stay internally exact."""
     from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
 
     p = (
@@ -1331,11 +1352,25 @@ def copurchase_affinity(
         .filter(F.col("k").isNotNull())
         .distinct()
     )
+    if basket_cap is not None:
+        cap_w = Window.partitionBy("u").orderBy(
+            F.md5(F.col("k").cast("string")), "k"
+        )
+        # WindowGroupLimit pushes the rank filter below the full sort
+        p = (
+            p.withColumn("_bc_rn", F.row_number().over(cap_w))
+            .filter(F.col("_bc_rn") <= int(basket_cap))
+            .drop("_bc_rn")
+        )
     p = barrier(p, eager=False)  # feeds counts, the literal AND the join
     c = p.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
     n_users = int(p.select("u").distinct().count())
     if n_users == 0:
-        raise ValueError("copurchase_affinity: no purchases with items")
+        # ADVICE r12: the oracle returns zero rows on an empty basket
+        # frame; match it instead of raising.
+        return events.sparkSession.createDataFrame(
+            [], "item_a long, item_b long, n_pair long, lift_milli long"
+        )
     pr = (
         p.alias("a")
         .join(
@@ -1380,6 +1415,56 @@ def x94_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     at catalog grain; user-keyed pair join over catalog-bounded
     baskets, TakeOrderedAndProject top-k, 128-bit lift."""
     return copurchase_affinity(load(spark, sf_dir, "events"))
+
+
+# x94b: the PRODUCTION form — per-user baskets capped at _X94B_CAP items
+# by deterministic (md5(item), item) order before the pair join, so one
+# whale basket can never blow up a join group (pair work per user is
+# bounded at C(C-1)/2).  The cap BITES at every test SF (median basket
+# 12, max 25 vs cap 8), so the oracle check witnesses the cap's
+# semantics, not a no-op.  Counts/lift are computed over the capped
+# frame — internally exact over the deterministic basket sample.
+
+_X94B_CAP = 8
+
+_X94B_ORACLE = f"""
+WITH p0 AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE event_type = 'purchase' AND props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+p AS (
+  SELECT user_id, k FROM (
+    SELECT user_id, k,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY md5(CAST(k AS VARCHAR)), k) AS rn
+    FROM p0) WHERE rn <= {_X94B_CAP}),
+c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_k FROM p GROUP BY k),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM p),
+pr AS (SELECT a.k AS item_a, b.k AS item_b, CAST(COUNT(*) AS BIGINT)
+           AS n_pair
+       FROM p a JOIN p b ON a.user_id = b.user_id AND a.k < b.k
+       GROUP BY 1, 2)
+SELECT item_a, item_b, n_pair,
+       CAST(CAST(1000 AS HUGEINT) * n_pair * nu.n
+            // (CAST(ca.n_k AS HUGEINT) * cb.n_k) AS BIGINT) AS lift_milli
+FROM pr JOIN c ca ON ca.k = item_a JOIN c cb ON cb.k = item_b CROSS JOIN nu
+WHERE n_pair >= {_X94_MIN_PAIR}
+ORDER BY lift_milli DESC, n_pair DESC, item_a, item_b
+LIMIT {_X94_K}"""
+
+
+@register("x94b_copurchase_capped", _X94B_ORACLE)
+def x94b_copurchase_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94b market-basket affinity, production form (VERDICT r12 #2):
+    x94's lift table over per-user baskets capped at 8 items by
+    deterministic md5 order — the whale-basket bound (pair space per
+    user ≤ C(C-1)/2 however large the raw basket), at the price of
+    estimating lift from a uniform per-user item sample."""
+    return copurchase_affinity(
+        load(spark, sf_dir, "events"), basket_cap=_X94B_CAP
+    )
 
 
 # -- x95: weekly revenue trend ---------------------------------------------------

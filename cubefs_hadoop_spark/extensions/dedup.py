@@ -634,7 +634,16 @@ def elect_canonical(
         )
     else:
         if isinstance(score, DataFrame):
-            s_col = [c for c in score.columns if c != "doc_id"][0]
+            # Contract (ADVICE r12): exactly (doc_id, <score>) — a wider
+            # frame would silently elect by an arbitrary column.
+            extra = [c for c in score.columns if c != "doc_id"]
+            if "doc_id" not in score.columns or len(extra) != 1:
+                raise ValueError(
+                    "elect_canonical: a DataFrame score must have exactly"
+                    " two columns (doc_id, <score>); got "
+                    f"{score.columns}"
+                )
+            s_col = extra[0]
             base = (
                 docs.select("doc_id")
                 .join(score, "doc_id", "left")

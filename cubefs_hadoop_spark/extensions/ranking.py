@@ -149,6 +149,7 @@ def grouped_exact_percentiles(
     quantiles: Sequence[int] = (50, 90),
     value_band: int = _VALUE_BAND,
     counts_col: str | None = None,
+    broadcast_groups: bool = True,
 ) -> DataFrame:
     """Exact discrete order statistics per group without any row-grain
     sort: (group_cols..., n, p<q>...) where ``p<q>`` is the value of
@@ -166,7 +167,14 @@ def grouped_exact_percentiles(
     ``counts_col``: when the caller already holds the (group, value,
     count) frame (e.g. to derive totals off the same single scan), pass
     its count column name and ``df`` is taken at that grain instead of
-    row grain."""
+    row grain.
+
+    CONTRACT (VERDICT r12 #7): the band-offset and per-group-``n``
+    attaches broadcast frames of GROUP cardinality — correct only for
+    bounded, metadata-scale groupings (type/source/session-bucket
+    grain, at most ~millions of groups).  A USER-grain caller must pass
+    ``broadcast_groups=False`` to switch both attaches to shuffle
+    joins; at a billion groups a broadcast would OOM every executor."""
     g = list(group_cols)
     if counts_col is None:
         v = df.select(*g, F.col(value_col).cast("long").alias("_gp_v"))
@@ -200,11 +208,12 @@ def grouped_exact_percentiles(
     in_band = Window.partitionBy(*g, "_gp_vb").orderBy("_gp_v").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    _hint = F.broadcast if broadcast_groups else (lambda d: d)
     cum = (
         vc.withColumn(
             "_gp_wcum", F.sum("_gp_cnt").over(in_band).cast("long")
         )
-        .join(F.broadcast(bt), [*g, "_gp_vb"])
+        .join(_hint(bt), [*g, "_gp_vb"])
         .select(
             *g,
             "_gp_v",
@@ -214,7 +223,7 @@ def grouped_exact_percentiles(
         )
     )
     n = vc.groupBy(*g).agg(F.sum("_gp_cnt").cast("long").alias("n"))
-    j = cum.join(F.broadcast(n), g) if g else cum.crossJoin(F.broadcast(n))
+    j = cum.join(_hint(n), g) if g else cum.crossJoin(F.broadcast(n))
     aggs = [
         F.min(
             F.when(

@@ -736,7 +736,10 @@ def _transition_batch_cells(
             _os.path.join(last_dir, f"batch={prior}")
         ).select("u", "last")
         first = s.filter(F.col("rn") == 1).select(
-            "u", F.col("t").alias("ftt_t"), F.col("y").alias("ftt")
+            "u",
+            F.col("t").alias("ftt_t"),
+            F.col("i").alias("ftt_i"),
+            F.col("y").alias("ftt"),
         )
         # ENFORCE the append-log contract in-plan: a batch event older
         # than the user's persisted last event means arrival order
@@ -745,12 +748,24 @@ def _transition_batch_cells(
         # loudly BEFORE the ledger commits (exactly-once preserved)
         # instead of silently folding a corrupt matrix.  assert_true
         # returns NULL on success, so the filter keeps every valid row
-        # and the optimizer cannot prune the check.
+        # and the optimizer cannot prune the check.  The guard compares
+        # the FULL ordering key (ts, event_id), strictly (ADVICE r12):
+        # a ts-only `<=` would admit a cross-batch tie whose (ts, id)
+        # order the batch recompute resolves the other way, silently
+        # diverging from the bit-equality contract; an equal full key
+        # is a duplicate event and equally a violation.
         boundary = (
             prev.join(first, "u")
             .filter(
                 F.assert_true(
-                    F.col("last.t") <= F.col("ftt_t"),
+                    F.struct(
+                        F.col("last.t").alias("t"),
+                        F.col("last.i").alias("i"),
+                    )
+                    < F.struct(
+                        F.col("ftt_t").alias("t"),
+                        F.col("ftt_i").alias("i"),
+                    ),
                     F.lit(
                         "sink_transition_state: out-of-order arrival —"
                         " a batch holds an event older than its user's"

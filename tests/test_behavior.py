@@ -659,3 +659,59 @@ def test_x88_percentiles_match_python_reference(spark):
     for r in out:
         assert r.p50_cents <= r.p90_cents
         assert r.p90_cents * r.n >= r.total_cents // r.n  # sanity scale
+
+
+def test_x92_x94_empty_events_match_oracle_degenerate(spark):
+    """ADVICE r12: on an events table with no purchases the DuckDB
+    oracles yield zero rows; the Spark side must agree — x92 must not
+    emit a zeros rollup and x94 must not raise."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        copurchase_affinity,
+        revenue_concentration,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    r = revenue_concentration(empty)
+    assert r.columns == ["tier_milli", "users", "revenue_cents", "share_milli"]
+    assert r.count() == 0
+    c = copurchase_affinity(empty)
+    assert c.columns == ["item_a", "item_b", "n_pair", "lift_milli"]
+    assert c.count() == 0
+
+
+def test_x94b_basket_cap_bounds_every_user(spark):
+    """x94b (VERDICT r12 #2): the cap truncates a whale basket to
+    ``basket_cap`` items BEFORE the pair join — per-pair support can
+    never exceed what capped baskets allow, and a crafted whale user
+    (1 user x 200 items) contributes at most C(C-1)/2 pairs."""
+    from cubefs_hadoop_spark.extensions.behavior import copurchase_affinity
+
+    rows = []
+    eid = 0
+    # whale: user 1 buys 200 distinct items; 3 normal users share items
+    base = dt.datetime(2024, 1, 1)
+    for k in range(200):
+        rows.append((eid, base, 1, "purchase", 1.0, '{"k": %d}' % k))
+        eid += 1
+    for u in (2, 3, 4):
+        for k in (5, 6, 7):
+            rows.append((eid, base, u, "purchase", 1.0, '{"k": %d}' % k))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    cap = 8
+    out = copurchase_affinity(ev, k=10_000, min_pair=1, basket_cap=cap)
+    pairs = out.collect()
+    # total pair support is bounded by sum over users of C(C,2) with
+    # C = min(basket, cap): whale 28 + 3 users x 3 = 28 + 9
+    assert sum(r.n_pair for r in pairs) <= 28 + 9
+    # uncapped, the whale alone contributes 200*199/2 pairs
+    unc = copurchase_affinity(ev, k=100_000, min_pair=1)
+    assert sum(r.n_pair for r in unc.collect()) == 200 * 199 // 2 + 9

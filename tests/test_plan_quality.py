@@ -950,6 +950,52 @@ def test_x94_affinity_shape(spark):
     assert "purchase" in " ".join(ab.pushed_filters)
 
 
+def test_x94b_capped_affinity_shape(spark):
+    """x94b (VERDICT r12 #2): x94's shape PLUS the whale-basket bound —
+    the cap's row_number window runs user-keyed (never SinglePartition)
+    and Spark pushes the rank filter down as a WindowGroupLimit, so a
+    10k-item bot basket is truncated to 8 before any pair is formed."""
+    a = _audit(spark, "x94b_copurchase_capped")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.has_take_ordered
+    assert a.broadcast_joins >= 2
+    # the cap window itself (below the barrier): user-partitioned with
+    # a WindowGroupLimit rank pushdown
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import copurchase_affinity
+
+    # rebuild the capped basket frame without the barrier to audit it
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    ev = load(spark, SF_SMOKE, "events")
+    basket = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("props").isNotNull()
+        )
+        .select(
+            F.col("user_id").alias("u"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    capped = (
+        basket.withColumn(
+            "_bc_rn",
+            F.row_number().over(
+                W.partitionBy("u").orderBy(F.md5(F.col("k").cast("string")), "k")
+            ),
+        )
+        .filter(F.col("_bc_rn") <= 8)
+        .drop("_bc_rn")
+    )
+    ab = audit_plan(capped)
+    assert "WindowGroupLimit" in ab.text
+    assert "SinglePartition" not in ab.text
+
+
 def test_x95_weekly_revenue_shape(spark):
     """x95: purchase filter pushed to the scan, one partial-agg'd
     groupBy(week); the lag window is SinglePartition BY DESIGN over the

@@ -173,3 +173,56 @@ def test_rank_hypothesis_random_tie_profiles(spark):
         assert got == exp
 
     check()
+
+
+def test_grouped_percentiles_non_broadcast_mode_matches(spark):
+    """VERDICT r12 #7: ``broadcast_groups=False`` (the user-grain
+    contract escape hatch) must produce identical percentiles via
+    shuffle joins, and its physical plan must carry no broadcast
+    exchange for the group-cardinality attaches."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    df = _df(spark).withColumn("g", (F.col("uid") % 3).cast("long"))
+    a = grouped_exact_percentiles(
+        df, "val", ["g"], quantiles=(50, 90), value_band=16
+    )
+    b = grouped_exact_percentiles(
+        df,
+        "val",
+        ["g"],
+        quantiles=(50, 90),
+        value_band=16,
+        broadcast_groups=False,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # no broadcast HINT in the optimized plan: AQE may still pick a
+    # runtime broadcast when the group frame measures small (fine — the
+    # contract is only that nothing MANDATES one at a billion groups)
+    opt = b._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "broadcast" not in opt
+    assert (
+        "broadcast"
+        in a._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+
+
+def test_elect_canonical_rejects_wide_score_frame(spark):
+    """ADVICE r12: a multi-column (or doc_id-less) score frame must
+    raise a descriptive error, never silently elect by an arbitrary
+    column."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.extensions.dedup import elect_canonical
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "da long, db long")
+    wide = spark.createDataFrame(
+        [(1, 5, 6)], "doc_id long, s1 long, s2 long"
+    )
+    with _pytest.raises(ValueError, match="exactly two columns"):
+        elect_canonical(docs, pairs, score=wide).collect()
+    no_id = spark.createDataFrame([(5,)], "s1 long")
+    with _pytest.raises(ValueError, match="exactly two columns"):
+        elect_canonical(docs, pairs, score=no_id).collect()

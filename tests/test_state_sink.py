@@ -1113,3 +1113,40 @@ def test_transition_sink_refuses_out_of_order_arrival(spark, tmp_path):
     _transition_batch_cells(late, last_dir, 0, *args).collect()
     with _pytest.raises(Exception, match="out-of-order arrival"):
         _transition_batch_cells(early, last_dir, 1, *args).collect()
+
+
+def test_transition_sink_tie_boundary_full_key_guard(spark, tmp_path):
+    """ADVICE r12: the boundary guard compares the FULL (ts, event_id)
+    ordering key.  A later batch whose first event shares the persisted
+    last event's timestamp with a SMALLER id would be ordered the other
+    way by a batch recompute (which sorts by ts, id) — refused; the
+    same timestamp with a LARGER id is a consistent tie — folded."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _transition_batch_cells,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    args = ("user_id", "event_type", "ts", "event_id")
+
+    # refusal: equal ts, smaller id across the boundary
+    last_dir = str(tmp_path / "tie_bad")
+    b0 = spark.createDataFrame([(5, t0, 1, "view")], schema)
+    _transition_batch_cells(b0, last_dir, 0, *args).collect()
+    b1 = spark.createDataFrame([(3, t0, 1, "purchase")], schema)
+    with _pytest.raises(Exception, match="out-of-order arrival"):
+        _transition_batch_cells(b1, last_dir, 1, *args).collect()
+
+    # consistency: equal ts, larger id is a valid tie — the folded
+    # boundary cell matches the batch recompute's (ts, id) order
+    last_dir2 = str(tmp_path / "tie_ok")
+    _transition_batch_cells(b0, last_dir2, 0, *args).collect()
+    b1ok = spark.createDataFrame([(7, t0, 1, "purchase")], schema)
+    cells = _transition_batch_cells(b1ok, last_dir2, 1, *args).collect()
+    assert [(r.ft, r.tt, r.n) for r in cells] == [("view", "purchase", 1)]

@@ -117,6 +117,8 @@ SF1_WATCH = [
     "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
     "x97_funnel_rates",  # r12 late addition (first probe in r13)
     "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
+    # r13-new operators
+    "x94b_copurchase_capped",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -243,6 +245,8 @@ PROBE_QUERIES = [
     "x96_dup_quality_interaction",  # r12 late addition (first probe r13)
     "x97_funnel_rates",  # r12 late addition (first probe in r13)
     "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
+    # r13-new operators
+    "x94b_copurchase_capped",
 ]
 
 
@@ -604,6 +608,74 @@ def main() -> None:
             " hot-type (ratio, rows) |",
             "|---|---|---|---|",
             *ea_rows,
+            "",
+        ]
+
+        # whale-basket probe (VERDICT r12 #2): x94's pair stage is
+        # Σ basket² — one bot user with a 10k-item basket contributes
+        # ~50M pairs to ONE join group.  The probe plants exactly that
+        # whale into the sf1 events table and times x94 (uncapped, the
+        # exact form) against x94b (cap 8): the capped plan must stay
+        # in family with its uniform sf1 run while the uncapped one
+        # absorbs the quadratic hit.  Probe-only evidence.
+        wh_dir = sf1_dir.rstrip("/") + "_whale"
+        wh_ev = os.path.join(wh_dir, "events.parquet")
+        if not os.path.isdir(wh_ev):
+            from pyspark.sql import functions as F
+
+            ev = spark.read.parquet(os.path.join(sf1_dir, "events.parquet"))
+            mx = ev.agg(F.max("event_id")).first()[0]
+            whale = spark.range(10_000).select(
+                (F.lit(int(mx)) + 1 + F.col("id")).alias("event_id"),
+                F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("purchase").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.concat(
+                    F.lit('{"k": '),
+                    (F.lit(1_000_000) + F.col("id")).cast("string"),
+                    F.lit("}"),
+                ).alias("props"),
+            )
+            # cast to the sf1 frame's exact types (ts flavor varies by
+            # how the probe dir was generated)
+            whale = whale.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in ev.schema.fields
+                    if f.name in whale.columns
+                ]
+            )
+            ev.unionByName(whale, allowMissingColumns=True).write.mode(
+                "overwrite"
+            ).parquet(wh_ev)
+        wb_rows = []
+        for name in ("x94_copurchase_affinity", "x94b_copurchase_capped"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).collect()
+            t_uni = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_wh = len(QUERIES[name](spark, wh_dir).collect())
+            t_wh = time.perf_counter() - t0
+            wb_rows.append(
+                f"| {name} | {t_uni:.2f}s | {t_wh:.2f}s"
+                f" ({t_wh / max(t_uni, 1e-9):.1f}x, {n_wh}) |"
+            )
+        lines += [
+            "### whale-basket probe (x94 vs x94b at sf1)",
+            "",
+            f"Whale table = `{wh_ev}`: the sf1 events plus ONE bot user",
+            "holding a 10,000-item basket (~50M uncapped pairs in one",
+            "join group).  x94b's md5-ordered cap truncates the whale to",
+            "8 items before any pair forms, so its whale run must stay",
+            "in family with uniform sf1; uncapped x94 pays the Σ basket²",
+            "price — the reason x94b is the production form.",
+            "",
+            "| query | uniform sf1 | whale sf1 (ratio, rows) |",
+            "|---|---|---|",
+            *wb_rows,
             "",
         ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
