@@ -1617,8 +1617,13 @@ def funnel_conversion_rates(
     conv_from_prev_milli): the exact-milli conversion summary over the
     x25 per-user funnel (NULL rates when the denominator step had no
     users; step 1 converts from itself at 1000)."""
-    f = funnel(events, steps=steps, window=window)
-    counts = f.agg(
+    return _funnel_rates_rollup(funnel(events, steps=steps, window=window), steps)
+
+
+def _funnel_rates_rollup(per_user: DataFrame, steps: tuple) -> DataFrame:
+    """The x97 3-row conversion table from a per-user (t0..tn) funnel
+    frame — shared by the batch path and the S29 streamed state."""
+    counts = per_user.agg(
         *[
             F.count(f"t{i}").cast("long").alias(f"n{i}")
             for i in range(len(steps))
@@ -1633,10 +1638,22 @@ def funnel_conversion_rates(
         else:
             prev = None if ns[i - 1] == 0 else 1000 * ns[i] // ns[i - 1]
         rows.append((i + 1, name, ns[i], start, prev))
-    return events.sparkSession.createDataFrame(
+    return per_user.sparkSession.createDataFrame(
         rows,
         "step long, step_name string, n_users long,"
         " conv_from_start_milli long, conv_from_prev_milli long",
+    )
+
+
+def funnel_rates_from_user_state(
+    state: DataFrame, steps: tuple = _X25_STEPS
+) -> DataFrame:
+    """Serve the live x97 conversion table from the S29 per-user funnel
+    state (``streaming.state_sink.sink_user_funnel_state``): the state
+    frame IS the x25 per-user (t0..tn) table, so the rollup is the same
+    driver-scale literal frame the batch path builds."""
+    return _funnel_rates_rollup(
+        state.select(*[f"t{i}" for i in range(len(steps))]), steps
     )
 
 
@@ -1707,6 +1724,24 @@ def event_path_trigrams(
     # the share window runs over the |types|^3-bounded trigram frame
     return (
         g.select(
+            "t1",
+            "t2",
+            "t3",
+            "n",
+            F.expr("1000 * n div sum(n) over ()").cast("long")
+            .alias("share_milli"),
+        )
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(int(k))
+    )
+
+
+def trigrams_from_counts(counts: DataFrame, k: int = _X98_K) -> DataFrame:
+    """Serve the x98 table from folded (t1, t2, t3, n) trigram cells
+    (``streaming.state_sink.sink_trigram_state``): exact milli shares
+    over the |types|^3-bounded frame, top-k with the x98 tie order."""
+    return (
+        counts.select(
             "t1",
             "t2",
             "t3",

@@ -943,3 +943,313 @@ def sink_split_state(
         ),
         checkpoint_dir,
     )
+
+
+def _trigram_batch_cells(
+    batch: DataFrame,
+    last2_dir: str,
+    batch_id: int,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One micro-batch's (t1, t2, t3, n) trigram cells: within-batch
+    3-step adjacencies (two leads over BATCH rows) plus the cross-batch
+    BOUNDARY trigrams stitched from the persisted per-user last-TWO
+    snapshot — a trigram spans at most 3 events, so a boundary trigram
+    has either 2 persisted + 1 batch events (via last2/last1) or
+    1 persisted + 2 batch events (via last1 + the batch's first two).
+    A user whose events trickle in one per batch is covered because the
+    snapshot's last2 slot carries the previous last1 forward.
+
+    Publishes the merged per-user snapshot under ``last2_dir/batch=N``
+    (overwrite — the S23 crash-replay prune contract: a replayed batch
+    reads only batch < N and re-publishes identical files)."""
+    import os as _os
+
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("y"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "i")
+    s = ev.select(
+        "u",
+        "t",
+        "i",
+        "y",
+        F.lead("y", 1).over(w).alias("n1"),
+        F.lead("y", 2).over(w).alias("n2"),
+        F.row_number().over(w).alias("rn"),
+    )
+    within = s.filter(
+        F.col("n1").isNotNull() & F.col("n2").isNotNull()
+    ).select(
+        F.col("y").alias("t1"),
+        F.col("n1").alias("t2"),
+        F.col("n2").alias("t3"),
+    )
+    wd = Window.partitionBy("u").orderBy(F.desc("t"), F.desc("i"))
+    r2 = ev.withColumn("rd", F.row_number().over(wd)).filter(
+        F.col("rd") <= 2
+    )
+    snap_in = r2.groupBy("u").agg(
+        F.max(F.when(F.col("rd") == 1, F.struct("t", "i", "y"))).alias(
+            "last1"
+        ),
+        F.max(F.when(F.col("rd") == 2, F.col("y"))).alias("last2_y"),
+    )
+    prior = _latest_snapshot_batch(last2_dir, int(batch_id))
+    trigs = within
+    merged = snap_in
+    if prior is not None:
+        prev = spark.read.parquet(
+            _os.path.join(last2_dir, f"batch={prior}")
+        ).select("u", "last1", "last2_y")
+        f1 = s.filter(F.col("rn") == 1).select(
+            "u",
+            F.col("t").alias("f1_t"),
+            F.col("i").alias("f1_i"),
+            F.col("y").alias("f1_y"),
+        )
+        f2 = s.filter(F.col("rn") == 2).select(
+            "u", F.col("y").alias("f2_y")
+        )
+        # the S25 append-log guard, full (ts, id) ordering key, strict
+        b = (
+            prev.join(f1, "u")
+            .join(f2, "u", "left")
+            .filter(
+                F.assert_true(
+                    F.struct(
+                        F.col("last1.t").alias("t"),
+                        F.col("last1.i").alias("i"),
+                    )
+                    < F.struct(
+                        F.col("f1_t").alias("t"), F.col("f1_i").alias("i")
+                    ),
+                    F.lit(
+                        "sink_trigram_state: out-of-order arrival — a"
+                        " batch holds an event at or before its user's"
+                        " persisted last event; the append-log contract"
+                        " (per-user (ts, id) order across batches) is"
+                        " violated"
+                    ),
+                ).isNull()
+            )
+        )
+        ta = b.filter(F.col("last2_y").isNotNull()).select(
+            F.col("last2_y").alias("t1"),
+            F.col("last1.y").alias("t2"),
+            F.col("f1_y").alias("t3"),
+        )
+        tb = b.filter(F.col("f2_y").isNotNull()).select(
+            F.col("last1.y").alias("t1"),
+            F.col("f1_y").alias("t2"),
+            F.col("f2_y").alias("t3"),
+        )
+        trigs = within.unionByName(ta).unionByName(tb)
+        merged = (
+            prev.alias("p")
+            .join(snap_in.alias("c"), "u", "full")
+            .select(
+                "u",
+                F.coalesce(F.col("c.last1"), F.col("p.last1")).alias(
+                    "last1"
+                ),
+                F.when(
+                    F.col("c.last1").isNull(), F.col("p.last2_y")
+                )
+                .otherwise(
+                    F.coalesce(F.col("c.last2_y"), F.col("p.last1.y"))
+                )
+                .alias("last2_y"),
+            )
+        )
+    cells = barrier(
+        trigs.groupBy("t1", "t2", "t3").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        eager=True,
+    )
+    merged.write.mode("overwrite").parquet(
+        _os.path.join(last2_dir, f"batch={batch_id}")
+    )
+    return cells
+
+
+def sink_trigram_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    last2_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Stream events into the x98 trigram state (S28): each micro-batch
+    folds its within-batch trigram counts PLUS the cross-batch boundary
+    trigrams (stitched from the persisted per-user last-TWO-events
+    snapshot) into ``state_dir`` exactly once under the shared ledger,
+    and advances the snapshot in ``last2_dir``.
+    ``behavior.trigrams_from_counts`` serves the live top-k path table
+    at any moment — the ingest-time "which 3-step journeys are hot
+    RIGHT NOW" view.
+
+    Contract: per-user event-TIME order non-decreasing across batches
+    on the full (ts, event_id) key (the S25 append-log contract, same
+    in-plan assert).  Under it the folded counts bit-equal a batch
+    ``event_path_trigrams`` rollup over everything ever ingested,
+    boundary trigrams included.  State: |types|^3 cells + one 2-slot
+    row per user seen."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        def stats(batch: DataFrame) -> DataFrame:
+            return _trigram_batch_cells(
+                batch,
+                last2_dir,
+                int(batch_id),
+                user_col,
+                type_col,
+                ts_col,
+                id_col,
+            )
+
+        additive_state_committer(state_dir, stats, ["t1", "t2", "t3"], ["n"])(
+            batch_df, batch_id
+        )
+
+    _drain(sdf, commit, checkpoint_dir)
+
+
+def sink_user_funnel_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+    window: str = "interval 1 hour",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Stream events into the x25/x97 funnel state (S29): the state IS
+    the per-user (t0..tn) step-timestamp frame — each slot is a
+    MONOTONE high-water mark (the first qualifying event's time; once
+    set it never changes, because under the append-log contract every
+    later event has a later timestamp), so folding a batch is: fill t0
+    from the batch's earliest step-1 event where still NULL, then fill
+    each t(k) from the batch's earliest step-(k+1) event inside
+    (t(k-1), t(k-1) + window] — where t(k-1) may itself have been set
+    this batch (the whole funnel can complete inside one batch).
+    ``behavior.funnel_rates_from_user_state`` serves the live x97
+    3-row conversion table at any moment; the state itself equals the
+    batch x25 frame row-for-row (restricted to users that ever emitted
+    a step event).
+
+    The append-log contract is ENFORCED like S25/S28: the state carries
+    each user's (hw_t, hw_i) last-seen-event high-water mark, and a
+    batch holding a step event at or before it fails in-plan before the
+    ledger commits.  State: one row per user seen, user-grain."""
+
+    def stats(batch: DataFrame) -> DataFrame:
+        # the batch's step events, event grain (bounded by the batch)
+        return batch.filter(F.col(type_col).isin(*steps)).select(
+            F.col(user_col).alias("u"),
+            F.col(type_col).alias("y"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+        )
+
+    n = len(steps)
+    state_schema = (
+        "u long, "
+        + ", ".join(f"t{k} timestamp" for k in range(n))
+        + ", hw_t timestamp, hw_i long"
+    )
+
+    def merge(prev: DataFrame | None, be: DataFrame) -> DataFrame:
+        spark = be.sparkSession
+        base = (
+            prev
+            if prev is not None
+            else spark.createDataFrame([], state_schema)
+        )
+        lohi = be.groupBy("u").agg(
+            F.min(F.struct("t", "i")).alias("_lo"),
+            F.max(F.struct("t", "i")).alias("_hi"),
+        )
+        m = (
+            base.join(lohi, "u", "full")
+            # in-plan append-log guard (strict, full ordering key)
+            .filter(
+                F.assert_true(
+                    F.col("hw_t").isNull()
+                    | F.col("_lo").isNull()
+                    | (
+                        F.struct(
+                            F.col("hw_t").alias("t"),
+                            F.col("hw_i").alias("i"),
+                        )
+                        < F.col("_lo")
+                    ),
+                    F.lit(
+                        "sink_user_funnel_state: out-of-order arrival —"
+                        " a batch holds a step event at or before its"
+                        " user's high-water mark; the append-log"
+                        " contract is violated"
+                    ),
+                ).isNull()
+            )
+            .select(
+                "u",
+                *[F.col(f"t{k}") for k in range(n)],
+                F.coalesce(F.col("_hi.t"), F.col("hw_t")).alias("hw_t"),
+                F.coalesce(F.col("_hi.i"), F.col("hw_i")).alias("hw_i"),
+            )
+        )
+        for k, step in enumerate(steps):
+            if k == 0:
+                cand = (
+                    be.filter(F.col("y") == step)
+                    .groupBy("u")
+                    .agg(F.min("t").alias("_c"))
+                )
+            else:
+                cand = (
+                    be.filter(F.col("y") == step)
+                    .join(m.select("u", f"t{k-1}"), "u")
+                    .filter(
+                        (F.col("t") > F.col(f"t{k-1}"))
+                        & (
+                            F.col("t")
+                            <= F.col(f"t{k-1}") + F.expr(window)
+                        )
+                    )
+                    .groupBy("u")
+                    .agg(F.min("t").alias("_c"))
+                )
+            m = m.join(cand, "u", "left").select(
+                "u",
+                *[
+                    (
+                        F.coalesce(F.col(f"t{j}"), F.col("_c")).alias(
+                            f"t{j}"
+                        )
+                        if j == k
+                        else F.col(f"t{j}")
+                    )
+                    for j in range(n)
+                ],
+                "hw_t",
+                "hw_i",
+            )
+        return m
+
+    _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)

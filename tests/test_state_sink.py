@@ -1150,3 +1150,310 @@ def test_transition_sink_tie_boundary_full_key_guard(spark, tmp_path):
     b1ok = spark.createDataFrame([(7, t0, 1, "purchase")], schema)
     cells = _transition_batch_cells(b1ok, last_dir2, 1, *args).collect()
     assert [(r.ft, r.tt, r.n) for r in cells] == [("view", "purchase", 1)]
+
+
+def _stage_event_slices(spark, tmp_path, n=3):
+    """Slice sf0.001 events into n event-time-ordered parquet files (the
+    append-log contract: strict percentile cuts keep every user's later
+    events in later batches) and return (events_df, stage_data_dir)."""
+    from cubefs_hadoop_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    cuts = ev.agg(
+        *[
+            F.expr(
+                "percentile(cast(cast(ts as timestamp) as double),"
+                f" {q / n})"
+            )
+            for q in range(1, n)
+        ]
+    ).first()
+    d = F.col("ts").cast("timestamp").cast("double")
+    slices, lo = [], None
+    for c in list(cuts) + [None]:
+        f = ev
+        if lo is not None:
+            f = f.filter(d > lo)
+        if c is not None:
+            f = f.filter(d <= c)
+        slices.append(f)
+        lo = c
+    data = os.path.join(str(tmp_path), "stage", "data")
+    for b, part in enumerate(slices):
+        (
+            part.coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(data)
+        )
+    return ev, slices, data
+
+
+def test_streamed_trigram_state_bit_equals_batch_x98(spark, tmp_path):
+    """S28: events arriving as a 3-batch append-log stream fold into
+    the x98 trigram state; the folded (t1, t2, t3, n) cells — BOTH
+    boundary shapes (2 persisted + 1 batch, 1 persisted + 2 batch)
+    included — bit-equal a batch trigram rollup over the whole corpus,
+    and the derived live table equals the registered x98 output."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        event_path_trigrams,
+        trigrams_from_counts,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_trigram_state,
+    )
+
+    ev, slices, data = _stage_event_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "tri_state")
+    last2 = str(tmp_path / "last2")
+    sink_trigram_state(sdf, state, str(tmp_path / "ckpt"), last2)
+
+    folded = {
+        (r.t1, r.t2, r.t3): r.n for r in read_state(spark, state).collect()
+    }
+    # full batch recompute at count grain (event_path_trigrams is the
+    # top-k view; compare the complete cells instead)
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    full = {
+        (r.t1, r.t2, r.t3): r.n
+        for r in (
+            ev.select(
+                F.col("event_type").alias("t1"),
+                F.lead("event_type", 1).over(w).alias("t2"),
+                F.lead("event_type", 2).over(w).alias("t3"),
+            )
+            .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+            .groupBy("t1", "t2", "t3")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ).collect()
+    }
+    assert folded == full
+    # the witness is vacuous unless trigrams actually cross batch
+    # boundaries: within-batch counts alone must NOT reproduce it
+    within_only = {}
+    for part in slices:
+        wq = _W.partitionBy("user_id").orderBy("ts", "event_id")
+        for r in (
+            part.select(
+                F.col("event_type").alias("t1"),
+                F.lead("event_type", 1).over(wq).alias("t2"),
+                F.lead("event_type", 2).over(wq).alias("t3"),
+            )
+            .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+            .groupBy("t1", "t2", "t3")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ).collect():
+            k = (r.t1, r.t2, r.t3)
+            within_only[k] = within_only.get(k, 0) + r.n
+    assert within_only != full
+
+    live = sorted(
+        map(tuple, trigrams_from_counts(read_state(spark, state)).collect())
+    )
+    batch_rows = QUERIES["x98_event_path_trigrams"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch_rows))
+
+
+def test_trigram_boundary_one_event_per_batch(spark, tmp_path):
+    """S28 carry-forward witness: a user whose 4 events arrive ONE per
+    batch still yields both interior trigrams — the snapshot's last2
+    slot must carry the previous last1 forward across every batch."""
+    import datetime as _dt
+
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _trigram_batch_cells,
+    )
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    args = ("user_id", "event_type", "ts", "event_id")
+    last2 = str(tmp_path / "last2")
+    types = ["view", "click", "purchase", "error"]
+    total = {}
+    for b, y in enumerate(types):
+        batch = spark.createDataFrame(
+            [(b, _dt.datetime(2024, 1, 1, 12, b), 1, y)], schema
+        )
+        for r in _trigram_batch_cells(batch, last2, b, *args).collect():
+            k = (r.t1, r.t2, r.t3)
+            total[k] = total.get(k, 0) + r.n
+    assert total == {
+        ("view", "click", "purchase"): 1,
+        ("click", "purchase", "error"): 1,
+    }
+
+
+def test_trigram_replay_and_out_of_order_refusal(spark, tmp_path):
+    """S28 inherits the S25 contracts: a replayed batch's cells
+    bit-equal attempt 1 (crash-replay prune), and a batch holding an
+    event at or before its user's persisted last event is refused."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _trigram_batch_cells,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    mid = ev.agg(
+        F.expr("percentile(cast(cast(ts as timestamp) as double), 0.5)")
+    ).first()[0]
+    d = F.col("ts").cast("timestamp").cast("double")
+    early, late = ev.filter(d <= mid), ev.filter(d > mid)
+    args = ("user_id", "event_type", "ts", "event_id")
+
+    last2 = str(tmp_path / "replay")
+    _trigram_batch_cells(early, last2, 0, *args).collect()
+    first = sorted(
+        map(tuple, _trigram_batch_cells(late, last2, 1, *args).collect())
+    )
+    replay = sorted(
+        map(tuple, _trigram_batch_cells(late, last2, 1, *args).collect())
+    )
+    assert replay == first and first
+
+    last2b = str(tmp_path / "ooo")
+    _trigram_batch_cells(late, last2b, 0, *args).collect()
+    with _pytest.raises(Exception, match="out-of-order arrival"):
+        _trigram_batch_cells(early, last2b, 1, *args).collect()
+
+
+def test_streamed_funnel_state_equals_batch_x25_and_x97(spark, tmp_path):
+    """S29: events arriving as a 3-batch append-log stream fold into
+    the per-user funnel state; the state equals the batch x25 frame
+    row-for-row (on users with step events), and the derived live
+    conversion table equals the registered x97 output — including
+    funnels whose steps SPAN batch boundaries."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        funnel,
+        funnel_rates_from_user_state,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_user_funnel_state,
+    )
+
+    ev, slices, data = _stage_event_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "funnel_state")
+    sink_user_funnel_state(sdf, state, str(tmp_path / "ckpt"))
+
+    st = read_state(spark, state)
+    got = {
+        r.u: (r.t0, r.t1, r.t2)
+        for r in st.select("u", "t0", "t1", "t2").collect()
+    }
+    want = {
+        r.user_id: (r.t0, r.t1, r.t2) for r in funnel(ev).collect()
+    }
+    # the batch x25 frame covers users with a step-1 event; the state
+    # additionally holds users who only emitted later-step events
+    # (their slots stay NULL) — compare on the x25 domain, and check
+    # the extras are all-NULL rows
+    assert {u: v for u, v in got.items() if u in want} == want
+    assert all(v == (None, None, None) for u, v in got.items() if u not in want)
+    live = sorted(
+        map(tuple, funnel_rates_from_user_state(st).collect())
+    )
+    batch_rows = QUERIES["x97_funnel_rates"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch_rows))
+
+
+def test_funnel_state_refuses_out_of_order_and_replays(spark, tmp_path):
+    """S29 contracts: a replayed batch is a ledger no-op; a batch
+    holding a step event at or before a user's high-water mark fails
+    loudly before the ledger commits."""
+    import pytest as _pytest
+
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _ledger_committer,
+        read_state,
+        sink_user_funnel_state,
+    )
+
+    ev, slices, data = _stage_event_slices(spark, tmp_path)
+    # ooo: stream the LATE slice first, then the early one
+    d = os.path.join(str(tmp_path), "ooo", "data")
+    slices[-1].coalesce(1).write.mode("overwrite").parquet(d)
+    slices[0].coalesce(1).write.mode("append").parquet(d)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    with _pytest.raises(Exception, match="out-of-order arrival"):
+        sink_user_funnel_state(
+            sdf, str(tmp_path / "st2"), str(tmp_path / "ck2")
+        )
+
+
+def test_funnel_state_cross_batch_completion_witness(spark, tmp_path):
+    """S29 cross-boundary witness (non-vacuous by construction): a
+    funnel that STARTS in batch 0 (view) and COMPLETES across batch 1
+    (click, purchase) folds correctly — t1/t2 fill from later batches
+    against the already-persisted t0 — while a same-batch full funnel
+    and a window-expired click behave exactly as the batch funnel()."""
+    import datetime as _dt
+
+    from cubefs_hadoop_spark.extensions.behavior import funnel
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_user_funnel_state,
+    )
+
+    t = lambda m: _dt.datetime(2024, 1, 1, 12) + _dt.timedelta(minutes=m)  # noqa: E731
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    b0 = [
+        (1, t(0), 1, "view"),       # u1 starts; completes in batch 1
+        (2, t(0), 2, "view"),       # u2 full funnel inside batch 0
+        (3, t(5), 2, "click"),
+        (4, t(10), 2, "purchase"),
+        (5, t(0), 3, "view"),       # u3's click arrives too late (>1h)
+    ]
+    b1 = [
+        (6, t(20), 1, "click"),
+        (7, t(40), 1, "purchase"),
+        (8, t(90), 3, "click"),     # outside u3's 1h window
+    ]
+    data = os.path.join(str(tmp_path), "data")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(data)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(data)
+    ev = spark.read.parquet(data)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "st")
+    sink_user_funnel_state(sdf, state, str(tmp_path / "ck"))
+    got = {
+        r.u: (r.t0, r.t1, r.t2)
+        for r in read_state(spark, state).collect()
+    }
+    want = {
+        r.user_id: (r.t0, r.t1, r.t2) for r in funnel(ev).collect()
+    }
+    assert got == want
+    assert got[1] == (t(0), t(20), t(40))  # spans the batch boundary
+    assert got[3] == (t(0), None, None)    # late click stays excluded
