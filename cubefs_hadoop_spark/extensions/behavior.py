@@ -1761,3 +1761,210 @@ def x98_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     over x85's one-step matrix; two leads on ONE user-keyed window
     spec, a types^3-bounded rollup, TakeOrdered top-k."""
     return event_path_trigrams(load(spark, sf_dir, "events"))
+
+
+# -- x99: user type-diversity distribution ---------------------------------------
+#
+# ENGAGEMENT BREADTH: how many distinct event types each user touches,
+# rolled up to the distribution (n_types, users, users_share_milli) —
+# the one-glance answer to "are users exploring the product or stuck on
+# one action", the companion to x85's transition matrix (which says
+# WHERE they go, not HOW WIDELY).  One user-keyed countDistinct (the
+# distinct partial-aggregates map-side over the tiny type domain), one
+# |types|-bounded rollup, exact milli shares.
+
+_X99_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events GROUP BY user_id),
+g AS (SELECT n_types, CAST(COUNT(*) AS BIGINT) AS users
+      FROM u GROUP BY n_types),
+t AS (SELECT CAST(SUM(users) AS BIGINT) AS tot FROM g)
+SELECT n_types, users,
+       CAST(1000 * users // t.tot AS BIGINT) AS users_share_milli
+FROM g CROSS JOIN t
+ORDER BY n_types, users, users_share_milli"""
+
+
+def user_type_diversity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(n_types, users, users_share_milli): the distribution of per-user
+    distinct event-type counts with exact milli user shares."""
+    u = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.countDistinct(type_col).cast("long").alias("n_types")
+    )
+    return (
+        u.groupBy("n_types")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        # the share window runs over the |types|-bounded distribution
+        .select(
+            "n_types",
+            "users",
+            F.expr("1000 * users div sum(users) over ()")
+            .cast("long")
+            .alias("users_share_milli"),
+        )
+    )
+
+
+@register("x99_user_type_diversity", _X99_ORACLE)
+def x99_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 engagement breadth: distribution of per-user distinct
+    event-type counts with exact milli shares — one user-keyed
+    countDistinct + a |types|-bounded rollup."""
+    return user_type_diversity(load(spark, sf_dir, "events")).orderBy(
+        "n_types", "users", "users_share_milli"
+    )
+
+
+# -- x102: peak activity hour per event type -------------------------------------
+#
+# The OPS-CALENDAR view: for each event type, the (day-of-week, hour)
+# cell where it peaks and how concentrated it is there (exact milli
+# share of the type's events) — capacity planning (when do purchases
+# spike) and anomaly triage (errors peaking at 4am Sunday = a batch
+# job, not users).  One partial-agg'd groupBy((type, dow, hour)) over
+# the scan; the argmax is a max-of-struct per type over the
+# |types|x168-bounded matrix — never a window over event-grain rows.
+# Deterministic tie order: highest n, then smallest (dow, hour).
+# Day-of-week convention: 0 = Sunday (DuckDB's dayofweek; Spark's
+# dayofweek()-1).
+
+_X102_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM c GROUP BY 1),
+r AS (SELECT c.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, dow, hr) AS rn
+      FROM c)
+SELECT r.event_type, dow, hr, n,
+       CAST(1000 * n // t.tot AS BIGINT) AS share_milli
+FROM r JOIN t USING (event_type) WHERE rn = 1
+ORDER BY event_type, dow, hr, n, share_milli"""
+
+
+def peak_hours(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, dow, hr, n, share_milli): each type's peak
+    (day-of-week 0=Sunday, hour) activity cell with its exact milli
+    share of the type's events; ties break to the smallest (dow, hr)."""
+    c = (
+        events.select(
+            F.col(type_col).alias("event_type"),
+            (F.dayofweek(ts_col) - 1).cast("long").alias("dow"),
+            F.hour(ts_col).cast("long").alias("hr"),
+        )
+        .groupBy("event_type", "dow", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # argmax by (n DESC, dow ASC, hr ASC) = max of (n, -dow, -hr)
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n").alias("n"),
+                    (-F.col("dow")).alias("nd"),
+                    (-F.col("hr")).alias("nh"),
+                )
+            ).alias("m"),
+            F.sum("n").cast("long").alias("tot"),
+        )
+        .select(
+            "event_type",
+            (-F.col("m.nd")).cast("long").alias("dow"),
+            (-F.col("m.nh")).cast("long").alias("hr"),
+            F.col("m.n").alias("n"),
+            F.expr("1000 * m.n div tot").cast("long").alias("share_milli"),
+        )
+    )
+
+
+@register("x102_peak_hours", _X102_ORACLE)
+def x102_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 peak activity cell per event type: the (dow, hour) where
+    each type concentrates, with exact milli share — one partial-agg'd
+    (type, dow, hour) rollup + a max-of-struct argmax per type (no
+    event-grain window, no sort)."""
+    return peak_hours(load(spark, sf_dir, "events")).orderBy(
+        "event_type", "dow", "hr", "n", "share_milli"
+    )
+
+
+# -- x105: first-touch -> first-purchase conversion latency ----------------------
+#
+# TIME TO CONVERT: per converting user, the exact integer seconds from
+# their first event of any kind to their first purchase; globally the
+# exact discrete p50/p90 + converter count — the activation-speed
+# number next to x97's conversion RATES and x91's repeat cadence.  One
+# user-keyed aggregate (both firsts in a single pass), gap arithmetic
+# on exact epoch micros (the x91 NTZ/UTC guard), percentiles on the
+# shared banded machinery — no sort anywhere.
+
+_X105_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY user_id),
+d AS (SELECT CAST((epoch_us(tp) - epoch_us(t0)) // 1000000 AS BIGINT)
+          AS gap_s
+      FROM u WHERE tp IS NOT NULL),
+r AS (SELECT gap_s, ROW_NUMBER() OVER (ORDER BY gap_s) AS rn FROM d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_converters FROM d)
+SELECT n.n_converters,
+       CAST(MAX(CASE WHEN rn = 1 + (n_converters - 1) * 50 // 100
+                     THEN gap_s END) AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rn = 1 + (n_converters - 1) * 90 // 100
+                     THEN gap_s END) AS BIGINT) AS p90_s
+FROM r CROSS JOIN n
+GROUP BY n.n_converters
+ORDER BY n_converters, p50_s, p90_s"""
+
+
+def conversion_latency(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(n_converters, p50_s, p90_s): exact discrete percentiles of the
+    first-touch -> first-purchase gap in integer seconds, over users
+    who ever purchased."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    us = _epoch_us(events, ts_col)
+    u = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("e0"),
+        F.min(F.when(F.col(type_col) == purchase_type, us)).alias("ep"),
+    )
+    g = u.filter(F.col("ep").isNotNull()).select(
+        F.expr("(ep - e0) div 1000000").cast("long").alias("gap_s")
+    )
+    return grouped_exact_percentiles(
+        g, "gap_s", group_cols=(), quantiles=(50, 90)
+    ).select(
+        F.col("n").alias("n_converters"),
+        F.col("p50").alias("p50_s"),
+        F.col("p90").alias("p90_s"),
+    )
+
+
+@register("x105_conversion_latency", _X105_ORACLE)
+def x105_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 activation speed: exact p50/p90 seconds from a user's first
+    event to their first purchase — one user-keyed two-firsts
+    aggregate, exact epoch-micro gaps, shared no-sort percentile
+    machinery."""
+    return conversion_latency(load(spark, sf_dir, "events"))

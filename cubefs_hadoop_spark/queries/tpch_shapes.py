@@ -798,3 +798,238 @@ def t21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return top.orderBy("s_name", "numwait")
+
+
+# -- r13 extensions over the TPC-H star (x100/x101/x104) ---------------------
+#
+# Three operational-analytics shapes the t04-t22 family doesn't cover:
+# exact order-statistics at order grain (x100, the ranking machinery's
+# first TPC-H-side caller), customer-loyalty shares (x101), and a
+# two-role fact aggregation joined back through opposite dimension
+# paths (x104).
+
+
+_X100_ORACLE = """
+WITH s AS (SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+           FROM lineitem GROUP BY 1),
+d AS (SELECT o_orderpriority,
+             CAST(CAST(last_ship AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT) AS days
+      FROM orders JOIN s ON l_orderkey = o_orderkey),
+r AS (SELECT o_orderpriority, days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY days) AS rn FROM d),
+n AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM d GROUP BY 1)
+SELECT o_orderpriority, n_orders,
+       CAST(MAX(CASE WHEN rn = 1 + (n_orders - 1) * 50 // 100
+                     THEN days END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN rn = 1 + (n_orders - 1) * 90 // 100
+                     THEN days END) AS BIGINT) AS p90_days
+FROM r JOIN n USING (o_orderpriority)
+GROUP BY o_orderpriority, n_orders
+ORDER BY o_orderpriority, n_orders, p50_days, p90_days"""
+
+
+@register("x100_fulfillment_latency", _X100_ORACLE)
+def x100_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 order fulfillment latency: exact discrete p50/p90 days from
+    order date to the order's LAST line shipment, per order priority —
+    the SLA table next to t04's late-line histogram.  One partial-agg'd
+    groupBy(orderkey) over lineitem, an order-grain equi-join, then the
+    shared banded percentile machinery (never an order-grain sort; the
+    priority domain is 5 values but no task keys on it)."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    d = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    return (
+        grouped_exact_percentiles(
+            d, "days", ["o_orderpriority"], quantiles=(50, 90)
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            F.col("p50").alias("p50_days"),
+            F.col("p90").alias("p90_days"),
+        )
+        .orderBy("o_orderpriority", "n_orders", "p50_days", "p90_days")
+    )
+
+
+_X101_ORACLE = """
+WITH oc AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1),
+j AS (SELECT c_mktsegment, n_orders
+      FROM customer JOIN oc ON c_custkey = o_custkey),
+s AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+             CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS repeat_buyers
+      FROM j GROUP BY 1),
+r AS (SELECT c_mktsegment, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n_orders) AS rn FROM j)
+SELECT c_mktsegment, n_buyers, repeat_buyers,
+       CAST(1000 * repeat_buyers // n_buyers AS BIGINT)
+           AS repeat_share_milli,
+       CAST(MAX(CASE WHEN rn = 1 + (n_buyers - 1) * 50 // 100
+                     THEN n_orders END) AS BIGINT) AS p50_orders,
+       CAST(MAX(CASE WHEN rn = 1 + (n_buyers - 1) * 90 // 100
+                     THEN n_orders END) AS BIGINT) AS p90_orders
+FROM r JOIN s USING (c_mktsegment)
+GROUP BY c_mktsegment, n_buyers, repeat_buyers, repeat_share_milli
+ORDER BY c_mktsegment, n_buyers, repeat_buyers, repeat_share_milli,
+         p50_orders, p90_orders"""
+
+
+@register("x101_segment_loyalty", _X101_ORACLE)
+def x101_segment_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 customer loyalty by market segment: buyers, repeat buyers
+    (>= 2 orders), exact milli repeat share, and exact p50/p90 orders
+    per buyer — orders collapse to customer grain FIRST (one
+    partial-agg'd groupBy), then one customer-grain equi-join against
+    the segment column; percentiles on the shared banded machinery."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    oc = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = cust.join(oc, cust.c_custkey == oc.o_custkey).select(
+        "c_mktsegment", "n_orders"
+    )
+    s = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("repeat_buyers"),
+    )
+    pct = grouped_exact_percentiles(
+        j, "n_orders", ["c_mktsegment"], quantiles=(50, 90)
+    ).select(
+        "c_mktsegment",
+        F.col("p50").alias("p50_orders"),
+        F.col("p90").alias("p90_orders"),
+    )
+    return (
+        s.join(pct, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_buyers",
+            "repeat_buyers",
+            F.expr("1000 * repeat_buyers div n_buyers")
+            .cast("long")
+            .alias("repeat_share_milli"),
+            "p50_orders",
+            "p90_orders",
+        )
+        .orderBy(
+            "c_mktsegment",
+            "n_buyers",
+            "repeat_buyers",
+            "repeat_share_milli",
+            "p50_orders",
+            "p90_orders",
+        )
+    )
+
+
+_X104_ORACLE = f"""
+WITH exp AS (
+  SELECT s_nationkey AS nk,
+         CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS export_rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1),
+imp AS (
+  SELECT c_nationkey AS nk,
+         CAST(ROUND(SUM({_REV_SQL}), 2) AS DECIMAL(18,2)) AS import_rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT n_name,
+       COALESCE(export_rev, CAST(0 AS DECIMAL(18,2))) AS export_rev,
+       COALESCE(import_rev, CAST(0 AS DECIMAL(18,2))) AS import_rev,
+       CAST(COALESCE(export_rev, CAST(0 AS DECIMAL(18,2)))
+            - COALESCE(import_rev, CAST(0 AS DECIMAL(18,2)))
+            AS DECIMAL(18,2)) AS balance
+FROM nation
+LEFT JOIN exp ON nk = n_nationkey
+LEFT JOIN imp ON imp.nk = n_nationkey
+ORDER BY n_name, export_rev, import_rev, balance"""
+
+
+@register("x104_nation_trade_balance", _X104_ORACLE)
+def x104_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 nation trade balance: each nation's revenue as SUPPLIER
+    (export — lineitem through the supplier dimension) vs as CUSTOMER
+    (import — lineitem through orders->customer), and the difference.
+    The same fact table aggregated through two OPPOSITE dimension
+    paths: both sides partial-agg to nation grain before the tiny
+    broadcast join against nation; per-row DECIMAL casts keep the sums
+    exact and order-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+        "_rev"
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    exp = (
+        li.select("l_suppkey", rev)
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(r2(F.sum("_rev")).alias("export_rev"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    imp = (
+        li.select("l_orderkey", rev)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(r2(F.sum("_rev")).alias("import_rev"))
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        nation.join(
+            exp, F.col("n_nationkey") == exp.nk, "left"
+        )
+        .drop("nk")
+        .join(imp, F.col("n_nationkey") == imp.nk, "left")
+        .select(
+            "n_name",
+            F.coalesce("export_rev", zero).alias("export_rev"),
+            F.coalesce("import_rev", zero).alias("import_rev"),
+            (
+                F.coalesce("export_rev", zero)
+                - F.coalesce("import_rev", zero)
+            )
+            .cast("decimal(18,2)")
+            .alias("balance"),
+        )
+        .orderBy("n_name", "export_rev", "import_rev", "balance")
+    )

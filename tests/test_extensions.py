@@ -2997,3 +2997,165 @@ def test_x86_pair_arrival_accounts_for_all_pairs(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with _pytest.raises(ValueError, match="empty documents"):
         pair_arrival_curve(empty)
+
+
+def test_x99_x102_x105_crafted_witnesses(spark):
+    """r13 event operators on crafted corpora: known diversity
+    distribution, deterministic peak-cell tie-break, exact conversion
+    latency percentiles with non-converters excluded."""
+    import datetime as dt
+
+    from cubefs_hadoop_spark.extensions.behavior import (
+        conversion_latency,
+        peak_hours,
+        user_type_diversity,
+    )
+
+    t0 = dt.datetime(2024, 1, 7, 10, 0, 0)  # a Sunday
+    rows = []
+    eid = 0
+
+    def ev(u, y, secs):
+        nonlocal eid
+        rows.append((eid, t0 + dt.timedelta(seconds=secs), u, y))
+        eid += 1
+
+    # u1: 3 types; u2: 1 type; u3: 1 type -> dist {1: 2 users, 3: 1}
+    ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20)
+    ev(2, "view", 0), ev(2, "view", 5)
+    ev(3, "error", 0)
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    div = {r.n_types: (r.users, r.users_share_milli)
+           for r in user_type_diversity(events).collect()}
+    assert div == {1: (2, 666), 3: (1, 333)}
+
+    # peak-cell tie: 'view' has 2 events at (Sun, 10h) via u2... craft
+    # an explicit tie for 'tie' type across two cells -> smaller hour
+    tie_rows = [
+        (100, t0, 9, "tie"),                              # Sun 10h
+        (101, t0 + dt.timedelta(hours=1), 9, "tie"),      # Sun 11h
+    ]
+    tie = spark.createDataFrame(
+        tie_rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    pk = {r.event_type: (r.dow, r.hr, r.n, r.share_milli)
+          for r in peak_hours(tie).collect()}
+    assert pk == {"tie": (0, 10, 1, 500)}  # tie -> smallest (dow, hr)
+
+    # conversion latency: u1 converts in 20 s; u2/u3 never -> n=1
+    cl = conversion_latency(events).first()
+    assert (cl.n_converters, cl.p50_s, cl.p90_s) == (1, 20, 20)
+
+
+def test_x100_x101_x104_crafted_witnesses(spark):
+    """r13 TPC-H operators on crafted tables: last-shipment latency per
+    priority, repeat-share arithmetic, and trade balance including a
+    nation with no activity on one side."""
+    import datetime as dt
+
+    from cubefs_hadoop_spark.queries import QUERIES
+
+    # exercise via the public callables over a temp sf-dir layout
+    import os as _os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ts = lambda s: dt.datetime(1996, 1, s)  # noqa: E731
+    spark.createDataFrame(
+        [(1, 10, "O", 100.0, ts(1), "1-URGENT"),
+         (2, 10, "O", 100.0, ts(1), "1-URGENT"),
+         (3, 20, "O", 100.0, ts(1), "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp_ntz,"
+        " o_orderpriority string",
+    ).write.parquet(_os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 100, 1, 1.0, 10.00, 0.00, 0.0, "N", "O", ts(3)),
+         (1, 1, 100, 2, 1.0, 10.00, 0.00, 0.0, "N", "O", ts(11)),
+         (2, 1, 100, 1, 1.0, 20.00, 0.50, 0.0, "N", "O", ts(2)),
+         (3, 1, 200, 1, 1.0, 40.00, 0.00, 0.0, "N", "O", ts(6))],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp_ntz",
+    ).write.parquet(_os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10, "A", 0, 0.0, "BUILDING"), (20, "B", 1, 0.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(_os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(100, "S1", 1, 0.0), (200, "S2", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long,"
+        " s_acctbal double",
+    ).write.parquet(_os.path.join(d, "supplier.parquet"))
+    spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0), (2, "N2", 0), (3, "N3", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    ).write.parquet(_os.path.join(d, "nation.parquet"))
+
+    # x100: order 1 last ship = day 11 -> 10 days; order 2 -> 1 day.
+    # URGENT gaps [1, 10] with n=2: BOTH rank targets are
+    # 1 + (2-1)*q//100 = 1 -> p50 = p90 = 1 (the discrete definition);
+    # LOW order 3 -> 5
+    lat = {
+        r.o_orderpriority: (r.n_orders, r.p50_days, r.p90_days)
+        for r in QUERIES["x100_fulfillment_latency"](spark, d).collect()
+    }
+    assert lat == {"1-URGENT": (2, 1, 1), "5-LOW": (1, 5, 5)}
+
+    # x101: BUILDING has 1 buyer with 2 orders (repeat), AUTO 1 with 1
+    loy = {
+        r.c_mktsegment: (
+            r.n_buyers, r.repeat_buyers, r.repeat_share_milli,
+            r.p50_orders, r.p90_orders,
+        )
+        for r in QUERIES["x101_segment_loyalty"](spark, d).collect()
+    }
+    assert loy == {
+        "BUILDING": (1, 1, 1000, 2, 2),
+        "AUTO": (1, 0, 0, 1, 1),
+    }
+
+    # x104: N1 exports orders 1+2 revenue (10+10+20*0.5=30.00), N2
+    # exports 40.00; N0 imports orders 1+2 (30.00), N1 imports order 3
+    # (40.00); N3 has nothing on either side
+    bal = {
+        r.n_name: (
+            float(r.export_rev), float(r.import_rev), float(r.balance)
+        )
+        for r in QUERIES["x104_nation_trade_balance"](spark, d).collect()
+    }
+    assert bal == {
+        "N0": (0.0, 30.0, -30.0),
+        "N1": (30.0, 40.0, -10.0),
+        "N2": (40.0, 0.0, 40.0),
+        "N3": (0.0, 0.0, 0.0),
+    }
+
+
+def test_x103_null_source_and_share_law(spark):
+    """x103: NULL sources fold into '(null)'; within-source shares are
+    exact millis of the source's docs."""
+    from cubefs_hadoop_spark.extensions.text import source_lang_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "a", "en", None, 10), (2, "b", "en", None, 20),
+         (3, "c", "de", None, 30), (4, "d", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r.source, r.lang): (r.n_docs, r.share_in_source_milli,
+                             r.total_chars)
+        for r in source_lang_matrix(docs).collect()
+    }
+    assert got == {
+        ("(null)", "en"): (2, 666, 30),
+        ("(null)", "de"): (1, 333, 30),
+        ("web", "en"): (1, 1000, 5),
+    }

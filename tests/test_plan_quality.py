@@ -1044,3 +1044,75 @@ def test_x98_trigrams_shape(spark):
     assert a.has_take_ordered
     # one user-keyed exchange feeds both leads + the final ordering
     assert a.shuffles <= 3
+
+
+def test_x99_user_type_diversity_shape(spark):
+    """x99: one user-keyed countDistinct (partial-agg'd map-side over
+    the tiny type domain) + a |types|-bounded rollup — no NLJ, no
+    Python, no SinglePartition except the distribution-frame share
+    window (bounded by the type domain)."""
+    a = _audit(spark, "x99_user_type_diversity")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x100_fulfillment_latency_shape(spark):
+    """x100: lineitem collapses to order grain via one partial-agg'd
+    groupBy BEFORE the orders join; the percentile rides the banded
+    machinery (no order-grain sort, no SinglePartition)."""
+    a = _audit(spark, "x100_fulfillment_latency")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+    assert "_gp_vb" in a.text  # the shared banded-percentile machinery
+
+
+def test_x101_segment_loyalty_shape(spark):
+    """x101: orders collapse to customer grain first (one partial
+    agg), one customer-grain equi-join; percentiles banded; no NLJ, no
+    Python, no SinglePartition."""
+    a = _audit(spark, "x101_segment_loyalty")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+
+
+def test_x102_peak_hours_shape(spark):
+    """x102: ONE partial-agg'd (type, dow, hour) rollup over the scan;
+    the argmax is max-of-struct at type grain — never a window or sort
+    over event-grain rows."""
+    a = _audit(spark, "x102_peak_hours")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.text.count("Window") == 0 or "SinglePartition" not in a.text
+
+
+def test_x103_source_lang_matrix_shape(spark):
+    """x103: one partial-agg'd groupBy((source, lang)); the share
+    window runs over the metadata matrix partitioned by source (no
+    SinglePartition, no NLJ, no Python)."""
+    a = _audit(spark, "x103_source_lang_matrix")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+
+
+def test_x104_trade_balance_shape(spark):
+    """x104: both fact aggregations collapse to nation grain BEFORE
+    joining the 25-row nation table (broadcast); no NLJ, no Python."""
+    a = _audit(spark, "x104_nation_trade_balance")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert a.broadcast_joins >= 2  # supplier attach + the nation joins
+
+
+def test_x105_conversion_latency_shape(spark):
+    """x105: one user-keyed two-firsts aggregate (both firsts in one
+    pass — a single scan, a single shuffle), then the banded percentile
+    machinery; no event-grain sort, no Python; the single NLJ is the
+    1-row global-count broadcast (the x90/x91 ungrouped-percentile
+    shape)."""
+    a = _audit(spark, "x105_conversion_latency")
+    assert a.nested_loop_joins <= 1
+    assert not a.has_python_eval
+    assert "_gp_vb" in a.text
