@@ -127,6 +127,16 @@ BENCH_QUERIES = [
     "x96_dup_quality_interaction",
     "x97_funnel_rates",
     "x98_event_path_trigrams",
+    # r13 additions (first-measurement baselines B81-B88): the capped
+    # co-purchase production twin and the x99-x105 analytics family
+    "x94b_copurchase_capped",
+    "x99_user_type_diversity",
+    "x100_fulfillment_latency",
+    "x101_segment_loyalty",
+    "x102_peak_hours",
+    "x103_source_lang_matrix",
+    "x104_nation_trade_balance",
+    "x105_conversion_latency",
 ]
 
 RUNS = 4

@@ -119,6 +119,13 @@ SF1_WATCH = [
     "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
     # r13-new operators
     "x94b_copurchase_capped",
+    "x99_user_type_diversity",
+    "x100_fulfillment_latency",
+    "x101_segment_loyalty",
+    "x102_peak_hours",
+    "x103_source_lang_matrix",
+    "x104_nation_trade_balance",
+    "x105_conversion_latency",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -247,6 +254,13 @@ PROBE_QUERIES = [
     "x98_event_path_trigrams",  # r12 late addition (first probe in r13)
     # r13-new operators
     "x94b_copurchase_capped",
+    "x99_user_type_diversity",
+    "x100_fulfillment_latency",
+    "x101_segment_loyalty",
+    "x102_peak_hours",
+    "x103_source_lang_matrix",
+    "x104_nation_trade_balance",
+    "x105_conversion_latency",
 ]
 
 
