@@ -1968,3 +1968,126 @@ def x105_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, exact epoch-micro gaps, shared no-sort percentile
     machinery."""
     return conversion_latency(load(spark, sf_dir, "events"))
+
+
+def diversity_from_user_types(pairs: DataFrame) -> DataFrame:
+    """Serve the x99 distribution from the S30 distinct (u, y) pair
+    state (``streaming.state_sink.sink_user_type_state``): the pair set
+    IS the sufficient statistic — count types per user, roll up, exact
+    milli shares (identical math to ``user_type_diversity``)."""
+    u = pairs.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    return (
+        u.groupBy("n_types")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(
+            "n_types",
+            "users",
+            F.expr("1000 * users div sum(users) over ()")
+            .cast("long")
+            .alias("users_share_milli"),
+        )
+    )
+
+
+def conversion_latency_from_state(state: DataFrame) -> DataFrame:
+    """Serve the x105 row from the S31 per-user (e0, ep) min state
+    (``streaming.state_sink.sink_conversion_state``): converters'
+    epoch-micro gaps through the same banded percentile machinery."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    g = state.filter(F.col("ep").isNotNull()).select(
+        F.expr("(ep - e0) div 1000000").cast("long").alias("gap_s")
+    )
+    return grouped_exact_percentiles(
+        g, "gap_s", group_cols=(), quantiles=(50, 90)
+    ).select(
+        F.col("n").alias("n_converters"),
+        F.col("p50").alias("p50_s"),
+        F.col("p90").alias("p90_s"),
+    )
+
+
+# -- x107: weekly active users + week-over-week retention -------------------------
+#
+# The WAU/churn topline next to x95's revenue trend and x74's cohort
+# matrix: per week (x74/x89's integer-day convention from the corpus
+# min date), the distinct active users, how many of them were ALSO
+# active the PREVIOUS week (returning), and the exact milli returning
+# share.  One distinct (week, user) frame feeds both counts; the
+# returning join is user-keyed against the same frame shifted one week
+# — never a cross join, never a window over users.
+
+_X107_ORACLE = """
+WITH wu AS (
+  SELECT DISTINCT
+         date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                   CAST(ts AS DATE)) // 7 AS week,
+         user_id
+  FROM events),
+w AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS wau FROM wu GROUP BY 1),
+r AS (SELECT a.week, CAST(COUNT(*) AS BIGINT) AS returning_users
+      FROM wu a JOIN wu b
+        ON b.user_id = a.user_id AND b.week = a.week - 1
+      GROUP BY 1)
+SELECT CAST(w.week AS BIGINT) AS week, wau,
+       CAST(COALESCE(returning_users, 0) AS BIGINT) AS returning_users,
+       CAST(1000 * COALESCE(returning_users, 0) // wau AS BIGINT)
+           AS returning_share_milli
+FROM w LEFT JOIN r USING (week)
+ORDER BY week, wau, returning_users, returning_share_milli"""
+
+
+def weekly_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(week, wau, returning_users, returning_share_milli): weekly
+    distinct active users with the week-over-week returning count and
+    exact milli share (column named returning_users — RETURNING is a
+    DuckDB reserved word)."""
+    anchor_date = events.agg(F.min(F.col(ts_col).cast("date"))).first()[0]
+    if anchor_date is None:
+        raise ValueError("weekly_active_users: no events — no week-0 anchor")
+    anchor = anchor_date.isoformat()
+    wu = (
+        events.select(
+            F.expr(
+                f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+            ).cast("long").alias("week"),
+            F.col(user_col).alias("u"),
+        )
+        .distinct()
+    )
+    wu = barrier(wu, eager=False)  # feeds BOTH counts and the shift join
+    w = wu.groupBy("week").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    prev = wu.select((F.col("week") + 1).alias("week"), "u")
+    r = (
+        wu.join(prev, ["week", "u"])
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("returning_users"))
+    )
+    return (
+        w.join(r, "week", "left")
+        .select(
+            "week",
+            "wau",
+            F.coalesce("returning_users", F.lit(0)).cast("long").alias("returning_users"),
+            F.expr("1000 * coalesce(returning_users, 0) div wau")
+            .cast("long")
+            .alias("returning_share_milli"),
+        )
+    )
+
+
+@register("x107_weekly_active_users", _X107_ORACLE)
+def x107_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 WAU + week-over-week retention: distinct weekly actives and
+    the exact milli share also active the previous week — ONE distinct
+    (week, user) frame feeding both counts and a user-keyed
+    shifted-week equi-join (no window over users, no cross join)."""
+    return weekly_active_users(load(spark, sf_dir, "events")).orderBy(
+        "week", "wau", "returning_users", "returning_share_milli"
+    )

@@ -2460,3 +2460,76 @@ def x96_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_quality_interaction(load(spark, sf_dir, "documents")).orderBy(
         "cls", "n_docs", "mean_tokens_milli", "mean_chars_milli"
     )
+
+
+# -- x108: per-source duplication rate --------------------------------------------
+#
+# x51 answers "how much is duplicated" GLOBALLY; x108 answers WHERE it
+# comes from: per source, how many docs lose the x28 canonical election
+# (exact milli duplicate share) — the table that tells a curation owner
+# which feed ships the templated boilerplate.  Composition: the x28
+# label path (pairs -> CC -> election, duplicate-sized frames), one
+# doc-grain join against the source column, a sources-bounded rollup.
+# NULL source -> '(null)' (the x93/x103 convention).
+
+_X108_ORACLE = (
+    "WITH RECURSIVE pairs AS (\n"
+    + _sql_sub(_X02_ORACLE, "ORDER BY da, db", "")
+    + """),
+edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db AS a, da AS b FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.node = e.b
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS canonical
+        FROM reach GROUP BY node)
+SELECT COALESCE(d.source, '(null)') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN l.doc_id = l.canonical THEN 0 ELSE 1 END)
+            AS BIGINT) AS duplicates,
+       CAST(1000 * SUM(CASE WHEN l.doc_id = l.canonical THEN 0 ELSE 1 END)
+            // COUNT(*) AS BIGINT) AS dup_share_milli
+FROM lab l JOIN documents d USING (doc_id)
+GROUP BY 1
+ORDER BY source, n_docs, duplicates, dup_share_milli"""
+)
+
+
+def source_dup_rate(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, duplicates, dup_share_milli): per-source doc
+    counts and exact milli share of docs losing the x28 election."""
+    labeled = elect_canonical(docs, lsh_candidate_pairs(docs))
+    j = docs.select(
+        "doc_id", F.coalesce("source", F.lit("(null)")).alias("source")
+    ).join(labeled.select("doc_id", "kept"), "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("long")
+            .alias("duplicates"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "duplicates",
+            F.expr("1000 * duplicates div n_docs").cast("long")
+            .alias("dup_share_milli"),
+        )
+    )
+
+
+@register("x108_source_dup_rate", _X108_ORACLE)
+def x108_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 per-source duplication rate: which feed ships the
+    boilerplate — exact milli duplicate share per source under the x28
+    canonical election; the x51 yield table's WHERE axis.  Duplicate-
+    sized pair frames, one doc-grain join, a sources-bounded rollup."""
+    return source_dup_rate(load(spark, sf_dir, "documents")).orderBy(
+        "source", "n_docs", "duplicates", "dup_share_milli"
+    )

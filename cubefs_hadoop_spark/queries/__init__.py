@@ -29,6 +29,8 @@ _R13_NEW = [
     "x100_fulfillment_latency", "x101_segment_loyalty",
     "x102_peak_hours", "x103_source_lang_matrix",
     "x104_nation_trade_balance", "x105_conversion_latency",
+    "x106_supplier_concentration", "x107_weekly_active_users",
+    "x108_source_dup_rate",
 ]
 _R09_DISPLACED = [
     # the five r09 greens the r12 trim displaced
@@ -64,16 +66,17 @@ _R13_WINDOW = (
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 8 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 35,
-# filled to 50 with the first 15 r10 entries -> the [:50] trim drops
-# the last FIVE _R10_STALEST names (q08_approx_distinct_twin, q09_rollup,
-# q09b_cube, q09c_grouping_sets, q10_having — all still sweep-green
-# every round).
+# Composition: 11 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 38,
+# filled to 50 with the first 12 r10 entries (x63..x74) -> the [:50]
+# trim drops the last EIGHT _R10_STALEST names (q02_projection,
+# q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
+# q09_rollup, q09b_cube, q09c_grouping_sets, q10_having — all still
+# sweep-green every round).
 #
 # r14 rotation plan (stalest-first): any r14-new operators first, then
-# those five r10 entries, then the remaining r10 window
-# (CORRECTNESS_r10 order after q10_having), then the r11 window becomes
-# the stale pool.
+# those eight dropped r10 entries (q02_projection onward), then the
+# remaining r10 window (CORRECTNESS_r10 order), then the r11 window
+# becomes the stale pool.
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 assert len(set(_R13_WINDOW)) == 50, "duplicate entry in the driver window"
 reorder(_R13_WINDOW)

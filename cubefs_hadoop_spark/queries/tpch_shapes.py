@@ -1033,3 +1033,99 @@ def x104_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "export_rev", "import_rev", "balance")
     )
+
+
+_X106_TIERS = (10, 100, 500)
+
+_X106_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS u
+  FROM lineitem GROUP BY 1),
+r AS (SELECT u, ROW_NUMBER() OVER (ORDER BY u DESC, l_suppkey) AS rn
+      FROM s),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(u) AS BIGINT)
+          AS tot FROM s),
+t AS (SELECT UNNEST([{', '.join(str(k) for k in _X106_TIERS)}])
+          AS tier_milli),
+j AS (SELECT t.tier_milli, n.ns, n.tot,
+             CAST(COALESCE(SUM(CASE WHEN r.rn <= n.ns * t.tier_milli // 1000
+                                    THEN r.u END), 0) AS BIGINT) AS rev_u
+      FROM t CROSS JOIN n CROSS JOIN r
+      GROUP BY 1, 2, 3)
+SELECT CAST(tier_milli AS BIGINT) AS tier_milli,
+       CAST(ns * tier_milli // 1000 AS BIGINT) AS suppliers,
+       rev_u AS revenue_dmc,
+       CASE WHEN tot = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(CAST(1000 AS HUGEINT) * rev_u // tot AS BIGINT)
+       END AS share_milli
+FROM j ORDER BY tier_milli, suppliers, revenue_dmc, share_milli"""
+
+
+@register("x106_supplier_concentration", _X106_ORACLE)
+def x106_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X106 supplier revenue concentration: exact milli revenue share
+    of the top 1%/10%/50% of suppliers — x92's Pareto machinery on the
+    TPC-H side.  Revenue in exact decimilli-cent integers (the scale-4
+    DECIMAL sum scaled to an integer — no rounding ambiguity across
+    engines); tier membership by the skew-proof distributed rank
+    (revenue DESC, suppkey tiebreak); 128-bit share arithmetic.
+
+    Scale: lineitem collapses to supplier grain in ONE partial agg; the
+    rank is banded (never a single-task sort); the tier cut row counts
+    ride as plan literals (the x52/x92 pattern)."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+    from cubefs_hadoop_spark.extensions.ranking import distributed_rank
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    li = load(spark, sf_dir, "lineitem")
+    s = (
+        li.select(
+            "l_suppkey",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+        .groupBy("l_suppkey")
+        .agg((F.sum("_rev") * 10000).cast("long").alias("u"))
+    )
+    s = barrier(s, eager=False)  # feeds the totals AND the rank
+    ns, tot = s.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("u"), F.lit(0))
+    ).first()
+    if int(ns) == 0:
+        return spark.createDataFrame(
+            [],
+            "tier_milli long, suppliers long, revenue_dmc long,"
+            " share_milli long",
+        )
+    ranked = distributed_rank(s, "u", "l_suppkey", descending=True)
+    cuts = {k: (int(ns) * int(k)) // 1000 for k in _X106_TIERS}
+    agg = ranked.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= cuts[k], F.col("u"))),
+                F.lit(0),
+            ).cast("long").alias(f"c{k}")
+            for k in _X106_TIERS
+        ]
+    )
+    stack = ", ".join(
+        f"CAST({int(k)} AS BIGINT), CAST({cuts[k]} AS BIGINT), c{k}"
+        for k in _X106_TIERS
+    )
+    rows = agg.selectExpr(
+        f"stack({len(_X106_TIERS)}, {stack})"
+        " AS (tier_milli, suppliers, revenue_dmc)"
+    )
+    share = (
+        F.lit(0).cast("long")
+        if int(tot) == 0
+        else F.expr(spark_exact_floordiv([1000, "revenue_dmc"], [int(tot)]))
+    )
+    return rows.select(
+        "tier_milli", "suppliers", "revenue_dmc",
+        share.alias("share_milli"),
+    ).orderBy("tier_milli", "suppliers", "revenue_dmc", "share_milli")

@@ -1253,3 +1253,72 @@ def sink_user_funnel_state(
         return m
 
     _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)
+
+
+def sink_user_type_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> None:
+    """Stream events into the x99 diversity state (S30): the distinct
+    (user, event_type) pair set folds as idempotent union exactly once
+    — NO ordering contract (set union is commutative AND idempotent,
+    so batch slicing and even within-contract duplicates cannot change
+    the state).  ``behavior.diversity_from_user_types`` serves the live
+    x99 distribution at any moment.  State: one row per (user, type)
+    pair ever seen — user-grain x the tiny type domain."""
+
+    def keys(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.col(user_col).alias("u"), F.col(type_col).alias("y")
+        ).distinct()
+
+    _drain(
+        sdf,
+        union_state_committer(state_dir, keys, ["u", "y"]),
+        checkpoint_dir,
+    )
+
+
+def sink_conversion_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    purchase_type: str = "purchase",
+) -> None:
+    """Stream events into the x105 conversion-latency state (S31): per
+    user the (first-event, first-purchase) epoch-micro pair folds as a
+    MIN merge exactly once — min is associative+commutative, so like
+    S26/S27 there is NO ordering contract; events may interleave across
+    batches arbitrarily and the folded state still bit-equals the batch
+    two-firsts aggregate.  ``behavior.conversion_latency_from_state``
+    serves the live x105 percentile row at any moment.  State: one row
+    per user seen."""
+    from cubefs_hadoop_spark.extensions.behavior import _epoch_us
+
+    def stats(batch: DataFrame) -> DataFrame:
+        us = _epoch_us(batch, ts_col)
+        return batch.groupBy(F.col(user_col).alias("u")).agg(
+            F.min(us).cast("long").alias("e0"),
+            F.min(
+                F.when(F.col(type_col) == purchase_type, us)
+            ).cast("long").alias("ep"),
+        )
+
+    def merge(prev: DataFrame | None, batch_stats: DataFrame) -> DataFrame:
+        both = (
+            prev.unionByName(batch_stats.select(*prev.columns))
+            if prev is not None
+            else batch_stats
+        )
+        return both.groupBy("u").agg(
+            F.min("e0").cast("long").alias("e0"),
+            F.min("ep").cast("long").alias("ep"),
+        )
+
+    _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)

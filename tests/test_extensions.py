@@ -3159,3 +3159,46 @@ def test_x103_null_source_and_share_law(spark):
         ("(null)", "de"): (1, 333, 30),
         ("web", "en"): (1, 1000, 5),
     }
+
+
+def test_x107_returning_share_crafted(spark):
+    """x107: a user active in weeks 0 and 1 counts as returning in week
+    1; a week-0-only user does not; share arithmetic exact."""
+    import datetime as dt
+
+    from cubefs_hadoop_spark.extensions.behavior import weekly_active_users
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1, "view"),
+        (2, d0, 2, "view"),
+        (3, d0 + dt.timedelta(days=7), 1, "view"),   # u1 returns wk 1
+        (4, d0 + dt.timedelta(days=8), 3, "view"),   # u3 new in wk 1
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    got = {
+        r.week: (r.wau, r.returning_users, r.returning_share_milli)
+        for r in weekly_active_users(ev).collect()
+    }
+    assert got == {0: (2, 0, 0), 1: (2, 1, 500)}
+
+
+def test_x108_dup_rate_law(spark):
+    """x108 over the smoke corpus: per-source duplicates sum to the
+    global x51 removable count, and every share is duplicates*1000 //
+    n_docs."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.dedup import source_dup_rate
+    from tests.conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    rows = source_dup_rate(docs).collect()
+    assert rows
+    for r in rows:
+        assert r.dup_share_milli == 1000 * r.duplicates // r.n_docs
+        assert 0 <= r.duplicates <= r.n_docs
+    total_docs = sum(r.n_docs for r in rows)
+    assert total_docs == docs.count()

@@ -1116,3 +1116,32 @@ def test_x105_conversion_latency_shape(spark):
     assert a.nested_loop_joins <= 1
     assert not a.has_python_eval
     assert "_gp_vb" in a.text
+
+
+def test_x106_supplier_concentration_shape(spark):
+    """x106: lineitem collapses to supplier grain in ONE partial agg;
+    tiers ride the banded distributed rank (no single-task sort); no
+    Python."""
+    a = _audit(spark, "x106_supplier_concentration")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "_dr_ub" in a.text  # the skew-proof rank machinery
+
+
+def test_x107_wau_shape(spark):
+    """x107: ONE distinct (week, user) frame (barriered) feeds both the
+    WAU counts and the shifted-week returning join — a user-keyed
+    equi-join, never a window over users, no NLJ, no Python."""
+    a = _audit(spark, "x107_weekly_active_users")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text
+
+
+def test_x108_source_dup_rate_shape(spark):
+    """x108: the x28 label path (duplicate-sized frames) + one
+    doc-grain join + a sources-bounded rollup; no NLJ below the
+    checkpoint, no Python."""
+    a = _audit(spark, "x108_source_dup_rate")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval

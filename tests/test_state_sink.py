@@ -1457,3 +1457,95 @@ def test_funnel_state_cross_batch_completion_witness(spark, tmp_path):
     assert got == want
     assert got[1] == (t(0), t(20), t(40))  # spans the batch boundary
     assert got[3] == (t(0), None, None)    # late click stays excluded
+
+
+def _stage_event_id_slices(spark, tmp_path, n=3):
+    """Slice sf0.001 events into n files by EVENT-ID range — users and
+    times interleave arbitrarily across batches, witnessing the
+    NO-ordering-contract sinks (S26/S27/S30/S31 family)."""
+    from cubefs_hadoop_spark.catalog import load
+
+    ev = load(spark, SF_SMOKE, "events")
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = hi // n + 1
+    data = os.path.join(str(tmp_path), "idstage", "data")
+    for b in range(n):
+        (
+            ev.filter(
+                (F.col("event_id") >= b * step)
+                & (F.col("event_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(data)
+        )
+    return ev, data
+
+
+def test_streamed_diversity_state_equals_batch_x99(spark, tmp_path):
+    """S30: events arriving in ARBITRARY order (event-id slices — no
+    append-log contract) fold into the distinct (user, type) pair
+    state; the served distribution equals the registered x99 output
+    row-for-row (union is commutative + idempotent)."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        diversity_from_user_types,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_user_type_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "div_state")
+    sink_user_type_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(
+            tuple,
+            diversity_from_user_types(read_state(spark, state)).collect(),
+        )
+    )
+    batch = QUERIES["x99_user_type_diversity"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
+    # state grain: distinct (u, y) pairs, no duplicates
+    st = read_state(spark, state)
+    assert st.count() == st.distinct().count()
+
+
+def test_streamed_conversion_state_equals_batch_x105(spark, tmp_path):
+    """S31: per-user (first-event, first-purchase) min pairs fold
+    order-free (event-id slices); the served percentile row equals the
+    registered x105 output — including users whose first event and
+    first purchase arrive in DIFFERENT batches."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        conversion_latency_from_state,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_conversion_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "conv_state")
+    sink_conversion_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(
+            tuple,
+            conversion_latency_from_state(
+                read_state(spark, state)
+            ).collect(),
+        )
+    )
+    batch = QUERIES["x105_conversion_latency"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
