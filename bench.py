@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "x103_source_lang_matrix",
     "x104_nation_trade_balance",
     "x105_conversion_latency",
+    "x106_supplier_concentration",
+    "x107_weekly_active_users",
+    "x108_source_dup_rate",
+    "x109_part_type_revenue_mix",
+    "x110_session_depth",
+    "x111_engagement_concentration",
 ]
 
 RUNS = 4

@@ -2091,3 +2091,175 @@ def x107_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_active_users(load(spark, sf_dir, "events")).orderBy(
         "week", "wau", "returning_users", "returning_share_milli"
     )
+
+
+# -- x110: session depth histogram -------------------------------------------------
+#
+# The ENGAGEMENT-DEPTH axis next to x90's duration percentiles: how
+# many events sessions contain — (depth, sessions, sessions_share_milli)
+# over x34's sessionization.  A depth-1 spike = bounce traffic; a long
+# tail = real engagement.  The session frame collapses to a
+# depth-bounded histogram in one partial agg; shares over the
+# histogram-sized frame.
+
+_X110_ORACLE = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_X34_GAP_US}
+              THEN 1 ELSE 0 END AS flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o),
+d AS (SELECT CAST(COUNT(*) AS BIGINT) AS depth
+      FROM s GROUP BY user_id, sess),
+g AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS sessions
+      FROM d GROUP BY depth),
+t AS (SELECT CAST(SUM(sessions) AS BIGINT) AS tot FROM g)
+SELECT depth, sessions,
+       CAST(1000 * sessions // t.tot AS BIGINT) AS sessions_share_milli
+FROM g CROSS JOIN t
+ORDER BY depth, sessions, sessions_share_milli"""
+
+
+def session_depth_histogram(
+    events: DataFrame,
+    gap_us: int = _X34_GAP_US,
+) -> DataFrame:
+    """(depth, sessions, sessions_share_milli): the distribution of
+    events-per-session over x34's sessionization."""
+    s = sessionize(events, gap_us=gap_us)
+    return (
+        s.groupBy(F.col("events").cast("long").alias("depth"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .select(
+            "depth",
+            "sessions",
+            F.expr("1000 * sessions div sum(sessions) over ()")
+            .cast("long")
+            .alias("sessions_share_milli"),
+        )
+    )
+
+
+@register("x110_session_depth", _X110_ORACLE)
+def x110_session_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 session depth histogram: events-per-session distribution
+    with exact milli shares over x34's one-user-keyed-window sessions —
+    the bounce-vs-engagement table next to x90's durations."""
+    return session_depth_histogram(load(spark, sf_dir, "events")).orderBy(
+        "depth", "sessions", "sessions_share_milli"
+    )
+
+
+# -- x111: engagement concentration deciles ----------------------------------------
+#
+# The POWER-USER CURVE: rank users by event count (DESC, user tiebreak),
+# cut into exact NTILE(10) deciles on the skew-proof distributed rank,
+# and report each decile's user count, event mass, and exact milli
+# share — "the top 10% of users generate X% of events" read off row 1.
+# x92 is the money Pareto; this is the activity Pareto; both ride the
+# same rank machinery without a single-task sort.
+
+_X111_ORACLE = """
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+           FROM events GROUP BY 1),
+r AS (SELECT n_ev, NTILE(10) OVER (ORDER BY n_ev DESC, user_id) AS decile
+      FROM u),
+t AS (SELECT CAST(SUM(n_ev) AS BIGINT) AS tot FROM u)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(SUM(n_ev) AS BIGINT) AS events,
+       CAST(CAST(1000 AS HUGEINT) * SUM(n_ev) // t.tot AS BIGINT)
+           AS share_milli
+FROM r CROSS JOIN t
+GROUP BY decile, t.tot
+ORDER BY decile, users, events, share_milli"""
+
+
+def engagement_concentration(
+    events: DataFrame,
+    user_col: str = "user_id",
+    k: int = 10,
+) -> DataFrame:
+    """(decile, users, events, share_milli): exact NTILE(k) activity
+    deciles over per-user event counts with exact milli event shares."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+    from cubefs_hadoop_spark.extensions.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
+    u = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev")
+    )
+    u = barrier(u, eager=False)  # feeds the totals AND the rank
+    n_users, total = u.agg(
+        F.count(F.lit(1)), F.coalesce(F.sum("n_ev"), F.lit(0))
+    ).first()
+    if int(n_users) == 0:
+        return events.sparkSession.createDataFrame(
+            [], "decile long, users long, events long, share_milli long"
+        )
+    ranked = distributed_rank(u, "n_ev", "u", descending=True)
+    return (
+        ranked.select(
+            ntile_from_rank("rank", int(n_users), int(k)).alias("decile"),
+            "n_ev",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.sum("n_ev").cast("long").alias("events"),
+        )
+        .select(
+            "decile",
+            "users",
+            "events",
+            F.expr(
+                spark_exact_floordiv([1000, "events"], [int(total)])
+            ).alias("share_milli"),
+        )
+    )
+
+
+@register("x111_engagement_concentration", _X111_ORACLE)
+def x111_engagement_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X111 power-user curve: exact NTILE(10) activity deciles over
+    per-user event counts with exact milli event shares — the activity
+    Pareto beside x92's revenue Pareto; rank-exact via the skew-proof
+    distributed rank + integer NTILE arithmetic, never a global sort."""
+    return engagement_concentration(load(spark, sf_dir, "events")).orderBy(
+        "decile", "users", "events", "share_milli"
+    )
+
+
+def wau_from_week_users(pairs: DataFrame) -> DataFrame:
+    """Serve the x107 table from the S32 distinct (week, u) pair state
+    (``streaming.state_sink.sink_weekly_users_state``): identical math
+    to ``weekly_active_users`` from the pair frame down (the state IS
+    that frame, under the sink's pinned anchor)."""
+    w = pairs.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    prev = pairs.select((F.col("week") + 1).alias("week"), "u")
+    r = (
+        pairs.join(prev, ["week", "u"])
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("returning_users"))
+    )
+    return w.join(r, "week", "left").select(
+        "week",
+        "wau",
+        F.coalesce("returning_users", F.lit(0))
+        .cast("long")
+        .alias("returning_users"),
+        F.expr("1000 * coalesce(returning_users, 0) div wau")
+        .cast("long")
+        .alias("returning_share_milli"),
+    )

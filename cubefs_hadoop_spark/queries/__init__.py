@@ -17,7 +17,7 @@ from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 # The driver's t2 gate checks the FIRST 50 registry entries only
 # (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r12 was
 # 50/50 green.  Round-13 window per the r12-declared rotation plan
-# (stalest-first): the 8 r13-new operators, then the FIVE r09 entries
+# (stalest-first): the 14 r13-new operators, then the FIVE r09 entries
 # the r12 [:50] trim displaced, then the remaining r09 window
 # (q03_filter_conjunctive onward, CORRECTNESS_r09 order), then the r10
 # window becomes the stale pool.  Every displaced entry still
@@ -30,7 +30,8 @@ _R13_NEW = [
     "x102_peak_hours", "x103_source_lang_matrix",
     "x104_nation_trade_balance", "x105_conversion_latency",
     "x106_supplier_concentration", "x107_weekly_active_users",
-    "x108_source_dup_rate",
+    "x108_source_dup_rate", "x109_part_type_revenue_mix",
+    "x110_session_depth", "x111_engagement_concentration",
 ]
 _R09_DISPLACED = [
     # the five r09 greens the r12 trim displaced
@@ -66,15 +67,16 @@ _R13_WINDOW = (
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 11 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 38,
-# filled to 50 with the first 12 r10 entries (x63..x74) -> the [:50]
-# trim drops the last EIGHT _R10_STALEST names (q02_projection,
+# Composition: 14 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 41,
+# filled to 50 with the first 9 r10 entries (x63..x71) -> the [:50]
+# trim drops the last ELEVEN _R10_STALEST names (x72_oov_rate,
+# x73_containment_pairs, x74_retention_cohorts, q02_projection,
 # q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
 # q09_rollup, q09b_cube, q09c_grouping_sets, q10_having — all still
 # sweep-green every round).
 #
 # r14 rotation plan (stalest-first): any r14-new operators first, then
-# those eight dropped r10 entries (q02_projection onward), then the
+# those eleven dropped r10 entries (x72_oov_rate onward), then the
 # remaining r10 window (CORRECTNESS_r10 order), then the r11 window
 # becomes the stale pool.
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)

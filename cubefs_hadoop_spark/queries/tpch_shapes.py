@@ -1129,3 +1129,60 @@ def x106_supplier_concentration(
         "tier_milli", "suppliers", "revenue_dmc",
         share.alias("share_milli"),
     ).orderBy("tier_milli", "suppliers", "revenue_dmc", "share_milli")
+
+
+_X109_ORACLE = f"""
+WITH pk AS (
+  SELECT l_partkey, CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS u
+  FROM lineitem GROUP BY 1),
+m AS (SELECT p_type, CAST(SUM(u) AS BIGINT) AS revenue_dmc
+      FROM pk JOIN part ON l_partkey = p_partkey GROUP BY 1),
+t AS (SELECT CAST(SUM(revenue_dmc) AS BIGINT) AS tot FROM m)
+SELECT p_type, revenue_dmc,
+       CAST(CAST(1000 AS HUGEINT) * revenue_dmc // t.tot AS BIGINT)
+           AS share_milli
+FROM m CROSS JOIN t
+ORDER BY p_type, revenue_dmc, share_milli"""
+
+
+@register("x109_part_type_revenue_mix", _X109_ORACLE)
+def x109_part_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 product-mix revenue: exact revenue (decimilli-cent
+    integers) and milli share per part TYPE — the catalog composition
+    table next to x103's corpus cross-tab.  Lineitem collapses to PART
+    grain in one partial agg BEFORE the part join (the join input is
+    catalog-sized, not fact-sized); the type rollup and share run on
+    the ~150-row type frame; 128-bit share arithmetic."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    li = load(spark, sf_dir, "lineitem")
+    pk = (
+        li.select(
+            "l_partkey",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+        .groupBy("l_partkey")
+        .agg((F.sum("_rev") * 10000).cast("long").alias("u"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    m = (
+        pk.join(part, pk.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum("u").cast("long").alias("revenue_dmc"))
+    )
+    m = barrier(m, eager=False)  # feeds the total AND the output
+    total = int(m.agg(F.coalesce(F.sum("revenue_dmc"), F.lit(0))).first()[0])
+    if total == 0:
+        return spark.createDataFrame(
+            [], "p_type string, revenue_dmc long, share_milli long"
+        )
+    return m.select(
+        "p_type",
+        "revenue_dmc",
+        F.expr(
+            spark_exact_floordiv([1000, "revenue_dmc"], [total])
+        ).alias("share_milli"),
+    ).orderBy("p_type", "revenue_dmc", "share_milli")

@@ -1322,3 +1322,36 @@ def sink_conversion_state(
         )
 
     _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)
+
+
+def sink_weekly_users_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    anchor: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Stream events into the x107 WAU state (S32): the distinct
+    (week, user) pair set folds as idempotent union exactly once — no
+    ordering contract.  ``anchor`` (an ISO date) PINS week 0: a
+    streaming ingest cannot derive the corpus min date (earlier data
+    may arrive later and silently renumber every week), so the caller
+    fixes the epoch — the production convention for any calendar
+    rollup.  ``behavior.wau_from_week_users`` serves the live x107
+    table; it matches the batch query when the anchor equals the batch
+    corpus' min date.  State: one row per (week, user) pair seen."""
+
+    def keys(batch: DataFrame) -> DataFrame:
+        return batch.select(
+            F.expr(
+                f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+            ).cast("long").alias("week"),
+            F.col(user_col).alias("u"),
+        ).distinct()
+
+    _drain(
+        sdf,
+        union_state_committer(state_dir, keys, ["week", "u"]),
+        checkpoint_dir,
+    )

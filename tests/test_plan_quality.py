@@ -1145,3 +1145,29 @@ def test_x108_source_dup_rate_shape(spark):
     a = _audit(spark, "x108_source_dup_rate")
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x109_part_mix_shape(spark):
+    """x109: lineitem collapses to PART grain before the part join (the
+    join input is catalog-sized); no NLJ, no Python."""
+    a = _audit(spark, "x109_part_type_revenue_mix")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x110_session_depth_shape(spark):
+    """x110: x34's ONE user-keyed session window + a histogram-sized
+    rollup; no NLJ, no Python."""
+    a = _audit(spark, "x110_session_depth")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x111_engagement_deciles_shape(spark):
+    """x111: user-grain counts + the skew-proof distributed rank +
+    integer NTILE arithmetic — no global sort, no SinglePartition
+    beyond the rank machinery's band-totals prefix, no Python."""
+    a = _audit(spark, "x111_engagement_concentration")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "_dr_ub" in a.text

@@ -1549,3 +1549,31 @@ def test_streamed_conversion_state_equals_batch_x105(spark, tmp_path):
     )
     batch = QUERIES["x105_conversion_latency"](spark, SF_SMOKE).collect()
     assert live == sorted(map(tuple, batch))
+
+
+def test_streamed_wau_state_equals_batch_x107(spark, tmp_path):
+    """S32: distinct (week, user) pairs fold as idempotent union under
+    a PINNED anchor (arbitrary-order event-id slices); the served table
+    equals the registered x107 output when the anchor is the corpus
+    min date."""
+    from cubefs_hadoop_spark.extensions.behavior import wau_from_week_users
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_weekly_users_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    anchor = ev.agg(F.min(F.col("ts").cast("date"))).first()[0].isoformat()
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "wau_state")
+    sink_weekly_users_state(sdf, state, str(tmp_path / "ckpt"), anchor)
+    live = sorted(
+        map(tuple, wau_from_week_users(read_state(spark, state)).collect())
+    )
+    batch = QUERIES["x107_weekly_active_users"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
