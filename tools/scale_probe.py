@@ -444,6 +444,13 @@ def main() -> None:
             "config through its candidate stage.  The auto-sized",
             "production twins are the three rows below them",
             "(x12b/x13c benched as BASELINE.md B36/B37).",
+            "r13 rows, root-caused (VERDICT r12 #4): x98's ratio is its",
+            "one user-keyed lead window over 10x the events — linear",
+            "window work on a fixed box, types^3 rollup metadata-sized;",
+            "x96 and x94/x94b ride x28's known-flat LSH+CC and the",
+            "user-keyed pair join (catalog-bounded baskets); x100's is",
+            "the lineitem->order-grain partial agg (linear scan).  All",
+            "r12-late and r13 rows sit well under the 10x linear floor.",
             "",
         ]
 
