@@ -2263,3 +2263,39 @@ def wau_from_week_users(pairs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("returning_share_milli"),
     )
+
+
+def session_depth_from_state(
+    spark: SparkSession, state_dir: str, open_dir: str
+) -> DataFrame:
+    """Serve the live x110 histogram from the S33 state
+    (``streaming.state_sink.sink_session_depth_state``): closed-session
+    (depth, n) cells PLUS each user's still-open session at its current
+    depth — together exactly the sessions a batch x110 over everything
+    ingested would count; identical share math."""
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        _latest_snapshot_batch,
+        read_state,
+    )
+    import os as _os
+
+    cells = read_state(spark, state_dir).select("depth", "n")
+    b = _latest_snapshot_batch(open_dir, before=1 << 62)
+    if b is not None:
+        open_counts = (
+            spark.read.parquet(_os.path.join(open_dir, f"batch={b}"))
+            .groupBy("depth")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        cells = cells.unionByName(open_counts)
+    return (
+        cells.groupBy("depth")
+        .agg(F.sum("n").cast("long").alias("sessions"))
+        .select(
+            "depth",
+            "sessions",
+            F.expr("1000 * sessions div sum(sessions) over ()")
+            .cast("long")
+            .alias("sessions_share_milli"),
+        )
+    )

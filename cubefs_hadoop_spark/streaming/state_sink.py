@@ -1355,3 +1355,164 @@ def sink_weekly_users_state(
         union_state_committer(state_dir, keys, ["week", "u"]),
         checkpoint_dir,
     )
+
+
+def _session_batch_cells(
+    batch: DataFrame,
+    open_dir: str,
+    batch_id: int,
+    gap_us: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One micro-batch's CLOSED-session depth cells (depth, n) for the
+    x110 histogram, plus the advanced per-user OPEN-session snapshot.
+
+    The hard part of folding sessions is that a session itself can span
+    any number of batches, so a session is only COUNTED once the stream
+    proves it ended: each user's final batch session stays OPEN in the
+    snapshot (end_us, depth); the next batch either MERGES it into its
+    first session (boundary gap <= gap_us — the depths add) or CLOSES
+    it at its recorded depth.  Users absent from a batch keep their
+    open row untouched.  No cell is ever decremented — the closed
+    histogram is plain additive state.
+
+    Contract: per-user event-TIME order non-decreasing across batches
+    (ties allowed here, unlike S25/S28 — session membership does not
+    depend on order among equal timestamps, so a cross-batch ts tie
+    folds to the same histogram), ENFORCED in-plan (open_end <= first
+    batch event).  Publishes the snapshot under ``open_dir/batch=N``
+    (overwrite — the S23 replay-prune contract)."""
+    import os as _os
+
+    from cubefs_hadoop_spark.extensions.behavior import _epoch_us
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    spark = batch.sparkSession
+    ev = batch.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+    )
+    us = _epoch_us(ev, "t")
+    w = Window.partitionBy("u").orderBy("t", "i")
+    flag = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    s = (
+        ev.withColumn("_us", us)
+        .withColumn("sess", F.sum(flag).over(w))
+        .groupBy("u", "sess")
+        .agg(
+            F.min("_us").cast("long").alias("start_us"),
+            F.max("_us").cast("long").alias("end_us"),
+            F.count(F.lit(1)).cast("long").alias("depth"),
+        )
+    )
+    bounds = s.groupBy("u").agg(F.max("sess").alias("s1"))
+    s = s.join(bounds, "u")
+    prior = _latest_snapshot_batch(open_dir, int(batch_id))
+    if prior is None:
+        closed = s.filter(F.col("sess") < F.col("s1")).select("depth")
+        open_new = s.filter(F.col("sess") == F.col("s1")).select(
+            "u", "end_us", "depth"
+        )
+    else:
+        prev = spark.read.parquet(
+            _os.path.join(open_dir, f"batch={prior}")
+        ).select(
+            "u",
+            F.col("end_us").alias("p_end"),
+            F.col("depth").alias("p_depth"),
+        )
+        j = s.join(prev, "u", "left").filter(
+            # append-log guard: an open session cannot end AFTER a
+            # batch event of the same user (assert_true is NULL on
+            # success, so the filter keeps every valid row)
+            F.assert_true(
+                F.col("p_end").isNull()
+                # the running session counter starts at 1; only the
+                # FIRST batch session borders the open session
+                | (F.col("sess") > F.lit(1))
+                | (F.col("p_end") <= F.col("start_us")),
+                F.lit(
+                    "sink_session_depth_state: out-of-order arrival —"
+                    " a batch holds an event before its user's open"
+                    " session end; the append-log contract is violated"
+                ),
+            ).isNull()
+        )
+        merge = (
+            (F.col("sess") == 1)
+            & F.col("p_end").isNotNull()
+            & (F.col("start_us") - F.col("p_end") <= F.lit(int(gap_us)))
+        )
+        adj = j.withColumn(
+            "depth",
+            F.col("depth")
+            + F.when(merge, F.col("p_depth")).otherwise(F.lit(0)),
+        ).withColumn("_merged", merge)
+        closed_batch = adj.filter(F.col("sess") < F.col("s1")).select(
+            "depth"
+        )
+        # a prior open session NOT merged by its user's new events
+        # closes at its recorded depth
+        closed_prev = (
+            adj.filter((F.col("sess") == 1) & ~F.col("_merged"))
+            .filter(F.col("p_depth").isNotNull())
+            .select(F.col("p_depth").alias("depth"))
+        )
+        closed = closed_batch.unionByName(closed_prev)
+        open_batch = adj.filter(F.col("sess") == F.col("s1")).select(
+            "u", "end_us", "depth"
+        )
+        open_keep = prev.join(s.select("u").distinct(), "u", "left_anti")
+        open_new = open_keep.select(
+            "u", F.col("p_end").alias("end_us"), F.col("p_depth").alias("depth")
+        ).unionByName(open_batch)
+    cells = barrier(
+        closed.groupBy("depth").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
+        eager=True,
+    )
+    open_new.write.mode("overwrite").parquet(
+        _os.path.join(open_dir, f"batch={batch_id}")
+    )
+    return cells
+
+
+def sink_session_depth_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    open_dir: str,
+    gap_us: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Stream events into the x110 session-depth state (S33): closed
+    sessions fold as additive (depth, n) counters exactly once; each
+    user's final session stays OPEN in ``open_dir`` until a later batch
+    merges or closes it — a session spanning ANY number of batches
+    folds to its full depth.  ``behavior.session_depth_from_state``
+    serves the live histogram (closed cells + open depths) at any
+    moment; it bit-equals the batch x110 over everything ingested.
+    State: |depths| cells + one open row per user seen."""
+    from cubefs_hadoop_spark.extensions.behavior import _X34_GAP_US
+
+    g = int(gap_us if gap_us is not None else _X34_GAP_US)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        def stats(batch: DataFrame) -> DataFrame:
+            return _session_batch_cells(
+                batch, open_dir, int(batch_id), g, user_col, ts_col, id_col
+            )
+
+        additive_state_committer(state_dir, stats, ["depth"], ["n"])(
+            batch_df, batch_id
+        )
+
+    _drain(sdf, commit, checkpoint_dir)
