@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "x109_part_type_revenue_mix",
     "x110_session_depth",
     "x111_engagement_concentration",
+    "x112_revenue_spikes",
+    "x113_catalog_turnover",
 ]
 
 RUNS = 4

@@ -2299,3 +2299,163 @@ def session_depth_from_state(
             .alias("sessions_share_milli"),
         )
     )
+
+
+# -- x112: daily revenue spike detection -------------------------------------------
+#
+# ALERTING over the revenue series: per day with purchases, the exact
+# cent revenue, the trailing sum over the previous 7 OBSERVED purchase
+# days (a ROWS frame — both engines agree and a quiet calendar can't
+# zero the baseline), and an integer-exact spike flag
+# (rev * 7 > 2 * trailing — i.e. the day runs at over 2x the trailing
+# mean) — NULL flag until a full 7-day baseline exists.  The day frame
+# is calendar-bounded metadata; the lag window runs over it, never
+# over events.
+
+_X112_ORACLE = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+t AS (
+  SELECT day, rev,
+         CAST(SUM(rev) OVER (ORDER BY day
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS trailing7,
+         COUNT(*) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS nb
+  FROM d)
+SELECT day, rev AS rev_cents, trailing7 AS trailing7_cents,
+       CASE WHEN nb < 7 THEN NULL
+            ELSE rev * 7 > 2 * trailing7 END AS spike
+FROM t ORDER BY day, rev_cents, trailing7_cents, spike"""
+
+
+def revenue_spike_days(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(day, rev_cents, trailing7_cents, spike): daily purchase revenue
+    with the trailing-7-observed-days baseline and an integer-exact
+    over-2x-mean spike flag (NULL until the baseline is full)."""
+    d = (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.col(ts_col).cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    # the trailing window runs over the calendar-bounded day frame
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    return d.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("trailing7_cents"),
+        F.when(
+            F.count(F.lit(1)).over(w) < 7, F.lit(None).cast("boolean")
+        )
+        .otherwise(
+            F.col("rev_cents") * 7 > 2 * F.sum("rev_cents").over(w)
+        )
+        .alias("spike"),
+    )
+
+
+@register("x112_revenue_spikes", _X112_ORACLE)
+def x112_revenue_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 revenue spike detection: integer-exact over-2x-trailing-mean
+    flags on the daily purchase series — the alerting view over x95's
+    weekly topline; one scan-pushed groupBy(day), a ROWS window over
+    the calendar-bounded day frame (SinglePartition BY DESIGN at
+    metadata scale, the x95 regime)."""
+    return revenue_spike_days(load(spark, sf_dir, "events")).orderBy(
+        "day", "rev_cents", "trailing7_cents", "spike"
+    )
+
+
+# -- x113: weekly catalog turnover --------------------------------------------------
+#
+# CATALOG FRESHNESS: per week (x74/x89 convention), how many distinct
+# items were purchased and how many were NEW (first purchase ever that
+# week) — x66's Heaps-law vocabulary probe at catalog grain, over the
+# props JSON payload.  One distinct (week, item) frame; firsts are a
+# per-item min-week (catalog-grain partial agg), never a window over
+# events.
+
+_X113_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT
+         date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                   CAST(ts AS DATE)) // 7 AS week,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE event_type = 'purchase' AND props IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+f AS (SELECT k, CAST(MIN(week) AS BIGINT) AS first_week FROM p GROUP BY k),
+w AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS items FROM p GROUP BY week),
+n AS (SELECT first_week AS week, CAST(COUNT(*) AS BIGINT) AS new_items
+      FROM f GROUP BY 1)
+SELECT CAST(w.week AS BIGINT) AS week, items,
+       CAST(COALESCE(new_items, 0) AS BIGINT) AS new_items
+FROM w LEFT JOIN n USING (week)
+ORDER BY week, items, new_items"""
+
+
+def catalog_turnover(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    props_col: str = "props",
+    item_path: str = "$.k",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """(week, items, new_items): weekly distinct purchased items and
+    how many were first purchased that week."""
+    anchor_date = events.agg(F.min(F.col(ts_col).cast("date"))).first()[0]
+    if anchor_date is None:
+        raise ValueError("catalog_turnover: no events — no week-0 anchor")
+    anchor = anchor_date.isoformat()
+    p = (
+        events.filter(
+            (F.col(type_col) == purchase_type)
+            & F.col(props_col).isNotNull()
+        )
+        .select(
+            F.expr(
+                f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
+            ).cast("long").alias("week"),
+            F.get_json_object(props_col, item_path).cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    p = barrier(p, eager=False)  # feeds both rollups
+    w = p.groupBy("week").agg(F.count(F.lit(1)).cast("long").alias("items"))
+    n = (
+        p.groupBy("k")
+        .agg(F.min("week").alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_items"))
+    )
+    return w.join(n, "week", "left").select(
+        "week",
+        "items",
+        F.coalesce("new_items", F.lit(0)).cast("long").alias("new_items"),
+    )
+
+
+@register("x113_catalog_turnover", _X113_ORACLE)
+def x113_catalog_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 catalog freshness: weekly distinct purchased items + the
+    count first purchased that week — x66's vocabulary-growth probe at
+    catalog grain over the props JSON; one distinct (week, item) frame
+    feeding a week rollup and a catalog-grain min-week rollup."""
+    return catalog_turnover(load(spark, sf_dir, "events")).orderBy(
+        "week", "items", "new_items"
+    )

@@ -17,7 +17,7 @@ from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 # The driver's t2 gate checks the FIRST 50 registry entries only
 # (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r12 was
 # 50/50 green.  Round-13 window per the r12-declared rotation plan
-# (stalest-first): the 14 r13-new operators, then the FIVE r09 entries
+# (stalest-first): the 16 r13-new operators, then the FIVE r09 entries
 # the r12 [:50] trim displaced, then the remaining r09 window
 # (q03_filter_conjunctive onward, CORRECTNESS_r09 order), then the r10
 # window becomes the stale pool.  Every displaced entry still
@@ -32,6 +32,7 @@ _R13_NEW = [
     "x106_supplier_concentration", "x107_weekly_active_users",
     "x108_source_dup_rate", "x109_part_type_revenue_mix",
     "x110_session_depth", "x111_engagement_concentration",
+    "x112_revenue_spikes", "x113_catalog_turnover",
 ]
 _R09_DISPLACED = [
     # the five r09 greens the r12 trim displaced
@@ -67,17 +68,17 @@ _R13_WINDOW = (
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 14 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 41,
-# filled to 50 with the first 9 r10 entries (x63..x71) -> the [:50]
-# trim drops the last ELEVEN _R10_STALEST names (x72_oov_rate,
-# x73_containment_pairs, x74_retention_cohorts, q02_projection,
-# q04_filter_in_like, q07_count_distinct, q08_approx_distinct_twin,
-# q09_rollup, q09b_cube, q09c_grouping_sets, q10_having — all still
-# sweep-green every round).
+# Composition: 16 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 43,
+# filled to 50 with the first 7 r10 entries (x63..x69) -> the [:50]
+# trim drops the last THIRTEEN _R10_STALEST names (x70_mirror_matrix,
+# x71_banding_planner, x72_oov_rate, x73_containment_pairs,
+# x74_retention_cohorts, q02_projection, q04_filter_in_like,
+# q07_count_distinct, q08_approx_distinct_twin, q09_rollup, q09b_cube,
+# q09c_grouping_sets, q10_having — all still sweep-green every round).
 #
 # r14 rotation plan (stalest-first): any r14-new operators first, then
-# those eleven dropped r10 entries (x72_oov_rate onward), then the
-# remaining r10 window (CORRECTNESS_r10 order), then the r11 window
+# those thirteen dropped r10 entries (x70_mirror_matrix onward), then
+# the remaining r10 window (CORRECTNESS_r10 order), then the r11 window
 # becomes the stale pool.
 assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
 assert len(set(_R13_WINDOW)) == 50, "duplicate entry in the driver window"

@@ -3202,3 +3202,56 @@ def test_x108_dup_rate_law(spark):
         assert 0 <= r.duplicates <= r.n_docs
     total_docs = sum(r.n_docs for r in rows)
     assert total_docs == docs.count()
+
+
+def test_x112_x113_crafted_witnesses(spark):
+    """x112: the spike flag is integer-exact over the trailing-7-
+    observed-days baseline and NULL before it fills; x113: an item
+    counts as new only in its first-ever purchase week."""
+    import datetime as dt
+
+    from cubefs_hadoop_spark.extensions.behavior import (
+        catalog_turnover,
+        revenue_spike_days,
+    )
+
+    rows = []
+    eid = 0
+    # 8 purchase days: 7 at $1.00, day 8 at $2.01 (2.01*7 > 2*7 -> spike)
+    for dday in range(7):
+        rows.append((eid, dt.datetime(2024, 1, 1 + dday), 1, "purchase", 1.00, None)); eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 8), 1, "purchase", 2.01, None)); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got = {r.day.isoformat(): (r.rev_cents, r.trailing7_cents, r.spike)
+           for r in revenue_spike_days(ev).collect()}
+    assert got["2024-01-01"] == (100, None, None)       # empty baseline
+    assert got["2024-01-07"][2] is None                 # only 6 prior days
+    assert got["2024-01-08"] == (201, 700, True)        # 201*7 > 1400
+    # and a non-spike: replace day 8 value with 2.00 -> 1400 == 1400
+    ev2 = spark.createDataFrame(
+        rows[:-1] + [(99, dt.datetime(2024, 1, 8), 1, "purchase", 2.00, None)],
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got2 = {r.day.isoformat(): r.spike for r in revenue_spike_days(ev2).collect()}
+    assert got2["2024-01-08"] is False                  # exactly 2x is NOT a spike
+
+    # x113: item 5 bought weeks 0 and 1 -> new only in week 0; item 7
+    # first appears week 1
+    tr = [
+        (1, dt.datetime(2024, 1, 1), 1, "purchase", 1.0, '{"k": 5}'),
+        (2, dt.datetime(2024, 1, 8), 2, "purchase", 1.0, '{"k": 5}'),
+        (3, dt.datetime(2024, 1, 9), 3, "purchase", 1.0, '{"k": 7}'),
+    ]
+    ev3 = spark.createDataFrame(
+        tr,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    )
+    got3 = {r.week: (r.items, r.new_items)
+            for r in catalog_turnover(ev3).collect()}
+    assert got3 == {0: (1, 1), 1: (2, 1)}

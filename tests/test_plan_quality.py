@@ -1171,3 +1171,23 @@ def test_x111_engagement_deciles_shape(spark):
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
     assert "_dr_ub" in a.text
+
+
+def test_x112_revenue_spikes_shape(spark):
+    """x112: scan-pushed purchase filter + one groupBy(day); the ROWS
+    window runs over the calendar-bounded day frame (SinglePartition by
+    design at metadata scale, the x95 regime); no NLJ, no Python."""
+    a = _audit(spark, "x112_revenue_spikes")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "purchase" in " ".join(a.pushed_filters)
+
+
+def test_x113_catalog_turnover_shape(spark):
+    """x113: ONE distinct (week, item) frame (barriered) feeds the week
+    rollup AND the catalog-grain min-week rollup; no window over events,
+    no NLJ, no Python."""
+    a = _audit(spark, "x113_catalog_turnover")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert "SinglePartition" not in a.text

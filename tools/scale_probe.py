@@ -132,6 +132,8 @@ SF1_WATCH = [
     "x109_part_type_revenue_mix",
     "x110_session_depth",
     "x111_engagement_concentration",
+    "x112_revenue_spikes",
+    "x113_catalog_turnover",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -273,6 +275,8 @@ PROBE_QUERIES = [
     "x109_part_type_revenue_mix",
     "x110_session_depth",
     "x111_engagement_concentration",
+    "x112_revenue_spikes",
+    "x113_catalog_turnover",
 ]
 
 
