@@ -134,6 +134,26 @@ REPORT_QUERIES = [
     "x93_doclen_percentiles",
     "x94_copurchase_affinity",
     "x95_weekly_revenue",
+    "x96_dup_quality_interaction",
+    "x97_funnel_rates",
+    "x98_event_path_trigrams",
+    # r13-new operators
+    "x94b_copurchase_capped",
+    "x99_user_type_diversity",
+    "x100_fulfillment_latency",
+    "x101_segment_loyalty",
+    "x102_peak_hours",
+    "x103_source_lang_matrix",
+    "x104_nation_trade_balance",
+    "x105_conversion_latency",
+    "x106_supplier_concentration",
+    "x107_weekly_active_users",
+    "x108_source_dup_rate",
+    "x109_part_type_revenue_mix",
+    "x110_session_depth",
+    "x111_engagement_concentration",
+    "x112_revenue_spikes",
+    "x113_catalog_turnover",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",
