@@ -1251,9 +1251,28 @@ ORDER BY source, lang, n_docs, share_in_source_milli, total_chars"""
 
 def source_lang_matrix(docs: DataFrame) -> DataFrame:
     """(source, lang, n_docs, share_in_source_milli, total_chars): the
-    corpus composition cross-tab with exact milli within-source
-    shares."""
-    m = (
+    corpus composition cross-tab with exact milli within-source shares
+    — one partial-agg'd cells pass + the share window over the
+    sources x langs metadata matrix (the halves S34 folds/serves)."""
+    return source_lang_matrix_from_cells(source_lang_cells(docs))
+
+
+@register("x103_source_lang_matrix", _X103_ORACLE)
+def x103_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 corpus composition: per (source, lang) doc counts, exact
+    milli within-source shares, and char volume — one partial-agg'd
+    rollup + a metadata-matrix share window; the table a mixture owner
+    reads before x54's temperature weights."""
+    return source_lang_matrix(load(spark, sf_dir, "documents")).orderBy(
+        "source", "lang", "n_docs", "share_in_source_milli", "total_chars"
+    )
+
+
+def source_lang_cells(docs: DataFrame) -> DataFrame:
+    """The x103 sufficient statistic at (source, lang) grain:
+    (source, lang, n_docs, total_chars) — plain additive counters, the
+    S34 fold unit."""
+    return (
         docs.select(
             F.coalesce("source", F.lit("(null)")).alias("source"),
             "lang",
@@ -1265,8 +1284,13 @@ def source_lang_matrix(docs: DataFrame) -> DataFrame:
             F.sum("ch").cast("long").alias("total_chars"),
         )
     )
-    # the share window runs over the sources x langs metadata matrix
-    return m.select(
+
+
+def source_lang_matrix_from_cells(cells: DataFrame) -> DataFrame:
+    """Serve the x103 cross-tab from folded (source, lang, n_docs,
+    total_chars) cells (``streaming.state_sink.sink_source_lang_state``)
+    — identical share math over the metadata matrix."""
+    return cells.select(
         "source",
         "lang",
         "n_docs",
@@ -1277,12 +1301,36 @@ def source_lang_matrix(docs: DataFrame) -> DataFrame:
     )
 
 
-@register("x103_source_lang_matrix", _X103_ORACLE)
-def x103_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X103 corpus composition: per (source, lang) doc counts, exact
-    milli within-source shares, and char volume — one partial-agg'd
-    rollup + a metadata-matrix share window; the table a mixture owner
-    reads before x54's temperature weights."""
-    return source_lang_matrix(load(spark, sf_dir, "documents")).orderBy(
-        "source", "lang", "n_docs", "share_in_source_milli", "total_chars"
+def doclen_cells(docs: DataFrame, by: str = "source",
+                 len_col: str = "n_chars") -> DataFrame:
+    """The x93 sufficient statistic at (source, length) grain:
+    (source, c, cnt) counts — additive, the S35 fold unit (percentiles
+    need only cumulative counts, so the counts frame IS enough)."""
+    return (
+        docs.select(
+            F.coalesce(F.col(by), F.lit("(null)")).alias("source"),
+            F.col(len_col).cast("long").alias("c"),
+        )
+        .groupBy("source", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def doclen_percentiles_from_cells(cells: DataFrame) -> DataFrame:
+    """Serve the x93 profile from folded (source, c, cnt) cells: the
+    shared banded percentile machinery runs at counts grain
+    (``counts_col``), so the streamed profile bit-equals the batch
+    x93 over everything ingested."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    return grouped_exact_percentiles(
+        cells, "c", group_cols=["source"], quantiles=(50, 90),
+        counts_col="cnt",
+    ).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("p50").alias("p50_chars"),
+        F.col("p90").alias("p90_chars"),
     )

@@ -1516,3 +1516,53 @@ def sink_session_depth_state(
         )
 
     _drain(sdf, commit, checkpoint_dir)
+
+
+def sink_source_lang_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream documents into the x103 composition state (S34): the
+    (source, lang) doc/char counters fold as plain additive sufficient
+    statistics exactly once — no ordering contract — and
+    ``text.source_lang_matrix_from_cells`` serves the live cross-tab
+    (exact within-source milli shares) at any moment: the ingest-time
+    "what mixture am I actually receiving" dashboard.  State:
+    sources x langs cells forever."""
+    from cubefs_hadoop_spark.extensions.text import source_lang_cells
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir,
+            source_lang_cells,
+            ["source", "lang"],
+            ["n_docs", "total_chars"],
+        ),
+        checkpoint_dir,
+    )
+
+
+def sink_doclen_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream documents into the x93 length-profile state (S35): the
+    per-(source, n_chars) counts fold as additive counters exactly once
+    — no ordering contract (exact order statistics need only CUMULATIVE
+    counts, the x88/S27 insight) — and
+    ``text.doclen_percentiles_from_cells`` serves the live EXACT
+    per-source p50/p90 profile at any moment, bit-equal to batch x93
+    over everything ingested.  State: one row per (source, distinct
+    length) seen — bounded by the length space, not the corpus."""
+    from cubefs_hadoop_spark.extensions.text import doclen_cells
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir, doclen_cells, ["source", "c"], ["cnt"]
+        ),
+        checkpoint_dir,
+    )

@@ -1696,3 +1696,93 @@ def test_session_depth_merge_and_close_witness(spark, tmp_path):
     bad = spark.createDataFrame([(5, m(54), 1)], schema)
     with _pytest.raises(Exception, match="out-of-order arrival"):
         _session_batch_cells(bad, d, 3, gap, *args).collect()
+
+
+def _stage_doc_slices(spark, tmp_path, n=3):
+    """Slice sf0.001 documents into n files by doc-id range (arbitrary
+    order w.r.t. source/lang — the no-contract additive sinks)."""
+    from cubefs_hadoop_spark.catalog import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    hi = docs.agg(F.max("doc_id")).first()[0] + 1
+    step = hi // n + 1
+    data = os.path.join(str(tmp_path), "docstage", "data")
+    for b in range(n):
+        (
+            docs.filter(
+                (F.col("doc_id") >= b * step)
+                & (F.col("doc_id") < (b + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite" if b == 0 else "append")
+            .parquet(data)
+        )
+    return docs, data
+
+
+def test_streamed_source_lang_state_equals_batch_x103(spark, tmp_path):
+    """S34: (source, lang) doc/char counters fold order-free; the
+    served cross-tab equals the registered x103 output row-for-row."""
+    from cubefs_hadoop_spark.extensions.text import (
+        source_lang_matrix_from_cells,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_source_lang_state,
+    )
+
+    docs, data = _stage_doc_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "sl_state")
+    sink_source_lang_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(
+            tuple,
+            source_lang_matrix_from_cells(
+                read_state(spark, state)
+            ).collect(),
+        )
+    )
+    batch = QUERIES["x103_source_lang_matrix"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
+
+
+def test_streamed_doclen_state_equals_batch_x93(spark, tmp_path):
+    """S35: per-(source, n_chars) counts fold order-free; the served
+    EXACT p50/p90 profile equals the registered x93 output — the
+    percentile machinery runs at counts grain on the folded state."""
+    from cubefs_hadoop_spark.extensions.text import (
+        doclen_percentiles_from_cells,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_doclen_state,
+    )
+
+    docs, data = _stage_doc_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "dl_state")
+    sink_doclen_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(
+            tuple,
+            doclen_percentiles_from_cells(
+                read_state(spark, state)
+            ).collect(),
+        )
+    )
+    batch = QUERIES["x93_doclen_percentiles"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
+    # state grain law: bounded by the (source, distinct length) space
+    st = read_state(spark, state)
+    assert st.count() == st.select("source", "c").distinct().count()
