@@ -2341,28 +2341,10 @@ def revenue_spike_days(
     """(day, rev_cents, trailing7_cents, spike): daily purchase revenue
     with the trailing-7-observed-days baseline and an integer-exact
     over-2x-mean spike flag (NULL until the baseline is full)."""
-    d = (
-        events.filter(F.col(type_col) == purchase_type)
-        .groupBy(F.col(ts_col).cast("date").alias("day"))
-        .agg(
-            F.sum(F.round(F.col(value_col) * 100).cast("long"))
-            .cast("long")
-            .alias("rev_cents")
-        )
-    )
-    # the trailing window runs over the calendar-bounded day frame
-    w = Window.orderBy("day").rowsBetween(-7, -1)
-    return d.select(
-        "day",
-        "rev_cents",
-        F.sum("rev_cents").over(w).cast("long").alias("trailing7_cents"),
-        F.when(
-            F.count(F.lit(1)).over(w) < 7, F.lit(None).cast("boolean")
-        )
-        .otherwise(
-            F.col("rev_cents") * 7 > 2 * F.sum("rev_cents").over(w)
-        )
-        .alias("spike"),
+    # one cells pass + the trailing window over the calendar-bounded
+    # day frame (the halves S36 folds/serves)
+    return revenue_spikes_from_cells(
+        revenue_day_cells(events, type_col, ts_col, value_col, purchase_type)
     )
 
 
@@ -2458,4 +2440,65 @@ def x113_catalog_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding a week rollup and a catalog-grain min-week rollup."""
     return catalog_turnover(load(spark, sf_dir, "events")).orderBy(
         "week", "items", "new_items"
+    )
+
+
+def revenue_day_cells(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """The x112 sufficient statistic at day grain: (day, rev_cents)
+    additive sums — the S36 fold unit."""
+    return (
+        events.filter(F.col(type_col) == purchase_type)
+        .groupBy(F.col(ts_col).cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+
+
+def revenue_spikes_from_cells(cells: DataFrame) -> DataFrame:
+    """Serve the x112 spike table from folded (day, rev_cents) cells
+    (``streaming.state_sink.sink_revenue_day_state``): the trailing
+    ROWS window runs over the calendar-bounded day frame — identical
+    math to ``revenue_spike_days``."""
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    return cells.select(
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("trailing7_cents"),
+        F.when(
+            F.count(F.lit(1)).over(w) < 7, F.lit(None).cast("boolean")
+        )
+        .otherwise(
+            F.col("rev_cents") * 7 > 2 * F.sum("rev_cents").over(w)
+        )
+        .alias("spike"),
+    )
+
+
+def catalog_turnover_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Serve the x113 table from the S37 distinct (week, k) pair state
+    (``streaming.state_sink.sink_catalog_week_state``): identical math
+    to ``catalog_turnover`` from the pair frame down (the state IS that
+    frame, under the sink's pinned anchor)."""
+    w = pairs.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("items")
+    )
+    n = (
+        pairs.groupBy("k")
+        .agg(F.min("week").alias("week"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_items"))
+    )
+    return w.join(n, "week", "left").select(
+        "week",
+        "items",
+        F.coalesce("new_items", F.lit(0)).cast("long").alias("new_items"),
     )

@@ -1566,3 +1566,79 @@ def sink_doclen_state(
         ),
         checkpoint_dir,
     )
+
+
+def sink_revenue_day_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+) -> None:
+    """Stream events into the x112 daily-revenue state (S36): per-day
+    purchase cents fold as plain additive sums exactly once — no
+    ordering contract — and ``behavior.revenue_spikes_from_cells``
+    serves the live spike table (the trailing ROWS window runs over the
+    calendar-bounded day frame, never the stream).  The ingest-time
+    "is today anomalous" alert.  State: one row per purchase day."""
+    from cubefs_hadoop_spark.extensions.behavior import revenue_day_cells
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return revenue_day_cells(
+            batch, type_col, ts_col, value_col, purchase_type
+        )
+
+    _drain(
+        sdf,
+        additive_state_committer(state_dir, stats, ["day"], ["rev_cents"]),
+        checkpoint_dir,
+    )
+
+
+def sink_catalog_week_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    anchor: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    props_col: str = "props",
+    item_path: str = "$.k",
+    purchase_type: str = "purchase",
+) -> None:
+    """Stream events into the x113 catalog-turnover state (S37): the
+    distinct (week, item) pair set folds as idempotent union exactly
+    once under a caller-PINNED week-0 ``anchor`` (the S32 rationale: a
+    stream cannot derive the corpus min date).
+    ``behavior.catalog_turnover_from_pairs`` serves the live
+    items/new-items table — new-item attribution is exact because the
+    per-item MIN week over the folded pair set equals the min over
+    everything ingested, whatever the arrival order.  State: one row
+    per (week, item) pair seen."""
+
+    def keys(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(
+                (F.col(type_col) == purchase_type)
+                & F.col(props_col).isNotNull()
+            )
+            .select(
+                F.expr(
+                    f"datediff(cast({ts_col} as date), date'{anchor}')"
+                    " div 7"
+                ).cast("long").alias("week"),
+                F.get_json_object(props_col, item_path)
+                .cast("long")
+                .alias("k"),
+            )
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+
+    _drain(
+        sdf,
+        union_state_committer(state_dir, keys, ["week", "k"]),
+        checkpoint_dir,
+    )

@@ -1786,3 +1786,67 @@ def test_streamed_doclen_state_equals_batch_x93(spark, tmp_path):
     # state grain law: bounded by the (source, distinct length) space
     st = read_state(spark, state)
     assert st.count() == st.select("source", "c").distinct().count()
+
+
+def test_streamed_revenue_day_state_equals_batch_x112(spark, tmp_path):
+    """S36: per-day purchase cents fold order-free (event-id slices —
+    a day's revenue may arrive split across batches); the served spike
+    table equals the registered x112 output row-for-row."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        revenue_spikes_from_cells,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_revenue_day_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "rev_state")
+    sink_revenue_day_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(
+            tuple,
+            revenue_spikes_from_cells(read_state(spark, state)).collect(),
+        )
+    )
+    batch = QUERIES["x112_revenue_spikes"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
+
+
+def test_streamed_catalog_week_state_equals_batch_x113(spark, tmp_path):
+    """S37: distinct (week, item) pairs fold as union under a pinned
+    anchor (arbitrary order — an item's FIRST week may arrive after its
+    later weeks); the served turnover table equals the registered x113
+    output row-for-row."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        catalog_turnover_from_pairs,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_catalog_week_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    anchor = ev.agg(F.min(F.col("ts").cast("date"))).first()[0].isoformat()
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "cat_state")
+    sink_catalog_week_state(sdf, state, str(tmp_path / "ckpt"), anchor)
+    live = sorted(
+        map(
+            tuple,
+            catalog_turnover_from_pairs(read_state(spark, state)).collect(),
+        )
+    )
+    batch = QUERIES["x113_catalog_turnover"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
