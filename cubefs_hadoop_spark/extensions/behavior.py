@@ -2275,12 +2275,20 @@ def session_depth_from_state(
     ingested would count; identical share math."""
     from cubefs_hadoop_spark.streaming.state_sink import (
         _latest_snapshot_batch,
+        _read_ledger,
         read_state,
     )
     import os as _os
 
     cells = read_state(spark, state_dir).select("depth", "n")
-    b = _latest_snapshot_batch(open_dir, before=1 << 62)
+    # Bound the open-session snapshot to the COMMITTED ledger batch: the
+    # snapshot for batch N is published inside stats_fn before the ledger
+    # commits, so an unbounded read during an in-flight commit (or after
+    # a crash between snapshot publish and ledger publish) would pair
+    # batch-N open rows with batch-(N-1) closed cells and transiently
+    # drop sessions closed by batch N (ADVICE r13).
+    committed = _read_ledger(state_dir)["batch_id_max"]
+    b = _latest_snapshot_batch(open_dir, before=committed + 1)
     if b is not None:
         open_counts = (
             spark.read.parquet(_os.path.join(open_dir, f"batch={b}"))

@@ -1274,7 +1274,7 @@ FROM (
 
 def knn_graph(
     emb: DataFrame,
-    hyperplanes: DataFrame,
+    hyperplanes: DataFrame | None = None,
     k: int = _X46_K,
     tau: float = _X13_TAU,
     id_col: str = "vec_id",
@@ -1364,6 +1364,38 @@ def x46b_density_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("vec_id")
+    )
+
+
+_X46C_ORACLE = _X13C_ORACLE.replace(
+    f"""SELECT da, db, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM ver WHERE c >= {_X13_TAU} ORDER BY da, db, cos""",
+    f"""SELECT src, nbr, rank, CAST(ROUND(c, 2) AS DECIMAL(18,2)) AS cos
+FROM (
+  SELECT src, nbr, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, nbr)
+              AS BIGINT) AS rank
+  FROM (SELECT da AS src, db AS nbr, c FROM ver WHERE c >= {_X13_TAU}
+        UNION ALL
+        SELECT db AS src, da AS nbr, c FROM ver WHERE c >= {_X13_TAU}) sym
+) rk WHERE rank <= {_X46_K} ORDER BY src, rank""",
+)
+
+
+@register("x46c_knn_graph_auto", _X46C_ORACLE)
+def x46c_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46c kNN graph with the PRODUCTION auto-sized SRP config
+    (VERDICT r13 item 4): the x13c bits-per-band rule (2^bits ≈ N/64,
+    pure integer arithmetic transcribed into the oracle) feeds the same
+    symmetrize + WindowGroupLimit top-k as x46 — the x13→x13c
+    production twin the ANN family was missing.  x46's pinned-config
+    row stays as the oracle-twin regression tripwire (15.0x at sf1 vs
+    this config's 2.4x, SCALING.md)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        knn_graph(emb, None)
+        .select("src", "nbr", "rank", r2d(F.col("c")).alias("cos"))
+        .orderBy("src", "rank")
     )
 
 

@@ -1168,14 +1168,23 @@ def sink_user_funnel_state(
         )
 
     n = len(steps)
-    state_schema = (
-        "u long, "
-        + ", ".join(f"t{k} timestamp" for k in range(n))
-        + ", hw_t timestamp, hw_i long"
-    )
 
     def merge(prev: DataFrame | None, be: DataFrame) -> DataFrame:
         spark = be.sparkSession
+        # Derive the state's time-slot type from the INCOMING ts column
+        # (ADVICE r13): event ts is typically timestamp_ntz, and a
+        # hardcoded `timestamp` (TIMESTAMP_LTZ) slot would force an
+        # implicit NTZ->LTZ coercion on the first batch — non-injective
+        # under a DST-observing session timezone, so the (t > t(k-1)) /
+        # window-interval arithmetic could diverge from the batch
+        # funnel's pure-NTZ math.  State and batch share one timestamp
+        # semantics by construction.
+        t_type = be.schema["t"].dataType.simpleString()
+        state_schema = (
+            "u long, "
+            + ", ".join(f"t{k} {t_type}" for k in range(n))
+            + f", hw_t {t_type}, hw_i long"
+        )
         base = (
             prev
             if prev is not None
@@ -1348,7 +1357,22 @@ def sink_weekly_users_state(
                 f"datediff(cast({ts_col} as date), date'{anchor}') div 7"
             ).cast("long").alias("week"),
             F.col(user_col).alias("u"),
-        ).distinct()
+            F.col(ts_col).alias("_t"),
+        ).filter(
+            # anchor guard (ADVICE r13): a pre-anchor event yields a
+            # negative datediff, and Spark's `div 7` truncates toward
+            # zero while DuckDB's `//` floors — the event would land in
+            # a wrong, engine-divergent week bucket.  Fail the batch
+            # loudly instead (assert_true is NULL on success, so the
+            # filter keeps every valid row).
+            F.assert_true(
+                F.col("_t").cast("date") >= F.lit(anchor).cast("date"),
+                F.lit(
+                    "sink_weekly_users_state: event precedes the pinned"
+                    f" week-0 anchor {anchor}; re-anchor the state"
+                ),
+            ).isNull()
+        ).select("week", "u").distinct()
 
     _drain(
         sdf,
@@ -1632,8 +1656,23 @@ def sink_catalog_week_state(
                 F.get_json_object(props_col, item_path)
                 .cast("long")
                 .alias("k"),
+                F.col(ts_col).alias("_t"),
             )
             .filter(F.col("k").isNotNull())
+            .filter(
+                # anchor guard (ADVICE r13) — same rationale as S32:
+                # pre-anchor arrivals must fail the batch, not land in
+                # truncation-vs-floor-divergent week buckets.
+                F.assert_true(
+                    F.col("_t").cast("date") >= F.lit(anchor).cast("date"),
+                    F.lit(
+                        "sink_catalog_week_state: event precedes the"
+                        f" pinned week-0 anchor {anchor}; re-anchor"
+                        " the state"
+                    ),
+                ).isNull()
+            )
+            .select("week", "k")
             .distinct()
         )
 
