@@ -145,6 +145,16 @@ BENCH_QUERIES = [
     "x111_engagement_concentration",
     "x112_revenue_spikes",
     "x113_catalog_turnover",
+    # r14 additions
+    "x46c_knn_graph_auto",
+    "x114_discount_band_revenue",
+    "x115_customer_order_gaps",
+    "x116_returns_by_nation",
+    "x117_order_size_histogram",
+    "x118_hourly_seasonality",
+    "x119_source_charclass_profile",
+    "x120_acctbal_percentiles",
+    "x121_brand_price_spread",
 ]
 
 RUNS = 4

@@ -1849,15 +1849,16 @@ FROM r JOIN t USING (event_type) WHERE rn = 1
 ORDER BY event_type, dow, hr, n, share_milli"""
 
 
-def peak_hours(
+def type_hour_cells(
     events: DataFrame,
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """(event_type, dow, hr, n, share_milli): each type's peak
-    (day-of-week 0=Sunday, hour) activity cell with its exact milli
-    share of the type's events; ties break to the smallest (dow, hr)."""
-    c = (
+    """(event_type, dow, hr, n): the partial-agg'd activity cube at
+    (type, day-of-week 0=Sunday, hour) grain — the <=|types|*168-row
+    sufficient statistic behind x102's argmax AND x118's seasonality
+    matrix (and the S38 streaming state: the cells fold additively)."""
+    return (
         events.select(
             F.col(type_col).alias("event_type"),
             (F.dayofweek(ts_col) - 1).cast("long").alias("dow"),
@@ -1866,9 +1867,14 @@ def peak_hours(
         .groupBy("event_type", "dow", "hr")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def peak_hours_from_cells(cells: DataFrame) -> DataFrame:
+    """Serve the x102 table from (event_type, dow, hr, n) cells —
+    identical math to ``peak_hours`` from the cell grain down."""
     # argmax by (n DESC, dow ASC, hr ASC) = max of (n, -dow, -hr)
     return (
-        c.groupBy("event_type")
+        cells.groupBy("event_type")
         .agg(
             F.max(
                 F.struct(
@@ -1889,6 +1895,17 @@ def peak_hours(
     )
 
 
+def peak_hours(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, dow, hr, n, share_milli): each type's peak
+    (day-of-week 0=Sunday, hour) activity cell with its exact milli
+    share of the type's events; ties break to the smallest (dow, hr)."""
+    return peak_hours_from_cells(type_hour_cells(events, type_col, ts_col))
+
+
 @register("x102_peak_hours", _X102_ORACLE)
 def x102_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X102 peak activity cell per event type: the (dow, hour) where
@@ -1898,6 +1915,51 @@ def x102_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_hours(load(spark, sf_dir, "events")).orderBy(
         "event_type", "dow", "hr", "n", "share_milli"
     )
+
+
+# -- x118: hourly seasonality matrix ---------------------------------------------
+#
+# The full (day-of-week, hour) activity matrix with exact milli shares
+# — x102 reads the cube's per-type ARGMAX; x118 reads the whole
+# marginal surface (capacity planning, anomaly baselines, the "when is
+# traffic" heatmap).  Same <=|types|*168-row sufficient statistic
+# (type_hour_cells), so the S38 streaming state serves BOTH live.
+
+_X118_ORACLE = """
+WITH c AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+SELECT dow, hr, n, CAST(1000 * n // t.tot AS BIGINT) AS share_milli
+FROM c CROSS JOIN t
+ORDER BY dow, hr, n, share_milli"""
+
+
+def hourly_seasonality_from_cells(cells: DataFrame) -> DataFrame:
+    """Serve the x118 matrix from (event_type, dow, hr, n) cells: the
+    type marginal collapses first; the share window runs over the
+    <=168-row (dow, hr) frame (long-safe: n is a row count)."""
+    h = cells.groupBy("dow", "hr").agg(F.sum("n").cast("long").alias("n"))
+    return h.select(
+        "dow",
+        "hr",
+        "n",
+        F.expr("1000 * n div sum(n) over ()").cast("long").alias(
+            "share_milli"
+        ),
+    )
+
+
+@register("x118_hourly_seasonality", _X118_ORACLE)
+def x118_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 hourly seasonality matrix: event volume and exact milli
+    share per (day-of-week 0=Sunday, hour) cell — the traffic heatmap
+    next to x102's per-type peaks.  ONE partial-agg'd rollup over the
+    scan; the share window runs over the 168-cell metadata frame."""
+    return hourly_seasonality_from_cells(
+        type_hour_cells(load(spark, sf_dir, "events"))
+    ).orderBy("dow", "hr", "n", "share_milli")
 
 
 # -- x105: first-touch -> first-purchase conversion latency ----------------------

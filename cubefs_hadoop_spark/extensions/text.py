@@ -1334,3 +1334,88 @@ def doclen_percentiles_from_cells(cells: DataFrame) -> DataFrame:
         F.col("p50").alias("p50_chars"),
         F.col("p90").alias("p90_chars"),
     )
+
+
+# -- x119: per-source character-class profile --------------------------------
+#
+# The CHARACTER-CLASS fingerprint of each source: what fraction of a
+# source's character mass is punctuation, digits, uppercase — the
+# cheap structural signal quality pipelines read next to x05's word
+# stats (machine-generated tables are digit-heavy, scraped boilerplate
+# is punctuation-heavy, shouting spam is uppercase-heavy).  Exact
+# integer millis over SUMMED character counts (not averaged per-doc
+# ratios — the mass-weighted figure a corpus mixer wants), one
+# partial-agg'd corpus scan, source-grain output.
+#
+# Portability: fixed explicit character classes ([.,!?;:], [0-9],
+# [A-Z]) and count-by-strip (length minus length after removing the
+# class) — identical semantics in Spark's regexp_replace (global by
+# default) and DuckDB's (needs the 'g' flag).
+
+_X119_PUNCT = "[.,!?;:]"
+_X119_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         CAST(LENGTH(text) AS BIGINT) AS chars,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '{_X119_PUNCT.replace("'", "''")}', '', 'g')) AS BIGINT) AS punct,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')) AS BIGINT) AS uppers
+  FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       CAST(1000 * SUM(punct) // SUM(chars) AS BIGINT) AS punct_milli,
+       CAST(1000 * SUM(digits) // SUM(chars) AS BIGINT) AS digit_milli,
+       CAST(1000 * SUM(uppers) // SUM(chars) AS BIGINT) AS upper_milli
+FROM d GROUP BY source
+ORDER BY source, n_docs, chars, punct_milli, digit_milli, upper_milli"""
+
+
+def charclass_profile(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_docs, chars, punct_milli, digit_milli, upper_milli):
+    mass-weighted character-class shares per source in exact integer
+    millis, from one scan + one source-grain rollup."""
+    t = F.col(text_col)
+
+    def stripped(cls: str):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+        ).cast("long")
+
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        F.length(t).cast("long").alias("chars"),
+        stripped(_X119_PUNCT).alias("punct"),
+        stripped("[0-9]").alias("digits"),
+        stripped("[A-Z]").alias("uppers"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("chars"),
+        F.expr("1000 * sum(punct) div sum(chars)").cast("long").alias(
+            "punct_milli"
+        ),
+        F.expr("1000 * sum(digits) div sum(chars)").cast("long").alias(
+            "digit_milli"
+        ),
+        F.expr("1000 * sum(uppers) div sum(chars)").cast("long").alias(
+            "upper_milli"
+        ),
+    )
+
+
+@register("x119_source_charclass_profile", _X119_ORACLE)
+def x119_source_charclass_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X119 per-source character-class fingerprint: punctuation, digit,
+    and uppercase shares of each source's character mass (exact integer
+    millis) — the structural-quality signal next to x62's word-level
+    gates and x103's source x lang census.  One partial-agg'd corpus
+    scan, source-grain output."""
+    return charclass_profile(load(spark, sf_dir, "documents")).orderBy(
+        "source", "n_docs", "chars", "punct_milli", "digit_milli",
+        "upper_milli",
+    )

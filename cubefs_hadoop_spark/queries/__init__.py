@@ -15,73 +15,58 @@ from cubefs_hadoop_spark import extensions  # noqa: E402,F401
 from cubefs_hadoop_spark.plans import zorder  # noqa: E402,F401
 
 # The driver's t2 gate checks the FIRST 50 registry entries only
-# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r12 was
-# 50/50 green.  Round-13 window per the r12-declared rotation plan
-# (stalest-first): the 16 r13-new operators, then the FIVE r09 entries
-# the r12 [:50] trim displaced, then the remaining r09 window
-# (q03_filter_conjunctive onward, CORRECTNESS_r09 order), then the r10
-# window becomes the stale pool.  Every displaced entry still
-# hash-checks against DuckDB in pytest (test_oracle.py) each run and in
-# the committed SWEEP_r{N}.json.
-_R13_NEW = [
-    # round-13-new operators: first driver rows
-    "x94b_copurchase_capped", "x99_user_type_diversity",
-    "x100_fulfillment_latency", "x101_segment_loyalty",
-    "x102_peak_hours", "x103_source_lang_matrix",
-    "x104_nation_trade_balance", "x105_conversion_latency",
-    "x106_supplier_concentration", "x107_weekly_active_users",
-    "x108_source_dup_rate", "x109_part_type_revenue_mix",
-    "x110_session_depth", "x111_engagement_concentration",
-    "x112_revenue_spikes", "x113_catalog_turnover",
+# (CORRECTNESS_r01.json stops at entry 50 of 103).  CORRECTNESS_r13 was
+# 51/51 green.  Round-14 window per the r13-declared rotation plan
+# (stalest-first): the 9 r14-new operators, then the THIRTEEN r10
+# entries the r13 [:50] trim dropped (x70_mirror_matrix onward), then
+# the remaining r10 window (q13_left_join onward, CORRECTNESS_r10
+# order), then the r11 window becomes the stale pool.  Every displaced
+# entry still hash-checks against DuckDB in pytest (test_oracle.py)
+# each run and in the committed SWEEP_r{N}.json.
+_R14_NEW = [
+    # round-14-new operators: first driver rows
+    "x46c_knn_graph_auto", "x114_discount_band_revenue",
+    "x115_customer_order_gaps", "x116_returns_by_nation",
+    "x117_order_size_histogram", "x118_hourly_seasonality",
+    "x119_source_charclass_profile", "x120_acctbal_percentiles",
+    "x121_brand_price_spread",
 ]
-_R09_DISPLACED = [
-    # the five r09 greens the r12 trim displaced
-    "x59_dim_truncation_recall", "x60_ivf_list_balance",
-    "x61_lsh_quality_audit", "x62_filter_agreement", "q01_scan_count",
+_R10_DROPPED = [
+    # the thirteen r10 greens the r13 trim dropped
+    "x70_mirror_matrix", "x71_banding_planner", "x72_oov_rate",
+    "x73_containment_pairs", "x74_retention_cohorts", "q02_projection",
+    "q04_filter_in_like", "q07_count_distinct",
+    "q08_approx_distinct_twin", "q09_rollup", "q09b_cube",
+    "q09c_grouping_sets", "q10_having",
 ]
-_R09_REMAINING = [
-    # the rest of the r09 window (last driver rows 4 rounds old),
-    # CORRECTNESS_r09 order from q03 onward
-    "q03_filter_conjunctive", "q05_case_projection", "q06_tpch_q1",
-    "q06b_percentiles", "q06c_stats_aggs", "q06d_median",
-    "q11_join_broadcast", "q12_tpch_q3", "q20_window_rank",
-    "q22_window_frame", "q25_union_distinct", "q37_pivot",
-    "q37b_unpivot", "t05_local_supplier_volume",
-    "t13_customer_distribution", "t14_promo_revenue",
-    "t15_top_supplier", "t16_supplier_relationship",
-    "t17_small_quantity_revenue", "t18_large_volume_customer",
-    "t19_discounted_revenue", "x03c_ivf_ann",
+_R10_REMAINING = [
+    # the rest of the r10 window (last driver rows 4 rounds old),
+    # CORRECTNESS_r10 order from q13 onward
+    "q13_left_join", "q14_semi_join", "q15_anti_join", "q16_theta_join",
+    "q17_cross_join", "q18_asof_join", "q20b_window_distribution",
+    "q20c_window_value_funcs", "q21_window_lag", "q23_sort_limit",
+    "q25_union_all", "q26_except", "q26_intersect", "q27_string_funcs",
+    "q27b_string_funcs2", "q27c_string_funcs3", "q28_date_funcs",
+    "t20_part_promotion", "t21_waiting_supplier", "q28b_date_funcs2",
+    "q29_math_funcs", "q30_array_funcs", "q31_explode", "q32_map_funcs",
+    "q33_json_funcs", "q34_conditional_funcs", "q35_distinct",
+    "s03_sliding_window", "s06_dedup_twin",
+    "s07_stream_static_join_twin",
 ]
-_R10_STALEST = [
-    # the r10 window becomes the stale pool, CORRECTNESS_r10 order
-    "x63_rejection_funnel", "x64_embedding_health",
-    "x65_packing_forecast", "x66_vocab_growth", "x67_shard_balance",
-    "x68_langid_mismatch", "x69_dedup_token_yield", "x70_mirror_matrix",
-    "x71_banding_planner", "x72_oov_rate", "x73_containment_pairs",
-    "x74_retention_cohorts", "q02_projection", "q04_filter_in_like",
-    "q07_count_distinct", "q08_approx_distinct_twin", "q09_rollup",
-    "q09b_cube", "q09c_grouping_sets", "q10_having",
-]
-_R13_WINDOW = (
-    _R13_NEW + _R09_DISPLACED + _R09_REMAINING + _R10_STALEST
-)[:50]
+_R14_WINDOW = (_R14_NEW + _R10_DROPPED + _R10_REMAINING)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 16 (r13-new) + 5 (displaced r09) + 22 (r09 tail) = 43,
-# filled to 50 with the first 7 r10 entries (x63..x69) -> the [:50]
-# trim drops the last THIRTEEN _R10_STALEST names (x70_mirror_matrix,
-# x71_banding_planner, x72_oov_rate, x73_containment_pairs,
-# x74_retention_cohorts, q02_projection, q04_filter_in_like,
-# q07_count_distinct, q08_approx_distinct_twin, q09_rollup, q09b_cube,
-# q09c_grouping_sets, q10_having — all still sweep-green every round).
+# Composition: 9 (r14-new) + 13 (dropped r10) + 30 (r10 tail) = 52 ->
+# the [:50] trim drops the last TWO _R10_REMAINING names
+# (s06_dedup_twin, s07_stream_static_join_twin — both still
+# sweep-green every round).
 #
-# r14 rotation plan (stalest-first): any r14-new operators first, then
-# those thirteen dropped r10 entries (x70_mirror_matrix onward), then
-# the remaining r10 window (CORRECTNESS_r10 order), then the r11 window
-# becomes the stale pool.
-assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
-assert len(set(_R13_WINDOW)) == 50, "duplicate entry in the driver window"
-reorder(_R13_WINDOW)
+# r15 rotation plan (stalest-first): any r15-new operators first, then
+# those two dropped r10 entries, then the r11 window
+# (CORRECTNESS_r11 order), then the r12 window becomes the stale pool.
+assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
+assert len(set(_R14_WINDOW)) == 50, "duplicate entry in the driver window"
+reorder(_R14_WINDOW)
 
 __all__ = ["QUERIES", "ORACLE", "register", "reorder"]

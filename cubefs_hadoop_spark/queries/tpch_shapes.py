@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.registry import register
@@ -1186,3 +1187,342 @@ def x109_part_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark_exact_floordiv([1000, "revenue_dmc"], [total])
         ).alias("share_milli"),
     ).orderBy("p_type", "revenue_dmc", "share_milli")
+
+
+# -- r14 extensions over the TPC-H star (x114-x117, x120, x121) --------------
+#
+# Pricing/fulfillment analytics the t04-t22 and x100-x113 families
+# don't cover: the discount-band pricing curve (x114), customer
+# reorder cadence (x115 — the TPC-H cousin of x91's event
+# interarrival), the returns ledger by supplier nation (x116), the
+# order-width histogram (x117), account-balance order statistics
+# (x120), and the catalog price-spread table (x121).  All exact
+# integer arithmetic; every fact-scale frame collapses in one partial
+# agg before any join or window.
+
+
+_X114_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(l_quantity) AS BIGINT) AS quantity,
+         CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_dmc
+  FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(SUM(revenue_dmc) AS BIGINT) AS tot FROM b)
+SELECT discount_pct, n_lines, quantity, revenue_dmc,
+       CAST(CAST(1000 AS HUGEINT) * revenue_dmc // t.tot AS BIGINT)
+           AS share_milli
+FROM b CROSS JOIN t
+ORDER BY discount_pct, n_lines, quantity, revenue_dmc, share_milli"""
+
+
+@register("x114_discount_band_revenue", _X114_ORACLE)
+def x114_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 discount-band pricing curve: per integer discount percent,
+    line count, total quantity, exact decimilli-cent revenue, and milli
+    revenue share — the table a pricing review reads before touching
+    the discount ladder.  ONE partial-agg'd scan collapses the fact
+    table to the <=101-row band frame; the share total is a
+    driver-sized eager literal (the x109 pattern) feeding 128-bit
+    exact floor division."""
+    from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
+    from cubefs_hadoop_spark.plans.materialize import barrier
+
+    li = load(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.round(F.col("l_discount") * 100).cast("long").alias(
+                "discount_pct"
+            ),
+            "l_quantity",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("l_quantity").cast("long").alias("quantity"),
+            (F.sum("_rev") * 10000).cast("long").alias("revenue_dmc"),
+        )
+    )
+    b = barrier(b, eager=False)  # feeds the total AND the output
+    total = int(b.agg(F.coalesce(F.sum("revenue_dmc"), F.lit(0))).first()[0])
+    if total == 0:
+        return spark.createDataFrame(
+            [],
+            "discount_pct long, n_lines long, quantity long,"
+            " revenue_dmc long, share_milli long",
+        )
+    return b.select(
+        "discount_pct",
+        "n_lines",
+        "quantity",
+        "revenue_dmc",
+        F.expr(spark_exact_floordiv([1000, "revenue_dmc"], [total])).alias(
+            "share_milli"
+        ),
+    ).orderBy(
+        "discount_pct", "n_lines", "quantity", "revenue_dmc", "share_milli"
+    )
+
+
+_X115_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders),
+g AS (SELECT CAST(CAST(o_orderdate AS DATE) - CAST(prev AS DATE) AS BIGINT)
+          AS gap_days
+      FROM o WHERE prev IS NOT NULL),
+r AS (SELECT gap_days, ROW_NUMBER() OVER (ORDER BY gap_days) AS rn FROM g),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps FROM g)
+SELECT n.n_gaps,
+       CAST(MAX(CASE WHEN rn = 1 + (n_gaps - 1) * 50 // 100
+                     THEN gap_days END) AS BIGINT) AS p50_days,
+       CAST(MAX(CASE WHEN rn = 1 + (n_gaps - 1) * 90 // 100
+                     THEN gap_days END) AS BIGINT) AS p90_days
+FROM r CROSS JOIN n
+GROUP BY n.n_gaps
+ORDER BY n_gaps, p50_days, p90_days"""
+
+
+@register("x115_customer_order_gaps", _X115_ORACLE)
+def x115_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 reorder cadence: exact discrete p50/p90 of the day gap
+    between a customer's consecutive orders — the TPC-H cousin of
+    x91's event interarrival (order-ledger grain, day resolution).
+    ONE customer-keyed lag window (the sorted date sequence makes the
+    gap multiset tie-order-independent), then the shared banded
+    percentile machinery — no global sort at any grain."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = (
+        o.withColumn("prev", F.lag("d").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.datediff("d", "prev").cast("long").alias("gap_days"))
+    )
+    return (
+        grouped_exact_percentiles(g, "gap_days", (), quantiles=(50, 90))
+        .select(
+            F.col("n").alias("n_gaps"),
+            F.col("p50").alias("p50_days"),
+            F.col("p90").alias("p90_days"),
+        )
+        .orderBy("n_gaps", "p50_days", "p90_days")
+    )
+
+
+_X116_ORACLE = f"""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS returned_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_REV_SQL} ELSE 0 END)
+              * 10000 AS BIGINT) AS returned_dmc
+  FROM lineitem GROUP BY 1)
+SELECT n_name,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(returned_lines) AS BIGINT) AS returned_lines,
+       CAST(1000 * SUM(returned_lines) // SUM(n_lines) AS BIGINT)
+           AS return_share_milli,
+       CAST(SUM(returned_dmc) AS BIGINT) AS returned_dmc
+FROM s JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name, n_lines, returned_lines, return_share_milli,
+         returned_dmc"""
+
+
+@register("x116_returns_by_nation", _X116_ORACLE)
+def x116_returns_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 returns ledger by supplier nation: line counts, returned
+    lines, exact milli return share, and returned revenue
+    (decimilli-cents) — t10 locates WHO returns; x116 locates WHOSE
+    SUPPLY comes back.  Lineitem collapses to SUPPLIER grain in one
+    partial agg BEFORE the (broadcast) supplier and nation joins — the
+    join input is dimension-sized at any corpus scale."""
+    li = load(spark, sf_dir, "lineitem")
+    ret = F.col("l_returnflag") == "R"
+    s = (
+        li.select(
+            "l_suppkey",
+            ret.alias("_r"),
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "_rev"
+            ),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("_r").cast("long")).cast("long").alias(
+                "returned_lines"
+            ),
+            (F.sum(F.when(F.col("_r"), F.col("_rev")).otherwise(F.lit(0)))
+             * 10000).cast("long").alias("returned_dmc"),
+        )
+    )
+    sup = F.broadcast(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    return (
+        s.join(sup, s.l_suppkey == sup.s_suppkey)
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("returned_lines").cast("long").alias("returned_lines"),
+            F.expr("1000 * sum(returned_lines) div sum(n_lines)")
+            .cast("long")
+            .alias("return_share_milli"),
+            F.sum("returned_dmc").cast("long").alias("returned_dmc"),
+        )
+        .orderBy(
+            "n_name", "n_lines", "returned_lines", "return_share_milli",
+            "returned_dmc",
+        )
+    )
+
+
+_X117_ORACLE = """
+WITH o AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1),
+h AS (SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM o GROUP BY 1),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS tot FROM h)
+SELECT n_items, n_orders,
+       CAST(1000 * n_orders // t.tot AS BIGINT) AS share_milli
+FROM h CROSS JOIN t
+ORDER BY n_items, n_orders, share_milli"""
+
+
+@register("x117_order_size_histogram", _X117_ORACLE)
+def x117_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 order-width histogram: how many line items an order carries
+    (n_items, n_orders, milli share) — the basket-width companion to
+    x110's session-depth histogram, at the order ledger's grain.  One
+    partial-agg'd order-grain collapse, one histogram-sized rollup;
+    the share total is a window over the <=10-row histogram frame
+    (long-safe: it is a row count)."""
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .groupBy("n_items")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return h.select(
+        "n_items",
+        "n_orders",
+        F.expr("1000 * n_orders div sum(n_orders) over ()")
+        .cast("long")
+        .alias("share_milli"),
+    ).orderBy("n_items", "n_orders", "share_milli")
+
+
+_X120_ORACLE = """
+WITH c AS (
+  SELECT c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer),
+r AS (SELECT c_mktsegment, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY cents) AS rn FROM c),
+n AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM c GROUP BY 1)
+SELECT c_mktsegment, n_customers,
+       CAST(MAX(CASE WHEN rn = 1 + (n_customers - 1) * 25 // 100
+                     THEN cents END) AS BIGINT) AS p25_cents,
+       CAST(MAX(CASE WHEN rn = 1 + (n_customers - 1) * 50 // 100
+                     THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(MAX(CASE WHEN rn = 1 + (n_customers - 1) * 75 // 100
+                     THEN cents END) AS BIGINT) AS p75_cents,
+       CAST(MAX(CASE WHEN rn = 1 + (n_customers - 1) * 90 // 100
+                     THEN cents END) AS BIGINT) AS p90_cents
+FROM r JOIN n USING (c_mktsegment)
+GROUP BY c_mktsegment, n_customers
+ORDER BY c_mktsegment, n_customers, p25_cents, p50_cents, p75_cents,
+         p90_cents"""
+
+
+@register("x120_acctbal_percentiles", _X120_ORACLE)
+def x120_acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 account-balance order statistics per market segment: exact
+    discrete p25/p50/p75/p90 of customer balances in integer cents
+    (negative balances included — the banded machinery floors
+    negatives correctly) — x88's percentile profile pointed at the
+    customer ledger.  One scan, the shared banded rank machinery, no
+    customer-grain sort."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (dec("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return (
+        grouped_exact_percentiles(
+            c, "cents", ["c_mktsegment"], quantiles=(25, 50, 75, 90)
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("n_customers"),
+            F.col("p25").alias("p25_cents"),
+            F.col("p50").alias("p50_cents"),
+            F.col("p75").alias("p75_cents"),
+            F.col("p90").alias("p90_cents"),
+        )
+        .orderBy(
+            "c_mktsegment", "n_customers", "p25_cents", "p50_cents",
+            "p75_cents", "p90_cents",
+        )
+    )
+
+
+_X121_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS max_cents,
+       CAST(SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_cents
+FROM part GROUP BY p_brand
+ORDER BY p_brand, n_parts, min_cents, max_cents, avg_cents"""
+
+
+@register("x121_brand_price_spread", _X121_ORACLE)
+def x121_brand_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 catalog price spread per brand: part count, exact
+    min/max/floor-mean retail price in integer cents — the catalog
+    pricing table next to x109's revenue mix.  ONE partial-agg'd
+    catalog scan; exact integer mean via sum-div-count."""
+    p = load(spark, sf_dir, "part").select(
+        "p_brand", (dec("p_retailprice") * 100).cast("long").alias("cents")
+    )
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.expr("sum(cents) div count(1)").cast("long").alias(
+                "avg_cents"
+            ),
+        )
+        .orderBy("p_brand", "n_parts", "min_cents", "max_cents", "avg_cents")
+    )

@@ -1681,3 +1681,31 @@ def sink_catalog_week_state(
         union_state_committer(state_dir, keys, ["week", "k"]),
         checkpoint_dir,
     )
+
+
+def sink_hour_cells_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> None:
+    """Stream events into the x102/x118 activity-cube state (S38): the
+    (event_type, dow, hr) cell counts fold as plain additive sums
+    exactly once — no ordering contract (counting is commutative).  ONE
+    state serves BOTH live views: ``behavior.peak_hours_from_cells``
+    (x102's per-type argmax) and
+    ``behavior.hourly_seasonality_from_cells`` (x118's traffic
+    matrix).  State: at most |types| x 168 rows."""
+    from cubefs_hadoop_spark.extensions.behavior import type_hour_cells
+
+    def stats(batch: DataFrame) -> DataFrame:
+        return type_hour_cells(batch, type_col, ts_col)
+
+    _drain(
+        sdf,
+        additive_state_committer(
+            state_dir, stats, ["event_type", "dow", "hr"], ["n"]
+        ),
+        checkpoint_dir,
+    )

@@ -1191,3 +1191,48 @@ def test_x113_catalog_turnover_shape(spark):
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
     assert "SinglePartition" not in a.text
+
+
+def test_x61_candidate_pipeline_gate(spark):
+    """VERDICT r13 #5: the plan gate must see x61's REAL pipelines, not
+    the 1-row literal it returns.  Probe the internal candidate/truth
+    frames (plans/probes.py, barriers disabled): the LSH candidate side
+    is the bucketed (band, key) equi-join — no NLJ, no Python, and the
+    distinct runs on skinny id pairs; the truth side is the
+    inverted-index join — equi-join on the shingle, never pairwise sets.
+    """
+    from cubefs_hadoop_spark.plans.probes import (
+        PLAN_PROBES,
+        barriers_disabled,
+    )
+
+    spark.catalog.clearCache()
+    with barriers_disabled(spark):
+        frames = PLAN_PROBES["x61_lsh_quality_audit"](spark, SF_SMOKE)
+        cand = audit_plan(frames["candidates"])
+        truth = audit_plan(frames["truth"])
+    assert cand.nested_loop_joins == 0
+    assert not cand.has_python_eval
+    assert cand.shuffles >= 1  # the (band, key) bucket join is real
+    assert truth.nested_loop_joins == 0
+    assert not truth.has_python_eval
+    # both pipelines prune the documents scan to (doc_id, text)
+    for a in (cand, truth):
+        assert all(cols <= {"doc_id", "text"} for cols in a.scan_columns())
+
+
+def test_x97_funnel_pipeline_gate(spark):
+    """x97's scale path is the per-user funnel frame: one user-keyed
+    exchange family, no NLJ, no Python (probed — the registered query
+    returns a 3-row literal)."""
+    from cubefs_hadoop_spark.plans.probes import (
+        PLAN_PROBES,
+        barriers_disabled,
+    )
+
+    spark.catalog.clearCache()
+    with barriers_disabled(spark):
+        frames = PLAN_PROBES["x97_funnel_rates"](spark, SF_SMOKE)
+        a = audit_plan(frames["per_user_funnel"])
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval

@@ -1850,3 +1850,108 @@ def test_streamed_catalog_week_state_equals_batch_x113(spark, tmp_path):
     )
     batch = QUERIES["x113_catalog_turnover"](spark, SF_SMOKE).collect()
     assert live == sorted(map(tuple, batch))
+
+
+def test_live_spike_alert_loop_serves_batch_x112_per_batch(spark, tmp_path):
+    """VERDICT r13 #6: the ALERTING operator demonstrated live — the
+    S36 committer (the exact function foreachBatch drives; the
+    readStream plumbing itself is covered by
+    test_streamed_revenue_day_state_equals_batch_x112) folds
+    day-range event slices batch by batch, and AFTER EVERY commit the
+    served ``revenue_spikes_from_cells(read_state(...))`` table equals
+    batch ``revenue_spike_days`` over exactly the events ingested so
+    far, row-for-row — including the boundary-crossing witness: after
+    batch 1 a day whose entire trailing-7-day baseline was folded by
+    batch 0 carries a non-NULL spike flag."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.behavior import (
+        revenue_day_cells,
+        revenue_spike_days,
+        revenue_spikes_from_cells,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        additive_state_committer,
+        read_state,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    state = str(tmp_path / "spike_state")
+    committer = additive_state_committer(
+        state,
+        lambda b: revenue_day_cells(b, "event_type", "ts", "value", "purchase"),
+        ["day"],
+        ["rev_cents"],
+    )
+    cuts = ["2024-01-09", "2024-01-17", "2024-01-25", "2099-01-01"]
+    lo = "1900-01-01"
+    for batch_id, hi in enumerate(cuts):
+        batch = ev.filter(
+            (F.col("ts").cast("date") >= F.lit(lo).cast("date"))
+            & (F.col("ts").cast("date") < F.lit(hi).cast("date"))
+        )
+        committer(batch, batch_id)
+        lo = hi
+        live = sorted(
+            map(
+                tuple,
+                revenue_spikes_from_cells(read_state(spark, state)).collect(),
+            )
+        )
+        prefix = ev.filter(F.col("ts").cast("date") < F.lit(hi).cast("date"))
+        want = sorted(map(tuple, revenue_spike_days(prefix).collect()))
+        assert live == want, f"batch {batch_id} serve != prefix batch"
+        if batch_id == 1:
+            # boundary-crossing witness: day 9's trailing-7 baseline
+            # (days 2-8) folded entirely in batch 0, yet the live table
+            # flags it now — the alert works across the batch seam
+            import datetime
+
+            flags = {t[0]: t[3] for t in live}
+            assert flags[datetime.date(2024, 1, 9)] is not None
+    # and the final served table equals the REGISTERED x112 output
+    final = sorted(
+        map(
+            tuple,
+            revenue_spikes_from_cells(read_state(spark, state)).collect(),
+        )
+    )
+    batch_full = QUERIES["x112_revenue_spikes"](spark, SF_SMOKE).collect()
+    assert final == sorted(map(tuple, batch_full))
+
+
+def test_streamed_hour_cells_state_serves_x102_and_x118(spark, tmp_path):
+    """S38: the (type, dow, hr) activity cube folds additively
+    order-free (event-id slices); ONE folded state serves BOTH the
+    live x102 peak table and the live x118 seasonality matrix,
+    row-for-row equal to the registered batch queries."""
+    from cubefs_hadoop_spark.extensions.behavior import (
+        hourly_seasonality_from_cells,
+        peak_hours_from_cells,
+    )
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_hour_cells_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "hour_state")
+    sink_hour_cells_state(sdf, state, str(tmp_path / "ckpt"))
+    cells = read_state(spark, state)
+    live_peak = sorted(map(tuple, peak_hours_from_cells(cells).collect()))
+    batch_peak = QUERIES["x102_peak_hours"](spark, SF_SMOKE).collect()
+    assert live_peak == sorted(map(tuple, batch_peak))
+    live_season = sorted(
+        map(tuple, hourly_seasonality_from_cells(cells).collect())
+    )
+    batch_season = QUERIES["x118_hourly_seasonality"](spark, SF_SMOKE).collect()
+    assert live_season == sorted(map(tuple, batch_season))
+    # state grain law: bounded by the (type, dow, hr) cube
+    st = read_state(spark, state)
+    assert st.count() == st.select("event_type", "dow", "hr").distinct().count()

@@ -154,6 +154,16 @@ REPORT_QUERIES = [
     "x111_engagement_concentration",
     "x112_revenue_spikes",
     "x113_catalog_turnover",
+    # r14-new operators
+    "x46c_knn_graph_auto",
+    "x114_discount_band_revenue",
+    "x115_customer_order_gaps",
+    "x116_returns_by_nation",
+    "x117_order_size_histogram",
+    "x118_hourly_seasonality",
+    "x119_source_charclass_profile",
+    "x120_acctbal_percentiles",
+    "x121_brand_price_spread",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",
@@ -191,6 +201,7 @@ BARRIER_NOTES = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from cubefs_hadoop_spark.plans.audit import audit_plan
+    from cubefs_hadoop_spark.plans.probes import PLAN_PROBES, barriers_disabled
     from cubefs_hadoop_spark.queries import QUERIES
     from cubefs_hadoop_spark.session import get_spark
 
@@ -239,6 +250,48 @@ def main() -> None:
             det.append(f"ReadSchema: {rs}")
         det.append("```")
         details.append("\n".join(det))
+
+    # Audit-family internal pipelines (VERDICT r13 #5): these queries
+    # compute their work in construction-time actions and return a
+    # driver-sized literal, so the rows above are blind to the real
+    # pipelines.  Audit the internal frames via plans/probes.py, with
+    # barriers disabled so lineage cuts don't hide upstream operators.
+    probe_lines = [
+        "",
+        "## Audit-family internal pipelines",
+        "",
+        "The queries above marked 0 joins / 0 scan cols do their work in",
+        "construction-time actions; these rows audit the internal frames",
+        "those actions consume (`plans/probes.py`, barriers disabled so",
+        "the full pipeline is visible to explain).",
+        "",
+        "| query[frame] | joins (BHJ/SMJ/NLJ) | shuffles | pushed filters | scan cols | codegen | top-k / window-limit | python |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    with barriers_disabled(spark):
+        for name, probe_fn in PLAN_PROBES.items():
+            spark.catalog.clearCache()
+            for label, frame in probe_fn(spark, sf_dir).items():
+                a = audit_plan(frame, executed=True)
+                pushed = sum(
+                    0 if f in ("[]", "") else len(f.strip("[]").split(","))
+                    for f in a.pushed_filters
+                )
+                cols = sorted({c for s in a.scan_columns() for c in s})
+                topk = []
+                if a.has_take_ordered:
+                    topk.append("TakeOrdered")
+                if a.has_window_group_limit:
+                    topk.append("WindowGroupLimit")
+                probe_lines.append(
+                    f"| {name}[{label}] | {a.broadcast_joins}/"
+                    f"{a.sort_merge_joins}/{a.nested_loop_joins} | "
+                    f"{a.shuffles} | {pushed} | {len(cols)} | "
+                    f"{'y' if a.has_codegen else 'n'} | "
+                    f"{'+'.join(topk) or '—'} | "
+                    f"{'y' if a.has_python_eval else '—'} |"
+                )
+    lines += probe_lines
 
     lines += [
         "",
