@@ -1236,3 +1236,97 @@ def test_x97_funnel_pipeline_gate(spark):
         a = audit_plan(frames["per_user_funnel"])
     assert a.nested_loop_joins == 0
     assert not a.has_python_eval
+
+
+def test_x114_discount_bands_shape(spark):
+    """x114: ONE partial-agg'd fact scan to the <=101-row band frame;
+    only the three pricing columns read; no join, no Python."""
+    a = _audit(spark, "x114_discount_band_revenue")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(
+        cols <= {"l_discount", "l_quantity", "l_extendedprice"}
+        for cols in a.scan_columns()
+    )
+
+
+def test_x115_order_gaps_shape(spark):
+    """x115: one customer-keyed lag window + the banded percentile
+    machinery — no Python, no order-grain global sort; the single NLJ
+    is the 1-row global-count broadcast (the x90/x91/x105
+    ungrouped-percentile shape)."""
+    a = _audit(spark, "x115_customer_order_gaps")
+    assert a.nested_loop_joins <= 1
+    assert not a.has_python_eval
+    assert all(
+        cols <= {"o_custkey", "o_orderkey", "o_orderdate"}
+        for cols in a.scan_columns()
+    )
+
+
+def test_x116_returns_by_nation_shape(spark):
+    """x116: lineitem collapses to supplier grain BEFORE the dimension
+    joins, both of which broadcast; no SMJ, no Python."""
+    a = _audit(spark, "x116_returns_by_nation")
+    assert a.broadcast_joins >= 2
+    assert a.sort_merge_joins == 0
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+
+
+def test_x117_order_histogram_shape(spark):
+    """x117: order-grain collapse + histogram rollup; the share window
+    runs over the <=10-row histogram frame; only l_orderkey read."""
+    a = _audit(spark, "x117_order_size_histogram")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"l_orderkey"} for cols in a.scan_columns())
+
+
+def test_x118_seasonality_shape(spark):
+    """x118: one partial-agg'd rollup to the 168-cell frame; only
+    (event_type, ts) read; no join, no Python."""
+    a = _audit(spark, "x118_hourly_seasonality")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"event_type", "ts"} for cols in a.scan_columns())
+
+
+def test_x119_charclass_shape(spark):
+    """x119: one corpus scan to source grain; only (source, text) read;
+    the char-class counts are row-local JVM expressions — no Python."""
+    a = _audit(spark, "x119_source_charclass_profile")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"source", "text"} for cols in a.scan_columns())
+
+
+def test_x120_acctbal_percentiles_shape(spark):
+    """x120: the banded percentile machinery at segment grain; only the
+    two customer columns read; no NLJ, no Python."""
+    a = _audit(spark, "x120_acctbal_percentiles")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(
+        cols <= {"c_mktsegment", "c_acctbal"} for cols in a.scan_columns()
+    )
+
+
+def test_x121_brand_spread_shape(spark):
+    """x121: one partial-agg'd catalog scan; only (p_brand,
+    p_retailprice) read; no join, no Python."""
+    a = _audit(spark, "x121_brand_price_spread")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(
+        cols <= {"p_brand", "p_retailprice"} for cols in a.scan_columns()
+    )
+
+
+def test_x46c_knn_auto_shape(spark):
+    """x46c: the auto-config kNN graph's top-k must stay a
+    WindowGroupLimit (rank pushed into the shuffle, no full neighbor
+    sort); no NLJ outside the broadcast signing stage, no Python."""
+    a = _audit(spark, "x46c_knn_graph_auto")
+    assert a.has_window_group_limit
+    assert not a.has_python_eval

@@ -134,6 +134,20 @@ SF1_WATCH = [
     "x111_engagement_concentration",
     "x112_revenue_spikes",
     "x113_catalog_turnover",
+    # r14-new operators: 100x evidence from first registration.  x46c
+    # is the auto-bits kNN graph (expected ~the x13c regime); x114/
+    # x116/x117/x121 are one-partial-agg rollups; x115/x120 ride the
+    # banded percentile machinery (customer/segment grain); x118/x119
+    # are single corpus scans to metadata-scale frames.
+    "x46c_knn_graph_auto",
+    "x114_discount_band_revenue",
+    "x115_customer_order_gaps",
+    "x116_returns_by_nation",
+    "x117_order_size_histogram",
+    "x118_hourly_seasonality",
+    "x119_source_charclass_profile",
+    "x120_acctbal_percentiles",
+    "x121_brand_price_spread",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -277,6 +291,20 @@ PROBE_QUERIES = [
     "x111_engagement_concentration",
     "x112_revenue_spikes",
     "x113_catalog_turnover",
+    # r14-new operators: 100x evidence from first registration.  x46c
+    # is the auto-bits kNN graph (expected ~the x13c regime); x114/
+    # x116/x117/x121 are one-partial-agg rollups; x115/x120 ride the
+    # banded percentile machinery (customer/segment grain); x118/x119
+    # are single corpus scans to metadata-scale frames.
+    "x46c_knn_graph_auto",
+    "x114_discount_band_revenue",
+    "x115_customer_order_gaps",
+    "x116_returns_by_nation",
+    "x117_order_size_histogram",
+    "x118_hourly_seasonality",
+    "x119_source_charclass_profile",
+    "x120_acctbal_percentiles",
+    "x121_brand_price_spread",
 ]
 
 
@@ -713,6 +741,54 @@ def main() -> None:
             "| query | uniform sf1 | whale sf1 (ratio, rows) |",
             "|---|---|---|",
             *wb_rows,
+            "",
+        ]
+
+        # x107 long-calendar probe (VERDICT r13 #7): WAU's shifted
+        # self-join is metadata-scale on the fixture's 5-week calendar;
+        # a 10-year ledger (520 weeks x users) is where the distinct
+        # (week, user) frame becomes the big join side.  Two synthetic
+        # shapes with the SAME ~26M-pair frame — 520 weeks x 200k users
+        # vs 30 weeks x 3.47M users, ~50% weekly activity — separate
+        # calendar-length effects from pair-count effects.  The join is
+        # a hash equi-join keyed (week, u), linear in the pair frame
+        # whatever the calendar, so the two timings should be in
+        # family; a long-calendar blowup would mandate the x74
+        # cohort-frame treatment.  Probe-only evidence.
+        from cubefs_hadoop_spark.extensions.behavior import (
+            weekly_active_users,
+        )
+
+        def _wau_synth(n_weeks: int, n_users: int):
+            ids = spark.range(n_weeks * n_users)
+            u = F.col("id") % n_users
+            w = (F.col("id") / n_users).cast("long")
+            ev = ids.select(
+                u.alias("user_id"),
+                F.to_timestamp(
+                    F.date_add(
+                        F.lit("2015-01-05").cast("date"),
+                        (w * 7 + u % 7).cast("int"),
+                    )
+                ).alias("ts"),
+            ).filter(F.crc32(F.concat_ws("|", "user_id", "ts")) % 2 == 0)
+            t0 = time.perf_counter()
+            n = len(weekly_active_users(ev).collect())
+            return time.perf_counter() - t0, n
+
+        t_long, n_long = _wau_synth(520, 200_000)
+        t_short, n_short = _wau_synth(30, 3_466_000)
+        lines += [
+            "### x107 long-calendar probe (520-week ledger)",
+            "",
+            "Same ~26M distinct (week, user) pairs in two calendar",
+            "shapes; WAU's shifted self-join hashes on (week, u), so the",
+            "cost tracks the pair frame, not the calendar length.",
+            "",
+            "| shape | weeks | users | first run | result rows |",
+            "|---|---|---|---|---|",
+            f"| long calendar | 520 | 200k | {t_long:.2f}s | {n_long} |",
+            f"| short control | 30 | 3.47M | {t_short:.2f}s | {n_short} |",
             "",
         ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
