@@ -155,6 +155,11 @@ BENCH_QUERIES = [
     "x119_source_charclass_profile",
     "x120_acctbal_percentiles",
     "x121_brand_price_spread",
+    "x122_prefix_dup_rate",
+    "x123_head_coverage",
+    "x124_embedding_dim_stats",
+    "x125_user_lifespan",
+    "x126_priority_status_matrix",
 ]
 
 RUNS = 4

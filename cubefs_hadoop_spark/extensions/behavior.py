@@ -2572,3 +2572,79 @@ def catalog_turnover_from_pairs(pairs: DataFrame) -> DataFrame:
         "items",
         F.coalesce("new_items", F.lit(0)).cast("long").alias("new_items"),
     )
+
+
+# -- x125: user lifespan percentiles ---------------------------------------------
+#
+# TENURE: per returning user, the exact integer seconds between their
+# first and last event; globally the exact discrete p50/p90 + the
+# returning-user count — the engagement-duration number next to x105's
+# activation speed (first->first-purchase) and x74's cohort retention.
+# One user-keyed min/max aggregate (single scan, single shuffle), gap
+# arithmetic on exact epoch micros (the x91 NTZ/UTC guard), the shared
+# banded percentile machinery — no sort anywhere.
+
+_X125_ORACLE = """
+WITH u AS (
+  SELECT user_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY user_id),
+d AS (SELECT CAST((epoch_us(t1) - epoch_us(t0)) // 1000000 AS BIGINT)
+          AS span_s
+      FROM u WHERE t1 > t0),
+r AS (SELECT span_s, ROW_NUMBER() OVER (ORDER BY span_s) AS rn FROM d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM d)
+SELECT n.n_users,
+       CAST(MAX(CASE WHEN rn = 1 + (n_users - 1) * 50 // 100
+                     THEN span_s END) AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rn = 1 + (n_users - 1) * 90 // 100
+                     THEN span_s END) AS BIGINT) AS p90_s
+FROM r CROSS JOIN n
+GROUP BY n.n_users
+ORDER BY n_users, p50_s, p90_s"""
+
+
+def user_lifespan(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(n_users, p50_s, p90_s): exact discrete percentiles of the
+    first-to-last-event span in integer seconds, over users seen more
+    than an instant (span > 0 — single-event users carry no tenure
+    signal and would crush the percentiles to 0)."""
+    us = _epoch_us(events, ts_col)
+    u = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(us).alias("e0"), F.max(us).alias("e1")
+    )
+    return lifespan_from_spans(u)
+
+
+def lifespan_from_spans(spans: DataFrame) -> DataFrame:
+    """The x125 percentile table from a per-user (e0, e1) epoch-micro
+    span frame — shared by the batch path and the S39 streamed state
+    (whose min/max fold produces exactly this frame)."""
+    from cubefs_hadoop_spark.extensions.ranking import (
+        grouped_exact_percentiles,
+    )
+
+    g = spans.filter(F.col("e1") > F.col("e0")).select(
+        F.expr("(e1 - e0) div 1000000").cast("long").alias("span_s")
+    )
+    return grouped_exact_percentiles(
+        g, "span_s", group_cols=(), quantiles=(50, 90)
+    ).select(
+        F.col("n").alias("n_users"),
+        F.col("p50").alias("p50_s"),
+        F.col("p90").alias("p90_s"),
+    )
+
+
+@register("x125_user_lifespan", _X125_ORACLE)
+def x125_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 user tenure: exact discrete p50/p90 seconds from a user's
+    first to last event + returning-user count — the
+    engagement-duration figure beside x105's activation latency.  One
+    user-keyed min/max aggregate, banded percentiles, no sort."""
+    return user_lifespan(load(spark, sf_dir, "events")).orderBy(
+        "n_users", "p50_s", "p90_s"
+    )

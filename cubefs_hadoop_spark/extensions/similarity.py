@@ -1558,3 +1558,75 @@ def x64_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table, in one hash-exact row — the pre-flight every ANN
     build (x03c/x41/x56) should read before trusting its input."""
     return embedding_health(load(spark, sf_dir, "embeddings"))
+
+
+# -- x124: per-dimension embedding statistics --------------------------------
+#
+# x64 answers "is the table healthy" in one row; x124 answers WHERE it
+# is unhealthy: per dimension, exact integer-milli min/max/floor-mean
+# and the near-zero cell count — dead dimensions (constant/zero
+# columns waste every downstream shuffle byte), clipped dimensions
+# (min/max pinned at a quantization edge), and mean drift (a
+# normalization bug shifts a dim's mean off 0) all read directly off
+# this table, and x59's truncation question ("can we drop dims?")
+# starts here.
+#
+# Scale: posexplode then ONE partial-agg'd groupBy(dim) — the combine
+# collapses every partition to <=d rows before the shuffle, so the
+# exchange moves executors x d rows whatever the corpus size.  The
+# milli quantization is the x31 FLOOR contract: float->double widen is
+# exact and both engines floor the identical IEEE product.
+
+_X124_ORACLE = """
+WITH ex AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)*1000) AS BIGINT) AS em
+  FROM embeddings)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(em) AS BIGINT) AS min_milli,
+       CAST(MAX(em) AS BIGINT) AS max_milli,
+       CAST(FLOOR(CAST(SUM(em) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS mean_milli,
+       CAST(SUM(CASE WHEN em = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_cells
+FROM ex GROUP BY dim
+ORDER BY dim, n_cells, min_milli, max_milli, mean_milli, zero_cells"""
+
+
+def embedding_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """(dim, n_cells, min_milli, max_milli, mean_milli, zero_cells):
+    exact integer-milli per-dimension statistics (x31's FLOOR milli
+    contract; zero_cells counts |v| < 0.001 — the dead-dim signal)."""
+    ex = emb.select(F.posexplode(vec_col).alias("dim", "v")).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("em"),
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("em").cast("long").alias("min_milli"),
+        F.max("em").cast("long").alias("max_milli"),
+        F.floor(F.sum("em").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_milli"),
+        F.sum((F.col("em") == 0).cast("long")).cast("long").alias(
+            "zero_cells"
+        ),
+    )
+
+
+@register("x124_embedding_dim_stats", _X124_ORACLE)
+def x124_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 per-dimension embedding statistics: exact milli
+    min/max/floor-mean and near-zero cell counts per dimension — the
+    WHERE companion to x64's one-row health audit (dead dims, clipped
+    dims, mean drift) and the starting table for x59's
+    truncation question.  One posexplode + one partial-agg'd
+    groupBy(dim): the exchange moves <=executors x d rows at any
+    corpus size."""
+    return embedding_dim_stats(load(spark, sf_dir, "embeddings")).orderBy(
+        "dim", "n_cells", "min_milli", "max_milli", "mean_milli",
+        "zero_cells",
+    )

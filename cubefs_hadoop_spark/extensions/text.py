@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
 from cubefs_hadoop_spark.plans.materialize import barrier
@@ -1418,4 +1419,186 @@ def x119_source_charclass_profile(
     return charclass_profile(load(spark, sf_dir, "documents")).orderBy(
         "source", "n_docs", "chars", "punct_milli", "digit_milli",
         "upper_milli",
+    )
+
+
+# -- x122: shared-prefix duplication rate ------------------------------------
+#
+# BOILERPLATE HEADERS: docs that open with the same first-K characters
+# (wire-service headers, license preambles, templated intros) are the
+# cheapest near-dup signal there is — one substring + one equi-group,
+# no shingles, no hashes.  x122 reports, per source, how much of the
+# feed shares its opening with at least one other document CORPUS-WIDE
+# (cross-source boilerplate counts against both feeds) — read next to
+# x108's full LSH dup rate: a high x122 with a low x108 means cheap
+# template stripping (x38) beats expensive near-dup machinery.
+#
+# Scale: prefix groups are an equi-groupBy on a 32-char key (shuffle on
+# the prefix, never pairwise); group sizes join back doc-grain on the
+# same key; the rollup is sources-bounded.
+
+_X122_PREFIX = 32
+
+_X122_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, COALESCE(source, '(null)') AS source,
+         SUBSTRING(text, 1, {_X122_PREFIX}) AS pre
+  FROM documents),
+g AS (SELECT pre, CAST(COUNT(*) AS BIGINT) AS sz FROM p GROUP BY pre)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shared_prefix_docs,
+       CAST(1000 * SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS shared_milli
+FROM p JOIN g USING (pre)
+GROUP BY source
+ORDER BY source, n_docs, shared_prefix_docs, shared_milli"""
+
+
+def prefix_dup_rate(
+    docs: DataFrame,
+    k: int = _X122_PREFIX,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, shared_prefix_docs, shared_milli): per source,
+    docs whose first-``k``-char prefix is shared corpus-wide by >= 2
+    documents, with the exact milli share."""
+    p = docs.select(
+        F.coalesce(source_col, F.lit("(null)")).alias("source"),
+        F.substring(text_col, 1, k).alias("pre"),
+    )
+    g = p.groupBy("pre").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return (
+        p.join(g, "pre")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("sz") >= 2).cast("long")).cast("long").alias(
+                "shared_prefix_docs"
+            ),
+            F.expr(
+                "1000 * sum(case when sz >= 2 then 1 else 0 end)"
+                " div count(1)"
+            ).cast("long").alias("shared_milli"),
+        )
+    )
+
+
+@register("x122_prefix_dup_rate", _X122_ORACLE)
+def x122_prefix_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 shared-prefix duplication rate: per source, the share of
+    docs opening with a first-32-char prefix some other document also
+    carries — the cheapest boilerplate-header signal, read next to
+    x108's LSH dup rate to decide template stripping vs near-dup
+    machinery.  Prefix groups are ONE equi-groupBy (never pairwise);
+    the rollup is sources-bounded."""
+    return prefix_dup_rate(load(spark, sf_dir, "documents")).orderBy(
+        "source", "n_docs", "shared_prefix_docs", "shared_milli"
+    )
+
+
+# -- x123: vocabulary head-coverage curve ------------------------------------
+#
+# HOW HEAD-HEAVY is the corpus: the share of total token mass covered
+# by the top-K most frequent terms, at K = 10/100/1000 — the Zipf
+# concentration number a tokenizer budget (x39's vocab size) and a
+# stopword policy both read.  Tie-order independence makes this exact
+# without ranking ANY token: every token tied at count c contributes
+# the same mass, so covered(K) over the (count, m_tokens)
+# counts-of-counts frame is
+#   Σ  CASE WHEN cum_m <= K THEN c*m ELSE max(K - (cum_m - m), 0)*c END
+# — one aggregate per K over a frame bounded by the number of DISTINCT
+# count values (hundreds of rows at any corpus size), cumulated by a
+# window over count DESC (deterministic: count is the frame's key).
+#
+# Scale: one token-explode groupBy (vocabulary-scale, the x66/x84
+# regime), one counts-of-counts rollup (metadata), windows and
+# aggregates on the metadata frame only.
+
+_X123_KS = (10, 100, 1000)
+
+_X123_ORACLE = f"""
+WITH tok AS (
+  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+cc AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS m FROM c GROUP BY cnt),
+cum AS (
+  SELECT cnt, m,
+         CAST(SUM(m) OVER (ORDER BY cnt DESC) AS BIGINT) AS cum_m
+  FROM cc),
+t AS (SELECT CAST(SUM(cnt * m) AS BIGINT) AS mass,
+             CAST(SUM(m) AS BIGINT) AS vocab FROM cc),
+k(k) AS (VALUES {", ".join(f"({k})" for k in _X123_KS)}),
+cov AS (
+  SELECT k.k,
+         CAST(SUM(CASE WHEN cum_m <= k.k THEN cnt * m
+                       ELSE GREATEST(k.k - (cum_m - m), 0) * cnt END)
+              AS BIGINT) AS covered
+  FROM cum CROSS JOIN k GROUP BY k.k)
+SELECT CAST(cov.k AS BIGINT) AS k, t.vocab, t.mass, cov.covered,
+       CAST(1000 * cov.covered // t.mass AS BIGINT) AS share_milli
+FROM cov CROSS JOIN t
+ORDER BY k, vocab, mass, covered, share_milli"""
+
+
+def head_coverage_curve(
+    docs: DataFrame, ks: tuple = _X123_KS, text_col: str = "text"
+) -> DataFrame:
+    """(k, vocab, mass, covered, share_milli): token mass covered by
+    the top-k terms, exact at every k via the counts-of-counts frame
+    (tie-order independent — see module comment)."""
+    c = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cc = c.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w = Window.orderBy(F.desc("cnt")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cc.select(
+        "cnt", "m", F.sum("m").over(w).cast("long").alias("cum_m")
+    )
+    aggs = [
+        F.sum(F.col("cnt") * F.col("m")).cast("long").alias("mass"),
+        F.sum("m").cast("long").alias("vocab"),
+    ]
+    for k in ks:
+        aggs.append(
+            F.sum(
+                F.when(F.col("cum_m") <= k, F.col("cnt") * F.col("m"))
+                .otherwise(
+                    F.greatest(
+                        F.lit(k) - (F.col("cum_m") - F.col("m")), F.lit(0)
+                    )
+                    * F.col("cnt")
+                )
+            ).cast("long").alias(f"cov_{k}")
+        )
+    one = cum.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({int(k)} AS BIGINT), vocab, mass, cov_{k}" for k in ks
+    )
+    return one.selectExpr(
+        f"stack({len(ks)}, {stack}) AS (k, vocab, mass, covered)"
+    ).select(
+        "k",
+        "vocab",
+        "mass",
+        "covered",
+        F.expr("1000 * covered div mass").cast("long").alias("share_milli"),
+    )
+
+
+@register("x123_head_coverage", _X123_ORACLE)
+def x123_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 vocabulary head-coverage curve: exact token-mass share of
+    the top-10/100/1000 terms — the Zipf concentration read beside
+    x66's vocab growth and x39's BPE budget.  One vocabulary-scale
+    groupBy, then metadata-frame arithmetic only (tie-order-independent
+    coverage needs NO token ranking)."""
+    return head_coverage_curve(load(spark, sf_dir, "documents")).orderBy(
+        "k", "vocab", "mass", "covered", "share_milli"
     )

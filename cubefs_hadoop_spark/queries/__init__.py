@@ -29,7 +29,9 @@ _R14_NEW = [
     "x115_customer_order_gaps", "x116_returns_by_nation",
     "x117_order_size_histogram", "x118_hourly_seasonality",
     "x119_source_charclass_profile", "x120_acctbal_percentiles",
-    "x121_brand_price_spread",
+    "x121_brand_price_spread", "x122_prefix_dup_rate",
+    "x123_head_coverage", "x124_embedding_dim_stats",
+    "x125_user_lifespan", "x126_priority_status_matrix",
 ]
 _R10_DROPPED = [
     # the thirteen r10 greens the r13 trim dropped
@@ -57,14 +59,16 @@ _R14_WINDOW = (_R14_NEW + _R10_DROPPED + _R10_REMAINING)[:50]
 # the driver checks exactly the first 50 entries: a 51st name here would
 # silently push the last one out of verification (ADVICE r03)
 #
-# Composition: 9 (r14-new) + 13 (dropped r10) + 30 (r10 tail) = 52 ->
-# the [:50] trim drops the last TWO _R10_REMAINING names
-# (s06_dedup_twin, s07_stream_static_join_twin — both still
-# sweep-green every round).
+# Composition: 14 (r14-new) + 13 (dropped r10) + 30 (r10 tail) = 57 ->
+# the [:50] trim drops the last SEVEN _R10_REMAINING names
+# (q33_json_funcs, q34_conditional_funcs, q35_distinct,
+# s03_sliding_window, s06_dedup_twin, s07_stream_static_join_twin —
+# and q32_map_funcs — all still sweep-green every round).
 #
 # r15 rotation plan (stalest-first): any r15-new operators first, then
-# those two dropped r10 entries, then the r11 window
-# (CORRECTNESS_r11 order), then the r12 window becomes the stale pool.
+# those seven dropped r10 entries (q32_map_funcs onward), then the r11
+# window (CORRECTNESS_r11 order), then the r12 window becomes the
+# stale pool.
 assert len(_R14_WINDOW) == 50, len(_R14_WINDOW)
 assert len(set(_R14_WINDOW)) == 50, "duplicate entry in the driver window"
 reorder(_R14_WINDOW)

@@ -1526,3 +1526,36 @@ def x121_brand_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "n_parts", "min_cents", "max_cents", "avg_cents")
     )
+
+
+_X126_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+p AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS tot
+      FROM m GROUP BY 1)
+SELECT m.o_orderpriority, m.o_orderstatus, m.n,
+       CAST(1000 * m.n // p.tot AS BIGINT) AS share_milli
+FROM m JOIN p USING (o_orderpriority)
+ORDER BY o_orderpriority, o_orderstatus, n, share_milli"""
+
+
+@register("x126_priority_status_matrix", _X126_ORACLE)
+def x126_priority_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 priority x status cross-tab: order counts and exact milli
+    WITHIN-priority shares — the operational backlog matrix beside
+    t04's late-line counts (a priority whose open-status share grows is
+    a fulfillment queue backing up).  One partial-agg'd rollup to the
+    <=15-cell frame; the share window runs over that metadata frame."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "n",
+        F.expr("1000 * n div sum(n) over (partition by o_orderpriority)")
+        .cast("long")
+        .alias("share_milli"),
+    ).orderBy("o_orderpriority", "o_orderstatus", "n", "share_milli")

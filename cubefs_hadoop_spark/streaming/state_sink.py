@@ -1709,3 +1709,39 @@ def sink_hour_cells_state(
         ),
         checkpoint_dir,
     )
+
+
+def sink_user_span_state(
+    sdf: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> None:
+    """Stream events into the x125 tenure state (S39): per user the
+    (first, last) epoch-micro pair folds as a MIN/MAX merge exactly
+    once — both are associative+commutative, so like S31 there is NO
+    ordering contract.  ``behavior.lifespan_from_spans`` serves the
+    live x125 percentile row at any moment.  State: one row per user
+    seen."""
+    from cubefs_hadoop_spark.extensions.behavior import _epoch_us
+
+    def stats(batch: DataFrame) -> DataFrame:
+        us = _epoch_us(batch, ts_col)
+        return batch.groupBy(F.col(user_col).alias("u")).agg(
+            F.min(us).cast("long").alias("e0"),
+            F.max(us).cast("long").alias("e1"),
+        )
+
+    def merge(prev: DataFrame | None, batch_stats: DataFrame) -> DataFrame:
+        both = (
+            prev.unionByName(batch_stats.select(*prev.columns))
+            if prev is not None
+            else batch_stats
+        )
+        return both.groupBy("u").agg(
+            F.min("e0").cast("long").alias("e0"),
+            F.max("e1").cast("long").alias("e1"),
+        )
+
+    _drain(sdf, _ledger_committer(state_dir, stats, merge), checkpoint_dir)

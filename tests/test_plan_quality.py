@@ -1330,3 +1330,56 @@ def test_x46c_knn_auto_shape(spark):
     a = _audit(spark, "x46c_knn_graph_auto")
     assert a.has_window_group_limit
     assert not a.has_python_eval
+
+
+def test_x122_prefix_dup_shape(spark):
+    """x122: prefix groups are one equi-groupBy + one equi-join keyed
+    on the prefix (never pairwise); only (doc_id-free) source/text
+    read; no NLJ, no Python."""
+    a = _audit(spark, "x122_prefix_dup_rate")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"source", "text"} for cols in a.scan_columns())
+
+
+def test_x123_head_coverage_shape(spark):
+    """x123: one vocabulary-scale token groupBy, then counts-of-counts
+    metadata arithmetic — the coverage needs NO token ranking, so no
+    row_number over the vocabulary; no join, no Python."""
+    a = _audit(spark, "x123_head_coverage")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"text"} for cols in a.scan_columns())
+
+
+def test_x124_dim_stats_shape(spark):
+    """x124: posexplode + ONE partial-agg'd groupBy(dim) — the
+    exchange moves <=executors x d rows; only the vector column read;
+    no join, no Python."""
+    a = _audit(spark, "x124_embedding_dim_stats")
+    assert a.nested_loop_joins == 0
+    assert a.broadcast_joins + a.sort_merge_joins == 0
+    assert not a.has_python_eval
+    assert all(cols <= {"embedding"} for cols in a.scan_columns())
+
+
+def test_x125_lifespan_shape(spark):
+    """x125: one user-keyed min/max aggregate + banded percentiles; the
+    single NLJ is the 1-row global-count broadcast (the x105 shape);
+    only (user_id, ts) read; no Python."""
+    a = _audit(spark, "x125_user_lifespan")
+    assert a.nested_loop_joins <= 1
+    assert not a.has_python_eval
+    assert all(cols <= {"user_id", "ts"} for cols in a.scan_columns())
+
+
+def test_x126_priority_status_shape(spark):
+    """x126: one partial-agg'd rollup to the <=15-cell frame; only the
+    two order columns read; no join, no Python."""
+    a = _audit(spark, "x126_priority_status_matrix")
+    assert a.nested_loop_joins == 0
+    assert not a.has_python_eval
+    assert all(
+        cols <= {"o_orderpriority", "o_orderstatus"}
+        for cols in a.scan_columns()
+    )

@@ -1955,3 +1955,33 @@ def test_streamed_hour_cells_state_serves_x102_and_x118(spark, tmp_path):
     # state grain law: bounded by the (type, dow, hr) cube
     st = read_state(spark, state)
     assert st.count() == st.select("event_type", "dow", "hr").distinct().count()
+
+
+def test_streamed_user_span_state_equals_batch_x125(spark, tmp_path):
+    """S39: per-user (first, last) epoch micros fold as a min/max merge
+    order-free (event-id slices — a user's extremes may arrive in any
+    batches); the served lifespan percentile row equals the registered
+    x125 output."""
+    from cubefs_hadoop_spark.extensions.behavior import lifespan_from_spans
+    from cubefs_hadoop_spark.queries import QUERIES
+    from cubefs_hadoop_spark.streaming.state_sink import (
+        read_state,
+        sink_user_span_state,
+    )
+
+    ev, data = _stage_event_id_slices(spark, tmp_path)
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(data)
+    )
+    state = str(tmp_path / "span_state")
+    sink_user_span_state(sdf, state, str(tmp_path / "ckpt"))
+    live = sorted(
+        map(tuple, lifespan_from_spans(read_state(spark, state)).collect())
+    )
+    batch = QUERIES["x125_user_lifespan"](spark, SF_SMOKE).collect()
+    assert live == sorted(map(tuple, batch))
+    # state grain law: one row per user
+    st = read_state(spark, state)
+    assert st.count() == st.select("u").distinct().count()

@@ -164,6 +164,11 @@ REPORT_QUERIES = [
     "x119_source_charclass_profile",
     "x120_acctbal_percentiles",
     "x121_brand_price_spread",
+    "x122_prefix_dup_rate",
+    "x123_head_coverage",
+    "x124_embedding_dim_stats",
+    "x125_user_lifespan",
+    "x126_priority_status_matrix",
     "t04_order_priority",
     "t05_local_supplier_volume",
     "t08_market_share",

@@ -148,6 +148,11 @@ SF1_WATCH = [
     "x119_source_charclass_profile",
     "x120_acctbal_percentiles",
     "x121_brand_price_spread",
+    "x122_prefix_dup_rate",
+    "x123_head_coverage",
+    "x124_embedding_dim_stats",
+    "x125_user_lifespan",
+    "x126_priority_status_matrix",
 ]
 PROBE_QUERIES = [
     "q01_scan_count",
@@ -305,6 +310,11 @@ PROBE_QUERIES = [
     "x119_source_charclass_profile",
     "x120_acctbal_percentiles",
     "x121_brand_price_spread",
+    "x122_prefix_dup_rate",
+    "x123_head_coverage",
+    "x124_embedding_dim_stats",
+    "x125_user_lifespan",
+    "x126_priority_status_matrix",
 ]
 
 
