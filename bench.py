@@ -229,6 +229,10 @@ def main() -> None:
         timings[name] = first
         base = baselines.get(name)
         if base and first > ADJUDICATE_RATIO * base:
+            # let the protocol runs' async cleanup (shuffle/file GC
+            # threads) settle before re-measuring — the rerun exists to
+            # REMOVE ambient noise, not to sample the bench's own wake
+            time.sleep(2)
             rerun = [time_query(fn) for _ in range(ADJUDICATE_RUNS)]
             med = round(statistics.median(rerun), 3)
             adjudicated[name] = {
