@@ -1259,26 +1259,42 @@ def _exact_jaccard_scored(docs: DataFrame) -> DataFrame:
     shingle, with exact intersection and set sizes — the inverted-index
     join (x02b's no-pairwise-sets pattern).  Shared by the x61 audit
     (double-jac threshold, unchanged semantics) and the x71 planner
-    (integer-milli Jaccard)."""
-    sh = (
-        docs.select("doc_id", F.explode(_shingles()).alias("s"))
-        .distinct()
+    (integer-milli Jaccard).
+
+    Distinctness and set size are PER DOCUMENT, so both are row-local:
+    ``array_distinct`` before the explode replaces the exploded
+    ``.distinct()`` (a corpus-wide shuffle on (doc_id, s)), and
+    ``size(array_distinct(..))`` replaces the groupBy(doc_id) size
+    aggregate plus its two re-attach joins — the r13 plan computed that
+    subtree TWICE (once per join side).  Net: 3 exchanges and 2 joins
+    removed; the pair frame leaves the shingle join already carrying
+    na/nb (r14 optimization; same rows, same types, oracle unchanged).
+    widen_for_cpu replaces the parallelism the old distinct()'s shuffle
+    provided for free: without it the checkpointed shingle frame keeps
+    the scan's single split and the bucket join runs on one core."""
+    docs = widen_for_cpu(docs, "doc_id")
+    sh = docs.select(
+        "doc_id", F.array_distinct(_shingles()).alias("_ss")
+    ).select(
+        "doc_id",
+        F.size("_ss").cast("long").alias("n"),
+        F.explode("_ss").alias("s"),
     )
     sh = barrier(sh, eager=False)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    return (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.min("a.n").alias("na"),
+            F.min("b.n").alias("nb"),
+        )
     )
-    sa = sz.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sz.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    return inter.join(sa, "da").join(sb, "db")
 
 
 def exact_shingle_jaccard_pairs(

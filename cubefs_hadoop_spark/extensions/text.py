@@ -630,9 +630,12 @@ def x62_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule is redundant and which is a unique signal, from one corpus
     scan.  Thresholds are fixture-calibrated so every gate drops a
     non-empty, non-total set at all three SFs."""
-    return filter_agreement(load(spark, sf_dir, "documents")).orderBy(
-        "filter_a", "filter_b"
-    )
+    # widen_for_cpu: the flag expressions (trigram transform +
+    # array_distinct per row) are CPU-heavy, and a small corpus arrives
+    # as ONE split — fan out to every core first (no-op at scale).
+    return filter_agreement(
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    ).orderBy("filter_a", "filter_b")
 
 
 # -- x63: rejection funnel (first-failing-gate attribution) ------------------
@@ -751,9 +754,11 @@ def x63_rejection_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling), each document charged to its first failing gate.  The
     operational twin of x62: agreement says which rules overlap, the
     funnel says what each source actually loses and what survives."""
-    return rejection_funnel(load(spark, sf_dir, "documents")).orderBy(
-        "source", "stage", "n_docs", "share_milli"
-    )
+    # widen_for_cpu: same single-split CPU straggler as x62 — the gate
+    # expressions dominate, so fan the scan out first (no-op at scale).
+    return rejection_funnel(
+        widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
+    ).orderBy("source", "stage", "n_docs", "share_milli")
 
 
 # -- x68: language-tag audit (declared lang vs heuristic lang-ID) ------------

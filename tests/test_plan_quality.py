@@ -573,13 +573,15 @@ def test_x56_ivfpq_shape(spark):
 
 def test_x63_funnel_shape(spark):
     """x63: flags + attribution are row-local codegen on ONE corpus
-    scan; the only exchanges are the (source, stage) partial-agg'd
+    scan; the only exchanges are the widen_for_cpu fan-out (r14: the
+    gate expressions are CPU-heavy and a small corpus arrives as one
+    split — a no-op at scale), the (source, stage) partial-agg'd
     groupBy, the source-partitioned share window on the grouped
     metadata-sized frame, and the presentation sort.  No joins, no
     Python, no SinglePartition funnel."""
     a = _audit(spark, "x63_rejection_funnel")
     assert a.broadcast_joins + a.sort_merge_joins + a.nested_loop_joins == 0
-    assert a.shuffles <= 3
+    assert a.shuffles <= 4
     assert a.text.count("SinglePartition") == 0
     assert not a.has_python_eval
 
