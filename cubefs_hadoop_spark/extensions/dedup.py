@@ -2171,8 +2171,14 @@ def neardup_pagerank(docs: DataFrame, iters: int = _X81_ITERS) -> DataFrame:
     ``iters`` power iterations) over the symmetrized x02 candidate
     graph — duplication-hub centrality for paired documents.  Delegates
     to ``neardup_pagerank_from_pairs`` (defined with x82, which shares
-    one barriered pair frame between CC and rank)."""
-    return neardup_pagerank_from_pairs(lsh_candidate_pairs(docs), iters)
+    one barriered pair frame between CC and rank).
+
+    The pair frame is barriered here too (r14): the edge union reads it
+    twice (fwd+rev) and the degree aggregate again — unbarriered, the
+    band join re-ran per traversal (measured 4.2 s -> 2.3 s at sf0.1)."""
+    return neardup_pagerank_from_pairs(
+        barrier(lsh_candidate_pairs(docs), eager=False), iters
+    )
 
 
 @register("x81_neardup_pagerank", _x81_oracle())
