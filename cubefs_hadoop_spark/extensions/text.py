@@ -453,11 +453,15 @@ def x29_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, greatest(size(ws)-4, 1)),"
         " i -> concat_ws(' ', slice(ws, i, 5)))"
     )
+    # per-doc gram distinctness is row-local: array_distinct before the
+    # explode replaces the corpus-wide (doc_id, gm) distinct shuffle
+    # (r14, the _exact_jaccard_scored pattern); the owner aggregate and
+    # the gram join both hash on gm, so the one remaining exchange is
+    # planned once and reused.
     grams = (
         widen_for_cpu(load(spark, sf_dir, "documents"), "doc_id")
         .withColumn("ws", F.split("text", " "))
-        .select("doc_id", F.explode(g).alias("gm"))
-        .distinct()
+        .select("doc_id", F.explode(F.array_distinct(g)).alias("gm"))
     )
     owner = grams.groupBy("gm").agg(F.min("doc_id").alias("own"))
     return (
