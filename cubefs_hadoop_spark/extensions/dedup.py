@@ -2265,11 +2265,43 @@ def centrality_canonical(docs: DataFrame) -> DataFrame:
     the member with max x81 PageRank (doc_id tiebreak; isolated docs
     elect themselves) — keep origins, drop mirrors.  elect_canonical
     with the PageRank frame as the score; the barriered pair frame
-    feeds both CC and the power iteration."""
-    pairs = barrier(lsh_candidate_pairs(docs), eager=False)  # feeds CC + pr
-    return elect_canonical(
-        docs, pairs, score=neardup_pagerank_from_pairs(pairs)
-    )
+    feeds both CC and the power iteration.
+
+    Job overlap (r14, guide §2.6): CC and PageRank are independent
+    until the election join, and the CC tier blocks the DRIVER (count
+    job, Arrow collect, Python union-find) while the cluster idles — so
+    the PageRank chain is driven to materialization on a background
+    InheritableThread (job-description/thread-local props inherited)
+    while elect_canonical's CC runs on this thread.  The pair frame is
+    materialized eagerly FIRST so the two threads only ever read
+    checkpointed blocks, never race to compute the same lazy
+    checkpoint; the thread is joined before returning, so the caller
+    never observes concurrent jobs.  Result-identical by construction —
+    both frames are deterministic and the join order is unchanged."""
+    from pyspark import InheritableThread
+
+    pairs = barrier(lsh_candidate_pairs(docs), eager=True)  # feeds CC + pr
+    score = neardup_pagerank_from_pairs(pairs)
+    boom: list[BaseException] = []
+
+    def _drive() -> None:
+        try:
+            # count() walks the whole chain, materializing each lazy
+            # iteration barrier; the returned plan then reads cached
+            # blocks at action time
+            score.count()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            boom.append(e)
+
+    t = InheritableThread(target=_drive)
+    t.start()
+    try:
+        out = elect_canonical(docs, pairs, score=score)
+    finally:
+        t.join()
+    if boom:
+        raise boom[0]
+    return out
 
 
 def neardup_pagerank_from_pairs(
