@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cubefs_hadoop_spark.catalog import load
-from cubefs_hadoop_spark.plans.materialize import barrier
+from cubefs_hadoop_spark.plans.materialize import barrier, materialize_async
 from cubefs_hadoop_spark.plans.parallelism import widen_for_cpu
 from cubefs_hadoop_spark.registry import register
 from cubefs_hadoop_spark.oracle_compat import r2d
@@ -2278,29 +2278,13 @@ def centrality_canonical(docs: DataFrame) -> DataFrame:
     checkpoint; the thread is joined before returning, so the caller
     never observes concurrent jobs.  Result-identical by construction —
     both frames are deterministic and the join order is unchanged."""
-    from pyspark import InheritableThread
-
     pairs = barrier(lsh_candidate_pairs(docs), eager=True)  # feeds CC + pr
     score = neardup_pagerank_from_pairs(pairs)
-    boom: list[BaseException] = []
-
-    def _drive() -> None:
-        try:
-            # count() walks the whole chain, materializing each lazy
-            # iteration barrier; the returned plan then reads cached
-            # blocks at action time
-            score.count()
-        except BaseException as e:  # noqa: BLE001 — re-raised below
-            boom.append(e)
-
-    t = InheritableThread(target=_drive)
-    t.start()
+    bg = materialize_async(score)
     try:
         out = elect_canonical(docs, pairs, score=score)
     finally:
-        t.join()
-    if boom:
-        raise boom[0]
+        bg.join()
     return out
 
 

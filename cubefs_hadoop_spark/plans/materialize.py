@@ -100,3 +100,48 @@ def barrier(
         ensure_checkpoint_dir(df.sparkSession)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+class AsyncMaterialization:
+    """Handle for a DataFrame being driven to materialization on a
+    background thread (guide §2.6 "overlap independent jobs"): Spark's
+    scheduler runs several jobs inside one application; actions are only
+    sequential because driver code calls them sequentially.  Used where
+    one pipeline blocks the DRIVER (a collect/count + Python post-work)
+    while an INDEPENDENT pipeline could be filling the otherwise idle
+    executors — x82's CC-vs-PageRank, x61's candidate-vs-truth frames.
+
+    Contract: the frame's lazy barriers/caches must not be shared with a
+    concurrently-computing pipeline (materialize shared parents eagerly
+    FIRST), and ``join()`` must be called before the caller returns so
+    no concurrent jobs outlive the operator.  Exceptions propagate on
+    ``join()``.  ``pyspark.InheritableThread`` keeps thread-local job
+    descriptions/properties correct for the background jobs."""
+
+    def __init__(self, df: DataFrame) -> None:
+        from pyspark import InheritableThread
+
+        self._exc: list[BaseException] = []
+
+        def _run() -> None:
+            try:
+                # count() walks the whole chain, materializing every
+                # lazy checkpoint/cache it passes through
+                df.count()
+            except BaseException as e:  # noqa: BLE001 — re-raised in join
+                self._exc.append(e)
+
+        self._t = InheritableThread(target=_run)
+        self._t.start()
+
+    def join(self) -> None:
+        self._t.join()
+        if self._exc:
+            raise self._exc[0]
+
+
+def materialize_async(df: DataFrame) -> AsyncMaterialization:
+    """Start materializing ``df`` on a background thread; returns a
+    handle whose ``join()`` blocks until done (re-raising any failure).
+    See :class:`AsyncMaterialization` for the safety contract."""
+    return AsyncMaterialization(df)

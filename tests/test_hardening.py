@@ -102,3 +102,57 @@ def test_components_unconverged_raises(spark):
     )
     with pytest.raises(UnconvergedError):
         connected_components(pairs, max_iter=2)
+
+
+# -- background materialization (guide §2.6 job overlap) ---------------------
+
+
+def test_materialize_async_materializes_and_joins(spark):
+    from cubefs_hadoop_spark.plans.materialize import materialize_async
+
+    df = barrier(
+        spark.range(100).selectExpr("id", "id * 2 AS v"), eager=False
+    )
+    bg = materialize_async(df)
+    bg.join()  # returns only after the background count drove the chain
+    assert df.count() == 100
+    assert df.agg({"v": "sum"}).collect()[0][0] == 9900
+
+
+def test_materialize_async_propagates_failure(spark):
+    from cubefs_hadoop_spark.plans.materialize import materialize_async
+
+    # the failing predicate sits in a filter, which the background
+    # count() cannot prune (a failing projection would be optimized
+    # away by count's column pruning)
+    bad = spark.range(10).filter("10 div (5 - id) > -99")
+    bg = materialize_async(bad)
+    with pytest.raises(Exception):
+        bg.join()
+
+
+def test_x82_overlap_matches_sequential_election(spark):
+    """centrality_canonical's CC-vs-PageRank overlap (r14) must be a pure
+    scheduling change: the overlapped composition equals the sequential
+    elect_canonical over the same materialized inputs, row for row."""
+    from cubefs_hadoop_spark.catalog import load
+    from cubefs_hadoop_spark.extensions.dedup import (
+        centrality_canonical,
+        elect_canonical,
+        lsh_candidate_pairs,
+        neardup_pagerank_from_pairs,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    got = sorted(
+        centrality_canonical(docs).collect(),
+        key=lambda r: (r.doc_id, r.canonical),
+    )
+    pairs = barrier(lsh_candidate_pairs(docs), eager=True)
+    want = sorted(
+        elect_canonical(
+            docs, pairs, score=neardup_pagerank_from_pairs(pairs)
+        ).collect(),
+        key=lambda r: (r.doc_id, r.canonical),
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
