@@ -174,6 +174,17 @@ RUNS = 4
 ADJUDICATE_RATIO = 1.4
 ADJUDICATE_RUNS = 3
 
+# Symmetric adjudication (VERDICT r14 "What's wrong" #2): min() over
+# protocol medians is a downward-biased statistic — it forgives slow
+# rows but never re-examines suspiciously FAST ones, so a lucky-fast
+# sample could be kept as-is.  Rows whose protocol median lands BELOW
+# baseline/ADJUDICATE_RATIO are therefore re-run too, and their recorded
+# value is the MAX over protocol medians (the conservative direction for
+# a fast row — a genuine optimization simply confirms itself).  Raw
+# sample lists are kept in the artifact for every adjudicated row, plus
+# a median-of-all-samples, so a regression hidden by min() stays visible
+# (ADVICE r14, bench.py:275).
+
 # End-of-run adjudication (r14): the immediate rerun above cannot dodge a
 # host-side load burst that outlasts it (this box shows multi-minute
 # load-average spikes with zero local processes; both r14 bench artifacts
@@ -235,26 +246,33 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     adjudicated: dict[str, dict] = {}
+    raw_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         samples = [time_query(fn) for _ in range(RUNS)]
+        raw_samples[name] = [round(s, 3) for s in samples]
         first = round(statistics.median(samples[1:]), 3)
         timings[name] = first
         base = baselines.get(name)
-        if base and first > ADJUDICATE_RATIO * base:
-            # let the protocol runs' async cleanup (shuffle/file GC
-            # threads) settle before re-measuring — the rerun exists to
-            # REMOVE ambient noise, not to sample the bench's own wake
-            time.sleep(2)
-            rerun = [time_query(fn) for _ in range(ADJUDICATE_RUNS)]
-            med = round(statistics.median(rerun), 3)
-            adjudicated[name] = {
-                "first": first,
-                "median3": med,
-                "baseline": base,
-                "load_1min": round(os.getloadavg()[0], 2),
-            }
+        if not base or ADJUDICATE_RATIO * base >= first > base / ADJUDICATE_RATIO:
+            continue
+        # let the protocol runs' async cleanup (shuffle/file GC
+        # threads) settle before re-measuring — the rerun exists to
+        # REMOVE ambient noise, not to sample the bench's own wake
+        time.sleep(2)
+        rerun = [time_query(fn) for _ in range(ADJUDICATE_RUNS)]
+        raw_samples[name] += [round(s, 3) for s in rerun]
+        med = round(statistics.median(rerun), 3)
+        adjudicated[name] = {
+            "first": first,
+            "median3": med,
+            "baseline": base,
+            "load_1min": round(os.getloadavg()[0], 2),
+        }
+        if first > ADJUDICATE_RATIO * base:  # slow: forgive bursts
             timings[name] = min(first, med)
+        else:  # suspiciously fast: conservative direction is up
+            timings[name] = max(first, med)
 
     # end-of-run adjudication: see the FINAL_* constants' comment
     budget = FINAL_WAIT_BUDGET_S
@@ -266,6 +284,7 @@ def main() -> None:
             time.sleep(5)
             budget -= 5
         rerun = [time_query(QUERIES[name]) for _ in range(ADJUDICATE_RUNS)]
+        raw_samples[name] += [round(s, 3) for s in rerun]
         med = round(statistics.median(rerun), 3)
         rec = adjudicated.setdefault(
             name, {"first": timings[name], "baseline": base}
@@ -273,6 +292,13 @@ def main() -> None:
         rec["final3"] = med
         rec["load_1min_final"] = round(os.getloadavg()[0], 2)
         timings[name] = min(timings[name], med)
+
+    # every adjudicated row carries its raw samples + a median over ALL
+    # of them (warm-up included), so the min()/max() protocol value can
+    # always be cross-checked against an unbiased statistic
+    for name, rec in adjudicated.items():
+        rec["samples"] = raw_samples[name]
+        rec["median_all"] = round(statistics.median(raw_samples[name]), 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -298,6 +324,23 @@ def main() -> None:
     )
     with open(out_path, "w") as f:
         f.write(line + "\n")
+    # truncation-proof summary (VERDICT r14 item 2): a short final line
+    # that survives ANY stdout-tail window, so a truncated full line can
+    # never again leave the round-over-round comparison empty.  The full
+    # per-query line above stays the primary contract output;
+    # BENCH_out.json is the authoritative artifact (see README).
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": out["value"],
+                "n": len(timings),
+                "unit": "sec",
+                "sf": sf,
+                "summary_of_previous_line": True,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -56,6 +56,20 @@ def ensure_checkpoint_dir(spark: SparkSession, path: str | None = None) -> str:
     return sc.getCheckpointDir() or path
 
 
+def is_materialized(df: DataFrame) -> bool:
+    """True iff ``df``'s plan root is already a checkpoint scan (a
+    ``LogicalRDD`` — what both ``checkpoint`` and ``localCheckpoint``
+    leave behind).  Used to make double barriers no-ops: re-barriering a
+    checkpointed frame buys nothing but a second copy job of the same
+    blocks (ADVICE r14: x82's pair frame paid exactly that through
+    ``connected_components_auto``)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.getClass().getSimpleName() == "LogicalRDD"
+    except Exception:
+        return False
+
+
 def barrier(
     df: DataFrame, eager: bool = True, reliable: bool | None = None
 ) -> DataFrame:
@@ -68,7 +82,14 @@ def barrier(
     false): one session conf flips every barrier in the dedup/components
     pipelines to durable checkpoints for real-cluster runs, with no
     signature churn through the registered query functions.
+
+    A frame whose plan root is ALREADY a checkpoint scan is returned
+    unchanged — a second barrier would only re-copy the same blocks
+    (durability does not compose through the re-copy either: the conf
+    governs the FIRST barrier a frame meets).
     """
+    if is_materialized(df):
+        return df
     try:
         # audit-only escape hatch (VERDICT r13 #5): with barriers
         # disabled the probed frame exposes its FULL pipeline to
@@ -133,6 +154,12 @@ class AsyncMaterialization:
 
         self._t = InheritableThread(target=_run)
         self._t.start()
+
+    def wait(self) -> None:
+        """Block until the background job finishes WITHOUT re-raising its
+        failure — for exception paths, where raising here would mask the
+        foreground error that is already unwinding (ADVICE r14)."""
+        self._t.join()
 
     def join(self) -> None:
         self._t.join()
