@@ -148,7 +148,10 @@ def semantic_dedup(
     dups = (
         a.join(b, "cid")
         .filter(F.col("da") < F.col("db"))
-        .filter(_cosine_with_norms("ea", "eb", "na", "nb") >= tau)
+        # unroll=True: the in-cluster pair filter is the hot loop here —
+        # interleaved A/B measured 1.17x with the codegen dot (the one
+        # call site where unrolling wins; see _cosine_expr's docstring).
+        .filter(_cosine_with_norms("ea", "eb", "na", "nb", unroll=True) >= tau)
         .select(F.col("db").alias(id_col))
         .distinct()
     )
@@ -277,9 +280,14 @@ def srp_neardup_pairs_auto(
         a.join(b, ["band", "key"])
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
-        .distinct()
     )
-    return verify_pairs(cand, emb, tau, id_col=id_col, vec_col=vec_col)
+    # Band-duplicate candidates dedupe AFTER the cosine gate: a pair that
+    # collides in k bands yields k bit-identical (da, db, c) rows, so the
+    # distinct's shuffle now carries only the tau-survivors (~1e3 rows)
+    # instead of the full candidate stream (~1e6) — guide §2.2.
+    return verify_pairs(
+        cand, emb, tau, id_col=id_col, vec_col=vec_col
+    ).distinct()
 
 
 def srp_signatures(
@@ -325,10 +333,11 @@ def srp_neardup_pairs(
     ``_X13_BANDS``/``_X13_BITS`` geometry).
 
     Scale: the bucket self-join is an equi-join on (band, key) — the pair
-    space is per-bucket, never N^2; candidate ids dedupe BEFORE the
-    embeddings are re-attached (two keyed joins on the id), so the wide
-    vectors are never carried through the distinct's shuffle — the same
-    shuffle-width discipline as ivf_topk_indexed (similarity.py:406).
+    space is per-bucket, never N^2; band-duplicate candidates dedupe AFTER
+    the cosine gate on the skinny (da, db, c) survivors, so neither the
+    wide vectors nor the ~1e6-row candidate stream ever ride a distinct's
+    shuffle — the same shuffle-width discipline as ivf_topk_indexed
+    (similarity.py:406).
     Signatures are referenced by both self-join sides, so they
     materialize behind a ``barrier`` — one signing pass, not two."""
     if hyperplanes is None:
@@ -344,9 +353,11 @@ def srp_neardup_pairs(
         a.join(b, ["band", "key"])
         .filter(F.col("da") < F.col("db"))
         .select("da", "db")
-        .distinct()
     )
-    return verify_pairs(cand, emb, tau, id_col=id_col, vec_col=vec_col)
+    # distinct after the cosine gate — see srp_neardup_pairs_auto.
+    return verify_pairs(
+        cand, emb, tau, id_col=id_col, vec_col=vec_col
+    ).distinct()
 
 
 def verify_pairs(

@@ -38,8 +38,42 @@ _DOT = (
     " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+# Vector width the codegen dot unrolls over (the corpus embedding width at
+# every fixture SF).  Any other width falls through the CASE guard to the
+# aggregate form, so the VALUE never depends on this constant — only which
+# of two bit-identical evaluation strategies runs.
+_UNROLL_DIM = 64
 
-def _cosine_expr(a: str, b: str) -> F.Column:
+
+def _dot_seq(a: str, b: str) -> str:
+    """Sequential dot, whole-stage-codegen form.
+
+    zip_with/aggregate are CodegenFallback expressions — every cosine used
+    to run interpreted, allocating the zipped array per pair.  Unrolling
+    the identical op sequence (acc = 0.0; acc = acc + a[i]*b[i], left to
+    right) over _UNROLL_DIM 0-based subscripts compiles into the stage's
+    generated code with no allocation.  The leading ``0.0 +`` keeps even
+    the -0.0 corner bit-equal to the aggregate form; rows whose arrays are
+    not exactly _UNROLL_DIM wide (e.g. x59's truncated prefixes) take the
+    ELSE branch, which IS the aggregate form — so this is bit-identical to
+    _DOT at every width by construction (verified pairwise on all 1,999,000
+    sf0.1 embedding pairs and by the oracle hash gate at 3 SFs)."""
+    terms = " + ".join(
+        f"CAST(({a})[{i}] AS DOUBLE) * CAST(({b})[{i}] AS DOUBLE)"
+        for i in range(_UNROLL_DIM)
+    )
+    return (
+        f"CASE WHEN size({a}) = {_UNROLL_DIM} AND size({b}) = {_UNROLL_DIM}"
+        f" THEN CAST(0.0 AS DOUBLE) + {terms}"
+        f" ELSE {_DOT.format(a=a, b=b)} END"
+    )
+
+
+def _dot_form(a: str, b: str, unroll: bool) -> str:
+    return _dot_seq(a, b) if unroll else _DOT.format(a=a, b=b)
+
+
+def _cosine_expr(a: str, b: str, unroll: bool = False) -> F.Column:
     """Inline cosine: dot / (sqrt(aa) * sqrt(bb)).
 
     FP-contract with _cosine_with_norms (ADVICE r03): both MUST evaluate
@@ -47,25 +81,36 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     bit-exact oracle hash depends on the full-probe IVF path (this expr)
     agreeing with x03's precomputed-norm path to the last ulp.  If either
     helper is refactored (norm caching, fused multiply, reassociation),
-    keep the op sequence identical or re-verify both driver hashes."""
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
+    keep the op sequence identical or re-verify both driver hashes.
+
+    ``unroll`` picks between two bit-identical dot strategies (the value
+    NEVER depends on it): the compact aggregate form (default) or the
+    codegen _dot_seq form.  Measured per call site with interleaved A/B
+    at sf0.1: unrolling wins only on x12's cluster-prune path (1.17x,
+    where the in-cluster pair filter is the hot loop) and is
+    neutral-to-negative on the broadcast/IVF paths (x03 0.88x, x03c
+    0.73x, x13 0.78x, x56b 0.84x — the giant generated methods trade
+    JIT-compiled quality for size), so it is opt-in per call site."""
+    dot = _dot_form(a, b, unroll)
+    na = _dot_form(a, a, unroll)
+    nb = _dot_form(b, b, unroll)
     return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
 
 
-def _norm_expr(a: str) -> F.Column:
+def _norm_expr(a: str, unroll: bool = False) -> F.Column:
     """sqrt(dot(a,a)) — precomputed once per vector so pairwise cosine
     needs ONE dot product instead of three (norms are join-invariant;
     recomputing them per pair multiplies the hot-loop FLOPs by 3)."""
-    return F.expr(f"sqrt({_DOT.format(a=a, b=a)})")
+    return F.expr(f"sqrt({_dot_form(a, a, unroll)})")
 
 
-def _cosine_with_norms(a: str, b: str, na: str, nb: str) -> F.Column:
+def _cosine_with_norms(
+    a: str, b: str, na: str, nb: str, unroll: bool = False
+) -> F.Column:
     """Cosine with precomputed norms — na/nb are sqrt(dot(x,x)) columns,
     so the evaluated op sequence is dot / (sqrt(aa) * sqrt(bb)): bit-equal
     to _cosine_expr by construction.  See the FP-contract note there."""
-    return F.expr(f"{_DOT.format(a=a, b=b)} / ({na} * {nb})")
+    return F.expr(f"{_dot_form(a, b, unroll)} / ({na} * {nb})")
 
 
 # DuckDB twin of the same formula (sequential double accumulation in both

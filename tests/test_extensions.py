@@ -3255,3 +3255,76 @@ def test_x112_x113_crafted_witnesses(spark):
     got3 = {r.week: (r.items, r.new_items)
             for r in catalog_turnover(ev3).collect()}
     assert got3 == {0: (1, 1), 1: (2, 1)}
+
+
+def test_dot_seq_bit_identical_to_aggregate_form(spark):
+    """The unrolled codegen dot (_dot_seq) must be bit-equal to the
+    aggregate/zip_with form at the fixture width (64), at a ragged width
+    (the CASE fallback branch), and on NULL arrays — the r15 optimization
+    swaps evaluation strategy, never the value (FP contract,
+    similarity.py)."""
+    from cubefs_hadoop_spark.extensions.similarity import _DOT, _dot_seq
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("da"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("db"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    # full width (unrolled branch), ragged width 17 (fallback branch)
+    for ea, eb in [("ea", "eb"), ("slice(ea, 1, 17)", "slice(eb, 1, 17)")]:
+        cmp = pairs.select(
+            F.expr(_DOT.format(a=ea, b=eb)).alias("o"),
+            F.expr(_dot_seq(ea, eb)).alias("n"),
+        )
+        bad = cmp.filter(
+            ~(
+                (F.col("o") == F.col("n"))
+                | (F.isnan("o") & F.isnan("n"))
+                | (F.col("o").isNull() & F.col("n").isNull())
+            )
+        ).count()
+        assert bad == 0, f"dot mismatch for ({ea}, {eb})"
+    # NULL array propagates NULL through both forms
+    row = (
+        spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS ea, array(1.0d) AS eb")
+        .select(
+            F.expr(_DOT.format(a="ea", b="eb")).alias("o"),
+            F.expr(_dot_seq("ea", "eb")).alias("n"),
+        )
+        .first()
+    )
+    assert row.o is None and row.n is None
+
+
+def test_srp_pairs_distinct_after_verify_matches_pre_distinct(spark):
+    """r15 moved the SRP candidate distinct after the cosine gate; the
+    returned pair SET must equal the old candidates-first-distinct
+    pipeline exactly (band-duplicate pairs verify to bit-identical c)."""
+    from cubefs_hadoop_spark.extensions.semantic import (
+        _X13_H,
+        _X13_TAU,
+        srp_neardup_pairs,
+        srp_signatures,
+        verify_pairs,
+    )
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    hp = emb.filter(F.col("vec_id") < _X13_H).select(
+        F.col("vec_id").alias("h"), F.col("embedding").alias("hv")
+    )
+    got = sorted(
+        (r.da, r.db, r.c) for r in srp_neardup_pairs(emb, hp).collect()
+    )
+    sig = srp_signatures(emb, hp)
+    a = sig.select(F.col("vec_id").alias("da"), "band", "key")
+    b = sig.select(F.col("vec_id").alias("db"), "band", "key")
+    cand_old = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    want = sorted(
+        (r.da, r.db, r.c)
+        for r in verify_pairs(cand_old, emb, _X13_TAU).collect()
+    )
+    assert got == want and len(got) > 0
