@@ -249,11 +249,14 @@ def connected_components_driver(pairs: DataFrame) -> DataFrame:
     graphs; size ``cfspark.cc.driver.threshold`` to the driver's memory
     headroom."""
     spark = pairs.sparkSession
-    tbl = (
-        pairs.select(F.col("da").cast("long"), F.col("db").cast("long"))
-        .distinct()
-        .toArrow()
-    )
+    # No distinct: union-find is duplicate-insensitive (a repeated edge
+    # re-unions two already-joined roots), and every engine caller hands
+    # in an already-deduped pair frame — the defensive distinct paid a
+    # full extra shuffle of the pair frame per CC query (r15; guide §2.2).
+    # A caller with duplicate edges only pays proportional Arrow bytes.
+    tbl = pairs.select(
+        F.col("da").cast("long"), F.col("db").cast("long")
+    ).toArrow()
     rows = zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist())
     parent: dict[int, int] = {}
 
