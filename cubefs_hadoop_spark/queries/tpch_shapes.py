@@ -988,7 +988,15 @@ def x104_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The same fact table aggregated through two OPPOSITE dimension
     paths: both sides partial-agg to nation grain before the tiny
     broadcast join against nation; per-row DECIMAL casts keep the sums
-    exact and order-independent."""
+    exact and order-independent.
+
+    r15 family sweep: exp/imp are nation-grain (<= 25 rows at ANY
+    corpus scale — nation is a fixed domain), so the left joins carry
+    explicit broadcast hints instead of the size-estimated
+    SortMergeJoin (guide §3.1).  widen_for_cpu on the lineitem passes
+    was measured and REJECTED (1.06 -> 1.99 s: the fanned decimal map
+    does not pay for shuffling 600k raw rows through two passes —
+    unlike q06, whose agg shuffle is 6 rows)."""
     li = load(spark, sf_dir, "lineitem")
     rev = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
         "_rev"
@@ -1017,10 +1025,10 @@ def x104_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     return (
         nation.join(
-            exp, F.col("n_nationkey") == exp.nk, "left"
+            F.broadcast(exp), F.col("n_nationkey") == exp.nk, "left"
         )
         .drop("nk")
-        .join(imp, F.col("n_nationkey") == imp.nk, "left")
+        .join(F.broadcast(imp), F.col("n_nationkey") == imp.nk, "left")
         .select(
             "n_name",
             F.coalesce("export_rev", zero).alias("export_rev"),
@@ -1153,7 +1161,13 @@ def x109_part_type_revenue_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     table next to x103's corpus cross-tab.  Lineitem collapses to PART
     grain in one partial agg BEFORE the part join (the join input is
     catalog-sized, not fact-sized); the type rollup and share run on
-    the ~150-row type frame; 128-bit share arithmetic."""
+    the ~150-row type frame; 128-bit share arithmetic.
+
+    r15 family sweep: widen_for_cpu on the part-grain partial agg was
+    measured and REJECTED (0.97 -> 1.08 s — the agg keeps ~200k part
+    keys, so fanning the map stage just moves the full row set through
+    an extra shuffle; q06's widen pays off only because its agg
+    collapses to 6 groups)."""
     from cubefs_hadoop_spark.extensions.intmath import spark_exact_floordiv
     from cubefs_hadoop_spark.plans.materialize import barrier
 
